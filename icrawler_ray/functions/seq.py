@@ -1,0 +1,51 @@
+"""Deterministic global sequence assignment (SURVEY.md D2).
+
+The reference assigns 6-digit filenames from a lock-serialized counter
+(/root/reference/icrawler/downloader.py:60-77,110-139) whose order is an
+artifact of thread interleaving. This engine *defines* the order (sort by
+explicit keys) and assigns the global index distributedly:
+
+    sort(keys) -> per-block row counts (metadata only on the driver)
+    -> prefix sum -> per-block offset added by parallel Ray tasks.
+
+No row ever moves to the driver; the driver sees only block counts. This is
+the split-sizes prefix-sum pattern and scales to any number of blocks.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+
+
+@ray.remote
+def _add_seq_block(block: pa.Table, col: str, offset: int) -> pa.Table:
+    n = block.num_rows
+    return block.append_column(col, pa.array(range(offset, offset + n), type=pa.int64()))
+
+
+def assign_global_seq(ds: ray.data.Dataset, sort_keys: list[str], col: str = "seq",
+                      start: int = 0, descending=False) -> ray.data.Dataset:
+    """Sort ``ds`` by ``sort_keys`` and append a dense global index column.
+
+    The sort is the only shuffle; index assignment is a metadata prefix-sum
+    plus an embarrassingly parallel per-block append.
+    """
+    if sort_keys:
+        ds = ds.sort(sort_keys, descending=descending)
+    refs = ds.to_arrow_refs()  # zero-copy object-store refs, in sorted block order
+    counts = ray.get([_block_count.remote(r) for r in refs])
+    out_refs = []
+    offset = start
+    for r, n in zip(refs, counts):
+        out_refs.append(_add_seq_block.remote(r, col, offset))
+        offset += n
+    if not out_refs:
+        return ds  # zero-block dataset: nothing to index
+    return ray.data.from_arrow(ray.get(out_refs))
+
+
+@ray.remote
+def _block_count(block: pa.Table) -> int:
+    return block.num_rows

@@ -1,0 +1,346 @@
+"""Greedy (frontier) crawl pipeline (SURVEY.md §3.2 — the north-rule core).
+
+Reference flow: GreedyFeeder seeds domains and parks; GreedyParser feeds
+page links back into its own queue (the BFS frontier with the url_queue's
+CachedQueue as seen-set, /root/reference/icrawler/parser.py:105-111,
+greedy.py:10-15). Here the feedback loop is an explicit driver round loop
+(Ray Data has no native iteration); each round is:
+
+    frontier_r --politeness gate--> gated | deferred
+    gated --FetchParse actor pool--> docs + tasks + links + errors
+    links --exact in-round dedup--> --sharded seen filter (groupby shard)-->
+          --sort(parent_seq, emit_ord) + global seq--> new frontier rows
+    tasks --same dedup/seen--> --Fetcher actor pool--> --ordered filenames-->
+    frontier_{r+1} = deferred U new_links ; checkpoint(round)
+
+Determinism: every ordering is defined by explicit sort keys
+(depth/priority/discovered seq — SURVEY.md §7.4), so outputs are identical
+at any parallelism; the sequential oracle (icrawler_ray/oracle.py)
+reproduces them exactly. Deviations from the reference, by design:
+- crawl order is *defined*, not a lock-interleaving artifact
+  (downloader.py:110-139)
+- max_num truncates downloads and stops the crawl at the ROUND boundary,
+  not mid-stream
+- politeness/robots exist (the reference has none)
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from icrawler_ray.defaults import DEFAULT_EXT, DEFAULT_SEEN_SHARDS, FETCH_BATCH_SIZE
+from icrawler_ray.functions.seq import assign_global_seq
+from icrawler_ray.functions.urlnorm import canonicalize, hash_urls, hosts_of
+from icrawler_ray.schemas import FRONTIER
+from icrawler_ray.stages.download import Fetcher, assign_filenames
+from icrawler_ray.stages.fetch_parse import FetchParse, split_fetch_parse
+from icrawler_ray.stages.politeness import HostPolicy, politeness_gate
+from icrawler_ray.state.checkpoint import CheckpointManager
+from icrawler_ray.state.seen import ShardedSeenSet, seen_filter_dataset
+
+
+def normalize_domains(domains) -> list[str]:
+    """GreedyImageCrawler.crawl input fixup (greedy.py:80-88)."""
+    if isinstance(domains, str):
+        domains = [domains]
+    out = []
+    for d in domains:
+        if not d.startswith("http"):
+            d = "http://" + d
+        out.append(d.rstrip("/"))
+    return out
+
+
+def _frontier_table(urls, depths, priorities, seqs) -> pa.Table:
+    s = pd.Series(list(urls), dtype="string")
+    canon = canonicalize(s)
+    return pa.table(
+        {
+            "url": pa.array(s.astype(object), type=pa.string()),
+            "url_canon": pa.array(canon.astype(object), type=pa.string()),
+            "url_hash": pa.array(hash_urls(canon.fillna("")), type=pa.uint64()),
+            "host": pa.array(hosts_of(s).astype(object), type=pa.string()),
+            "depth": pa.array(np.asarray(depths, dtype=np.int32)),
+            "priority": pa.array(np.asarray(priorities, dtype=np.float64)),
+            "discovered_seq": pa.array(np.asarray(seqs, dtype=np.int64)),
+            "parent_doc_id": pa.array([""] * len(s), type=pa.string()),
+        },
+        schema=FRONTIER,
+    )
+
+
+def dedup_first_multi(ds, key: str, order_cols: list[str]):
+    """groupby(key) keep the row with the smallest order key — CachedQueue
+    insertion-order dedup (cached_queue.py:26-59), deterministic."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_cols, kind="mergesort").head(1)
+
+    return ds.groupby(key).map_groups(first, batch_format="pandas")
+
+
+class GreedyCrawl:
+    def __init__(
+        self,
+        url_map_ref,
+        domains,
+        policy: HostPolicy | None = None,
+        max_num: int = 0,
+        max_depth: int = 6,
+        max_rounds: int = 64,
+        min_size=None,
+        max_size=None,
+        num_shards: int = DEFAULT_SEEN_SHARDS,
+        seen_capacity: int = 1 << 18,
+        exact_seen: bool = False,
+        out_dir: str | None = None,
+        checkpoint_dir: str | None = None,
+        default_ext: str = DEFAULT_EXT,
+        parse_concurrency=(1, 4),
+        fetch_concurrency=(1, 8),
+        keep_content: bool = True,
+        run_id: str | None = None,
+    ):
+        self.url_map_ref = url_map_ref
+        self.domains = normalize_domains(domains)
+        self.policy = policy or HostPolicy({})
+        self.policy_ref = ray.put(self.policy)
+        self.max_num = max_num
+        self.max_depth = max_depth
+        self.max_rounds = max_rounds
+        self.min_size = min_size
+        self.max_size = max_size
+        self.out_dir = out_dir
+        self.default_ext = default_ext
+        self.parse_concurrency = parse_concurrency
+        self.fetch_concurrency = fetch_concurrency
+        self.keep_content = keep_content
+        self.run_id = run_id or uuid.uuid4().hex[:8]
+        self.seen_pages = ShardedSeenSet(
+            f"{self.run_id}:pages", num_shards, seen_capacity, exact=exact_seen
+        )
+        self.seen_files = ShardedSeenSet(
+            f"{self.run_id}:files", num_shards, seen_capacity, exact=exact_seen
+        )
+        self.ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+        self.metrics: list[dict] = []
+        self.dl_count = 0
+        self.next_seq = 0
+        self.start_round = 0
+        self._frontier_table: pa.Table | None = None
+        self._doc_tables: list[pa.Table] = []
+        self._result_tables: list[pa.Table] = []
+
+    # ------------------------------------------------------------- setup
+
+    def _init_frontier(self) -> None:
+        if self.ckpt:
+            manifest = self.ckpt.load_manifest()
+            if manifest is not None:
+                self._resume(manifest)
+                return
+        t = _frontier_table(
+            self.domains, [0] * len(self.domains), [1.0] * len(self.domains),
+            range(len(self.domains)),
+        )
+        # seed dedup + seen-mark (enqueue-time semantics, cached_queue.py:53-59)
+        df = t.to_pandas().drop_duplicates("url_canon", keep="first")
+        novel = self.seen_pages.filter_and_insert_array(df["url_hash"].to_numpy())
+        df = df[novel]
+        self._frontier_table = pa.Table.from_pandas(df, preserve_index=False).cast(FRONTIER)
+        self.next_seq = len(self.domains)
+
+    def _resume(self, manifest: dict) -> None:
+        r = manifest["last_round"]
+        frontier, seen_pages, seen_files = self.ckpt.load_round(r)
+        self.seen_pages.restore(seen_pages)
+        self.seen_files.restore(seen_files)
+        self._frontier_table = frontier.cast(FRONTIER) if frontier is not None else None
+        c = manifest["counters"]
+        self.dl_count = c["dl_count"]
+        self.next_seq = c["next_seq"]
+        self.start_round = r + 1
+        # previously written round outputs are final (skip-finished resume)
+        if self.out_dir is None:
+            for rr in range(self.start_round):
+                for kind, acc in (("docs", self._doc_tables), ("results", self._result_tables)):
+                    d = osp.join(self.ckpt.round_dir(rr), kind)
+                    if osp.isdir(d):
+                        import pyarrow.parquet as pq
+
+                        for p in sorted(os.listdir(d)):
+                            acc.append(pq.read_table(osp.join(d, p)))
+
+    # -------------------------------------------------------------- round
+
+    def _write_or_keep(self, ds, round_idx: int, kind: str, acc: list) -> int:
+        base = self.out_dir or (self.ckpt.round_dir(round_idx) if self.ckpt else None)
+        if base is not None:
+            d = osp.join(base, f"round={round_idx}", kind) if self.out_dir else osp.join(base, kind)
+            os.makedirs(d, exist_ok=True)
+            ds.write_parquet(d)
+            import pyarrow.parquet as pq
+
+            t = pa.concat_tables([pq.read_table(osp.join(d, p)) for p in sorted(os.listdir(d))]) if os.listdir(d) else None
+            if t is not None:
+                acc.append(t)
+            return t.num_rows if t is not None else 0
+        tables = [ray.get(r) for r in ds.to_arrow_refs()]
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return 0
+        t = pa.concat_tables(tables)
+        acc.append(t)
+        return t.num_rows
+
+    def run(self):
+        self._init_frontier()
+        round_idx = self.start_round
+        while round_idx < self.max_rounds:
+            if self._frontier_table is None or self._frontier_table.num_rows == 0:
+                break
+            if self.max_num and self.dl_count >= self.max_num:
+                break
+            m = self._run_round(round_idx)
+            self.metrics.append(m)
+            round_idx += 1
+        docs = pa.concat_tables(self._doc_tables) if self._doc_tables else None
+        results = pa.concat_tables(self._result_tables) if self._result_tables else None
+        return docs, results, self.metrics
+
+    def _run_round(self, round_idx: int) -> dict:
+        frontier = ray.data.from_arrow(self._frontier_table).map_batches(
+            lambda t: t.rename_columns(
+                ["url", "url_canon", "url_hash", "host", "depth", "priority", "seq", "parent_doc_id"]
+            ),
+            batch_format="pyarrow",
+        )
+        gated, deferred = politeness_gate(frontier, self.policy_ref)
+        n_gated = gated.count()
+        metrics = {"round": round_idx, "gated": n_gated}
+        if n_gated == 0:
+            # everything robots-dropped: frontier drains
+            self._frontier_table = None
+            self._checkpoint(round_idx, metrics)
+            return metrics
+
+        parsed = gated.map_batches(
+            FetchParse,
+            fn_constructor_kwargs={
+                "url_map_ref": self.url_map_ref,
+                "rules": "greedy",
+                "rules_kwargs": {"domains": self.domains},
+                "emit_docs": True,
+            },
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=self.parse_concurrency,
+            num_cpus=0.5,
+        ).materialize()  # round boundary: docs/tasks/links all read these blocks
+
+        docs, tasks, links, errors = split_fetch_parse(parsed)
+        metrics["errors"] = errors.count()
+        metrics["docs"] = self._write_or_keep(docs, round_idx, "docs", self._doc_tables)
+
+        # ---- downloads (task path)
+        tasks = dedup_first_multi(tasks, "url_canon", ["parent_seq", "emit_ord"])
+        tasks = seen_filter_dataset(tasks, self.seen_files)
+        remaining = (self.max_num - self.dl_count) if self.max_num else 0
+        fetched = tasks.map_batches(
+            Fetcher,
+            fn_constructor_kwargs={
+                "url_map_ref": self.url_map_ref,
+                "min_size": self.min_size,
+                "max_size": self.max_size,
+                "keep_content": self.keep_content,
+            },
+            batch_format="pyarrow",
+            batch_size=FETCH_BATCH_SIZE,
+            concurrency=self.fetch_concurrency,
+            num_cpus=0.5,
+        )
+        results = assign_filenames(
+            fetched, ["parent_seq", "emit_ord"], default_ext=self.default_ext,
+            file_idx_offset=self.dl_count, max_num=remaining, seq_col="dl_seq",
+        )
+        n_kept = self._write_or_keep(results, round_idx, "results", self._result_tables)
+        self.dl_count += n_kept
+        metrics["downloads"] = n_kept
+
+        # ---- frontier expansion (link path)
+        links = dedup_first_multi(links, "url_canon", ["parent_seq", "emit_ord"])
+        links = links.filter(expr=f"depth < {self.max_depth}")  # child depth = depth+1 <= max
+        links = seen_filter_dataset(links, self.seen_pages)
+        links = assign_global_seq(links, ["parent_seq", "emit_ord"], col="new_seq",
+                                  start=self.next_seq)
+
+        def to_frontier(t: pa.Table) -> pa.Table:
+            s = pd.Series(t["link_url"].to_pylist(), dtype="string")
+            return pa.table(
+                {
+                    "url": t["link_url"],
+                    "url_canon": t["url_canon"],
+                    "url_hash": t["url_hash"],
+                    "host": pa.array(hosts_of(s).astype(object), type=pa.string()),
+                    "depth": pa.array(
+                        (t["depth"].to_numpy(zero_copy_only=False) + 1).astype(np.int32)
+                    ),
+                    "priority": pa.array(np.ones(len(s), dtype=np.float64)),
+                    "discovered_seq": t["new_seq"],
+                    "parent_doc_id": t["page_url"],
+                },
+                schema=FRONTIER,
+            )
+
+        new_frontier = links.map_batches(to_frontier, batch_format="pyarrow")
+        deferred_t = _collect(deferred.map_batches(
+            lambda t: t.rename_columns(
+                ["url", "url_canon", "url_hash", "host", "depth", "priority",
+                 "discovered_seq", "parent_doc_id"]
+            ),
+            batch_format="pyarrow",
+        ), FRONTIER)
+        new_t = _collect(new_frontier, FRONTIER)
+        metrics["new_links"] = new_t.num_rows
+        metrics["deferred"] = deferred_t.num_rows
+        self.next_seq += new_t.num_rows
+        self._frontier_table = pa.concat_tables([deferred_t, new_t])
+        self._checkpoint(round_idx, metrics)
+        return metrics
+
+    def _checkpoint(self, round_idx: int, metrics: dict) -> None:
+        if not self.ckpt:
+            return
+        self.ckpt.save_round(
+            round_idx,
+            self._frontier_table,
+            self.seen_pages.serialize(),
+            self.seen_files.serialize(),
+            {"dl_count": self.dl_count, "next_seq": self.next_seq},
+            metrics,
+        )
+
+    def shutdown(self) -> None:
+        self.seen_pages.shutdown()
+        self.seen_files.shutdown()
+
+
+def _collect(ds, schema: pa.Schema) -> pa.Table:
+    tables = [ray.get(r) for r in ds.to_arrow_refs()]
+    tables = [t.select(schema.names).cast(schema) for t in tables if t.num_rows]
+    return pa.concat_tables(tables) if tables else schema.empty_table()
+
+
+def greedy_crawl(url_map_ref, domains, **kwargs):
+    crawl = GreedyCrawl(url_map_ref, domains, **kwargs)
+    try:
+        return crawl.run()
+    finally:
+        crawl.shutdown()

@@ -1,0 +1,134 @@
+"""Download (file-fetch) actor-pool stage (SURVEY.md D1-D9).
+
+Reimplements Downloader/ImageDownloader semantics
+(/root/reference/icrawler/downloader.py:95-277) Ray-Data-first:
+
+- Fetcher: callable class for ``map_batches`` — session in ``__init__``,
+  per-batch fetch + decode + size-gate. Emits status/img_w/img_h/content
+  columns; ``success`` = fetched 2xx AND kept. NB the reference's 2xx gate
+  at downloader.py:132 is inverted (logs "error" and breaks on success
+  codes); this engine implements the *intended* semantics — keep 2xx —
+  and records the deviation here and in tests.
+- size gates: _size_gt/_size_lt compare BOTH dims via max/min
+  (downloader.py:236-240), boundary-inclusive.
+- filename assignment: the reference's lock-serialized 6-digit counter
+  (downloader.py:60-77) becomes a pure function of a deterministic global
+  sequence (functions/seq.py): ``{seq + offset:06d}.{ext}`` with the
+  image-extension whitelist of ImageDownloader.get_filename
+  (downloader.py:265-274).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from icrawler_ray.defaults import DEFAULT_EXT, IMAGE_EXT_WHITELIST
+from icrawler_ray.functions.seq import assign_global_seq
+from icrawler_ray.functions.urlnorm import path_ext
+from icrawler_ray.synthweb import fakeimg
+from icrawler_ray.synthweb.fetchstub import StubSession
+
+
+def size_gt(sz, bound) -> bool:
+    """Both-dims >= comparison (downloader.py:239-240)."""
+    return max(sz) >= max(bound) and min(sz) >= min(bound)
+
+
+def size_lt(sz, bound) -> bool:
+    """Both-dims <= comparison (downloader.py:236-237)."""
+    return max(sz) <= max(bound) and min(sz) <= min(bound)
+
+
+class Fetcher:
+    """Actor-pool file downloader. One session per actor; batches are
+    binary-heavy so callers should use a small ``batch_size``
+    (defaults.FETCH_BATCH_SIZE) to bound per-actor heap."""
+
+    def __init__(self, url_map_ref, min_size=None, max_size=None, flaky=None,
+                 keep_content: bool = True):
+        url_map = ray.get(url_map_ref) if isinstance(url_map_ref, ray.ObjectRef) else url_map_ref
+        self.session = StubSession(url_map, flaky=flaky)
+        self.min_size = tuple(min_size) if min_size else None
+        self.max_size = tuple(max_size) if max_size else None
+        self.keep_content = keep_content
+
+    def keep_file(self, content: bytes):
+        """(keep, w, h): decode + size gates (ImageDownloader.keep_file,
+        downloader.py:242-263). Undecodable -> reject."""
+        size = fakeimg.decode_size(content)
+        if size is None:
+            return False, -1, -1
+        w, h = size
+        if self.min_size and not size_gt(size, self.min_size):
+            return False, w, h
+        if self.max_size and not size_lt(size, self.max_size):
+            return False, w, h
+        return True, w, h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["file_url"].to_pylist()
+        n = len(urls)
+        status = np.full(n, -1, dtype=np.int32)
+        success = np.zeros(n, dtype=bool)
+        img_w = np.full(n, -1, dtype=np.int32)
+        img_h = np.full(n, -1, dtype=np.int32)
+        contents: list[bytes | None] = [None] * n
+        errors = [""] * n
+        for i, url in enumerate(urls):
+            try:
+                resp = self.session.get(url)
+            except Exception as e:
+                errors[i] = str(e)
+                continue
+            status[i] = resp.status_code
+            if not (200 <= resp.status_code < 300):  # intended (non-inverted) gate
+                errors[i] = "http status"
+                continue
+            keep, w, h = self.keep_file(resp.content)
+            img_w[i], img_h[i] = w, h
+            if not keep:
+                errors[i] = "keep_file rejected"
+                continue
+            success[i] = True
+            if self.keep_content:
+                contents[i] = resp.content
+        out = batch.drop_columns([c for c in ("status", "success", "img_w", "img_h", "content", "error") if c in batch.column_names])
+        out = out.append_column("status", pa.array(status))
+        out = out.append_column("success", pa.array(success))
+        out = out.append_column("img_w", pa.array(img_w))
+        out = out.append_column("img_h", pa.array(img_h))
+        out = out.append_column("content", pa.array(contents, type=pa.binary()))
+        out = out.append_column("error", pa.array(errors, type=pa.string()))
+        return out
+
+
+def assign_filenames(ds, order_keys: list[str], default_ext: str = DEFAULT_EXT,
+                     file_idx_offset: int = 0, max_num: int = 0,
+                     seq_col: str = "dl_seq"):
+    """Deterministic filename assignment over *kept* downloads.
+
+    Sort by ``order_keys`` (the engine-defined crawl order), assign the
+    dense global sequence, then filename = ``{seq + 1 + offset:06d}.{ext}``
+    — reproducing the reference counter semantics (first file 000001,
+    downloader.py:110-116 increments before formatting) at any parallelism.
+    ``max_num`` truncates in order (limit pushdown replaces the
+    reach_max_num signal, downloader.py:79-90).
+    """
+    kept = ds.filter(expr="success = true")
+    kept = assign_global_seq(kept, order_keys, col=seq_col)
+    if max_num and max_num > 0:
+        kept = kept.limit(max_num)
+
+    def _name(t: pa.Table) -> pa.Table:
+        urls = pd.Series(t["file_url"].to_pylist(), dtype="string")
+        ext = path_ext(urls)
+        ok = ext.str.lower().isin(IMAGE_EXT_WHITELIST)
+        ext = ext.where(ok, default_ext).replace("", default_ext)
+        seq = t[seq_col].to_numpy(zero_copy_only=False)
+        names = [f"{s + 1 + file_idx_offset:06d}.{e}" for s, e in zip(seq, ext)]
+        return t.append_column("filename", pa.array(names, type=pa.string()))
+
+    return kept.map_batches(_name, batch_format="pyarrow")

@@ -1,0 +1,122 @@
+"""Per-host politeness / robots gate (north-rule; absent in the reference —
+the repo has no robots.txt or crawl-delay handling anywhere, only a Referer
+header at /root/reference/icrawler/parser.py:85-86).
+
+Semantics (shared with the sequential oracle, so goldens match):
+
+- robots: a frontier row whose URL path starts with any disallowed prefix
+  for its host is dropped.
+- budget: per round, host h may fetch at most
+  ``B_h = max(1, round_ms // crawl_delay_ms)`` URLs (unbounded when
+  crawl_delay_ms == 0); within a host, rows are taken in
+  (priority DESC, seq ASC) order. Rows over budget are DEFERRED to the
+  next round, not dropped.
+
+Scale shape (SURVEY.md §7.4 skew decoupling): the gate never shuffles the
+full frontier by host. It computes per-block partial top-B_h candidates
+(vectorized pandas groupby inside map_batches — a combiner), shuffles only
+those candidates with groupby(host) for the final top-B_h, then broadcasts
+the small gated-key set to anti-filter the frontier into the deferred
+remainder. A hot host therefore contributes at most B_h rows per block to
+the shuffle, not its full frontier share.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+class HostPolicy:
+    """Broadcastable per-host policy table (FIXTURES.md §4 schema)."""
+
+    def __init__(self, policies: dict[str, dict], round_ms: int = 1000):
+        self.policies = policies
+        self.round_ms = round_ms
+
+    def budget(self, host: str) -> int:
+        pol = self.policies.get(host)
+        if not pol or not pol.get("crawl_delay_ms"):
+            return 1 << 30  # no delay -> unbounded this round
+        return max(1, self.round_ms // int(pol["crawl_delay_ms"]))
+
+    def disallowed(self, host: str) -> list[str]:
+        pol = self.policies.get(host)
+        return list(pol.get("robots_disallow", [])) if pol else []
+
+
+def _path_of(urls: pd.Series) -> pd.Series:
+    return urls.str.replace(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "", regex=True).replace("", "/")
+
+
+def robots_filter(df: pd.DataFrame, policy: HostPolicy, url_col: str = "url") -> pd.DataFrame:
+    """Drop rows whose path hits a disallowed prefix for their host."""
+    if not len(df):
+        return df
+    path = _path_of(df[url_col].astype("string"))
+    drop = np.zeros(len(df), dtype=bool)
+    for host, g in df.groupby("host", sort=False):
+        prefixes = policy.disallowed(host)
+        if not prefixes:
+            continue
+        p = path.loc[g.index]
+        m = np.zeros(len(g), dtype=bool)
+        for pref in prefixes:
+            m |= p.str.startswith(pref).to_numpy()
+        drop[df.index.get_indexer(g.index)] = m
+    return df[~drop]
+
+
+def _topk_per_host(df: pd.DataFrame, policy: HostPolicy) -> pd.DataFrame:
+    """Vectorized per-host (priority DESC, seq ASC) top-B_h."""
+    if not len(df):
+        return df
+    df = df.sort_values(["host", "priority", "seq"], ascending=[True, False, True], kind="mergesort")
+    rank = df.groupby("host", sort=False).cumcount()
+    budgets = df["host"].map(lambda h: policy.budget(h))
+    return df[rank < budgets]
+
+
+def politeness_gate(frontier: ray.data.Dataset, policy_ref,
+                    url_col: str = "url"):
+    """(gated, deferred) split of a frontier dataset.
+
+    ``policy_ref`` is a ``ray.put`` handle to a HostPolicy (broadcast once).
+    Returns gated as a materialized small Dataset (it is at most
+    sum_h(B_h) rows) and deferred as a lazy filter of the frontier.
+    """
+    policy_handle = policy_ref
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pol = ray.get(policy_handle) if isinstance(policy_handle, ray.ObjectRef) else policy_handle
+        df = batch.to_pandas()
+        df = robots_filter(df, pol, url_col=url_col)
+        df = _topk_per_host(df, pol)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        pol = ray.get(policy_handle) if isinstance(policy_handle, ray.ObjectRef) else policy_handle
+        return _topk_per_host(g, pol)
+
+    candidates = frontier.map_batches(partial, batch_format="pyarrow")
+    gated = candidates.groupby("host").map_groups(final, batch_format="pandas").materialize()
+
+    gated_keys = np.unique(gated.to_pandas()["url_hash"].to_numpy().astype(np.uint64))
+    gated_keys_ref = ray.put(gated_keys)  # broadcast once, not per task closure
+    # robots-dropped rows must not linger in the frontier either: deferred =
+    # frontier minus gated minus robots-disallowed.
+    def deferred_fn(batch: pa.Table) -> pa.Table:
+        pol = ray.get(policy_handle) if isinstance(policy_handle, ray.ObjectRef) else policy_handle
+        df = batch.to_pandas()
+        df = robots_filter(df, pol, url_col=url_col)
+        if not len(df):
+            return batch.slice(0, 0)
+        gk = ray.get(gated_keys_ref)
+        keep = ~np.isin(df["url_hash"].to_numpy().astype(np.uint64), gk)
+        out = pa.Table.from_pandas(df[keep], preserve_index=False)
+        return out.cast(batch.schema)
+
+    deferred = frontier.map_batches(deferred_fn, batch_format="pyarrow")
+    return gated, deferred

@@ -1,0 +1,122 @@
+"""Per-partition checkpoint / resume (SURVEY.md M5; north-rule lineage).
+
+The reference can only resume filename numbering (`file_idx_offset="auto"`
+rescans the output dir, /root/reference/icrawler/downloader.py:53-58) and
+skip already-written files (downloader.py:109-116); frontier and seen-set
+die with the process. This engine checkpoints at every round boundary —
+the natural lineage unit of the frontier loop:
+
+    <dir>/round=<r>/frontier/*.parquet     (hash-partitioned frontier)
+    <dir>/round=<r>/seen_pages.parquet     (per-shard filter payloads)
+    <dir>/round=<r>/seen_files.parquet
+    <dir>/round=<r>/docs/*.parquet         (round outputs, partitioned)
+    <dir>/round=<r>/results/*.parquet
+    <dir>/MANIFEST.json                    (atomic: tmp + rename)
+
+MANIFEST carries counters, per-round metrics and lineage edges
+(round -> parent round + input files), so a resumed run (a) restores
+frontier + seen shards from the last complete round and (b) skips finished
+partitions — resume-equals-fresh is a tested property.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from icrawler_ray.schemas import SEEN_CHECKPOINT
+
+
+def _seen_table(payloads: list[dict], epoch: int) -> pa.Table:
+    rows = {"shard_id": [], "filter_kind": [], "payload": [], "num_items": [], "epoch": []}
+    for i, p in enumerate(payloads):
+        for kind in ("bloom", "cuckoo", "exact"):
+            if p.get(kind) is not None:
+                rows["shard_id"].append(i)
+                rows["filter_kind"].append(kind)
+                rows["payload"].append(p[kind])
+                rows["num_items"].append(p["num_items"])
+                rows["epoch"].append(epoch)
+    meta = {"shard_id": -1, "filter_kind": "meta", "num_items": -1, "epoch": epoch}
+    rows["shard_id"].append(-1)
+    rows["filter_kind"].append("meta")
+    rows["payload"].append(json.dumps(
+        [{k: p[k] for k in ("num_items", "num_queries", "num_hits")} for p in payloads]
+    ).encode())
+    rows["num_items"].append(-1)
+    rows["epoch"].append(epoch)
+    del meta
+    return pa.table(rows, schema=SEEN_CHECKPOINT)
+
+
+def _seen_payloads(table: pa.Table) -> list[dict]:
+    df = table.to_pandas()
+    meta_row = df[df.filter_kind == "meta"].iloc[0]
+    counters = json.loads(bytes(meta_row.payload).decode())
+    payloads = []
+    for i, c in enumerate(counters):
+        p = dict(c)
+        p.setdefault("bloom", None)
+        p.setdefault("cuckoo", None)
+        p.setdefault("exact", None)
+        for _, row in df[(df.shard_id == i) & (df.filter_kind != "meta")].iterrows():
+            p[row.filter_kind] = bytes(row.payload)
+        payloads.append(p)
+    return payloads
+
+
+class CheckpointManager:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def manifest_path(self) -> str:
+        return osp.join(self.root, "MANIFEST.json")
+
+    def load_manifest(self) -> dict | None:
+        if not osp.isfile(self.manifest_path()):
+            return None
+        with open(self.manifest_path()) as f:
+            return json.load(f)
+
+    def round_dir(self, r: int) -> str:
+        return osp.join(self.root, f"round={r}")
+
+    def save_round(self, r: int, frontier_table: pa.Table | None,
+                   seen_pages: list[dict], seen_files: list[dict],
+                   counters: dict, metrics: dict) -> None:
+        rd = self.round_dir(r)
+        os.makedirs(osp.join(rd, "frontier"), exist_ok=True)
+        if frontier_table is not None:
+            pq.write_table(frontier_table, osp.join(rd, "frontier", "part-0.parquet"))
+        pq.write_table(_seen_table(seen_pages, r), osp.join(rd, "seen_pages.parquet"))
+        pq.write_table(_seen_table(seen_files, r), osp.join(rd, "seen_files.parquet"))
+        manifest = self.load_manifest() or {"rounds": [], "lineage": []}
+        manifest["last_round"] = r
+        manifest["counters"] = counters
+        manifest["rounds"] = [x for x in manifest["rounds"] if x["round"] != r] + [
+            {"round": r, "metrics": metrics}
+        ]
+        manifest["lineage"].append(
+            {"round": r, "parent": r - 1, "frontier": f"round={r}/frontier",
+             "seen": [f"round={r}/seen_pages.parquet", f"round={r}/seen_files.parquet"]}
+        )
+        tmp = self.manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self.manifest_path())  # atomic publish
+
+    def load_round(self, r: int):
+        rd = self.round_dir(r)
+        fdir = osp.join(rd, "frontier")
+        parts = sorted(os.listdir(fdir)) if osp.isdir(fdir) else []
+        frontier = (
+            pa.concat_tables([pq.read_table(osp.join(fdir, p)) for p in parts]) if parts else None
+        )
+        seen_pages = _seen_payloads(pq.read_table(osp.join(rd, "seen_pages.parquet")))
+        seen_files = _seen_payloads(pq.read_table(osp.join(rd, "seen_files.parquet")))
+        return frontier, seen_pages, seen_files

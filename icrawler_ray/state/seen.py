@@ -1,0 +1,198 @@
+"""Sharded URL-seen set (SURVEY.md Q1-Q3; the north-rule dedup core).
+
+The reference's seen-set is a per-queue OrderedDict
+(/root/reference/icrawler/utils/cached_queue.py:26-51): O(1) membership,
+single-threaded, unbounded memory, lost on crash. This engine shards it:
+
+    shard(key) = url_hash % S      (url_hash = SipHash64 of canonical URL)
+
+Each shard is a named Ray actor holding a bloom pre-filter + a cuckoo
+filter (deletable, bounded FP). Candidates are routed to shards with a
+``groupby(shard)`` shuffle — each group makes exactly ONE actor call per
+round, batching all its keys (no per-row RPCs). At cluster scale the S
+actors spread across nodes and the groupby is the hash-partitioned
+exchange the north rule prescribes.
+
+``filter_and_insert`` is atomic per shard: membership test + insert of the
+novel keys in one call, so a key seen twice in different rounds is admitted
+exactly once. Within-round duplicates are removed by an exact
+``groupby(url_canon)`` first (cached_queue dedup is insertion-ordered;
+the engine keeps the candidate with the smallest order key).
+
+Checkpoint: each shard serializes (bloom, cuckoo, counters) to bytes;
+restore rebuilds actors from payloads (state/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from icrawler_ray.state.bloom import BloomFilter
+from icrawler_ray.state.cuckoo import CuckooFilter
+
+
+@ray.remote(num_cpus=0.5)
+class SeenShard:
+    def __init__(self, capacity: int, use_bloom: bool = True, use_cuckoo: bool = True):
+        self.bloom = BloomFilter(capacity) if use_bloom else None
+        self.cuckoo = CuckooFilter(capacity) if use_cuckoo else None
+        self.exact: set | None = None if use_cuckoo else set()
+        self.num_items = 0
+        self.num_queries = 0
+        self.num_hits = 0
+
+    def filter_and_insert(self, keys: np.ndarray) -> np.ndarray:
+        """Returns novel-mask; novel keys are inserted."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        self.num_queries += len(keys)
+        if self.cuckoo is not None:
+            if self.bloom is not None:
+                maybe = self.bloom.contains(keys)  # pre-filter: definite-new skips cuckoo probe
+                seen = np.zeros(len(keys), dtype=bool)
+                if maybe.any():
+                    seen[maybe] = self.cuckoo.contains(keys[maybe])
+            else:
+                seen = self.cuckoo.contains(keys)
+            novel = ~seen
+            # batch-internal first-occurrence wins
+            _, first_idx = np.unique(keys, return_index=True)
+            first_mask = np.zeros(len(keys), dtype=bool)
+            first_mask[first_idx] = True
+            novel &= first_mask
+            if novel.any():
+                self.cuckoo.add(keys[novel])
+                if self.bloom is not None:
+                    self.bloom.add(keys[novel])
+        else:  # exact mode (test oracle cross-check)
+            novel = np.zeros(len(keys), dtype=bool)
+            for i, k in enumerate(keys):
+                if int(k) not in self.exact:
+                    self.exact.add(int(k))
+                    novel[i] = True
+        self.num_items += int(novel.sum())
+        self.num_hits += int(len(keys) - novel.sum())
+        return novel
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        if self.cuckoo is not None:
+            return self.cuckoo.contains(keys)
+        return np.array([int(k) in self.exact for k in keys], dtype=bool)
+
+    def delete(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        if self.cuckoo is not None:
+            removed = self.cuckoo.delete(keys)
+            self.num_items -= int(removed.sum())
+            return removed
+        removed = np.array([int(k) in self.exact for k in keys], dtype=bool)
+        for k in keys:
+            self.exact.discard(int(k))
+        self.num_items -= int(removed.sum())
+        return removed
+
+    def stats(self) -> dict:
+        return {
+            "num_items": self.num_items,
+            "num_queries": self.num_queries,
+            "num_hits": self.num_hits,
+        }
+
+    def serialize(self) -> dict:
+        out = {"num_items": self.num_items, "num_queries": self.num_queries,
+               "num_hits": self.num_hits}
+        out["bloom"] = self.bloom.serialize() if self.bloom else None
+        out["cuckoo"] = self.cuckoo.serialize() if self.cuckoo else None
+        out["exact"] = np.array(sorted(self.exact), dtype=np.uint64).tobytes() if self.exact is not None else None
+        return out
+
+    def restore(self, payload: dict) -> None:
+        self.num_items = payload["num_items"]
+        self.num_queries = payload["num_queries"]
+        self.num_hits = payload["num_hits"]
+        self.bloom = BloomFilter.deserialize(payload["bloom"]) if payload["bloom"] else None
+        self.cuckoo = CuckooFilter.deserialize(payload["cuckoo"]) if payload["cuckoo"] else None
+        self.exact = set(np.frombuffer(payload["exact"], dtype=np.uint64).tolist()) if payload["exact"] is not None else None
+
+
+class ShardedSeenSet:
+    """Driver-side handle to S SeenShard actors (named, per-run namespace)."""
+
+    def __init__(self, name: str, num_shards: int, capacity_per_shard: int = 1 << 20,
+                 exact: bool = False):
+        self.name = name
+        self.num_shards = num_shards
+        self.shards = [
+            SeenShard.options(name=f"seen:{name}:{i}", get_if_exists=True).remote(
+                capacity_per_shard, use_bloom=not exact, use_cuckoo=not exact
+            )
+            for i in range(num_shards)
+        ]
+
+    def shard_of(self, keys: np.ndarray) -> np.ndarray:
+        return (np.asarray(keys, dtype=np.uint64) % np.uint64(self.num_shards)).astype(np.int32)
+
+    def filter_and_insert_array(self, keys: np.ndarray) -> np.ndarray:
+        """Driver-side bulk path (bench + small rounds): scatter keys to all
+        shards in parallel, gather novel masks."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        shard = self.shard_of(keys)
+        futs, idxs = [], []
+        for s in range(self.num_shards):
+            m = shard == s
+            if m.any():
+                futs.append(self.shards[s].filter_and_insert.remote(keys[m]))
+                idxs.append(np.nonzero(m)[0])
+        novel = np.zeros(len(keys), dtype=bool)
+        for fut, idx in zip(futs, idxs):
+            novel[idx] = ray.get(fut)
+        return novel
+
+    def stats(self) -> list[dict]:
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    def serialize(self) -> list[dict]:
+        return ray.get([s.serialize.remote() for s in self.shards])
+
+    def restore(self, payloads: list[dict]) -> None:
+        ray.get([s.restore.remote(p) for s, p in zip(self.shards, payloads)])
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+
+
+def seen_filter_dataset(ds, seen: ShardedSeenSet, key_col: str = "url_hash"):
+    """Dataset-native seen filtering: route rows to shards with a
+    groupby(shard) shuffle; each group performs ONE batched actor call and
+    keeps only novel rows. The shuffle key is uniform (hash-derived), so
+    hot hosts do NOT skew this exchange (SURVEY.md §7.4 decoupling)."""
+    import pandas as pd
+
+    num_shards = seen.num_shards
+    name = seen.name
+
+    def add_shard(t):
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        import pyarrow as pa
+
+        return t.append_column("_shard", pa.array((keys % num_shards).astype(np.int32)))
+
+    def filter_group(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g
+        shard_id = int(g["_shard"].iloc[0])
+        actor = ray.get_actor(f"seen:{name}:{shard_id}")
+        keys = g[key_col].to_numpy().astype(np.uint64)
+        novel = ray.get(actor.filter_and_insert.remote(keys))
+        return g[novel]
+
+    import pyarrow  # noqa: F401
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(filter_group, batch_format="pandas")
+        .drop_columns(["_shard"])
+    )
