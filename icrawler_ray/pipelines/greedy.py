@@ -107,7 +107,20 @@ class GreedyCrawl:
         fetch_concurrency=(1, 8),
         keep_content: bool = True,
         run_id: str | None = None,
+        mode: str = "auto",
+        driver_threshold: int = 200_000,
     ):
+        # mode: "dataset" = full Ray-Data shuffle path for every round (the
+        # at-scale path: politeness gate / dedup / seen filter as
+        # groupby exchanges). "driver" = frontier METADATA ops run in pandas
+        # on the driver while fetch/parse + download stay distributed
+        # map_batches actor pools — right when a round's frontier fits the
+        # driver (each Ray Data execution costs ~1s fixed; a round needs ~10
+        # of them). "auto" switches on ``driver_threshold`` frontier rows.
+        # Both paths share the same semantic functions and are
+        # parity-tested against each other and the oracle.
+        self.mode = mode
+        self.driver_threshold = driver_threshold
         self.url_map_ref = url_map_ref
         self.domains = normalize_domains(domains)
         self.policy = policy or HostPolicy({})
@@ -208,7 +221,10 @@ class GreedyCrawl:
                 break
             if self.max_num and self.dl_count >= self.max_num:
                 break
-            m = self._run_round(round_idx)
+            use_driver = self.mode == "driver" or (
+                self.mode == "auto" and self._frontier_table.num_rows <= self.driver_threshold
+            )
+            m = self._run_round_driver(round_idx) if use_driver else self._run_round(round_idx)
             self.metrics.append(m)
             round_idx += 1
         docs = pa.concat_tables(self._doc_tables) if self._doc_tables else None
@@ -314,6 +330,144 @@ class GreedyCrawl:
         self._frontier_table = pa.concat_tables([deferred_t, new_t])
         self._checkpoint(round_idx, metrics)
         return metrics
+
+    def _run_round_driver(self, round_idx: int) -> dict:
+        """Small-round fast path: frontier metadata in driver pandas, fetch
+        and download distributed. Semantics identical to _run_round (shared
+        gate/dedup functions); parity-tested."""
+        import pyarrow.compute as pc
+
+        from icrawler_ray.stages.politeness import _topk_per_host, robots_filter
+
+        fdf = self._frontier_table.to_pandas().rename(columns={"discovered_seq": "seq"})
+        live = robots_filter(fdf, self.policy)
+        gated = _topk_per_host(live, self.policy)
+        deferred = live.loc[~live.index.isin(gated.index)]
+        metrics = {"round": round_idx, "gated": len(gated)}
+        if not len(gated):
+            self._frontier_table = None
+            self._checkpoint(round_idx, metrics)
+            return metrics
+
+        # ---- distributed fetch/parse (the real work)
+        from icrawler_ray.stages.fetch_parse import make_fetch_parse_fn
+
+        gds = ray.data.from_pandas(gated[["url", "depth", "seq"]].reset_index(drop=True))
+        parsed_ds = gds.map_batches(
+            make_fetch_parse_fn(
+                self.url_map_ref, "greedy", {"domains": self.domains}, emit_docs=True
+            ),
+            batch_format="pyarrow",
+            batch_size=64,
+            num_cpus=0.5,
+        )
+        parsed = pa.concat_tables([ray.get(r) for r in parsed_ds.to_arrow_refs()])
+        kind = parsed["row_kind"]
+        metrics["errors"] = int(pc.sum(pc.equal(kind, "error")).as_py() or 0)
+        docs_t = parsed.filter(pc.equal(kind, "doc")).select(
+            ["doc_id", "spans", "depth", "parent_seq", "status"]
+        )
+        metrics["docs"] = docs_t.num_rows
+        if docs_t.num_rows:
+            self._store_table(docs_t, round_idx, "docs", self._doc_tables)
+
+        def _split(kind_name, url_col):
+            t = parsed.filter(pc.equal(kind, kind_name))
+            df = t.select(
+                [c for c in ("file_url", "link_url", "page_url", "meta_json", "depth",
+                             "parent_seq", "emit_ord") if c in t.column_names]
+            ).to_pandas()
+            s = df[url_col].astype("string")
+            canon = canonicalize(s)
+            df["url_canon"] = canon.astype(object)
+            df["url_hash"] = hash_urls(canon.fillna(""))
+            df = df.sort_values(["parent_seq", "emit_ord"], kind="mergesort")
+            df = df.drop_duplicates("url_canon", keep="first")
+            return df
+
+        # ---- downloads
+        tasks = _split("task", "file_url")
+        novel = self.seen_files.filter_and_insert_array(tasks["url_hash"].to_numpy())
+        tasks = tasks[novel]
+        n_kept = 0
+        if len(tasks):
+            from icrawler_ray.stages.download import make_fetcher_fn
+
+            tds = ray.data.from_pandas(tasks.reset_index(drop=True))
+            fetched_ds = tds.map_batches(
+                make_fetcher_fn(
+                    self.url_map_ref, min_size=self.min_size, max_size=self.max_size,
+                    keep_content=self.keep_content,
+                ),
+                batch_format="pyarrow",
+                batch_size=FETCH_BATCH_SIZE,
+                num_cpus=0.5,
+            )
+            fetched = pa.concat_tables([ray.get(r) for r in fetched_ds.to_arrow_refs()])
+            kdf = fetched.to_pandas()
+            kdf = kdf[kdf.success].sort_values(["parent_seq", "emit_ord"], kind="mergesort")
+            remaining = (self.max_num - self.dl_count) if self.max_num else len(kdf)
+            kdf = kdf.head(max(0, remaining)).reset_index(drop=True)
+            if len(kdf):
+                from icrawler_ray.functions.urlnorm import path_ext as _pe
+
+                from icrawler_ray.defaults import IMAGE_EXT_WHITELIST
+
+                ext = _pe(kdf["file_url"].astype("string"))
+                ok = ext.str.lower().isin(IMAGE_EXT_WHITELIST)
+                ext = ext.where(ok, self.default_ext).replace("", self.default_ext)
+                kdf["dl_seq"] = np.arange(len(kdf), dtype=np.int64)
+                kdf["filename"] = [
+                    f"{i + 1 + self.dl_count:06d}.{e}" for i, e in zip(kdf["dl_seq"], ext)
+                ]
+                self._store_table(
+                    pa.Table.from_pandas(kdf, preserve_index=False), round_idx,
+                    "results", self._result_tables,
+                )
+                n_kept = len(kdf)
+        self.dl_count += n_kept
+        metrics["downloads"] = n_kept
+
+        # ---- frontier expansion
+        links = _split("link", "link_url")
+        links = links[links["depth"] < self.max_depth]
+        novel = self.seen_pages.filter_and_insert_array(links["url_hash"].to_numpy())
+        links = links[novel].reset_index(drop=True)
+        s = links["link_url"].astype("string")
+        new_t = pa.table(
+            {
+                "url": pa.array(s.astype(object), type=pa.string()),
+                "url_canon": pa.array(links["url_canon"], type=pa.string()),
+                "url_hash": pa.array(links["url_hash"].to_numpy().astype(np.uint64)),
+                "host": pa.array(hosts_of(s).astype(object), type=pa.string()),
+                "depth": pa.array((links["depth"].to_numpy() + 1).astype(np.int32)),
+                "priority": pa.array(np.ones(len(links), dtype=np.float64)),
+                "discovered_seq": pa.array(
+                    np.arange(self.next_seq, self.next_seq + len(links), dtype=np.int64)
+                ),
+                "parent_doc_id": pa.array(links["page_url"], type=pa.string()),
+            },
+            schema=FRONTIER,
+        )
+        deferred_t = pa.Table.from_pandas(
+            deferred.rename(columns={"seq": "discovered_seq"}), preserve_index=False
+        ).select(FRONTIER.names).cast(FRONTIER) if len(deferred) else FRONTIER.empty_table()
+        metrics["new_links"] = new_t.num_rows
+        metrics["deferred"] = deferred_t.num_rows
+        self.next_seq += new_t.num_rows
+        self._frontier_table = pa.concat_tables([deferred_t, new_t])
+        self._checkpoint(round_idx, metrics)
+        return metrics
+
+    def _store_table(self, t: pa.Table, round_idx: int, kind: str, acc: list) -> None:
+        base = self.out_dir or (self.ckpt.round_dir(round_idx) if self.ckpt else None)
+        if base is not None:
+            import pyarrow.parquet as pq
+
+            d = osp.join(base, f"round={round_idx}", kind) if self.out_dir else osp.join(base, kind)
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(t, osp.join(d, "part-driver.parquet"))
+        acc.append(t)
 
     def _checkpoint(self, round_idx: int, metrics: dict) -> None:
         if not self.ckpt:

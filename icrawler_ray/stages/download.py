@@ -105,6 +105,32 @@ class Fetcher:
         return out
 
 
+_FETCHER_CACHE: dict = {}
+
+
+def make_fetcher_fn(url_map_ref, min_size=None, max_size=None, keep_content=True):
+    """Task-pool variant of Fetcher with a worker-process-level cache —
+    same rationale as stages.fetch_parse.make_fetch_parse_fn (amortize
+    session state across the per-round Ray Data executions of an iterative
+    crawl without per-execution actor spin-up)."""
+    key = (
+        url_map_ref.hex() if hasattr(url_map_ref, "hex") else str(id(url_map_ref)),
+        tuple(min_size) if min_size else None,
+        tuple(max_size) if max_size else None,
+        keep_content,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        f = _FETCHER_CACHE.get(key)
+        if f is None:
+            f = Fetcher(url_map_ref, min_size=min_size, max_size=max_size,
+                        keep_content=keep_content)
+            _FETCHER_CACHE[key] = f
+        return f(batch)
+
+    return fn
+
+
 def assign_filenames(ds, order_keys: list[str], default_ext: str = DEFAULT_EXT,
                      file_idx_offset: int = 0, max_num: int = 0,
                      seq_col: str = "dl_seq"):
@@ -117,7 +143,7 @@ def assign_filenames(ds, order_keys: list[str], default_ext: str = DEFAULT_EXT,
     ``max_num`` truncates in order (limit pushdown replaces the
     reach_max_num signal, downloader.py:79-90).
     """
-    kept = ds.filter(expr="success = true")
+    kept = ds.filter(expr="success == True")
     kept = assign_global_seq(kept, order_keys, col=seq_col)
     if max_num and max_num > 0:
         kept = kept.limit(max_num)

@@ -106,6 +106,38 @@ class FetchParse:
         return pa.table(rows, schema=FETCH_PARSE_SCHEMA)
 
 
+_FP_CACHE: dict = {}
+
+
+def make_fetch_parse_fn(url_map_ref, rules: str, rules_kwargs: dict | None = None,
+                        emit_docs: bool = True):
+    """Task-pool variant of FetchParse with a worker-process-level cache.
+
+    An iterative crawl runs one Ray Data execution per round; an actor pool
+    would re-pay actor startup + session build every round. Stateless
+    map_batches tasks run on Ray's reusable core workers, so caching the
+    constructed FetchParse in a module global amortizes state across
+    batches AND rounds — same state-amortization contract as the actor
+    pool, without per-execution spin-up. The ObjectRef travels in the task
+    closure; the url map is fetched once per worker process.
+    """
+    import json as _json
+
+    key = (
+        url_map_ref.hex() if hasattr(url_map_ref, "hex") else str(id(url_map_ref)),
+        rules, _json.dumps(rules_kwargs or {}, sort_keys=True), emit_docs,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fp = _FP_CACHE.get(key)
+        if fp is None:
+            fp = FetchParse(url_map_ref, rules, rules_kwargs, emit_docs=emit_docs)
+            _FP_CACHE[key] = fp
+        return fp(batch)
+
+    return fn
+
+
 def split_fetch_parse(ds):
     """Split a FetchParse output dataset into (docs, tasks, links, errors).
 
@@ -115,10 +147,10 @@ def split_fetch_parse(ds):
     """
     import pyarrow.compute as pc
 
-    docs = ds.filter(expr="row_kind = 'doc'").select_columns(
+    docs = ds.filter(expr="row_kind == 'doc'").select_columns(
         ["doc_id", "spans", "depth", "parent_seq", "status"]
     )
-    errors = ds.filter(expr="row_kind = 'error'")
+    errors = ds.filter(expr="row_kind == 'error'")
 
     def _with_keys(col):
         def fn(t: pa.Table) -> pa.Table:
@@ -131,12 +163,12 @@ def split_fetch_parse(ds):
         return fn
 
     tasks = (
-        ds.filter(expr="row_kind = 'task'")
+        ds.filter(expr="row_kind == 'task'")
         .select_columns(["file_url", "page_url", "meta_json", "depth", "parent_seq", "emit_ord"])
         .map_batches(_with_keys("file_url"), batch_format="pyarrow")
     )
     links = (
-        ds.filter(expr="row_kind = 'link'")
+        ds.filter(expr="row_kind == 'link'")
         .select_columns(["link_url", "page_url", "depth", "parent_seq", "emit_ord"])
         .map_batches(_with_keys("link_url"), batch_format="pyarrow")
     )
