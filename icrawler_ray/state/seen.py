@@ -32,8 +32,9 @@ from icrawler_ray.state.bloom import BloomFilter
 from icrawler_ray.state.cuckoo import CuckooFilter
 
 
-@ray.remote(num_cpus=0.5)
-class SeenShard:
+@ray.remote(num_cpus=0.1)  # shards are bursty (one batched call per round);
+class SeenShard:           # a full-CPU reservation per shard would starve
+                           # the map stages on small machines
     def __init__(self, capacity: int, use_bloom: bool = True, use_cuckoo: bool = True):
         self.bloom = BloomFilter(capacity) if use_bloom else None
         self.cuckoo = CuckooFilter(capacity) if use_cuckoo else None

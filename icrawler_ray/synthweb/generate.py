@@ -283,7 +283,9 @@ def add_search_fixtures(web: SynthWeb, keyword: str = "cat", per_page: int = 10)
         urls = pick(per_page, want_jpgish=(".jpg",))
         divs = []
         for u in urls:
-            m = json.dumps({"murl": u}).replace('"', "&quot;")
+            # compact separators: the reference murl regex (bing.py:120)
+            # expects 'murl":"' with no space
+            m = json.dumps({"murl": u}, separators=(",", ":")).replace('"', "&quot;")
             divs.append(f'<div class="imgpt"><a m="{m}">x</a></div>')
         web.search_pages[url] = ("<html>" + "".join(divs) + "</html>").encode()
         web.search_expected[url] = urls

@@ -1,0 +1,73 @@
+"""Politeness / robots gate (north-rule; no reference counterpart)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from icrawler_ray.stages.politeness import HostPolicy, _topk_per_host, politeness_gate, robots_filter
+
+
+def frontier_df():
+    rows = []
+    for i in range(10):
+        rows.append({"url": f"http://hot.com/p/{i}.html", "host": "hot.com",
+                     "priority": 1.0, "seq": i, "url_hash": np.uint64(i)})
+    for i in range(3):
+        rows.append({"url": f"http://cold.com/private/{i}.html", "host": "cold.com",
+                     "priority": 1.0, "seq": 100 + i, "url_hash": np.uint64(100 + i)})
+    rows.append({"url": "http://cold.com/ok.html", "host": "cold.com",
+                 "priority": 2.0, "seq": 200, "url_hash": np.uint64(200)})
+    return pd.DataFrame(rows)
+
+
+POLICY = HostPolicy(
+    {
+        "hot.com": {"crawl_delay_ms": 250, "max_inflight": 4, "robots_disallow": []},
+        "cold.com": {"crawl_delay_ms": 0, "max_inflight": 4, "robots_disallow": ["/private"]},
+    },
+    round_ms=1000,
+)
+
+
+def test_budget_formula():
+    assert POLICY.budget("hot.com") == 4       # 1000 // 250
+    assert POLICY.budget("cold.com") > 10**6   # no delay -> unbounded
+    assert POLICY.budget("unknown.com") > 10**6
+
+
+def test_robots_filter_drops_prefixes():
+    df = robots_filter(frontier_df(), POLICY)
+    assert len(df) == 11
+    assert not df.url.str.contains("/private").any()
+
+
+def test_topk_orders_by_priority_then_seq():
+    df = robots_filter(frontier_df(), POLICY)
+    out = _topk_per_host(df, POLICY)
+    hot = out[out.host == "hot.com"]
+    assert len(hot) == 4 and hot.seq.tolist() == [0, 1, 2, 3]
+    cold = out[out.host == "cold.com"]
+    assert cold.seq.tolist() == [200]  # higher priority first; budget unbounded but only 1 live row
+
+
+def test_politeness_gate_dataset(ray_session):
+    ds = ray.data.from_pandas(frontier_df())
+    gated, deferred = politeness_gate(ds, ray.put(POLICY))
+    g = gated.to_pandas()
+    d = deferred.to_pandas()
+    assert len(g) == 5                       # 4 hot + 1 cold
+    assert len(d) == 6                       # 6 over-budget hot rows deferred
+    assert set(d.host) == {"hot.com"}
+    assert not set(g.seq) & set(d.seq)
+
+
+@pytest.mark.parametrize("delay,expected", [(0, 10), (500, 2), (2000, 1)])
+def test_budget_scaling(delay, expected):
+    pol = HostPolicy({"h.com": {"crawl_delay_ms": delay, "max_inflight": 1,
+                                "robots_disallow": []}}, round_ms=1000)
+    df = pd.DataFrame({
+        "url": [f"http://h.com/{i}" for i in range(10)], "host": "h.com",
+        "priority": 1.0, "seq": range(10), "url_hash": np.arange(10, dtype=np.uint64),
+    })
+    assert len(_topk_per_host(df, pol)) == expected

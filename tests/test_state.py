@@ -1,0 +1,105 @@
+"""Seen-set state layer: bloom, cuckoo, shard actors (Q1-Q3 / north rule)."""
+
+import numpy as np
+import pytest
+
+from icrawler_ray.state.bloom import BloomFilter
+from icrawler_ray.state.cuckoo import CuckooFilter
+from icrawler_ray.state.seen import ShardedSeenSet
+
+
+def keys(n, seed=0):
+    return np.random.default_rng(seed).integers(0, 2**63, n, dtype=np.uint64)
+
+
+def test_bloom_membership_and_fp_rate():
+    k = keys(20000)
+    other = keys(20000, seed=1)
+    b = BloomFilter(25000)
+    b.add(k)
+    assert b.contains(k).all()
+    assert b.contains(other).mean() < 0.02  # ~0.7% expected at 10 bits/key
+
+
+def test_bloom_serialize_roundtrip():
+    k = keys(1000)
+    b = BloomFilter(2000)
+    b.add(k)
+    b2 = BloomFilter.deserialize(b.serialize())
+    assert b2.contains(k).all() and b2.num_items == 1000
+
+
+def test_cuckoo_membership_delete_fp():
+    k = keys(20000)
+    other = keys(20000, seed=1)
+    c = CuckooFilter(25000)
+    c.add(k)
+    assert c.contains(k).all()
+    assert c.contains(other).mean() < 0.001  # 16-bit fp, 4 slots
+    removed = c.delete(k[:500])
+    assert removed.all()
+    assert c.contains(k[:500]).mean() < 0.01  # deleted (residual = fp collisions)
+    assert c.contains(k[500:]).all()
+
+
+def test_cuckoo_serialize_roundtrip():
+    k = keys(5000)
+    c = CuckooFilter(6000)
+    c.add(k)
+    c2 = CuckooFilter.deserialize(c.serialize())
+    assert c2.contains(k).all() and c2.num_items == c.num_items
+
+
+def test_cuckoo_overfill_raises():
+    c = CuckooFilter(64)
+    with pytest.raises(RuntimeError):
+        c.add(keys(5000))
+
+
+def test_sharded_seen_set_bulk(ray_session):
+    seen = ShardedSeenSet("t1", num_shards=4, capacity_per_shard=4096)
+    try:
+        k = keys(1000)
+        novel = seen.filter_and_insert_array(k)
+        assert novel.all()
+        again = seen.filter_and_insert_array(k)
+        assert not again.any()
+        mixed = np.concatenate([k[:10], keys(10, seed=9)])
+        novel = seen.filter_and_insert_array(mixed)
+        assert not novel[:10].any() and novel[10:].all()
+        stats = seen.stats()
+        assert sum(s["num_items"] for s in stats) == 1010
+    finally:
+        seen.shutdown()
+
+
+def test_sharded_seen_checkpoint_restore(ray_session, tmp_path):
+    from icrawler_ray.state.checkpoint import CheckpointManager
+
+    seen = ShardedSeenSet("t2", num_shards=2, capacity_per_shard=4096)
+    k = keys(500)
+    seen.filter_and_insert_array(k)
+    payloads = seen.serialize()
+    seen.shutdown()
+
+    ck = CheckpointManager(str(tmp_path))
+    ck.save_round(0, None, payloads, payloads, {"dl_count": 0, "next_seq": 0}, {})
+    _, restored, _ = ck.load_round(0)
+
+    seen2 = ShardedSeenSet("t3", num_shards=2, capacity_per_shard=4096)
+    seen2.restore(restored)
+    assert not seen2.filter_and_insert_array(k).any()  # all remembered
+    seen2.shutdown()
+
+
+def test_exact_mode_matches_filter_mode(ray_session):
+    k = np.concatenate([keys(300), keys(300)])  # 50% dups
+    a = ShardedSeenSet("t4", num_shards=2, exact=True)
+    b = ShardedSeenSet("t5", num_shards=2, capacity_per_shard=4096)
+    try:
+        na = a.filter_and_insert_array(k)
+        nb = b.filter_and_insert_array(k)
+        assert (na == nb).all()  # no FP at this tiny scale
+    finally:
+        a.shutdown()
+        b.shutdown()

@@ -1,0 +1,94 @@
+"""Unit tests for the URL kit (SURVEY.md F5) against the reference's exact
+rules (greedy.py:43-67, parser.py:85, downloader.py:74-75)."""
+
+import numpy as np
+import pandas as pd
+
+from icrawler_ray.functions.urlnorm import (
+    canonicalize,
+    classify_greedy,
+    hash_urls,
+    hosts_of,
+    normalize_hrefs,
+    path_ext,
+)
+
+BASE = "http://h0.example.com"
+
+
+def test_normalize_hrefs_reference_rules():
+    hrefs = pd.Series([
+        "//x.com/a/",          # protocol-relative -> http: + rstrip /
+        "/p/1.html/",          # root-relative -> urljoin(base, strip("/"))
+        "#frag",               # skipped
+        "a",                   # len < 2 -> skipped
+        "p/2.html",            # relative -> urljoin(base, rstrip("/"))
+        "http://y.com/q/",     # absolute -> rstrip("/")
+        "javascript:void(0)",  # normalized through; discarded later
+    ])
+    out = normalize_hrefs(hrefs, BASE).tolist()
+    assert out[0] == "http://x.com/a"
+    assert out[1] == "http://h0.example.com/p/1.html"
+    assert pd.isna(out[2]) and pd.isna(out[3])
+    assert out[4] == "http://h0.example.com/p/2.html"
+    assert out[5] == "http://y.com/q"
+    assert out[6] == "javascript:void(0)"
+
+
+def test_classify_greedy_taxonomy():
+    urls = pd.Series([
+        "http://img.com/a.jpg",              # image pattern -> file
+        "//img.com/b.png",                   # protocol-relative image -> file
+        "http://h0.example.com/p/1.html",    # same-domain html -> page
+        "http://h0.example.com/p/1.shtml",   # whitelist ext -> page
+        "http://h0.example.com/f.zip",       # bad ext -> discard
+        "javascript:void(0)",                # js scheme -> discard
+        "android-app://x/y.html",            # bad scheme -> discard
+        "http://other.com/p.html",           # off-domain -> discard
+        "http://h0.example.com/plain",       # no ext, same domain -> page
+    ])
+    kinds = classify_greedy(urls, [BASE]).tolist()
+    assert kinds == ["file", "file", "page", "page", "discard", "discard",
+                     "discard", "discard", "page"]
+
+
+def test_image_pattern_matches_reference_regex():
+    # reference pattern: (http|//)(.*)\.(jpg|jpeg|png|bmp|gif|tiff), re.match
+    urls = pd.Series([
+        "http://a/x.jpg",
+        "http://a/x.jpg.html",   # greedy .* still finds .jpg -> matches (reference quirk)
+        "ftp://a/x.jpg",         # doesn't start with http or //
+        "https://a/x.tiff",      # https starts with 'http'
+        "http://a/x.svg",
+    ])
+    kinds = classify_greedy(urls, ["http://a"]).tolist()
+    assert kinds[0] == "file"
+    assert kinds[1] == "file"
+    assert kinds[2] == "discard"   # not an image match AND ftp w/ bad ext... (.jpg ext not in html list)
+    assert kinds[3] == "file"
+    assert kinds[4] == "discard"
+
+
+def test_canonicalize():
+    s = pd.Series([
+        "HTTP://Host.COM:80/a/b/#frag",
+        "https://h.com:443/x/",
+        "http://h.com:8080/y",
+        "http://h.com",
+    ])
+    out = canonicalize(s).tolist()
+    assert out == ["http://host.com/a/b", "https://h.com/x", "http://h.com:8080/y", "http://h.com"]
+
+
+def test_hash_stability_and_hosts():
+    urls = ["http://a.com/x", "http://b.com/y"]
+    h1 = hash_urls(urls)
+    h2 = hash_urls(list(urls))
+    assert h1.dtype == np.uint64 and (h1 == h2).all() and h1[0] != h1[1]
+    assert hosts_of(pd.Series(["http://A.com:80/x", "https://b.com/y", "nope"])).tolist() == [
+        "a.com", "b.com", ""]
+
+
+def test_path_ext():
+    s = pd.Series(["http://a/b/c.JPG?x=1", "http://a/b/c", "http://a/x.tar.gz", "http://a/q?d=.png"])
+    assert path_ext(s).tolist() == ["JPG", "", "gz", ""]
