@@ -1,44 +1,55 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship pipeline — the greedy frontier crawl (politeness gate ->
+FetchParse actor pool -> sharded bloom+cuckoo seen-set -> download ->
+deterministic filenames) over the hermetic synthetic web, returning the
+interleaved text+media corpus (doc_id, spans list<struct>) as a Dataset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries()/oracle_sql(): one entry per implemented operator family from
+SURVEY.md §2 plus the training-data operators (dedup / similarity / text
+analysis / multimodal plumbing), defined in icrawler_ray/queries.py. Ray
+is initialised by the driver BEFORE this module is imported; nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os.path as osp
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: greedy frontier crawl -> interleaved corpus Dataset."""
+    import ray
+    import ray.data
+
+    from icrawler_ray.pipelines.greedy import greedy_crawl
+    from icrawler_ray.schemas import CORPUS
+    from icrawler_ray.stages.politeness import HostPolicy
+    from icrawler_ray.synthweb.generate import make_synthweb
+
+    web = make_synthweb(n_pages=150, n_hosts=4, seed=42)
+    policy = HostPolicy(web.host_policy, round_ms=1000)
+    docs, _results, _metrics = greedy_crawl(
+        ray.put(web.url_map()), web.domains, policy=policy,
+        max_num=50, max_depth=3, keep_content=False, mode="driver",
+    )
+    if docs is None:
+        return ray.data.from_arrow(CORPUS.empty_table())
+    return ray.data.from_arrow(docs.select(["doc_id", "spans"]))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from icrawler_ray.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from icrawler_ray.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

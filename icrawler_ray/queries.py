@@ -1,0 +1,937 @@
+"""Driver-facing query suite: one entry per implemented operator/pipeline
+(SURVEY.md §2 + the training-data operator families), each over the
+driver's parquet tables, with a DuckDB-runnable ANSI-SQL oracle where the
+op is SQL-expressible (column names matched exactly; floats rounded
+identically on both sides to make the value-hash comparison robust).
+
+Conventions:
+- every callable takes ``sf_dir`` and returns a Dataset / DataFrame / Table
+- no ray.init/shutdown here (driver owns the session)
+- reads prune columns at the source
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from icrawler_ray.functions.baidu_cipher import CIPHER_FROM, CIPHER_TO, decode_batch
+from icrawler_ray.functions.urlnorm import canonicalize, classify_greedy
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# =====================================================================
+# A. engine relational primitives (groupby / join / sort / filter / window)
+# =====================================================================
+
+def q_agg_lineitem(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with a pre-computed column; the
+    groupby is the only shuffle (partial aggregation happens inside Ray
+    Data's Sum/Count combiners)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    out = (
+        ds.map_batches(add_rev, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base"),
+            Sum("revenue", alias_name="sum_rev"),
+            Count(alias_name="n"),
+        )
+    ).to_pandas()
+    for c in ("sum_qty", "sum_base", "sum_rev"):
+        out[c] = out[c].round(2)
+    return out
+
+
+SQL_AGG_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_rev,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_revenue_by_nation(sf_dir: str):
+    """orders x customer x nation revenue rollup. customer+nation are the
+    small sides: broadcast once via ray.put, merged per batch (no shuffle
+    join; the only exchange is the final small groupby)."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    dim_ref = ray.put(dim[["c_custkey", "n_name"]])
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        d = ray.get(dim_ref)
+        df = t.to_pandas().merge(d, left_on="o_custkey", right_on="c_custkey", how="inner")
+        return pa.Table.from_pandas(df[["n_name", "o_totalprice"]], preserve_index=False)
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(join_batch, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+SQL_JOIN_REVENUE_BY_NATION = """
+SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_topk_orders(sf_dir: str):
+    """sort + limit (top-k) with a deterministic tiebreak."""
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_filter_project_lineitem(sf_dir: str):
+    """pushdown-friendly filter + computed projection."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1995-06-01")))
+        t = t.filter(m)
+        rev = pc.round(pc.multiply(t["l_extendedprice"],
+                                   pc.subtract(pa.scalar(1.0), t["l_discount"])), 4)
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "l_linenumber": t["l_linenumber"], "revenue": rev}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_FILTER_PROJECT_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """tumbling event-time window: per (event_type, hour) count + sum."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+        # datetime64[us] -> epoch seconds
+        df["hour_ts"] = (df["ts"].dt.floor("h").astype("int64") // 10**6).astype("int64")
+        return df[["event_type", "hour_ts", "value"]]
+
+    out = (
+        ds.map_batches(add_hour, batch_format="pandas")
+        .groupby(["event_type", "hour_ts"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    return out
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY event_type, hour_ts
+"""
+
+
+def q_events_sessionize(sf_dir: str):
+    """session windows (30-min inactivity gap) per user — the
+    streaming-shaped op: groupby(user) -> per-group ordered pandas walk
+    (the partition key + within-group ts order is the documented
+    assumption)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gap.sum()) + 1],
+             "n_events": [len(g)]}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, SUM(new_sess) + 1 AS n_sessions, COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+# =====================================================================
+# B. crawl-semantics operators mapped onto the driver tables
+# =====================================================================
+
+def q_seed_window(sf_dir: str):
+    """UrlListFeeder offset/max_num window (feeder.py:47-70) over the
+    dense doc_id ordering (positional window == id window here)."""
+    return (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .filter(expr="doc_id >= 100 and doc_id < 300")
+    )
+
+
+SQL_SEED_WINDOW = "SELECT doc_id, n_chars FROM documents WHERE doc_id >= 100 AND doc_id < 300"
+
+
+def q_expand_google(sf_dir: str):
+    """plan-time Google search-URL expansion (S4 + filter DSL F2)."""
+    from icrawler_ray.sources.seeds import google_search_urls
+
+    urls = google_search_urls("cat", 0, 1000, filters={"type": "photo"})
+    return pd.DataFrame({"start": np.arange(0, 1000, 100, dtype=np.int64), "url": urls})
+
+
+SQL_EXPAND_GOOGLE = """
+SELECT i AS start,
+       'https://www.google.com/search?q=cat&ijn=' || CAST(i // 100 AS VARCHAR)
+       || '&start=' || CAST(i AS VARCHAR) || '&tbs=itp%3Aphoto&tbm=isch' AS url
+FROM generate_series(0, 999, 100) t(i)
+"""
+
+
+def q_expand_bing(sf_dir: str):
+    from icrawler_ray.sources.seeds import bing_search_urls
+
+    urls = bing_search_urls("cat", 0, 200, filters={"color": "red"})
+    return pd.DataFrame({"first": np.arange(0, 200, 20, dtype=np.int64), "url": urls})
+
+
+SQL_EXPAND_BING = """
+SELECT i AS "first",
+       'https://www.bing.com/images/async?q=cat&first=' || CAST(i AS VARCHAR)
+       || '&qft=+filterui:color2-FGcls_RED' AS url
+FROM generate_series(0, 199, 20) t(i)
+"""
+
+
+def q_expand_baidu(sf_dir: str):
+    from icrawler_ray.sources.seeds import baidu_search_urls
+
+    urls = baidu_search_urls("cat", 0, 300, filters={"size": "large"})
+    return pd.DataFrame({"pn": np.arange(0, 300, 30, dtype=np.int64), "url": urls})
+
+
+SQL_EXPAND_BAIDU = """
+SELECT i AS pn,
+       'http://image.baidu.com/search/acjson?tn=resultjson_com&ipn=rj&word=cat&pn='
+       || CAST(i AS VARCHAR) || '&rn=30&z=3' AS url
+FROM generate_series(0, 299, 30) t(i)
+"""
+
+
+def q_baidu_decode(sf_dir: str):
+    """Baidu objURL cipher (P5): both sides build the same ciphertext from
+    doc_id and decode it with INDEPENDENT implementations (Python
+    translate-chain vs SQL replace+translate) — agreement cross-validates
+    the cipher tables."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ct = "ippr_z2C$qAzdH3FAzdH3Ft4n" + df["doc_id"].astype(str) + "_z&e3Bjrn"
+        return pd.DataFrame({"doc_id": df["doc_id"], "decoded": decode_batch(ct)})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_BAIDU_DECODE = f"""
+SELECT doc_id,
+       translate(
+         replace(replace(replace(
+           'ippr_z2C$qAzdH3FAzdH3Ft4n' || CAST(doc_id AS VARCHAR) || '_z&e3Bjrn',
+           '_z2C$q', ':'), '_z&e3B', '.'), 'AzdH3F', '/'),
+         '{CIPHER_FROM}', '{CIPHER_TO}') AS decoded
+FROM documents
+"""
+
+
+def q_classify_urls(sf_dir: str):
+    """greedy link-classification taxonomy (P7/P8, greedy.py:55-67) over
+    synthesized URLs; the SQL oracle states the spec's expected label per
+    URL class independently."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    domains = ["http://site.example.com", "http://img.example.com"]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype(str)
+        k = df["doc_id"] % 6
+        url = pd.Series("", index=df.index, dtype="string")
+        url[k == 0] = "http://img.example.com/i/" + d + ".jpg"
+        url[k == 1] = "http://site.example.com/p/" + d + ".html"
+        url[k == 2] = "http://site.example.com/f/" + d + ".zip"
+        url[k == 3] = "javascript:void(" + d + ")"
+        url[k == 4] = "android-app://com.x/p" + d + ".html"
+        url[k == 5] = "http://other.com/p/" + d + ".html"
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "url": url.astype(object),
+             "kind": classify_greedy(url, domains).astype(object)}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_CLASSIFY_URLS = """
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'http://img.example.com/i/' || CAST(doc_id AS VARCHAR) || '.jpg'
+    WHEN 1 THEN 'http://site.example.com/p/' || CAST(doc_id AS VARCHAR) || '.html'
+    WHEN 2 THEN 'http://site.example.com/f/' || CAST(doc_id AS VARCHAR) || '.zip'
+    WHEN 3 THEN 'javascript:void(' || CAST(doc_id AS VARCHAR) || ')'
+    WHEN 4 THEN 'android-app://com.x/p' || CAST(doc_id AS VARCHAR) || '.html'
+    ELSE 'http://other.com/p/' || CAST(doc_id AS VARCHAR) || '.html' END AS url,
+  CASE doc_id % 6
+    WHEN 0 THEN 'file' WHEN 1 THEN 'page' ELSE 'discard' END AS kind
+FROM documents
+"""
+
+
+def q_canonicalize_urls(sf_dir: str):
+    """URL canonicalization (F5): lowercase scheme+host, default port and
+    fragment stripped; oracle states the expected canonical form."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype(str)
+        k = (df["doc_id"] % 7).astype(str)
+        raw = "HTTP://Site" + k + ".Example.COM:80/p/" + d + "#frag"
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"],
+             "url_canon": canonicalize(pd.Series(raw, dtype="string")).astype(object)}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_CANONICALIZE_URLS = """
+SELECT doc_id,
+  'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+  || CAST(doc_id AS VARCHAR) AS url_canon
+FROM documents
+"""
+
+
+def q_politeness_schedule(sf_dir: str):
+    """per-host politeness budget (north rule): treat source as host,
+    n_chars as priority; budget 5/host/round (round_ms=1000, delay=200);
+    top-5 per host in (priority DESC, doc_id ASC) order, via the real gate
+    function over a groupby(host) exchange."""
+    from icrawler_ray.stages.politeness import HostPolicy, _topk_per_host
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    hosts = [f"src{i}" for i in range(200)]
+    policy = HostPolicy(
+        {h: {"crawl_delay_ms": 200, "max_inflight": 4, "robots_disallow": []} for h in hosts},
+        round_ms=1000,
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"], "host": df["source"],
+                             "priority": df["n_chars"].astype(float), "seq": df["doc_id"]})
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        return _topk_per_host(g, policy)[["doc_id", "host", "priority"]]
+
+    return (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby("host")
+        .map_groups(gate, batch_format="pandas")
+    )
+
+
+SQL_POLITENESS_SCHEDULE = """
+SELECT doc_id, source AS host, CAST(n_chars AS DOUBLE) AS priority
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 5
+"""
+
+
+def q_filename_assign(sf_dir: str):
+    """deterministic global sequence + 6-digit filenames (D2): sort by
+    (n_chars DESC, doc_id ASC), distributed prefix-sum index
+    (functions/seq.py), filename = printf('%06d', seq+1).jpg."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def neg(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("neg_chars", pc.negate(t["n_chars"]))
+
+    ds = ds.map_batches(neg, batch_format="pyarrow")
+    ds = assign_global_seq(ds, ["neg_chars", "doc_id"], col="seq")
+
+    def name(t: pa.Table) -> pa.Table:
+        seq = t["seq"].to_numpy(zero_copy_only=False)
+        names = [f"{s + 1:06d}.jpg" for s in seq]
+        return pa.table({"doc_id": t["doc_id"], "filename": pa.array(names, type=pa.string())})
+
+    return ds.map_batches(name, batch_format="pyarrow")
+
+
+SQL_FILENAME_ASSIGN = """
+SELECT doc_id,
+       printf('%06d', CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS INT))
+       || '.jpg' AS filename
+FROM documents
+"""
+
+
+def q_size_gate(sf_dir: str):
+    """ImageDownloader keep_file min/max size gates (D5, boundary-
+    inclusive, both dims via max/min) over deterministic synthetic dims."""
+    ds = _read(sf_dir, "part", ["p_partkey"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        w = (df["p_partkey"] * 37) % 500 + 1
+        h = (df["p_partkey"] * 73) % 500 + 1
+        mx = np.maximum(w, h)
+        mn = np.minimum(w, h)
+        keep = (mx >= 100) & (mn >= 100) & (mx <= 400) & (mn <= 400)
+        return pd.DataFrame({"p_partkey": df["p_partkey"], "w": w.astype(np.int64),
+                             "h": h.astype(np.int64), "keep": keep})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_SIZE_GATE = """
+SELECT p_partkey,
+       (p_partkey * 37) % 500 + 1 AS w,
+       (p_partkey * 73) % 500 + 1 AS h,
+       greatest((p_partkey * 37) % 500 + 1, (p_partkey * 73) % 500 + 1) >= 100
+       AND least((p_partkey * 37) % 500 + 1, (p_partkey * 73) % 500 + 1) >= 100
+       AND greatest((p_partkey * 37) % 500 + 1, (p_partkey * 73) % 500 + 1) <= 400
+       AND least((p_partkey * 37) % 500 + 1, (p_partkey * 73) % 500 + 1) <= 400 AS keep
+FROM part
+"""
+
+
+def q_interleaved_spans(sf_dir: str):
+    """the input_hint substrate: build interleaved text+media span rows
+    (list<struct<kind,text,media_ref,offset>>) from documents — a media
+    span after every 2nd 5-token text chunk — then aggregate from the
+    NESTED column (exercises the Arrow list<struct> plumbing end to end);
+    the oracle computes the same counts from the flat table."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "n_spans": [], "n_media": [], "n_text": [], "text_len": []}
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = text.split(" ")
+            chunks = [" ".join(toks[i:i + 5]) for i in range(0, len(toks), 5)]
+            spans = []
+            for ci, ch in enumerate(chunks):
+                spans.append({"kind": "text", "text": ch, "media_ref": "",
+                              "offset": len(spans)})
+                if ci % 2 == 1:
+                    spans.append({"kind": "media", "text": "",
+                                  "media_ref": f"http://img.example.com/d{doc_id}_{ci}.jpg",
+                                  "offset": len(spans)})
+            rows["doc_id"].append(doc_id)
+            rows["n_spans"].append(len(spans))
+            rows["n_media"].append(sum(s["kind"] == "media" for s in spans))
+            rows["n_text"].append(sum(s["kind"] == "text" for s in spans))
+            rows["text_len"].append(sum(len(s["text"]) for s in spans))
+        return pd.DataFrame(rows)
+
+    return ds.map_batches(build, batch_format="pandas")
+
+
+SQL_INTERLEAVED_SPANS = """
+WITH base AS (
+  SELECT doc_id, n_chars,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+  FROM documents),
+chunked AS (
+  SELECT doc_id, n_chars, CAST(ceil(n_tokens / 5.0) AS BIGINT) AS n_chunks FROM base)
+SELECT doc_id,
+       n_chunks + n_chunks // 2 AS n_spans,
+       n_chunks // 2 AS n_media,
+       n_chunks AS n_text,
+       n_chars - (n_chunks - 1) AS text_len
+FROM chunked
+"""
+
+
+# =====================================================================
+# C. training-data operators: dedup / text / similarity
+# =====================================================================
+
+def q_dedup_exact(sf_dir: str):
+    """exact dedup: hash-partition on a content key, keep first (min id)
+    per group + duplicate count (Q1 semantics over content)."""
+    from icrawler_ray.pipelines.urllist import dedup_first  # noqa: F401 (family)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"], "k": df["text"].str.slice(0, 40)})
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [g["k"].iloc[0]], "keep_doc_id": [int(g["doc_id"].min())],
+                             "n_dups": [len(g)]})
+
+    return (
+        ds.map_batches(key, batch_format="pandas").groupby("k")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT substr(text, 1, 40) AS k, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY k
+"""
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from icrawler_ray.stages.textfns import fingerprint
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint, batch_format="pyarrow")
+
+
+SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def q_text_stats(sf_dir: str):
+    from icrawler_ray.stages.textfns import token_stats
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_stats, batch_format="pyarrow")
+
+
+SQL_TEXT_STATS = """
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+         len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS n_stop
+  FROM documents)
+SELECT doc_id, n_tokens, n_stop,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+       ROUND((length(text) - n_tokens + 1.0) / n_tokens, 6) AS avg_word_len
+FROM t
+"""
+
+
+def q_lang_quality_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_tokens"] = df["text"].str.count(" ") + 1
+        return df[["lang", "n_chars", "n_tokens"]]
+
+    out = (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"),
+                   Mean("n_tokens", alias_name="avg_tokens"))
+    ).to_pandas()
+    out["avg_chars"] = out["avg_chars"].round(4)
+    out["avg_tokens"] = out["avg_tokens"].round(4)
+    return out
+
+
+SQL_LANG_QUALITY_AGG = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       ROUND(AVG(length(text) - length(replace(text, ' ', '')) + 1), 4) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    from icrawler_ray.stages.dedup import ngram_jaccard_pairs_grouped
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return ngram_jaccard_pairs_grouped(ds, group_col="source", threshold=0.6)
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH w AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS words
+           FROM documents)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       ROUND(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.words, b.words))), 6) AS jaccard
+FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.words, b.words))) >= 0.6
+"""
+
+
+def q_minhash_lsh_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates with exact-Jaccard verification —
+    probabilistic recall (LSH may miss borderline pairs), so no SQL oracle;
+    driver records a rows-only check. Deterministic given the fixed hash."""
+    from icrawler_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, jaccard_threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (single-probe prefix buckets) — rows-only."""
+    from icrawler_ray.stages.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=12)
+
+
+def q_langid(sf_dir: str):
+    """stopword-profile language ID — heuristic, rows-only check."""
+    from icrawler_ray.stages.textfns import langid_scores
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        langid_scores, batch_format="pyarrow")
+
+
+def q_rolling_fingerprint(sf_dir: str):
+    """Rabin-Karp rolling-hash winnowing signature — rows-only."""
+    from icrawler_ray.stages.textfns import rolling_hashes
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        rolling_hashes, batch_format="pyarrow")
+
+
+def q_knn_bruteforce(sf_dir: str):
+    """brute-force cosine top-5 for 3 query vectors against the whole
+    embedding table (broadcast query matrix, per-batch matmul)."""
+    from icrawler_ray.stages.similarity import brute_force_topk
+
+    head = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).sort("vec_id").limit(3).to_pandas()
+    queries = np.asarray(head["embedding"].tolist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, queries, k=5, query_ids=head["vec_id"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "vec_id", "rank"]]
+
+
+SQL_KNN_BRUTEFORCE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           ORDER BY vec_id LIMIT 3),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+FROM sims
+QUALIFY rank <= 5
+"""
+
+
+def q_knn_lsh(sf_dir: str):
+    """LSH-bucketed ANN (scale path) — approximate, rows-only check."""
+    from icrawler_ray.stages.similarity import lsh_bucketed_topk
+
+    head = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).sort("vec_id").limit(3).to_pandas()
+    queries = np.asarray(head["embedding"].tolist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_bucketed_topk(ds, queries, k=5, query_ids=head["vec_id"].to_numpy())
+
+
+def q_label_centroid_norm(sf_dir: str):
+    """per-label count + mean vector norm (mergeable partial aggregation)."""
+    from ray.data.aggregate import Count, Mean
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+        return pd.DataFrame({"label": df["label"], "norm": np.linalg.norm(m, axis=1)})
+
+    out = (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby("label")
+        .aggregate(Count(alias_name="n"), Mean("norm", alias_name="avg_norm"))
+    ).to_pandas()
+    out["avg_norm"] = out["avg_norm"].round(5)
+    return out
+
+
+SQL_LABEL_CENTROID_NORM = """
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))), 5)
+       AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """cosine >= 0.4 pairs within label partitions (per-group matmul; the
+    threshold sits in the upper tail of this corpus's similarity
+    distribution — max within-label sim ~0.45)."""
+    from icrawler_ray.stages.similarity import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    out = embedding_near_dup_pairs(ds, threshold=0.4)
+    if not len(out):
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64)})
+    out = out.drop(columns=["sim"])  # ids are the stable payload
+    out["a"] = out["a"].astype(np.int64)
+    out["b"] = out["b"].astype(np.int64)
+    return out
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def q_media_pipeline(sf_dir: str):
+    """multimodal plumbing: deterministic fake image blobs as a binary
+    column -> DecodeImage actor pool -> ResizeStub -> per-doc dims.
+    Codec-free deterministic pipeline; rows-only check."""
+    from icrawler_ray.stages.media import DecodeImage, ResizeStub
+    from icrawler_ray.synthweb import fakeimg
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def blobs(df: pd.DataFrame) -> pd.DataFrame:
+        content = [
+            fakeimg.encode(int(d % 500 + 10), int((d * 7) % 500 + 10)) if d % 11 else b"BAD"
+            for d in df["doc_id"]
+        ]
+        return pd.DataFrame({"doc_id": df["doc_id"], "content": content})
+
+    out = (
+        ds.map_batches(blobs, batch_format="pandas")
+        .map_batches(DecodeImage, batch_size=128, concurrency=2, batch_format="pyarrow")
+        .map_batches(ResizeStub, batch_size=128, concurrency=2, batch_format="pyarrow")
+    )
+    return out.select_columns(["doc_id", "img_w", "img_h", "decode_ok", "target_w", "target_h"])
+
+
+SQL_MEDIA_PIPELINE = """
+SELECT doc_id,
+  CASE WHEN doc_id % 11 = 0 THEN -1 ELSE doc_id % 500 + 10 END AS img_w,
+  CASE WHEN doc_id % 11 = 0 THEN -1 ELSE (doc_id * 7) % 500 + 10 END AS img_h,
+  doc_id % 11 <> 0 AS decode_ok,
+  CASE WHEN doc_id % 11 = 0 THEN -1
+       ELSE CAST(round((doc_id % 500 + 10) * least(1.0, 256.0 / greatest(doc_id % 500 + 10, (doc_id * 7) % 500 + 10))) AS INT)
+  END AS target_w,
+  CASE WHEN doc_id % 11 = 0 THEN -1
+       ELSE CAST(round(((doc_id * 7) % 500 + 10) * least(1.0, 256.0 / greatest(doc_id % 500 + 10, (doc_id * 7) % 500 + 10))) AS INT)
+  END AS target_h
+FROM documents
+"""
+
+
+# =====================================================================
+# D. crawl pipelines over the hermetic synthetic web (rows-only checks:
+#    the real oracle is the sequential crawler, enforced in pytest —
+#    tests/test_greedy_parity.py — not expressible in SQL)
+# =====================================================================
+
+def _synthweb_ref():
+    """Deterministic synthetic web + broadcast url map (cached per run)."""
+    from icrawler_ray.synthweb.generate import add_search_fixtures, make_synthweb
+
+    global _WEB_CACHE
+    try:
+        return _WEB_CACHE
+    except NameError:
+        pass
+    web = make_synthweb(n_pages=120, n_hosts=4, seed=42)
+    add_search_fixtures(web, keyword="cat")
+    _WEB_CACHE = (web, ray.put(web.url_map()))
+    return _WEB_CACHE
+
+
+def q_crawl_urllist(sf_dir: str):
+    """UrlListCrawler pipeline (§3.3): seeds -> tasks -> fetch -> ordered
+    filenames. Deterministic given the fixed synthweb seed."""
+    from icrawler_ray.pipelines.urllist import urllist_crawl
+
+    web, ref = _synthweb_ref()
+    out = urllist_crawl(ref, web.seeds, max_num=100, keep_content=False).to_pandas()
+    return out[["file_url", "filename", "img_w", "img_h"]].sort_values("filename").reset_index(drop=True)
+
+
+def q_crawl_google(sf_dir: str):
+    """GoogleImageCrawler pipeline (§3.1) over fixture result pages."""
+    from icrawler_ray.pipelines.search import search_crawl
+
+    web, ref = _synthweb_ref()
+    out = search_crawl(ref, "google", keyword="cat", max_num=50, keep_content=False).to_pandas()
+    return out[["file_url", "filename"]].sort_values("filename").reset_index(drop=True)
+
+
+def q_crawl_flickr(sf_dir: str):
+    """FlickrImageCrawler pipeline with the nested per-photo getSizes
+    fetch inside the parse actors."""
+    from icrawler_ray.pipelines.search import search_crawl
+
+    web, ref = _synthweb_ref()
+    out = search_crawl(ref, "flickr", max_num=20, keep_content=False,
+                       flickr_kwargs={"per_page": 10, "max_pages": 2}).to_pandas()
+    return out[["file_url", "filename"]].sort_values("filename").reset_index(drop=True)
+
+
+def q_crawl_greedy(sf_dir: str):
+    """GreedyImageCrawler frontier loop (§3.2): politeness gate + sharded
+    seen-set + per-round fetch/parse; pytest enforces oracle equality."""
+    from icrawler_ray.pipelines.greedy import greedy_crawl
+    from icrawler_ray.stages.politeness import HostPolicy
+
+    web, ref = _synthweb_ref()
+    policy = HostPolicy(web.host_policy, round_ms=1000)
+    docs, results, _metrics = greedy_crawl(
+        ref, web.domains, policy=policy, max_num=40, max_depth=3,
+        keep_content=False, mode="driver",
+    )
+    if results is None:
+        return pd.DataFrame({"file_url": [], "filename": []})
+    out = results.to_pandas()
+    return out[["file_url", "filename", "img_w", "img_h"]].sort_values("filename").reset_index(drop=True)
+
+
+def q_frontier_seen_filter(sf_dir: str):
+    """sharded bloom+cuckoo seen-set over a synthetic frontier with ~30%
+    duplicates: per-shard novel/dup/query counts (Q1 at the north-rule
+    shape; deterministic)."""
+    from icrawler_ray.state.seen import ShardedSeenSet
+
+    rng = np.random.default_rng(42)
+    n = 50_000
+    uniq = rng.integers(0, 2**62, int(n * 0.7), dtype=np.uint64)
+    dups = uniq[rng.integers(0, len(uniq), n - len(uniq))]
+    keys = np.concatenate([uniq, dups])
+    rng.shuffle(keys)
+    seen = ShardedSeenSet("q_frontier", num_shards=8, capacity_per_shard=1 << 17)
+    try:
+        novel = seen.filter_and_insert_array(keys)
+        stats = seen.stats()
+        return pd.DataFrame(
+            {
+                "shard_id": np.arange(len(stats), dtype=np.int64),
+                "num_items": [s["num_items"] for s in stats],
+                "num_queries": [s["num_queries"] for s in stats],
+                "num_hits": [s["num_hits"] for s in stats],
+                "total_novel": int(novel.sum()),
+            }
+        )
+    finally:
+        seen.shutdown()
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+QUERIES = {
+    "agg_lineitem": q_agg_lineitem,
+    "join_revenue_by_nation": q_join_revenue_by_nation,
+    "topk_orders": q_topk_orders,
+    "filter_project_lineitem": q_filter_project_lineitem,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+    "seed_window": q_seed_window,
+    "expand_google": q_expand_google,
+    "expand_bing": q_expand_bing,
+    "expand_baidu": q_expand_baidu,
+    "baidu_decode": q_baidu_decode,
+    "classify_urls": q_classify_urls,
+    "canonicalize_urls": q_canonicalize_urls,
+    "politeness_schedule": q_politeness_schedule,
+    "filename_assign": q_filename_assign,
+    "size_gate": q_size_gate,
+    "interleaved_spans": q_interleaved_spans,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "text_stats": q_text_stats,
+    "lang_quality_agg": q_lang_quality_agg,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "langid": q_langid,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_lsh": q_knn_lsh,
+    "label_centroid_norm": q_label_centroid_norm,
+    "embedding_near_dup": q_embedding_near_dup,
+    "media_pipeline": q_media_pipeline,
+    "crawl_urllist": q_crawl_urllist,
+    "crawl_google": q_crawl_google,
+    "crawl_flickr": q_crawl_flickr,
+    "crawl_greedy": q_crawl_greedy,
+    "frontier_seen_filter": q_frontier_seen_filter,
+}
+
+ORACLE_SQL = {
+    "agg_lineitem": SQL_AGG_LINEITEM,
+    "join_revenue_by_nation": SQL_JOIN_REVENUE_BY_NATION,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "filter_project_lineitem": SQL_FILTER_PROJECT_LINEITEM,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "seed_window": SQL_SEED_WINDOW,
+    "expand_google": SQL_EXPAND_GOOGLE,
+    "expand_bing": SQL_EXPAND_BING,
+    "expand_baidu": SQL_EXPAND_BAIDU,
+    "baidu_decode": SQL_BAIDU_DECODE,
+    "classify_urls": SQL_CLASSIFY_URLS,
+    "canonicalize_urls": SQL_CANONICALIZE_URLS,
+    "politeness_schedule": SQL_POLITENESS_SCHEDULE,
+    "filename_assign": SQL_FILENAME_ASSIGN,
+    "size_gate": SQL_SIZE_GATE,
+    "interleaved_spans": SQL_INTERLEAVED_SPANS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "text_stats": SQL_TEXT_STATS,
+    "lang_quality_agg": SQL_LANG_QUALITY_AGG,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "label_centroid_norm": SQL_LABEL_CENTROID_NORM,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "media_pipeline": SQL_MEDIA_PIPELINE,
+}

@@ -1,0 +1,205 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each a composition of vectorized map_batches +
+groupby exchanges (the LSH bucket groupby is the only all-to-all; its key
+is hash-derived and uniform, so no skew):
+
+- exact:       hash-partition on a content key -> per-group first
+- minhash+LSH: shingle -> minhash sketch -> band buckets -> groupby bucket
+               -> candidate pairs -> exact-Jaccard verify
+- simhash:     64-bit simhash -> bucket by high bits -> hamming verify
+- ngram-jaccard: per-partition pairwise set Jaccard (within a grouping key)
+- embedding near-dup: see stages/similarity.py
+
+Determinism: all hashing is pandas SipHash (fixed key) + splitmix64 rounds
+(state/bloom.py) — no RNG at query time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from icrawler_ray.state.bloom import _mix
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.split(" ")
+    if len(toks) <= k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def shingle_hashes(texts: list[str], k: int = 3) -> list[np.ndarray]:
+    """Per doc: uint64 hashes of its k-token shingles."""
+    out = []
+    for t in texts:
+        sh = sorted(_shingles(t, k))
+        out.append(pd.util.hash_array(np.array(sh, dtype=object), categorize=False))
+    return out
+
+
+def minhash_signature(hashes: np.ndarray, num_perm: int = 64) -> np.ndarray:
+    """num_perm minimums over splitmix64-mixed shingle hashes (one mix
+    round per permutation — standard one-pass minhash)."""
+    if len(hashes) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    sig = np.empty(num_perm, dtype=np.uint64)
+    for p in range(num_perm):
+        sig[p] = _mix(hashes, p).min()
+    return sig
+
+
+def minhash_lsh_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> pd.DataFrame:
+    """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verification.
+
+    Stage 1 (map_batches, parallel): shingle + minhash per doc, emit
+    (band_id, band_hash, doc_id) rows.
+    Stage 2 (groupby band bucket): candidate pairs within each bucket.
+    Stage 3 (verify): exact Jaccard on shingle sets for candidates (the
+    shingle hashes ride along, so no second text pass).
+    Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+    """
+    rows_per_band = num_perm // bands
+
+    def stage_sig(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        sh = shingle_hashes(texts, shingle_k)
+        out = {"band_id": [], "band_hash": [], "doc_id": [], "shingles": []}
+        for i, h in enumerate(sh):
+            sig = minhash_signature(h, num_perm)
+            for b in range(bands):
+                band = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                out["band_id"].append(b)
+                out["band_hash"].append(int(pd.util.hash_array(band).sum() % (1 << 63)))
+                out["doc_id"].append(ids[i])
+                out["shingles"].append(h.tolist())
+        return pa.table(
+            {
+                "band_id": pa.array(out["band_id"], type=pa.int32()),
+                "band_hash": pa.array(out["band_hash"], type=pa.int64()),
+                "doc_id": pa.array(out["doc_id"]),
+                "shingles": pa.array(out["shingles"], type=pa.list_(pa.uint64())),
+            }
+        )
+
+    def stage_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        recs = sorted(zip(g["doc_id"], g["shingles"]), key=lambda r: r[0])
+        out = {"a": [], "b": [], "jaccard": []}
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                ai, sa = recs[i]
+                bj, sb = recs[j]
+                if ai == bj:
+                    continue
+                A, B = set(sa), set(sb)
+                jac = len(A & B) / len(A | B)
+                if jac >= jaccard_threshold:
+                    out["a"].append(ai)
+                    out["b"].append(bj)
+                    out["jaccard"].append(round(jac, 6))
+        return pd.DataFrame(out)
+
+    pairs = (
+        ds.map_batches(stage_sig, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(stage_pairs, batch_format="pandas")
+    ).to_pandas()
+    if not len(pairs):
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    pairs = pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    return pairs
+
+
+def simhash64(texts: list[str]) -> np.ndarray:
+    """64-bit simhash over token hashes (vectorized bit-count per doc)."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = np.array(t.split(" "), dtype=object)
+        h = pd.util.hash_array(toks, categorize=False)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        v = bits.sum(axis=0) * 2 - len(h)
+        pos = np.nonzero(v > 0)[0].astype(np.uint64)
+        out[i] = np.bitwise_or.reduce(np.uint64(1) << pos) if len(pos) else np.uint64(0)
+    return out
+
+
+def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 8, prefix_bits: int = 16) -> pd.DataFrame:
+    """Near-dup pairs with simhash hamming distance <= max_hamming.
+
+    Bucket by the top ``prefix_bits`` bits (docs differing only in low bits
+    collide; standard multi-probe would rotate the prefix — single probe
+    here, documented recall tradeoff), verify hamming within buckets.
+    """
+
+    def stage_hash(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        h = simhash64(texts)
+        return pa.table(
+            {
+                "doc_id": batch[id_col],
+                "simhash": pa.array(h),
+                "bucket": pa.array((h >> np.uint64(64 - prefix_bits)).astype(np.int64)),
+            }
+        )
+
+    def stage_verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        recs = sorted(zip(g["doc_id"], g["simhash"].astype(np.uint64)))
+        out = {"a": [], "b": [], "hamming": []}
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                d = int(bin(int(recs[i][1]) ^ int(recs[j][1])).count("1"))
+                if d <= max_hamming:
+                    out["a"].append(recs[i][0])
+                    out["b"].append(recs[j][0])
+                    out["hamming"].append(d)
+        return pd.DataFrame(out)
+
+    pairs = (
+        ds.map_batches(stage_hash, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(stage_verify, batch_format="pandas")
+    ).to_pandas()
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True) if len(pairs) else pairs
+
+
+def ngram_jaccard_pairs_grouped(
+    ds: ray.data.Dataset, group_col: str = "source", text_col: str = "text",
+    id_col: str = "doc_id", threshold: float = 0.6,
+) -> pd.DataFrame:
+    """Exact word-set Jaccard pairs within a partition key (SQL-matchable:
+    self-join + list_intersect/list_distinct in DuckDB). The groupby
+    bounds the O(n^2) to within-group; the grouping key is the documented
+    partitioning assumption."""
+
+    def stage(g: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(zip(g[id_col], g[text_col].map(lambda t: set(t.split(" ")))))
+        out = {"a": [], "b": [], "jaccard": []}
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                A, B = recs[i][1], recs[j][1]
+                jac = len(A & B) / len(A | B)
+                if jac >= threshold:
+                    out["a"].append(recs[i][0])
+                    out["b"].append(recs[j][0])
+                    out["jaccard"].append(round(jac, 6))
+        return pd.DataFrame(out)
+
+    pairs = ds.groupby(group_col).map_groups(stage, batch_format="pandas").to_pandas()
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True) if len(pairs) else pairs
