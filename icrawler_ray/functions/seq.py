@@ -49,3 +49,33 @@ def assign_global_seq(ds: ray.data.Dataset, sort_keys: list[str], col: str = "se
 @ray.remote
 def _block_count(block: pa.Table) -> int:
     return block.num_rows
+
+
+def from_table_blocks(table: pa.Table, min_rows_per_block: int = 256,
+                      tasks_per_cpu: float = 1.0) -> ray.data.Dataset:
+    """Dataset from an in-memory Arrow table, SPLIT into row-range blocks.
+
+    ``ray.data.from_arrow(table)`` yields ONE block, which makes every
+    downstream map_batches a single task — no parallelism. This splits
+    adaptively: enough blocks to keep every CPU busy (~tasks_per_cpu tasks
+    per core), but never blocks smaller than ``min_rows_per_block`` rows —
+    tiny tasks cost more to schedule than they compute.
+    """
+    n = table.num_rows
+    if n == 0:
+        return ray.data.from_arrow(table)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    target = max(1, int(cpus * tasks_per_cpu))
+    nblocks = min(max(1, n // min_rows_per_block), target)
+    step = (n + nblocks - 1) // nblocks
+    slices = [table.slice(i, step) for i in range(0, n, step)]
+    return ray.data.from_arrow(slices)
+
+
+def from_pandas_blocks(df, min_rows_per_block: int = 256,
+                       tasks_per_cpu: float = 1.0) -> ray.data.Dataset:
+    return from_table_blocks(pa.Table.from_pandas(df, preserve_index=False),
+                             min_rows_per_block, tasks_per_cpu)

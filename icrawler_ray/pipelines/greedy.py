@@ -109,7 +109,13 @@ class GreedyCrawl:
         run_id: str | None = None,
         mode: str = "auto",
         driver_threshold: int = 200_000,
+        seeds: list[str] | None = None,
+        emit_docs: bool = True,
     ):
+        # emit_docs=False: throughput mode — no corpus rows are built or
+        # shipped (span assembly is the widest data in the pipeline);
+        # crawl ordering / seen-set semantics are unchanged.
+        self.emit_docs = emit_docs
         # mode: "dataset" = full Ray-Data shuffle path for every round (the
         # at-scale path: politeness gate / dedup / seen filter as
         # groupby exchanges). "driver" = frontier METADATA ops run in pandas
@@ -123,6 +129,10 @@ class GreedyCrawl:
         self.driver_threshold = driver_threshold
         self.url_map_ref = url_map_ref
         self.domains = normalize_domains(domains)
+        # seed URLs may differ from the domain (classification) set — e.g.
+        # a broad re-crawl seeding thousands of known pages while the
+        # same-domain predicate stays the host list (greedy.py:23-27).
+        self.seed_urls = normalize_domains(seeds) if seeds is not None else self.domains
         self.policy = policy or HostPolicy({})
         self.policy_ref = ray.put(self.policy)
         self.max_num = max_num
@@ -160,15 +170,15 @@ class GreedyCrawl:
                 self._resume(manifest)
                 return
         t = _frontier_table(
-            self.domains, [0] * len(self.domains), [1.0] * len(self.domains),
-            range(len(self.domains)),
+            self.seed_urls, [0] * len(self.seed_urls), [1.0] * len(self.seed_urls),
+            range(len(self.seed_urls)),
         )
         # seed dedup + seen-mark (enqueue-time semantics, cached_queue.py:53-59)
         df = t.to_pandas().drop_duplicates("url_canon", keep="first")
         novel = self.seen_pages.filter_and_insert_array(df["url_hash"].to_numpy())
         df = df[novel]
         self._frontier_table = pa.Table.from_pandas(df, preserve_index=False).cast(FRONTIER)
-        self.next_seq = len(self.domains)
+        self.next_seq = len(self.seed_urls)
 
     def _resume(self, manifest: dict) -> None:
         r = manifest["last_round"]
@@ -232,7 +242,9 @@ class GreedyCrawl:
         return docs, results, self.metrics
 
     def _run_round(self, round_idx: int) -> dict:
-        frontier = ray.data.from_arrow(self._frontier_table).map_batches(
+        from icrawler_ray.functions.seq import from_table_blocks
+
+        frontier = from_table_blocks(self._frontier_table, min_rows_per_block=1024).map_batches(
             lambda t: t.rename_columns(
                 ["url", "url_canon", "url_hash", "host", "depth", "priority", "seq", "parent_doc_id"]
             ),
@@ -331,6 +343,7 @@ class GreedyCrawl:
         self._checkpoint(round_idx, metrics)
         return metrics
 
+
     def _run_round_driver(self, round_idx: int) -> dict:
         """Small-round fast path: frontier metadata in driver pandas, fetch
         and download distributed. Semantics identical to _run_round (shared
@@ -339,116 +352,161 @@ class GreedyCrawl:
 
         from icrawler_ray.stages.politeness import _topk_per_host, robots_filter
 
+        import time as _time
+
+        _t = {"gate": _time.time()}
         fdf = self._frontier_table.to_pandas().rename(columns={"discovered_seq": "seq"})
         live = robots_filter(fdf, self.policy)
         gated = _topk_per_host(live, self.policy)
         deferred = live.loc[~live.index.isin(gated.index)]
         metrics = {"round": round_idx, "gated": len(gated)}
+        _t["gate"] = _time.time() - _t["gate"]
         if not len(gated):
             self._frontier_table = None
             self._checkpoint(round_idx, metrics)
             return metrics
 
-        # ---- distributed fetch/parse (the real work)
+        # ---- distributed fetch/parse (the real work). The parse blocks
+        # are materialized IN THE OBJECT STORE and never concatenated on
+        # the driver; dedup is a distributed hash aggregate over narrow
+        # (url_hash, packed-order) pairs; the driver handles only small
+        # control tables (winner sets, admitted frontier rows, kept
+        # download results).
+        from icrawler_ray.functions.seq import from_pandas_blocks, from_table_blocks
+        from icrawler_ray.stages.download import make_fetcher_fn
         from icrawler_ray.stages.fetch_parse import make_fetch_parse_fn
+        from ray.data.aggregate import Min
 
-        gds = ray.data.from_pandas(gated[["url", "depth", "seq"]].reset_index(drop=True))
+        gds = from_pandas_blocks(gated[["url", "depth", "seq"]].reset_index(drop=True),
+                                 min_rows_per_block=64)
+        _t0 = _time.time()
         parsed_ds = gds.map_batches(
             make_fetch_parse_fn(
-                self.url_map_ref, "greedy", {"domains": self.domains}, emit_docs=True
+                self.url_map_ref, "greedy", {"domains": self.domains},
+                emit_docs=self.emit_docs, with_keys=True, slim=True,
+                claim=(self.seen_pages.name, self.seen_files.name,
+                       self.seen_pages.num_shards, self.max_depth),
             ),
             batch_format="pyarrow",
-            batch_size=64,
-            num_cpus=0.5,
-        )
-        parsed = pa.concat_tables([ray.get(r) for r in parsed_ds.to_arrow_refs()])
-        kind = parsed["row_kind"]
-        metrics["errors"] = int(pc.sum(pc.equal(kind, "error")).as_py() or 0)
-        docs_t = parsed.filter(pc.equal(kind, "doc")).select(
-            ["doc_id", "spans", "depth", "parent_seq", "status"]
-        )
-        metrics["docs"] = docs_t.num_rows
-        if docs_t.num_rows:
-            self._store_table(docs_t, round_idx, "docs", self._doc_tables)
+            batch_size=None,
+            num_cpus=1,
+        ).materialize()
+        _t["parse"] = _time.time() - _t0
 
-        def _split(kind_name, url_col):
-            t = parsed.filter(pc.equal(kind, kind_name))
-            df = t.select(
-                [c for c in ("file_url", "link_url", "page_url", "meta_json", "depth",
-                             "parent_seq", "emit_ord") if c in t.column_names]
-            ).to_pandas()
-            s = df[url_col].astype("string")
-            canon = canonicalize(s)
-            df["url_canon"] = canon.astype(object)
-            df["url_hash"] = hash_urls(canon.fillna(""))
-            df = df.sort_values(["parent_seq", "emit_ord"], kind="mergesort")
-            df = df.drop_duplicates("url_canon", keep="first")
-            return df
+        if self.emit_docs:
+            metrics["errors"] = parsed_ds.filter(expr="row_kind == 'error'").count()
+            docs_t = _collect(
+                parsed_ds.filter(expr="row_kind == 'doc'").select_columns(
+                    ["doc_id", "spans", "depth", "parent_seq", "status"]
+                ),
+                None,
+            )
+            metrics["docs"] = docs_t.num_rows
+            if docs_t.num_rows:
+                self._store_table(docs_t, round_idx, "docs", self._doc_tables)
+        else:
+            metrics["docs"] = 0
+
+        # claims were routed to the seen-set shard actors INSIDE the parse
+        # tasks (fused); materialize() above is the delivery barrier.
+        _t0 = _time.time()
+        _task_keys, task_packed = self.seen_files.finish_round_winners()
+        _link_keys, link_packed = self.seen_pages.finish_round_winners()
+        _t["claims"] = _time.time() - _t0
+
+        def _admitted(kind_name, packed_winners, pre_expr=None):
+            if not len(packed_winners):
+                return None
+            adm_ref = ray.put(np.sort(packed_winners))
+            kind_ds = parsed_ds.filter(expr=f"row_kind == '{kind_name}'")
+            if pre_expr:
+                kind_ds = kind_ds.filter(expr=pre_expr)
+
+            def keep(t: pa.Table) -> pa.Table:
+                adm = ray.get(adm_ref)
+                packed = t["packed"].to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(adm, packed)
+                idx[idx >= len(adm)] = 0
+                return t.filter(pa.array(adm[idx] == packed))
+
+            return kind_ds.map_batches(keep, batch_format="pyarrow")
+
 
         # ---- downloads
-        tasks = _split("task", "file_url")
-        novel = self.seen_files.filter_and_insert_array(tasks["url_hash"].to_numpy())
-        tasks = tasks[novel]
+        tasks_ds = _admitted("task", task_packed)
         n_kept = 0
-        if len(tasks):
-            from icrawler_ray.stages.download import make_fetcher_fn
-
-            tds = ray.data.from_pandas(tasks.reset_index(drop=True))
-            fetched_ds = tds.map_batches(
+        if tasks_ds is not None:
+            task_cols = [c for c in ("file_url", "meta_json", "parent_seq", "emit_ord")
+                         if c in tasks_ds.schema().names]
+            fetched_ds = tasks_ds.select_columns(task_cols).map_batches(
                 make_fetcher_fn(
                     self.url_map_ref, min_size=self.min_size, max_size=self.max_size,
                     keep_content=self.keep_content,
                 ),
                 batch_format="pyarrow",
-                batch_size=FETCH_BATCH_SIZE,
-                num_cpus=0.5,
-            )
-            fetched = pa.concat_tables([ray.get(r) for r in fetched_ds.to_arrow_refs()])
-            kdf = fetched.to_pandas()
-            kdf = kdf[kdf.success].sort_values(["parent_seq", "emit_ord"], kind="mergesort")
-            remaining = (self.max_num - self.dl_count) if self.max_num else len(kdf)
-            kdf = kdf.head(max(0, remaining)).reset_index(drop=True)
-            if len(kdf):
+                batch_size=None,
+                num_cpus=1,
+            ).filter(expr="success == True")
+            _t0 = _time.time()
+            kept = _collect(fetched_ds, None)
+            _t["download"] = _time.time() - _t0
+            ph = kept["parent_seq"].to_numpy(zero_copy_only=False)
+            eo = kept["emit_ord"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((eo, ph))
+            remaining = (self.max_num - self.dl_count) if self.max_num else len(order)
+            kept = kept.take(order[: max(0, remaining)])
+            if kept.num_rows:
+                from icrawler_ray.defaults import IMAGE_EXT_WHITELIST
                 from icrawler_ray.functions.urlnorm import path_ext as _pe
 
-                from icrawler_ray.defaults import IMAGE_EXT_WHITELIST
-
-                ext = _pe(kdf["file_url"].astype("string"))
+                ext = _pe(pd.Series(kept["file_url"].to_pylist(), dtype="string"))
                 ok = ext.str.lower().isin(IMAGE_EXT_WHITELIST)
                 ext = ext.where(ok, self.default_ext).replace("", self.default_ext)
-                kdf["dl_seq"] = np.arange(len(kdf), dtype=np.int64)
-                kdf["filename"] = [
-                    f"{i + 1 + self.dl_count:06d}.{e}" for i, e in zip(kdf["dl_seq"], ext)
-                ]
-                self._store_table(
-                    pa.Table.from_pandas(kdf, preserve_index=False), round_idx,
-                    "results", self._result_tables,
-                )
-                n_kept = len(kdf)
+                dl_seq = np.arange(kept.num_rows, dtype=np.int64)
+                names = [f"{i + 1 + self.dl_count:06d}.{e}" for i, e in zip(dl_seq, ext)]
+                kept = kept.append_column("dl_seq", pa.array(dl_seq))
+                kept = kept.append_column("filename", pa.array(names, type=pa.string()))
+                self._store_table(kept, round_idx, "results", self._result_tables)
+                n_kept = kept.num_rows
         self.dl_count += n_kept
         metrics["downloads"] = n_kept
 
         # ---- frontier expansion
-        links = _split("link", "link_url")
-        links = links[links["depth"] < self.max_depth]
-        novel = self.seen_pages.filter_and_insert_array(links["url_hash"].to_numpy())
-        links = links[novel].reset_index(drop=True)
-        s = links["link_url"].astype("string")
-        new_t = pa.table(
-            {
-                "url": pa.array(s.astype(object), type=pa.string()),
-                "url_canon": pa.array(links["url_canon"], type=pa.string()),
-                "url_hash": pa.array(links["url_hash"].to_numpy().astype(np.uint64)),
-                "host": pa.array(hosts_of(s).astype(object), type=pa.string()),
-                "depth": pa.array((links["depth"].to_numpy() + 1).astype(np.int32)),
-                "priority": pa.array(np.ones(len(links), dtype=np.float64)),
-                "discovered_seq": pa.array(
-                    np.arange(self.next_seq, self.next_seq + len(links), dtype=np.int64)
-                ),
-                "parent_doc_id": pa.array(links["page_url"], type=pa.string()),
-            },
-            schema=FRONTIER,
-        )
+        _t0 = _time.time()
+        links_ds = _admitted("link", link_packed, pre_expr=f"depth < {self.max_depth}")
+        _t["links"] = _time.time() - _t0
+        if links_ds is not None:
+            link_cols = [c for c in ("link_url", "page_url", "depth", "parent_seq",
+                                     "emit_ord", "url_hash") if c in links_ds.schema().names]
+            links_t = _collect(links_ds.select_columns(link_cols), None)
+        else:
+            links_t = None
+        if links_t is not None and links_t.num_rows:
+            ph = links_t["parent_seq"].to_numpy(zero_copy_only=False)
+            eo = links_t["emit_ord"].to_numpy(zero_copy_only=False).astype(np.int64)
+            links_t = links_t.take(np.lexsort((eo, ph)))
+            s = pd.Series(links_t["link_url"].to_pylist(), dtype="string")
+            canon = canonicalize(s).fillna("")
+            new_t = pa.table(
+                {
+                    "url": links_t["link_url"],
+                    "url_canon": pa.array(canon.astype(object), type=pa.string()),
+                    "url_hash": links_t["url_hash"],
+                    "host": pa.array(hosts_of(s).astype(object), type=pa.string()),
+                    "depth": pa.array(
+                        (links_t["depth"].to_numpy(zero_copy_only=False) + 1).astype(np.int32)),
+                    "priority": pa.array(np.ones(links_t.num_rows, dtype=np.float64)),
+                    "discovered_seq": pa.array(
+                        np.arange(self.next_seq, self.next_seq + links_t.num_rows,
+                                  dtype=np.int64)),
+                    "parent_doc_id": links_t["page_url"]
+                    if "page_url" in links_t.column_names
+                    else pa.array([""] * links_t.num_rows, type=pa.string()),
+                },
+                schema=FRONTIER,
+            )
+        else:
+            new_t = FRONTIER.empty_table()
         deferred_t = pa.Table.from_pandas(
             deferred.rename(columns={"seq": "discovered_seq"}), preserve_index=False
         ).select(FRONTIER.names).cast(FRONTIER) if len(deferred) else FRONTIER.empty_table()
@@ -456,6 +514,7 @@ class GreedyCrawl:
         metrics["deferred"] = deferred_t.num_rows
         self.next_seq += new_t.num_rows
         self._frontier_table = pa.concat_tables([deferred_t, new_t])
+        metrics["timings"] = {k: round(v, 3) for k, v in _t.items()}
         self._checkpoint(round_idx, metrics)
         return metrics
 
@@ -486,10 +545,13 @@ class GreedyCrawl:
         self.seen_files.shutdown()
 
 
-def _collect(ds, schema: pa.Schema) -> pa.Table:
+def _collect(ds, schema: pa.Schema | None) -> pa.Table:
     tables = [ray.get(r) for r in ds.to_arrow_refs()]
-    tables = [t.select(schema.names).cast(schema) for t in tables if t.num_rows]
-    return pa.concat_tables(tables) if tables else schema.empty_table()
+    if schema is not None:
+        tables = [t.select(schema.names).cast(schema) for t in tables if t.num_rows]
+        return pa.concat_tables(tables) if tables else schema.empty_table()
+    nonempty = [t for t in tables if t.num_rows]
+    return pa.concat_tables(nonempty) if nonempty else tables[0]
 
 
 def greedy_crawl(url_map_ref, domains, **kwargs):

@@ -29,7 +29,7 @@ from icrawler_ray.defaults import DEFAULT_EXT, IMAGE_EXT_WHITELIST
 from icrawler_ray.functions.seq import assign_global_seq
 from icrawler_ray.functions.urlnorm import path_ext
 from icrawler_ray.synthweb import fakeimg
-from icrawler_ray.synthweb.fetchstub import StubSession
+from icrawler_ray.synthweb.fetchstub import make_session, session_spec_key
 
 
 def size_gt(sz, bound) -> bool:
@@ -49,8 +49,7 @@ class Fetcher:
 
     def __init__(self, url_map_ref, min_size=None, max_size=None, flaky=None,
                  keep_content: bool = True):
-        url_map = ray.get(url_map_ref) if isinstance(url_map_ref, ray.ObjectRef) else url_map_ref
-        self.session = StubSession(url_map, flaky=flaky)
+        self.session = make_session(url_map_ref, flaky=flaky)
         self.min_size = tuple(min_size) if min_size else None
         self.max_size = tuple(max_size) if max_size else None
         self.keep_content = keep_content
@@ -114,7 +113,7 @@ def make_fetcher_fn(url_map_ref, min_size=None, max_size=None, keep_content=True
     session state across the per-round Ray Data executions of an iterative
     crawl without per-execution actor spin-up)."""
     key = (
-        url_map_ref.hex() if hasattr(url_map_ref, "hex") else str(id(url_map_ref)),
+        session_spec_key(url_map_ref),
         tuple(min_size) if min_size else None,
         tuple(max_size) if max_size else None,
         keep_content,

@@ -59,11 +59,36 @@ class CuckooFilter:
         return ((t1 == fpc) | (t2 == fpc)).any(axis=1)
 
     def add(self, keys: np.ndarray) -> None:
-        """Insert keys (caller has already dropped known-present ones)."""
+        """Insert keys (caller has already dropped known-present ones).
+
+        Fast path (vectorized): place each key into an empty slot of its
+        FIRST bucket — batch-internal same-bucket collisions resolved with
+        a per-bucket running rank. Keys whose first bucket is full fall to
+        the per-item cuckoo-eviction path (<few % at normal load)."""
         fp, b1, b2 = self._fp_and_buckets(keys)
-        for i in range(len(fp)):
-            self._insert_one(int(fp[i]), int(b1[i]), int(b2[i]))
-        self.num_items += len(fp)
+        n = len(fp)
+        if n == 0:
+            return
+        order = np.argsort(b1, kind="stable")
+        b1s, fps = b1[order], fp[order]
+        change = np.ones(n, dtype=bool)
+        change[1:] = b1s[1:] != b1s[:-1]
+        grp_start = np.nonzero(change)[0]
+        grp_sizes = np.diff(np.append(grp_start, n))
+        rank = np.arange(n) - np.repeat(grp_start, grp_sizes)
+        rows = self.table[b1s]                       # (n, SLOTS) gather
+        n_empty = (rows == 0).sum(axis=1)
+        # empty slot positions, empties first (stable: preserves slot order)
+        empty_rank = np.argsort(rows != 0, kind="stable", axis=1)
+        ok = rank < n_empty
+        slot = empty_rank[np.arange(n), np.minimum(rank, SLOTS - 1)]
+        self.table[b1s[ok], slot[ok]] = fps[ok]
+        # slow path: first bucket full
+        rest = np.nonzero(~ok)[0]
+        b2s = b2[order]
+        for i in rest:
+            self._insert_one(int(fps[i]), int(b1s[i]), int(b2s[i]))
+        self.num_items += n
 
     def _insert_one(self, fp: int, b1: int, b2: int) -> None:
         for b in (b1, b2):

@@ -75,6 +75,38 @@ class SeenShard:           # a full-CPU reservation per shard would starve
         self.num_hits += int(len(keys) - novel.sum())
         return novel
 
+    # ---- round-scoped claim protocol (frontier dedup without a shuffle):
+    # parse tasks push (key, order) pairs for their shard; finish_round
+    # computes min-order winners per key (vectorized), filters them
+    # against the persistent seen state, inserts the novel ones and
+    # returns them. Claims are commutative -> arrival order irrelevant ->
+    # deterministic winners at any parallelism.
+
+    def claim(self, keys: np.ndarray, packed: np.ndarray) -> int:
+        if not hasattr(self, "_claims") or self._claims is None:
+            self._claims = []
+        self._claims.append((np.asarray(keys, dtype=np.uint64),
+                             np.asarray(packed, dtype=np.int64)))
+        return len(keys)
+
+    def finish_round(self):
+        """-> (novel_keys, novel_packed): min-order first occurrence per
+        key among this round's claims, minus already-seen; novel keys are
+        inserted into the persistent filters."""
+        claims = getattr(self, "_claims", None)
+        self._claims = []
+        if not claims:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        keys = np.concatenate([c[0] for c in claims])
+        packed = np.concatenate([c[1] for c in claims])
+        order = np.lexsort((packed, keys))  # key-major, then order
+        ks, ps = keys[order], packed[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        ks, ps = ks[first], ps[first]
+        novel = self.filter_and_insert(ks)
+        return ks[novel], ps[novel]
+
     def contains(self, keys: np.ndarray) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.uint64)
         if self.cuckoo is not None:
@@ -150,6 +182,13 @@ class ShardedSeenSet:
             novel[idx] = ray.get(fut)
         return novel
 
+    def finish_round_winners(self):
+        """Gather each shard's round winners -> (keys, packed) arrays."""
+        res = ray.get([s.finish_round.remote() for s in self.shards])
+        keys = np.concatenate([r[0] for r in res]) if res else np.empty(0, dtype=np.uint64)
+        packed = np.concatenate([r[1] for r in res]) if res else np.empty(0, dtype=np.int64)
+        return keys, packed
+
     def stats(self) -> list[dict]:
         return ray.get([s.stats.remote() for s in self.shards])
 
@@ -162,6 +201,56 @@ class ShardedSeenSet:
     def shutdown(self) -> None:
         for s in self.shards:
             ray.kill(s)
+
+
+_ACTOR_CACHE: dict = {}
+
+
+def get_shard_actor(name: str, shard: int):
+    key = (name, shard)
+    a = _ACTOR_CACHE.get(key)
+    if a is None:
+        a = ray.get_actor(f"seen:{name}:{shard}")
+        _ACTOR_CACHE[key] = a
+    return a
+
+
+def route_claims(t, pages_set: str, files_set: str, num_shards: int, max_depth: int) -> int:
+    """Push one Arrow block's candidate (url_hash, packed) pairs to their
+    seen-set shard actors (link rows -> pages set, task rows -> files set;
+    links past the depth cap never claim). Blocks until delivered."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    futs = []
+    for kind, set_name, extra in (
+        ("task", files_set, None),
+        ("link", pages_set, pc.less(t["depth"], pa.scalar(max_depth, type=pa.int32()))),
+    ):
+        m = pc.equal(t["row_kind"], kind)
+        if extra is not None:
+            m = pc.and_(m, extra)
+        m = m.to_numpy(zero_copy_only=False)
+        if not m.any():
+            continue
+        keys = t["url_hash"].to_numpy(zero_copy_only=False)[m]
+        packed = t["packed"].to_numpy(zero_copy_only=False)[m]
+        shard = (keys % np.uint64(num_shards)).astype(np.int32)
+        for s in np.unique(shard):
+            sel = shard == s
+            futs.append(get_shard_actor(set_name, int(s)).claim.remote(keys[sel], packed[sel]))
+    return sum(ray.get(futs)) if futs else 0
+
+
+def make_claim_fn(pages_set: str, files_set: str, num_shards: int, max_depth: int):
+    """Standalone claim pass (when not fused into the parse stage)."""
+    import pyarrow as pa
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = route_claims(t, pages_set, files_set, num_shards, max_depth)
+        return pa.table({"claimed": pa.array([n], type=pa.int64())})
+
+    return fn
 
 
 def seen_filter_dataset(ds, seen: ShardedSeenSet, key_col: str = "url_hash"):

@@ -63,3 +63,32 @@ class StubSession:
 
     def get(self, url: str, timeout=None, headers=None) -> StubResponse:
         return self._get(url)
+
+
+def make_session(spec, flaky: dict | None = None):
+    """Session factory used by the fetch stages.
+
+    spec forms:
+      dict                      -> StubSession over the literal url map
+      ray.ObjectRef             -> StubSession over a broadcast url map
+      ("procedural", params)    -> ProceduralSession (zero shared state;
+                                   bodies synthesized on fetch — the
+                                   bench/scale path)
+    """
+    import ray
+
+    if isinstance(spec, tuple) and len(spec) == 2 and spec[0] == "procedural":
+        from icrawler_ray.synthweb.procedural import ProceduralSession
+
+        return ProceduralSession(spec[1])
+    url_map = ray.get(spec) if isinstance(spec, ray.ObjectRef) else spec
+    return StubSession(url_map, flaky=flaky)
+
+
+def session_spec_key(spec) -> str:
+    """Stable hashable cache key for a session spec."""
+    import json
+
+    if isinstance(spec, tuple) and spec and spec[0] == "procedural":
+        return "procedural:" + json.dumps(spec[1], sort_keys=True)
+    return spec.hex() if hasattr(spec, "hex") else str(id(spec))
