@@ -116,15 +116,16 @@ class GreedyCrawl:
         # shipped (span assembly is the widest data in the pipeline);
         # crawl ordering / seen-set semantics are unchanged.
         self.emit_docs = emit_docs
-        # mode: "dataset" = full Ray-Data shuffle path for every round (the
-        # at-scale path: politeness gate / dedup / seen filter as
-        # groupby exchanges). "driver" = frontier METADATA ops run in pandas
-        # on the driver while fetch/parse + download stay distributed
-        # map_batches actor pools — right when a round's frontier fits the
-        # driver (each Ray Data execution costs ~1s fixed; a round needs ~10
-        # of them). "auto" switches on ``driver_threshold`` frontier rows.
-        # Both paths share the same semantic functions and are
-        # parity-tested against each other and the oracle.
+        # mode: "driver" = the HYBRID round (the scale path, despite the
+        # name): distributed parse with the seen-shard claim exchange fused
+        # into the tasks, winner sets back as tiny arrays, distributed
+        # admitted-filter + fetch; the driver holds only frontier control
+        # tables (gate + seq assignment). "dataset" = pure Ray-Data shuffle
+        # path (groupby dedup + groupby seen filter) — slower per round,
+        # kept as the cross-check implementation. "auto" uses the hybrid
+        # below ``driver_threshold`` frontier rows (the gate/frontier
+        # pandas ops are the only driver-resident state). All modes are
+        # parity-tested against each other and the sequential oracle.
         self.mode = mode
         self.driver_threshold = driver_threshold
         self.url_map_ref = url_map_ref
