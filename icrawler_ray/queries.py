@@ -766,6 +766,79 @@ FROM documents
 """
 
 
+def q_events_sliding_window(sf_dir: str):
+    """trailing 6-hour sliding window per hour bucket per event_type —
+    groupby(event_type) -> per-group sorted rolling sum via prefix sums
+    (streaming-shaped op; the partition key + in-group ts order is the
+    documented assumption)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        hours = (g["ts"].dt.floor("h").astype("int64") // 10**6).astype("int64")
+        counts = hours.value_counts().sort_index()
+        hs = counts.index.to_numpy()
+        cum = np.concatenate([[0], np.cumsum(counts.to_numpy())])
+        lo = np.searchsorted(hs, hs - 5 * 3600, side="left")
+        n6 = cum[np.arange(1, len(hs) + 1)] - cum[lo]
+        return pd.DataFrame({"event_type": g["event_type"].iloc[0], "hour_ts": hs,
+                             "n_6h": n6.astype(np.int64)})
+
+    return ds.groupby("event_type").map_groups(windows, batch_format="pandas")
+
+
+SQL_EVENTS_SLIDING_WINDOW = """
+WITH hourly AS (
+  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type, hour_ts)
+SELECT a.event_type, a.hour_ts, SUM(b.n) AS n_6h
+FROM hourly a JOIN hourly b
+  ON a.event_type = b.event_type AND b.hour_ts BETWEEN a.hour_ts - 5 * 3600 AND a.hour_ts
+GROUP BY a.event_type, a.hour_ts
+"""
+
+
+def q_robots_gate(sf_dir: str):
+    """robots.txt path-prefix gate (north-rule politeness component) over
+    synthesized per-doc paths, using the real robots_filter."""
+    from icrawler_ray.stages.politeness import HostPolicy, robots_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    policy = HostPolicy(
+        {f"src{i}": {"crawl_delay_ms": 0, "max_inflight": 8,
+                     "robots_disallow": ["/private"]} for i in range(200)}
+    )
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        path = np.where(df["doc_id"] % 5 == 0, "/private/p/", "/p/")
+        frame = pd.DataFrame(
+            {"doc_id": df["doc_id"], "host": df["source"],
+             "url": "http://" + df["source"] + ".example.com" + path + df["doc_id"].astype(str)}
+        )
+        return robots_filter(frame, policy)[["doc_id", "host"]]
+
+    return ds.map_batches(gate, batch_format="pandas")
+
+
+SQL_ROBOTS_GATE = """
+SELECT doc_id, source AS host FROM documents WHERE doc_id % 5 <> 0
+"""
+
+
+def q_hll_distinct(sf_dir: str):
+    """approximate distinct counts via mergeable HyperLogLog sketches (one
+    partial per batch, max-merged) — approximate, so rows-only check; the
+    <=3% accuracy bound is asserted in pytest."""
+    from icrawler_ray.stages.sketches import hll_distinct
+
+    users = hll_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
+    parts = hll_distinct(_read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey")
+    return pd.DataFrame(
+        {"column": ["events.user_id", "lineitem.l_partkey"],
+         "estimate": [round(users, 1), round(parts, 1)]}
+    )
+
+
 # =====================================================================
 # D. crawl pipelines over the hermetic synthetic web (rows-only checks:
 #    the real oracle is the sequential crawler, enforced in pytest —
@@ -900,6 +973,9 @@ QUERIES = {
     "label_centroid_norm": q_label_centroid_norm,
     "embedding_near_dup": q_embedding_near_dup,
     "media_pipeline": q_media_pipeline,
+    "events_sliding_window": q_events_sliding_window,
+    "robots_gate": q_robots_gate,
+    "hll_distinct": q_hll_distinct,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -934,4 +1010,6 @@ ORACLE_SQL = {
     "label_centroid_norm": SQL_LABEL_CENTROID_NORM,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "media_pipeline": SQL_MEDIA_PIPELINE,
+    "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
+    "robots_gate": SQL_ROBOTS_GATE,
 }

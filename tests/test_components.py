@@ -225,3 +225,23 @@ def test_crawl_plan_urllist_and_custom_rules(ray_session, web, url_map_ref):
     plan2 = CrawlPlan(url_map_ref=url_map_ref, kind="urllist", seeds=web.seeds,
                       max_num=3, post_stages=[tag])
     assert plan2.run().to_pandas().tagged.all()
+
+
+# ----------------------------------------------------------------- sketches
+
+def test_hll_accuracy_and_merge(ray_session):
+    import duckdb
+
+    from icrawler_ray.queries import q_hll_distinct
+
+    out = q_hll_distinct("/root/testdata/sf0.01")
+    con = duckdb.connect()
+    exact_u = con.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM read_parquet('/root/testdata/sf0.01/events.parquet')"
+    ).fetchone()[0]
+    exact_p = con.execute(
+        "SELECT COUNT(DISTINCT l_partkey) FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet')"
+    ).fetchone()[0]
+    est = dict(zip(out.column, out.estimate))
+    assert abs(est["events.user_id"] - exact_u) / exact_u < 0.05
+    assert abs(est["lineitem.l_partkey"] - exact_p) / exact_p < 0.05
