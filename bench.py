@@ -122,6 +122,32 @@ def bench_crawl(n_pages: int | None = None) -> dict:
             "urls_per_sec": round((pages + files) / dt, 1)}
 
 
+def bench_single_thread_baseline(n_pages: int = 8000) -> dict:
+    """Single-threaded reference-semantics baseline: the sequential oracle
+    (same parse rules, same gates, plain Python — the reference's
+    1-thread-per-stage architecture without its live-network I/O) crawls a
+    slice of the SAME procedural web. The engine's distributed throughput
+    is compared against this in BASELINE.md ('matches-or-beats single-node
+    throughput at the same data scale')."""
+    from icrawler_ray.oracle import OracleCrawl
+    from icrawler_ray.stages.politeness import HostPolicy
+    from icrawler_ray.synthweb.procedural import ProceduralWeb
+
+    web = ProceduralWeb(n_pages=n_pages, n_hosts=16, seed=42, spans_per_page=96)
+    no_delay = HostPolicy({h: {"crawl_delay_ms": 0, "max_inflight": 64,
+                               "robots_disallow": []} for h in web.hosts}, round_ms=1000)
+    o = OracleCrawl(("procedural", web.spec()), web.domains, policy=no_delay,
+                    max_num=0, max_depth=4)
+    # seed broadly like the engine bench
+    o.domains = web.domains  # classifier set stays hosts
+    t0 = time.time()
+    docs, results = o.run()
+    dt = time.time() - t0
+    urls = len(docs) + len(results)
+    return {"sec": dt, "pages": len(docs), "files": len(results),
+            "urls_per_sec": round(urls / dt, 1)}
+
+
 def bench_frontier_dedup() -> dict:
     """Frontier-dedup ops/sec: keys stream from DISTRIBUTED map tasks into
     the sharded bloom+cuckoo seen-set (hash-routed batched actor calls —
@@ -239,6 +265,7 @@ def run_once() -> dict:
         fp = bench_fetch_parse(n_pages=int(os.environ.get("BENCH_FP_PAGES", "200000")))
         crawl = bench_crawl()
         dedup = bench_frontier_dedup()
+        baseline = bench_single_thread_baseline()
         queries = bench_queries()
         total = round(fp["sec"] + crawl["sec"] + dedup["sec"] + sum(queries.values()), 3)
         queries["fetch_parse"] = round(fp["sec"], 3)
@@ -256,6 +283,7 @@ def run_once() -> dict:
             "pages_fetched": crawl["pages_fetched"],
             "files_downloaded": crawl["files_downloaded"],
             "dedup_ops_per_sec": dedup["ops_per_sec"],
+            "single_thread_urls_per_sec": baseline["urls_per_sec"],
         }
     finally:
         ray.shutdown()

@@ -140,6 +140,44 @@ def hosts_of(urls: pd.Series) -> pd.Series:
     return h.str.replace(r":\d+$", "", regex=True).fillna("")
 
 
+_CANON_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(.*)$")
+_HOST_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)")
+
+
+def canonicalize_one(url: str) -> str:
+    """Scalar twin of :func:`canonicalize` (same output, no pandas) — used
+    by the sequential oracle where per-row Series construction would
+    dominate; equality with the vectorized version is unit-tested."""
+    u = url.split("#")[0]
+    m = _CANON_RE.match(u)
+    if not m:
+        return u.rstrip("/")
+    scheme = m.group(1).lower()
+    host = m.group(2).lower()
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    return (scheme + "://" + host + m.group(3)).rstrip("/")
+
+
+def host_of_one(url: str) -> str:
+    """Scalar twin of :func:`hosts_of`."""
+    m = _HOST_RE.match(url)
+    if not m:
+        return ""
+    return re.sub(r":\d+$", "", m.group(1).lower())
+
+
+def path_ext_one(url: str) -> str:
+    """Scalar twin of :func:`path_ext`."""
+    path = re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "", url)
+    path = path.split("?")[0].split("#")[0]
+    if "." not in path:
+        return ""
+    return path.split(".")[-1]
+
+
 def hash_urls(urls) -> np.ndarray:
     """Deterministic 64-bit hash of (canonical) URL strings -> uint64.
 

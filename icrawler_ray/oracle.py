@@ -19,21 +19,17 @@ from __future__ import annotations
 import pandas as pd
 
 from icrawler_ray.defaults import DEFAULT_EXT, IMAGE_EXT_WHITELIST
-from icrawler_ray.functions.urlnorm import canonicalize, hash_urls, hosts_of, path_ext
+from icrawler_ray.functions.urlnorm import canonicalize_one, hash_urls, host_of_one, path_ext_one
 from icrawler_ray.pipelines.greedy import normalize_domains
 from icrawler_ray.stages.download import size_gt, size_lt
 from icrawler_ray.stages.parsers import GreedyRules
 from icrawler_ray.stages.politeness import HostPolicy
 from icrawler_ray.synthweb import fakeimg
-from icrawler_ray.synthweb.fetchstub import StubSession
+from icrawler_ray.synthweb.fetchstub import make_session
 
 
-def _canon1(url: str) -> str:
-    return canonicalize(pd.Series([url]))[0]
-
-
-def _host1(url: str) -> str:
-    return hosts_of(pd.Series([url]))[0]
+_canon1 = canonicalize_one
+_host1 = host_of_one
 
 
 def _hash1(url: str) -> int:
@@ -41,7 +37,7 @@ def _hash1(url: str) -> int:
 
 
 def _ext1(url: str, default_ext: str) -> str:
-    e = path_ext(pd.Series([url]))[0]
+    e = path_ext_one(url)
     return e if e and e.lower() in IMAGE_EXT_WHITELIST else default_ext
 
 
@@ -49,7 +45,7 @@ class OracleCrawl:
     def __init__(self, url_map, domains, policy: HostPolicy | None = None,
                  max_num: int = 0, max_depth: int = 6, max_rounds: int = 64,
                  min_size=None, max_size=None, default_ext: str = DEFAULT_EXT):
-        self.session = StubSession(url_map)
+        self.session = make_session(url_map)  # dict / ObjectRef / procedural spec
         self.domains = normalize_domains(domains)
         self.rules = GreedyRules(self.domains)
         self.policy = policy or HostPolicy({})

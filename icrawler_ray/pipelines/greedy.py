@@ -373,10 +373,9 @@ class GreedyCrawl:
         # (url_hash, packed-order) pairs; the driver handles only small
         # control tables (winner sets, admitted frontier rows, kept
         # download results).
-        from icrawler_ray.functions.seq import from_pandas_blocks, from_table_blocks
+        from icrawler_ray.functions.seq import from_pandas_blocks
         from icrawler_ray.stages.download import make_fetcher_fn
         from icrawler_ray.stages.fetch_parse import make_fetch_parse_fn
-        from ray.data.aggregate import Min
 
         gds = from_pandas_blocks(gated[["url", "depth", "seq"]].reset_index(drop=True),
                                  min_rows_per_block=64)

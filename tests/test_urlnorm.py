@@ -92,3 +92,24 @@ def test_hash_stability_and_hosts():
 def test_path_ext():
     s = pd.Series(["http://a/b/c.JPG?x=1", "http://a/b/c", "http://a/x.tar.gz", "http://a/q?d=.png"])
     assert path_ext(s).tolist() == ["JPG", "", "gz", ""]
+
+
+def test_scalar_twins_match_vectorized():
+    """canonicalize_one/host_of_one/path_ext_one must equal the vectorized
+    versions on every URL shape (the oracle depends on this)."""
+    from icrawler_ray.functions.urlnorm import canonicalize_one, host_of_one, path_ext_one
+
+    urls = [
+        "HTTP://Host.COM:80/a/b/#frag", "https://h.com:443/x/", "http://h.com:8080/y",
+        "http://h.com", "relative/path", "//proto.rel/x", "javascript:void(0)",
+        "http://a/b/c.JPG?x=1", "http://a/x.tar.gz", "ftp://F.com:21/z/",
+        "http://img0.example.com/i/5.jpg", "", "#only-frag", "http://h.com/p/1.html/",
+    ]
+    s = pd.Series(urls, dtype="string")
+    vec_c = canonicalize(s).fillna("").tolist()
+    vec_h = hosts_of(s).tolist()
+    vec_e = path_ext(s).fillna("").tolist()
+    for i, u in enumerate(urls):
+        assert canonicalize_one(u) == vec_c[i], u
+        assert host_of_one(u) == vec_h[i], u
+        assert path_ext_one(u) == vec_e[i], u
