@@ -73,10 +73,12 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
 
     def stage_sig(batch: pa.Table) -> pa.Table:
+        """Per doc: bands exploded as NARROW (band_id, band_hash, doc_id)
+        rows — the shingle payload never rides the exchange."""
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_pylist()
         sh = shingle_hashes(texts, shingle_k)
-        out = {"band_id": [], "band_hash": [], "doc_id": [], "shingles": []}
+        out = {"band_id": [], "band_hash": [], "doc_id": []}
         for i, h in enumerate(sh):
             sig = minhash_signature(h, num_perm)
             for b in range(bands):
@@ -84,44 +86,60 @@ def minhash_lsh_pairs(
                 out["band_id"].append(b)
                 out["band_hash"].append(int(pd.util.hash_array(band).sum() % (1 << 63)))
                 out["doc_id"].append(ids[i])
-                out["shingles"].append(h.tolist())
         return pa.table(
             {
                 "band_id": pa.array(out["band_id"], type=pa.int32()),
                 "band_hash": pa.array(out["band_hash"], type=pa.int64()),
                 "doc_id": pa.array(out["doc_id"]),
-                "shingles": pa.array(out["shingles"], type=pa.list_(pa.uint64())),
             }
         )
 
-    def stage_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-        recs = sorted(zip(g["doc_id"], g["shingles"]), key=lambda r: r[0])
-        out = {"a": [], "b": [], "jaccard": []}
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                ai, sa = recs[i]
-                bj, sb = recs[j]
-                if ai == bj:
-                    continue
-                A, B = set(sa), set(sb)
-                jac = len(A & B) / len(A | B)
-                if jac >= jaccard_threshold:
-                    out["a"].append(ai)
-                    out["b"].append(bj)
-                    out["jaccard"].append(round(jac, 6))
-        return pd.DataFrame(out)
-
-    pairs = (
-        ds.map_batches(stage_sig, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(stage_pairs, batch_format="pandas")
-    ).to_pandas()
-    if not len(pairs):
+    # candidate discovery: the band rows are 3 int-ish columns — tiny even
+    # for large corpora (16 rows/doc), so bucket-grouping happens in one
+    # vectorized pandas pass on the driver. (At 10^8+ docs this step would
+    # become a groupby(band_id, band_hash) exchange; the stage-1/verify
+    # structure is unchanged.)
+    band_rows = ds.map_batches(stage_sig, batch_format="pyarrow").to_pandas()
+    if not len(band_rows):
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    pairs = pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
-    return pairs
+    grp = band_rows.groupby(["band_id", "band_hash"])["doc_id"]
+    cand = set()
+    for _, docs in grp:
+        if len(docs) < 2:
+            continue
+        vals = sorted(set(docs))
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                cand.add((vals[i], vals[j]))
+    if not cand:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+
+    # exact-Jaccard verification: recompute shingle sets ONLY for involved
+    # docs (a broadcast-id filter over the corpus), pairwise in one pass.
+    involved = sorted({d for p in cand for d in p})
+    inv = set(involved)
+
+    def keep_involved(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t[id_col].to_pylist()
+        mask = np.fromiter((i in inv for i in ids), dtype=bool, count=len(ids))
+        return t.filter(pa.array(mask))
+
+    sub = ds.map_batches(keep_involved, batch_format="pyarrow").to_pandas()
+    sets = {
+        i: set(h)
+        for i, h in zip(sub[id_col], shingle_hashes(sub[text_col].tolist(), shingle_k))
+    }
+    out = {"a": [], "b": [], "jaccard": []}
+    for a, b in sorted(cand):
+        A, B = sets[a], sets[b]
+        jac = len(A & B) / len(A | B)
+        if jac >= jaccard_threshold:
+            out["a"].append(a)
+            out["b"].append(b)
+            out["jaccard"].append(round(jac, 6))
+    return pd.DataFrame(out)
 
 
 def simhash64(texts: list[str]) -> np.ndarray:

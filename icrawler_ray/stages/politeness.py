@@ -12,6 +12,13 @@ Semantics (shared with the sequential oracle, so goldens match):
   (priority DESC, seq ASC) order. Rows over budget are DEFERRED to the
   next round, not dropped.
 
+``max_inflight`` note: in this batch engine each fetch task walks its
+block sequentially, so a host's concurrent request count equals the number
+of tasks concurrently holding its URLs — bounded by the round budget, not
+exactly by ``max_inflight``. Exact per-host inflight caps need per-host
+token actors (cross-task coordination); that is round-2 work, recorded
+here so the divergence from the policy field's name is explicit.
+
 Scale shape (SURVEY.md §7.4 skew decoupling): the gate never shuffles the
 full frontier by host. It computes per-block partial top-B_h candidates
 (vectorized pandas groupby inside map_batches — a combiner), shuffles only

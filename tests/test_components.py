@@ -245,3 +245,34 @@ def test_hll_accuracy_and_merge(ray_session):
     est = dict(zip(out.column, out.estimate))
     assert abs(est["events.user_id"] - exact_u) / exact_u < 0.05
     assert abs(est["lineitem.l_partkey"] - exact_p) / exact_p < 0.05
+
+
+# -------------------------------------------------- hot-host skew decoupling
+
+def test_hot_host_skew_decoupled_from_dedup_shards(ray_session):
+    """north-rule skew mitigation: the dedup/seen exchange is keyed by
+    url_hash (uniform), NOT by host — a hot host holding 50% of the
+    frontier must NOT concentrate claim traffic on one shard."""
+    from icrawler_ray.functions.urlnorm import canonicalize, hash_urls
+    import pandas as pd
+
+    from icrawler_ray.synthweb.procedural import ProceduralWeb
+
+    web = ProceduralWeb(20_000, n_hosts=8, seed=5, hot_frac=0.5)
+    urls = pd.Series([web.url_of(i) for i in range(20_000)], dtype="string")
+    hashes = hash_urls(canonicalize(urls).fillna(""))
+    shards = hashes % 16
+    counts = pd.Series(shards).value_counts()
+    assert len(counts) == 16
+    assert counts.max() / counts.min() < 1.2   # near-uniform despite 50% hot host
+
+    # while the POLITENESS grouping does see the skew (by design), the
+    # budget caps what a hot host contributes per round
+    from icrawler_ray.stages.politeness import HostPolicy, _topk_per_host
+
+    pol = HostPolicy({h: {"crawl_delay_ms": 100, "max_inflight": 8,
+                          "robots_disallow": []} for h in web.hosts})
+    df = pd.DataFrame({"url": urls, "host": [f"h{web.host_of(i)}.example.com" for i in range(20_000)],
+                       "priority": 1.0, "seq": range(20_000)})
+    gated = _topk_per_host(df, pol)
+    assert gated.groupby("host").size().max() <= pol.budget("h0.example.com")
