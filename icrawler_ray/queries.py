@@ -31,32 +31,34 @@ def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
 # =====================================================================
 
 def q_agg_lineitem(sf_dir: str):
-    """TPC-H Q1-shaped grouped aggregate with a pre-computed column; the
-    groupby is the only shuffle (partial aggregation happens inside Ray
-    Data's Sum/Count combiners)."""
-    from ray.data.aggregate import Count, Sum
-
+    """TPC-H Q1-shaped grouped aggregate, pre-aggregated: each batch emits
+    one PARTIAL row per (returnflag, linestatus) — 6 keys — so the shuffle
+    moves a handful of rows per block instead of every lineitem (the
+    combiner pattern for aggregation at scale)."""
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
 
-    def add_rev(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"), sum_base=("l_extendedprice", "sum"),
+            sum_rev=("revenue", "sum"), n=("l_quantity", "size"),
+        )
+        return g.reset_index()
 
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("revenue", rev)
+    from ray.data.aggregate import Sum
 
     out = (
-        ds.map_batches(add_rev, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pandas")
         .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base"),
-            Sum("revenue", alias_name="sum_rev"),
-            Count(alias_name="n"),
-        )
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("sum_base", alias_name="sum_base"),
+                   Sum("sum_rev", alias_name="sum_rev"),
+                   Sum("n", alias_name="n"))
     ).to_pandas()
     for c in ("sum_qty", "sum_base", "sum_rev"):
         out[c] = out[c].round(2)
+    out["n"] = out["n"].astype("int64")
     return out
 
 
@@ -146,22 +148,26 @@ FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
 
 
 def q_events_hourly(sf_dir: str):
-    """tumbling event-time window: per (event_type, hour) count + sum."""
-    from ray.data.aggregate import Count, Sum
-
+    """tumbling event-time window: per (event_type, hour) count + sum,
+    pre-aggregated per batch (combiner) before the key shuffle."""
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
         # datetime64[us] -> epoch seconds
         df["hour_ts"] = (df["ts"].dt.floor("h").astype("int64") // 10**6).astype("int64")
-        return df[["event_type", "hour_ts", "value"]]
+        g = df.groupby(["event_type", "hour_ts"], sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"))
+        return g.reset_index()
+
+    from ray.data.aggregate import Sum
 
     out = (
-        ds.map_batches(add_hour, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas")
         .groupby(["event_type", "hour_ts"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
     ).to_pandas()
     out["sum_value"] = out["sum_value"].round(2)
+    out["n"] = out["n"].astype("int64")
     return out
 
 
