@@ -276,3 +276,60 @@ def test_hot_host_skew_decoupled_from_dedup_shards(ray_session):
                        "priority": 1.0, "seq": range(20_000)})
     gated = _topk_per_host(df, pol)
     assert gated.groupby("host").size().max() <= pol.budget("h0.example.com")
+
+
+# ----------------------------------------- partitioned output dirs + resume
+
+def test_greedy_out_dir_partitioned_and_resume_disk_complete(ray_session, tmp_path):
+    """out_dir gets one results/docs dir per round (the resumable layout);
+    after an interrupted run + resume, the union of on-disk partitions
+    covers every round exactly once."""
+    import os
+
+    from icrawler_ray.pipelines.greedy import GreedyCrawl
+    from icrawler_ray.stages.politeness import HostPolicy
+    from icrawler_ray.synthweb.generate import make_synthweb
+
+    web = make_synthweb(n_pages=60, n_hosts=3, seed=7)
+    pol = HostPolicy(web.host_policy, round_ms=1000)
+    ref = ray.put(web.url_map())
+    out1 = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    c1 = GreedyCrawl(ref, web.domains, policy=pol, max_num=25, max_depth=3,
+                     num_shards=2, mode="driver", out_dir=out1,
+                     checkpoint_dir=ck, max_rounds=2)
+    c1.run()
+    c1.shutdown()
+    rounds_before = sorted(d for d in os.listdir(out1) if d.startswith("round="))
+    assert rounds_before  # partial run wrote per-round partitions
+
+    c2 = GreedyCrawl(ref, web.domains, policy=pol, max_num=25, max_depth=3,
+                     num_shards=2, mode="driver", out_dir=out1, checkpoint_dir=ck)
+    _docs, results, metrics = c2.run()
+    c2.shutdown()
+    assert c2.start_round == 2  # resumed
+    rounds_after = sorted(d for d in os.listdir(out1) if d.startswith("round="))
+    # no round written twice, earlier rounds untouched, later rounds added
+    assert rounds_after[: len(rounds_before)] == rounds_before
+    assert len(rounds_after) >= len(rounds_before)
+
+    # on-disk results across ALL rounds == oracle's full-run downloads
+    import pyarrow.parquet as pq
+
+    from icrawler_ray.oracle import OracleCrawl
+
+    o = OracleCrawl(web.url_map(), web.domains, policy=pol, max_num=25, max_depth=3)
+    _odocs, oresults = o.run()
+    files = []
+    for r in rounds_after:
+        d = os.path.join(out1, r, "results")
+        if os.path.isdir(d):
+            for p in sorted(os.listdir(d)):
+                files.append(pq.read_table(os.path.join(d, p)))
+    import pyarrow as pa_
+
+    disk = pa_.concat_tables(files).to_pandas().sort_values("filename")
+    assert list(zip(disk.file_url, disk.filename)) == [
+        (r["file_url"], r["filename"]) for r in oresults
+    ]
