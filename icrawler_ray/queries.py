@@ -202,7 +202,7 @@ WITH flagged AS (
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
   FROM events)
-SELECT user_id, SUM(new_sess) + 1 AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM flagged GROUP BY user_id
 """
 
@@ -797,7 +797,7 @@ WITH hourly AS (
   SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
          COUNT(*) AS n
   FROM events GROUP BY event_type, hour_ts)
-SELECT a.event_type, a.hour_ts, SUM(b.n) AS n_6h
+SELECT a.event_type, a.hour_ts, CAST(SUM(b.n) AS BIGINT) AS n_6h
 FROM hourly a JOIN hourly b
   ON a.event_type = b.event_type AND b.hour_ts BETWEEN a.hour_ts - 5 * 3600 AND a.hour_ts
 GROUP BY a.event_type, a.hour_ts

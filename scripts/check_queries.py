@@ -73,7 +73,9 @@ def main():
             continue
         t0 = time.time()
         try:
-            got = normalize(to_pandas(fn(sf_dir)))
+            raw_got = to_pandas(fn(sf_dir))
+            raw_got.columns = [c.lower() for c in raw_got.columns]
+            got = normalize(raw_got)
         except Exception as e:
             print(f"FAIL {name}: ray error: {type(e).__name__}: {e}")
             n_fail += 1
@@ -90,6 +92,23 @@ def main():
             n_fail += 1
             continue
         ok = True
+        # The driver's value hash is physical-type-sensitive (DuckDB HUGEINT
+        # vs engine int64 hashes differently even when values match), so a
+        # raw-dtype mismatch on a shared column is a FAIL here too.
+        raw_want = con.execute(ORACLE_SQL[name]).df()
+        raw_want.columns = [c.lower() for c in raw_want.columns]
+        raw_got_dtypes = dict(raw_got.dtypes.astype(str))
+        for col, wdt in raw_want.dtypes.astype(str).items():
+            gdt = raw_got_dtypes.get(col)
+            if gdt is None:
+                continue
+            if gdt != wdt and not (gdt.startswith("float") and wdt.startswith("float")):
+                print(f"FAIL {name}: dtype mismatch on '{col}': ray={gdt} oracle={wdt}"
+                      " (driver hash is physical-type-sensitive)")
+                ok = False
+        if not ok:
+            n_fail += 1
+            continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
             ok = False
