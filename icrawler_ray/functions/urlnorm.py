@@ -65,13 +65,20 @@ def normalize_hrefs(hrefs: pd.Series, base_url: str) -> pd.Series:
     rest = ~(too_short | frag | proto_rel | root_rel)
 
     out[proto_rel] = "http:" + s[proto_rel].str.rstrip("/")
-    # urljoin(base, href.strip("/")) where base has no path => base + "/" + href
-    out[root_rel] = base_url.rstrip("/") + "/" + s[root_rel].str.strip("/")
-    # the else-branch: urljoin(base, href.rstrip("/")). For absolute URLs
-    # urljoin returns the href unchanged; only genuinely relative hrefs need
-    # the per-row urljoin fallback.
+    # urljoin(base, href.strip("/")) where base has no path => base + "/" + x,
+    # EXCEPT when x is query-/fragment-leading or its first segment contains
+    # ':' (urljoin reads that as a scheme) — those take the per-row urljoin.
+    root_vals = s[root_rel].str.strip("/")
+    root_simple = root_vals.str.match(r"^(?![^/]*:)[^?#]", na=False)
+    out[root_vals[root_simple].index] = base_url.rstrip("/") + "/" + root_vals[root_simple]
+    for i in root_vals[~root_simple].index:
+        out[i] = urljoin(base_url, root_vals[i])
+    # the else-branch: urljoin(base, href.rstrip("/")). urljoin passes any
+    # href with a real scheme prefix through unchanged; a relative href with
+    # a colon later in the path (e.g. 'a/b:c.html') is NOT absolute and must
+    # take the per-row urljoin fallback.
     rest_vals = s[rest].str.rstrip("/")
-    abs_mask = rest_vals.str.match(_ABS_RE, na=False) | rest_vals.str.contains(":", na=False)
+    abs_mask = rest_vals.str.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", na=False)
     out[rest_vals[abs_mask].index] = rest_vals[abs_mask]
     rel_idx = rest_vals[~abs_mask].index
     if len(rel_idx):
@@ -99,7 +106,9 @@ def classify_greedy(urls: pd.Series, domains: list[str]) -> pd.Series:
     last_seg = s[nonimg].str.split("/").str[-1]
     parts = last_seg.str.split(".")
     has_ext = parts.str.len() > 1
-    ext = parts.str[-1].str.lower()
+    # case-SENSITIVE, matching the reference (greedy.py:61) and the scalar
+    # twin GreedyRules._classify: 'page.HTML' is discarded, not a page.
+    ext = parts.str[-1]
     bad_ext = has_ext & ~ext.isin(list(HTML_EXTS))
     js = s[nonimg].str.slice(0, 10).str.find("javascript") == 0
     scheme = s[nonimg].str.extract(r"^([A-Za-z][A-Za-z0-9+.-]*):", expand=False).str.lower()

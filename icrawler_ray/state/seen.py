@@ -82,28 +82,42 @@ class SeenShard:           # a full-CPU reservation per shard would starve
     # returns them. Claims are commutative -> arrival order irrelevant ->
     # deterministic winners at any parallelism.
 
-    def claim(self, keys: np.ndarray, packed: np.ndarray) -> int:
+    def claim(self, keys: np.ndarray, packed: np.ndarray,
+              eligible: np.ndarray | None = None) -> int:
         if not hasattr(self, "_claims") or self._claims is None:
             self._claims = []
+        n = len(keys)
+        if eligible is None:
+            eligible = np.ones(n, dtype=bool)
         self._claims.append((np.asarray(keys, dtype=np.uint64),
-                             np.asarray(packed, dtype=np.int64)))
-        return len(keys)
+                             np.asarray(packed, dtype=np.int64),
+                             np.asarray(eligible, dtype=bool)))
+        return n
 
     def finish_round(self):
         """-> (novel_keys, novel_packed): min-order first occurrence per
         key among this round's claims, minus already-seen; novel keys are
-        inserted into the persistent filters."""
+        inserted into the persistent filters.
+
+        ``eligible`` (e.g. depth < max_depth for link claims) participates
+        in the claim race but not in admission: an INeligible min-order
+        winner suppresses every later same-round emission of its key yet is
+        neither admitted nor inserted into the persistent seen state —
+        matching the oracle's claimed-before-depth-check semantics
+        (oracle.py:176-185) and dataset mode's dedup-then-depth-filter."""
         claims = getattr(self, "_claims", None)
         self._claims = []
         if not claims:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
         keys = np.concatenate([c[0] for c in claims])
         packed = np.concatenate([c[1] for c in claims])
+        elig = np.concatenate([c[2] for c in claims])
         order = np.lexsort((packed, keys))  # key-major, then order
-        ks, ps = keys[order], packed[order]
+        ks, ps, es = keys[order], packed[order], elig[order]
         first = np.ones(len(ks), dtype=bool)
         first[1:] = ks[1:] != ks[:-1]
-        ks, ps = ks[first], ps[first]
+        ks, ps, es = ks[first], ps[first], es[first]
+        ks, ps = ks[es], ps[es]  # capped winners: dropped, never seen-marked
         novel = self.filter_and_insert(ks)
         return ks[novel], ps[novel]
 
@@ -217,28 +231,29 @@ def get_shard_actor(name: str, shard: int):
 
 def route_claims(t, pages_set: str, files_set: str, num_shards: int, max_depth: int) -> int:
     """Push one Arrow block's candidate (url_hash, packed) pairs to their
-    seen-set shard actors (link rows -> pages set, task rows -> files set;
-    links past the depth cap never claim). Blocks until delivered."""
-    import pyarrow as pa
+    seen-set shard actors (link rows -> pages set, task rows -> files set).
+    Depth-capped link rows claim too — eligible=False — so the min-order
+    emission wins the claim race exactly as in the oracle/dataset modes;
+    finish_round drops ineligible winners without seen-marking them.
+    Blocks until delivered."""
     import pyarrow.compute as pc
 
     futs = []
-    for kind, set_name, extra in (
-        ("task", files_set, None),
-        ("link", pages_set, pc.less(t["depth"], pa.scalar(max_depth, type=pa.int32()))),
-    ):
-        m = pc.equal(t["row_kind"], kind)
-        if extra is not None:
-            m = pc.and_(m, extra)
-        m = m.to_numpy(zero_copy_only=False)
+    for kind, set_name in (("task", files_set), ("link", pages_set)):
+        m = pc.equal(t["row_kind"], kind).to_numpy(zero_copy_only=False)
         if not m.any():
             continue
         keys = t["url_hash"].to_numpy(zero_copy_only=False)[m]
         packed = t["packed"].to_numpy(zero_copy_only=False)[m]
+        if kind == "link":
+            elig = t["depth"].to_numpy(zero_copy_only=False)[m] < max_depth
+        else:
+            elig = None
         shard = (keys % np.uint64(num_shards)).astype(np.int32)
         for s in np.unique(shard):
             sel = shard == s
-            futs.append(get_shard_actor(set_name, int(s)).claim.remote(keys[sel], packed[sel]))
+            futs.append(get_shard_actor(set_name, int(s)).claim.remote(
+                keys[sel], packed[sel], None if elig is None else elig[sel]))
     return sum(ray.get(futs)) if futs else 0
 
 

@@ -148,3 +148,69 @@ def test_retry_path_does_not_change_results(small_web, small_map):
                       flaky={pages[0]: 99})(batch)
     df = dead.to_pandas()
     assert (df[df.page_url == pages[0]].row_kind == "error").all()
+
+
+# ---------------------------------------------------------------------------
+# Depth-boundary claim race (ADVICE r1): within a round, the min-order
+# emission of a URL claims its canon BEFORE the depth check (oracle.py
+# claimed_links semantics). A depth-capped winner suppresses every later
+# same-round emission of that URL but is neither admitted nor marked seen —
+# so the URL stays admittable in a LATER round. Both engine modes must match
+# the oracle on a web constructed to hit exactly that boundary.
+
+def _depth_race_web():
+    """Hand-built web (max_depth=2, per-host budget 1 except c unbounded=1):
+
+    seeds  c.com(seq0) a.com/s1(1) a.com/s2(2) a.com/s3(3) b.com(4)
+    r0: fetch c.com,s1,b.com          -> p1(seq5,d1)
+    r1: fetch s2,p1                   -> p2a(6,d2) p2(7,d2)
+    r2: fetch s3,p2a (p2 deferred)    -> q1(8,d1); p2a emits W: CAPPED claim
+        wins (only claim) -> W dropped, NOT seen-marked
+    r3: fetch p2(d2,seq7), q1(d1,seq8): both emit X -> p2's capped claim has
+        min packed -> X dropped forever (q1's eligible claim loses);
+        q1 also emits W (eligible, unseen) -> W admitted (seq9,d2)
+    r4: fetch W; its link wy is capped -> frontier drains.
+
+    Oracle doc set: 10 docs, X and wy never fetched. An engine that skips
+    capped claims fetches X (11 docs); one that seen-marks capped winners
+    never fetches W (9 docs).
+    """
+    from icrawler_ray.functions.html import render_page
+
+    link = lambda u: ("link", "", u)  # noqa: E731
+    text = ("text", "hello", "")
+    pages = {
+        "http://c.com": [link("http://c.com/p1")],
+        "http://a.com/s1": [text],
+        "http://a.com/s2": [text],
+        "http://a.com/s3": [link("http://b.com/q1")],
+        "http://b.com": [text],
+        "http://c.com/p1": [link("http://c.com/p2a"), link("http://c.com/p2")],
+        "http://c.com/p2a": [link("http://c.com/w")],
+        "http://c.com/p2": [link("http://c.com/x")],
+        "http://b.com/q1": [link("http://c.com/x"), link("http://c.com/w")],
+        "http://c.com/x": [text],
+        "http://c.com/w": [link("http://c.com/wy")],
+        "http://c.com/wy": [text],
+    }
+    url_map = {u: (200, render_page(s).encode()) for u, s in pages.items()}
+    seeds = ["http://c.com", "http://a.com/s1", "http://a.com/s2",
+             "http://a.com/s3", "http://b.com"]
+    pol = HostPolicy(
+        {h: {"crawl_delay_ms": 1000, "robots_disallow": []} for h in ("a.com", "b.com", "c.com")},
+        round_ms=1000,
+    )
+    return url_map, seeds, pol
+
+
+@pytest.mark.parametrize("mode", ["driver", "dataset"])
+def test_depth_capped_claim_wins_then_url_stays_admittable(mode):
+    url_map, seeds, pol = _depth_race_web()
+    odocs, _ = OracleCrawl(url_map, seeds, policy=pol, max_num=0, max_depth=2).run()
+    oracle_ids = {d["doc_id"] for d in odocs}
+    assert "http://c.com/w" in oracle_ids      # re-admitted after capped claim
+    assert "http://c.com/x" not in oracle_ids  # capped min-order claim kills it
+    assert len(oracle_ids) == 10
+    docs, _, _ = greedy_crawl(ray.put(url_map), seeds, policy=pol,
+                              max_num=0, max_depth=2, num_shards=2, mode=mode)
+    assert set(docs.to_pandas()["doc_id"]) == oracle_ids

@@ -25,6 +25,9 @@ def test_normalize_hrefs_reference_rules():
         "p/2.html",            # relative -> urljoin(base, rstrip("/"))
         "http://y.com/q/",     # absolute -> rstrip("/")
         "javascript:void(0)",  # normalized through; discarded later
+        "a/b:c.html",          # colon in path, NOT absolute -> urljoin
+        "/?q",                 # root-relative query -> urljoin(base, "?q")
+        "mailto:x@y.com",      # real scheme -> passthrough
     ])
     out = normalize_hrefs(hrefs, BASE).tolist()
     assert out[0] == "http://x.com/a"
@@ -33,6 +36,9 @@ def test_normalize_hrefs_reference_rules():
     assert out[4] == "http://h0.example.com/p/2.html"
     assert out[5] == "http://y.com/q"
     assert out[6] == "javascript:void(0)"
+    assert out[7] == "http://h0.example.com/a/b:c.html"
+    assert out[8] == "http://h0.example.com?q"
+    assert out[9] == "mailto:x@y.com"
 
 
 def test_classify_greedy_taxonomy():
@@ -46,10 +52,11 @@ def test_classify_greedy_taxonomy():
         "android-app://x/y.html",            # bad scheme -> discard
         "http://other.com/p.html",           # off-domain -> discard
         "http://h0.example.com/plain",       # no ext, same domain -> page
+        "http://h0.example.com/p/1.HTML",    # case-sensitive ext (ref) -> discard
     ])
     kinds = classify_greedy(urls, [BASE]).tolist()
     assert kinds == ["file", "file", "page", "page", "discard", "discard",
-                     "discard", "discard", "page"]
+                     "discard", "discard", "page", "discard"]
 
 
 def test_image_pattern_matches_reference_regex():
