@@ -40,7 +40,7 @@ def entry() -> Any:
     )
     if docs is None:
         return ray.data.from_arrow(CORPUS.empty_table())
-    return ray.data.from_arrow(docs.select(["doc_id", "spans"]))
+    return docs.select_columns(["doc_id", "spans"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

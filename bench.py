@@ -117,7 +117,7 @@ def bench_crawl(n_pages: int | None = None) -> dict:
     )
     dt = time.time() - t0
     pages = int(sum(m.get("gated", 0) for m in metrics))
-    files = 0 if results is None else results.num_rows
+    files = 0 if results is None else results.count()
     return {"sec": dt, "pages_fetched": pages, "files_downloaded": files,
             "urls_per_sec": round((pages + files) / dt, 1)}
 
