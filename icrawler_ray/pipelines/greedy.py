@@ -160,7 +160,13 @@ class GreedyCrawl:
         self.dl_count = 0
         self.next_seq = 0
         self.start_round = 0
-        self._frontier_table: pa.Table | None = None
+        # The frontier between rounds is EITHER a small driver-side table
+        # (driver/hybrid mode) OR a Dataset whose blocks stay in the object
+        # store (dataset mode — the 10^10-URL scale path, VERDICT r1 #4);
+        # the driver then holds only its row count. Conversion happens
+        # lazily at the mode boundary.
+        self._frontier: pa.Table | ray.data.Dataset | None = None
+        self._frontier_count: int | None = None
         # Round outputs NEVER accumulate on the driver: each round's
         # docs/results are either written as a parquet partition dir
         # (out_dir / checkpoint runs) or kept as Arrow block refs in the
@@ -187,7 +193,7 @@ class GreedyCrawl:
         df = t.to_pandas().drop_duplicates("url_canon", keep="first")
         novel = self.seen_pages.filter_and_insert_array(df["url_hash"].to_numpy())
         df = df[novel]
-        self._frontier_table = pa.Table.from_pandas(df, preserve_index=False).cast(FRONTIER)
+        self._set_frontier(pa.Table.from_pandas(df, preserve_index=False).cast(FRONTIER))
         self.next_seq = len(self.seed_urls)
 
     def _resume(self, manifest: dict) -> None:
@@ -195,7 +201,7 @@ class GreedyCrawl:
         frontier, seen_pages, seen_files = self.ckpt.load_round(r)
         self.seen_pages.restore(seen_pages)
         self.seen_files.restore(seen_files)
-        self._frontier_table = frontier.cast(FRONTIER) if frontier is not None else None
+        self._set_frontier(frontier.cast(FRONTIER) if frontier is not None else None)
         c = manifest["counters"]
         self.dl_count = c["dl_count"]
         self.next_seq = c["next_seq"]
@@ -207,6 +213,34 @@ class GreedyCrawl:
                 d = self._round_out_dir(rr, kind)
                 if d and osp.isdir(d) and os.listdir(d):
                     parts.append(d)
+
+    # ------------------------------------------------- frontier residency
+
+    def _set_frontier(self, f, count: int | None = None) -> None:
+        self._frontier = f
+        if f is None:
+            self._frontier_count = 0
+        elif isinstance(f, pa.Table):
+            self._frontier_count = f.num_rows
+        else:
+            self._frontier_count = f.count() if count is None else count
+
+    def _frontier_rows(self) -> int:
+        return self._frontier_count or 0
+
+    def _frontier_as_table(self) -> pa.Table:
+        """Driver-mode view; collects only when crossing dataset->driver
+        (by construction that happens only under the size threshold)."""
+        if not isinstance(self._frontier, pa.Table):
+            self._frontier = _collect(self._frontier, FRONTIER)
+        return self._frontier
+
+    def _frontier_as_dataset(self):
+        from icrawler_ray.functions.seq import from_table_blocks
+
+        if isinstance(self._frontier, pa.Table):
+            return from_table_blocks(self._frontier, min_rows_per_block=1024)
+        return self._frontier
 
     # -------------------------------------------------------------- round
 
@@ -258,12 +292,12 @@ class GreedyCrawl:
         self._init_frontier()
         round_idx = self.start_round
         while round_idx < self.max_rounds:
-            if self._frontier_table is None or self._frontier_table.num_rows == 0:
+            if self._frontier is None or self._frontier_rows() == 0:
                 break
             if self.max_num and self.dl_count >= self.max_num:
                 break
             use_driver = self.mode == "driver" or (
-                self.mode == "auto" and self._frontier_table.num_rows <= self.driver_threshold
+                self.mode == "auto" and self._frontier_rows() <= self.driver_threshold
             )
             m = self._run_round_driver(round_idx) if use_driver else self._run_round(round_idx)
             self.metrics.append(m)
@@ -271,9 +305,7 @@ class GreedyCrawl:
         return self._assemble(self._doc_parts), self._assemble(self._result_parts), self.metrics
 
     def _run_round(self, round_idx: int) -> dict:
-        from icrawler_ray.functions.seq import from_table_blocks
-
-        frontier = from_table_blocks(self._frontier_table, min_rows_per_block=1024).map_batches(
+        frontier = self._frontier_as_dataset().map_batches(
             lambda t: t.rename_columns(
                 ["url", "url_canon", "url_hash", "host", "depth", "priority", "seq", "parent_doc_id"]
             ),
@@ -284,7 +316,7 @@ class GreedyCrawl:
         metrics = {"round": round_idx, "gated": n_gated}
         if n_gated == 0:
             # everything robots-dropped: frontier drains
-            self._frontier_table = None
+            self._set_frontier(None)
             self._checkpoint(round_idx, metrics)
             return metrics
 
@@ -356,19 +388,22 @@ class GreedyCrawl:
                 schema=FRONTIER,
             )
 
-        new_frontier = links.map_batches(to_frontier, batch_format="pyarrow")
-        deferred_t = _collect(deferred.map_batches(
+        # next round's frontier stays in the object store: deferred and new
+        # links are materialized (blocks only), unioned lazily, and the
+        # driver records just the two counts.
+        new_md = links.map_batches(to_frontier, batch_format="pyarrow").materialize()
+        deferred_md = deferred.map_batches(
             lambda t: t.rename_columns(
                 ["url", "url_canon", "url_hash", "host", "depth", "priority",
                  "discovered_seq", "parent_doc_id"]
-            ),
+            ).cast(FRONTIER),
             batch_format="pyarrow",
-        ), FRONTIER)
-        new_t = _collect(new_frontier, FRONTIER)
-        metrics["new_links"] = new_t.num_rows
-        metrics["deferred"] = deferred_t.num_rows
-        self.next_seq += new_t.num_rows
-        self._frontier_table = pa.concat_tables([deferred_t, new_t])
+        ).materialize()
+        n_new, n_def = new_md.count(), deferred_md.count()
+        metrics["new_links"] = n_new
+        metrics["deferred"] = n_def
+        self.next_seq += n_new
+        self._set_frontier(deferred_md.union(new_md), count=n_def + n_new)
         self._checkpoint(round_idx, metrics)
         return metrics
 
@@ -384,14 +419,14 @@ class GreedyCrawl:
         import time as _time
 
         _t = {"gate": _time.time()}
-        fdf = self._frontier_table.to_pandas().rename(columns={"discovered_seq": "seq"})
+        fdf = self._frontier_as_table().to_pandas().rename(columns={"discovered_seq": "seq"})
         live = robots_filter(fdf, self.policy)
         gated = _topk_per_host(live, self.policy)
         deferred = live.loc[~live.index.isin(gated.index)]
         metrics = {"round": round_idx, "gated": len(gated)}
         _t["gate"] = _time.time() - _t["gate"]
         if not len(gated):
-            self._frontier_table = None
+            self._set_frontier(None)
             self._checkpoint(round_idx, metrics)
             return metrics
 
@@ -561,7 +596,7 @@ class GreedyCrawl:
         metrics["new_links"] = new_t.num_rows
         metrics["deferred"] = deferred_t.num_rows
         self.next_seq += new_t.num_rows
-        self._frontier_table = pa.concat_tables([deferred_t, new_t])
+        self._set_frontier(pa.concat_tables([deferred_t, new_t]))
         metrics["timings"] = {k: round(v, 3) for k, v in _t.items()}
         self._checkpoint(round_idx, metrics)
         return metrics
@@ -571,7 +606,7 @@ class GreedyCrawl:
             return
         self.ckpt.save_round(
             round_idx,
-            self._frontier_table,
+            self._frontier,
             self.seen_pages.serialize(),
             self.seen_files.serialize(),
             {"dl_count": self.dl_count, "next_seq": self.next_seq},

@@ -86,13 +86,24 @@ class CheckpointManager:
     def round_dir(self, r: int) -> str:
         return osp.join(self.root, f"round={r}")
 
-    def save_round(self, r: int, frontier_table: pa.Table | None,
+    def save_round(self, r: int, frontier,
                    seen_pages: list[dict], seen_files: list[dict],
                    counters: dict, metrics: dict) -> None:
+        """``frontier``: pa.Table (driver mode), ray.data.Dataset (dataset
+        mode — written distributed, never collected), or None. The frontier
+        dir is replaced, not appended, so a crash between write and
+        manifest publish cannot leave duplicated partials."""
+        import shutil
+
         rd = self.round_dir(r)
-        os.makedirs(osp.join(rd, "frontier"), exist_ok=True)
-        if frontier_table is not None:
-            pq.write_table(frontier_table, osp.join(rd, "frontier", "part-0.parquet"))
+        fdir = osp.join(rd, "frontier")
+        if osp.isdir(fdir):
+            shutil.rmtree(fdir)
+        os.makedirs(fdir)
+        if isinstance(frontier, pa.Table):
+            pq.write_table(frontier, osp.join(fdir, "part-0.parquet"))
+        elif frontier is not None:
+            frontier.write_parquet(fdir)
         pq.write_table(_seen_table(seen_pages, r), osp.join(rd, "seen_pages.parquet"))
         pq.write_table(_seen_table(seen_files, r), osp.join(rd, "seen_files.parquet"))
         manifest = self.load_manifest() or {"rounds": [], "lineage": []}

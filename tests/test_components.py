@@ -430,3 +430,61 @@ def test_resume_replaces_stale_midround_partials(ray_session, tmp_path):
     assert list(zip(disk.file_url, disk.filename)) == [
         (r["file_url"], r["filename"]) for r in oresults
     ]
+
+
+def test_dataset_mode_frontier_stays_off_driver(ray_session):
+    """Scale-path contract (VERDICT r1 #4): in dataset mode a 1M-row
+    frontier round runs with the frontier as object-store Datasets end to
+    end — the driver holds counts only, and its peak RSS grows by far less
+    than the frontier size."""
+    import resource
+
+    from icrawler_ray.functions.urlnorm import canonicalize, hash_urls, hosts_of
+    from icrawler_ray.pipelines.greedy import FRONTIER, GreedyCrawl
+    from icrawler_ray.stages.politeness import HostPolicy
+    from icrawler_ray.synthweb.procedural import ProceduralWeb
+
+    n = 1_000_000
+    web = ProceduralWeb(n_pages=n, n_hosts=16, seed=5, spans_per_page=16)
+    spec = ("procedural", web.spec())
+    # budget 1/host/round: the round fetches ~16 pages but the frontier
+    # exchange (gate + deferred union) processes all 1M rows distributed
+    pol = HostPolicy({h: {"crawl_delay_ms": 1000, "max_inflight": 4,
+                          "robots_disallow": []} for h in web.hosts}, round_ms=1000)
+
+    def mk_frontier(batch):
+        i = batch["id"].to_numpy()
+        urls = pd.Series([web.url_of(int(x)) for x in i], dtype="string")
+        canon = canonicalize(urls)
+        return pa.table({
+            "url": pa.array(urls.astype(object), type=pa.string()),
+            "url_canon": pa.array(canon.astype(object), type=pa.string()),
+            "url_hash": pa.array(hash_urls(canon.fillna("")), type=pa.uint64()),
+            "host": pa.array(hosts_of(urls).astype(object), type=pa.string()),
+            "depth": pa.array(np.zeros(len(i), dtype=np.int32)),
+            "priority": pa.array(np.ones(len(i), dtype=np.float64)),
+            "discovered_seq": pa.array(i.astype(np.int64)),
+            "parent_doc_id": pa.array([""] * len(i), type=pa.string()),
+        }, schema=FRONTIER)
+
+    frontier = ray.data.range(n).map_batches(
+        mk_frontier, batch_format="pyarrow").materialize()
+    fbytes = frontier.size_bytes()
+    assert fbytes > 100 << 20  # the frontier is genuinely driver-RSS-sized
+
+    crawl = GreedyCrawl(spec, web.domains, policy=pol, max_num=0, max_depth=1,
+                        num_shards=4, mode="dataset")
+    try:
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        crawl._set_frontier(frontier, count=n)
+        crawl.next_seq = n
+        m = crawl._run_round(0)
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        assert m["gated"] == 16  # one per host
+        assert not isinstance(crawl._frontier, pa.Table)
+        assert crawl._frontier_rows() >= n - 16
+        assert (rss1 - rss0) * 1024 < max(0.4 * fbytes, 64 << 20), (
+            f"driver RSS grew {(rss1 - rss0) // 1024} MiB for a "
+            f"{fbytes >> 20} MiB frontier")
+    finally:
+        crawl.shutdown()
