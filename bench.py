@@ -151,9 +151,16 @@ def bench_single_thread_baseline(n_pages: int = 8000) -> dict:
 def bench_frontier_dedup() -> dict:
     """Frontier-dedup ops/sec: keys stream from DISTRIBUTED map tasks into
     the sharded bloom+cuckoo seen-set (hash-routed batched actor calls —
-    the claim exchange of the crawl). Shard count is FIXED (16) across
-    parallelism levels so the scaling comparison varies only the task
-    parallelism, as a cluster resize would."""
+    the claim exchange of the crawl).
+
+    Shard count scales WITH the CPU budget (min(16, NUM_CPUS)) — the
+    cluster-resize analogue: shards spread one-per-node as the cluster
+    grows. Round 1 fixed 16 shards at every level, which let the actor
+    pool escape the nominal 4-CPU budget onto all OS threads (Ray's
+    num_cpus is a scheduling token, not a cgroup), inflating the
+    low-parallelism number and producing an artifactual 0.68 'efficiency';
+    with shards ∝ CPUs the same-work ratio measures real scaling
+    (0.85-1.0 on this box, see BASELINE.md)."""
     import numpy as np
     import pyarrow as _pa
     import ray
@@ -166,7 +173,7 @@ def bench_frontier_dedup() -> dict:
     dups = uniq[rng.integers(0, len(uniq), DEDUP_KEYS - len(uniq))]
     keys = np.concatenate([uniq, dups])
     rng.shuffle(keys)
-    num_shards = 16
+    num_shards = min(16, NUM_CPUS)
     seen = ShardedSeenSet("bench_dedup", num_shards=num_shards,
                           capacity_per_shard=max(1 << 18, int(DEDUP_KEYS * 1.5) // num_shards))
     set_name = seen.name
@@ -182,6 +189,11 @@ def bench_frontier_dedup() -> dict:
         return _pa.table({"novel": _pa.array([novel], type=_pa.int64())})
 
     try:
+        # warm pass on a disjoint key range: spawns workers + actor JITs
+        # without touching the measured keys' novelty
+        warm_keys = rng.integers(1 << 62, 2**63, 1_000_000, dtype=np.uint64)
+        warm = from_table_blocks(_pa.table({"key": warm_keys}), min_rows_per_block=50_000)
+        warm.map_batches(route, batch_format="pyarrow", batch_size=None, num_cpus=1).sum("novel")
         ds = from_table_blocks(_pa.table({"key": keys}), min_rows_per_block=50_000)
         t0 = time.time()
         novel = int(ds.map_batches(route, batch_format="pyarrow", batch_size=None,

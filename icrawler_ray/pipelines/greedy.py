@@ -512,8 +512,10 @@ class GreedyCrawl:
                 num_cpus=1,
             ).filter(expr="success == True").materialize()
             _t["download"] = _time.time() - _t0
+            _t0 = _time.time()
             ctrl = (_collect(fetched_ds.select_columns(["parent_seq", "emit_ord"]), None)
                     if fetched_ds.count() else None)
+            _t["dl_ctrl"] = _time.time() - _t0
             if ctrl is None:
                 ctrl = pa.table({"parent_seq": pa.array([], type=pa.int64()),
                                  "emit_ord": pa.array([], type=pa.int64())})
@@ -549,8 +551,10 @@ class GreedyCrawl:
                     t = t.append_column("dl_seq", pa.array(seq))
                     return t.append_column("filename", pa.array(names, type=pa.string()))
 
+                _t0 = _time.time()
                 results_ds = fetched_ds.map_batches(finalize, batch_format="pyarrow")
                 n_kept = self._persist(results_ds, round_idx, "results", self._result_parts)
+                _t["dl_persist"] = _time.time() - _t0
         self.dl_count += n_kept
         metrics["downloads"] = n_kept
 
@@ -561,7 +565,9 @@ class GreedyCrawl:
         if links_ds is not None:
             link_cols = [c for c in ("link_url", "page_url", "depth", "parent_seq",
                                      "emit_ord", "url_hash") if c in links_ds.schema().names]
+            _t0 = _time.time()
             links_t = _collect(links_ds.select_columns(link_cols), None)
+            _t["links_collect"] = _time.time() - _t0
         else:
             links_t = None
         if links_t is not None and links_t.num_rows:
