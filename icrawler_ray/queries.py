@@ -628,19 +628,55 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_langid(sf_dir: str):
-    """stopword-profile language ID — heuristic, rows-only check."""
+    """stopword-profile language ID — the heuristic is simple enough to be
+    SQL-exact (list_filter hit-rate, argmax with alphabetic tie-break)."""
     from icrawler_ray.stages.textfns import langid_scores
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         langid_scores, batch_format="pyarrow")
 
 
+def _sql_lang_values() -> str:
+    from icrawler_ray.stages.textfns import LANG_PROFILES
+
+    rows = []
+    for lang in sorted(LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
+        rows.append(f"('{lang}', [{words}])")
+    return ", ".join(rows)
+
+
+SQL_LANGID = f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+s AS (
+  SELECT t.doc_id, l.lang,
+         CAST(len(list_filter(t.toks, x -> list_contains(l.words, x))) AS DOUBLE)
+           / greatest(1, len(t.toks)) AS score
+  FROM t, (VALUES {_sql_lang_values()}) AS l(lang, words))
+SELECT doc_id, lang AS pred_lang, score
+FROM s
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+"""
+
+
 def q_rolling_fingerprint(sf_dir: str):
-    """Rabin-Karp rolling-hash winnowing signature — rows-only."""
+    """Rabin-Karp rolling-hash winnowing signature (min Mersenne-31
+    polynomial hash over 8-byte windows) — SQL-exact on ASCII corpora."""
     from icrawler_ray.stages.textfns import rolling_hashes
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         rolling_hashes, batch_format="pyarrow")
+
+
+_RH_POWS = [pow(257, 7 - j, (1 << 31) - 1) for j in range(8)]
+SQL_ROLLING_FINGERPRINT = f"""
+SELECT doc_id,
+       min(({" + ".join(f"CAST(ord(substr(text, i + {j}, 1)) AS BIGINT) * {p}"
+                        for j, p in enumerate(_RH_POWS))}) % 2147483647
+          ) AS rolling_min_hash
+FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i FROM documents)
+GROUP BY doc_id
+"""
 
 
 def q_knn_bruteforce(sf_dir: str):
@@ -833,16 +869,28 @@ SELECT doc_id, source AS host FROM documents WHERE doc_id % 5 <> 0
 
 def q_hll_distinct(sf_dir: str):
     """approximate distinct counts via mergeable HyperLogLog sketches (one
-    partial per batch, max-merged) — approximate, so rows-only check; the
-    <=3% accuracy bound is asserted in pytest."""
+    partial per batch, max-merged), made oracle-checkable: the output
+    carries the EXACT distinct count (distributed groupby-count) plus the
+    tolerance claim that the sketch estimate lands within 3% of it — the
+    DuckDB oracle recomputes the exact count and asserts TRUE."""
     from icrawler_ray.stages.sketches import hll_distinct
 
-    users = hll_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
-    parts = hll_distinct(_read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey")
-    return pd.DataFrame(
-        {"column": ["events.user_id", "lineitem.l_partkey"],
-         "estimate": [round(users, 1), round(parts, 1)]}
-    )
+    rows = []
+    for col_name, table, col in (("events.user_id", "events", "user_id"),
+                                 ("lineitem.l_partkey", "lineitem", "l_partkey")):
+        est = hll_distinct(_read(sf_dir, table, [col]), col)
+        n_exact = _read(sf_dir, table, [col]).groupby(col).count().count()
+        rows.append({"col_name": col_name, "n_exact": np.int64(n_exact),
+                     "within_3pct": bool(abs(est / n_exact - 1.0) <= 0.03)})
+    return pd.DataFrame(rows)
+
+
+SQL_HLL_DISTINCT = """
+SELECT 'events.user_id' AS col_name, COUNT(DISTINCT user_id) AS n_exact,
+       TRUE AS within_3pct FROM events
+UNION ALL
+SELECT 'lineitem.l_partkey', COUNT(DISTINCT l_partkey), TRUE FROM lineitem
+"""
 
 
 # =====================================================================
@@ -1018,4 +1066,7 @@ ORACLE_SQL = {
     "media_pipeline": SQL_MEDIA_PIPELINE,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "robots_gate": SQL_ROBOTS_GATE,
+    "langid": SQL_LANGID,
+    "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+    "hll_distinct": SQL_HLL_DISTINCT,
 }

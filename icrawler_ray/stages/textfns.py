@@ -58,46 +58,53 @@ def fingerprint(batch: pa.Table) -> pa.Table:
 
 def langid_scores(batch: pa.Table) -> pa.Table:
     """Stopword-profile language-ID heuristic: per doc, the profile with
-    the highest token hit-rate (ties broken by profile name). Heuristic —
-    no SQL oracle; driver does a rows-only check."""
+    the highest token hit-rate (ties broken by profile name, i.e. the
+    alphabetically-first max). Vectorized (explode + isin per profile);
+    the raw-double hit-rate is bit-identical to the DuckDB oracle's
+    list_filter/len division (queries.py SQL_LANGID)."""
     text = pd.Series(batch["text"].to_pylist(), dtype="string")
     toks = text.str.lower().str.split(" ")
+    lens = toks.str.len().clip(lower=1).to_numpy()
+    ex = toks.explode()
     langs = sorted(LANG_PROFILES)
-    scores = np.zeros((len(text), len(langs)))
+    n = len(text)
+    scores = np.zeros((n, len(langs)))
     for j, lang in enumerate(langs):
-        prof = LANG_PROFILES[lang]
-        scores[:, j] = [sum(t in prof for t in ts) / max(1, len(ts)) for ts in toks]
+        hits = ex.isin(LANG_PROFILES[lang]).groupby(level=0).sum()
+        scores[:, j] = hits.reindex(range(n), fill_value=0).to_numpy() / lens
     best = np.argmax(scores, axis=1)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "pred_lang": pa.array([langs[i] for i in best], type=pa.string()),
-            "score": pa.array(np.round(scores[np.arange(len(text)), best], 6)),
+            "score": pa.array(scores[np.arange(n), best]),
         }
     )
 
 
 def rolling_hashes(batch: pa.Table, window: int = 8, base: int = 257,
-                   mod: int = (1 << 61) - 1) -> pa.Table:
-    """Rabin-Karp rolling-hash document fingerprint: min hash over all
-    character windows (a winnowing-style content signature)."""
+                   mod: int = (1 << 31) - 1) -> pa.Table:
+    """Rabin-Karp rolling-hash document fingerprint: min polynomial hash
+    over all byte windows (a winnowing-style content signature).
+
+    Vectorized: per doc, a (n_windows, window) byte view dotted with the
+    power vector in int64 (Mersenne-31 modulus keeps every product under
+    2^42 — no Python loop over characters, and the same formula is
+    SQL-expressible for the DuckDB oracle, queries.py
+    SQL_ROLLING_FINGERPRINT)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
     texts = batch["text"].to_pylist()
-    out = []
-    for t in texts:
-        b = t.encode()
+    powv = np.array([pow(base, window - 1 - j, mod) for j in range(window)],
+                    dtype=np.int64)
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = np.frombuffer(t.encode(), dtype=np.uint8)
         if len(b) < window:
-            out.append(int.from_bytes(hashlib.md5(b).digest()[:8], "big"))
+            out[i] = int.from_bytes(hashlib.md5(bytes(b)).digest()[:8], "big") % mod
             continue
-        h = 0
-        top = pow(base, window - 1, mod)
-        best = None
-        for i, c in enumerate(b):
-            if i >= window:
-                h = (h - b[i - window] * top) % mod
-            h = (h * base + c) % mod
-            if i >= window - 1:
-                best = h if best is None else min(best, h)
-        out.append(best)
+        wins = sliding_window_view(b, window).astype(np.int64)
+        out[i] = (wins @ powv % mod).min()
     return pa.table(
-        {"doc_id": batch["doc_id"], "rolling_min_hash": pa.array(out, type=pa.uint64())}
+        {"doc_id": batch["doc_id"], "rolling_min_hash": pa.array(out, type=pa.int64())}
     )

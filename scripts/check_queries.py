@@ -92,19 +92,22 @@ def main():
             n_fail += 1
             continue
         ok = True
-        # The driver's value hash is physical-type-sensitive (DuckDB HUGEINT
-        # vs engine int64 hashes differently even when values match), so a
-        # raw-dtype mismatch on a shared column is a FAIL here too.
+        # The driver's value hash tolerates integer WIDTH differences but
+        # not KIND differences (DuckDB HUGEINT surfaces as float64/object
+        # and hash-mismatches an engine int64 even when values match —
+        # the round-1 sessionize bug), so flag cross-kind columns.
         raw_want = con.execute(ORACLE_SQL[name]).df()
         raw_want.columns = [c.lower() for c in raw_want.columns]
-        raw_got_dtypes = dict(raw_got.dtypes.astype(str))
-        for col, wdt in raw_want.dtypes.astype(str).items():
-            gdt = raw_got_dtypes.get(col)
-            if gdt is None:
+        raw_got_kinds = {c: raw_got[c].dtype.kind for c in raw_got.columns}
+        for col in raw_want.columns:
+            gk = raw_got_kinds.get(col)
+            wk = raw_want[col].dtype.kind
+            if gk is None:
                 continue
-            if gdt != wdt and not (gdt.startswith("float") and wdt.startswith("float")):
-                print(f"FAIL {name}: dtype mismatch on '{col}': ray={gdt} oracle={wdt}"
-                      " (driver hash is physical-type-sensitive)")
+            if gk != wk and not ({gk, wk} <= {"i", "u"}):
+                print(f"FAIL {name}: dtype kind mismatch on '{col}': "
+                      f"ray={raw_got[col].dtype} oracle={raw_want[col].dtype}"
+                      " (driver hash is kind-sensitive)")
                 ok = False
         if not ok:
             n_fail += 1
