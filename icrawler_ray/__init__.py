@@ -17,7 +17,20 @@ Everything is hermetic: the synthetic web (``synthweb/``) replaces the live
 network for tests and benchmarks.
 """
 
+import logging as _logging
+
 from icrawler_ray import schemas  # noqa: F401
 from icrawler_ray.defaults import DEFAULT_HEADERS, MAX_RETRIES  # noqa: F401
+
+# Ray 2.49 logs a benign "Failed to hash the schemas (for deduplication):
+# unhashable type: 'dict'" warning whenever a pandas-block UDF output meets
+# its schema-dedup fast path (ray/data/_internal/arrow_ops/
+# transform_pyarrow.py:181 — a missed optimization, not an error). Every
+# worker imports this package for its UDFs, so silencing the one logger
+# here keeps per-worker stderr clean without masking other ray.data
+# warnings.
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).setLevel(_logging.ERROR)
 
 __version__ = "0.1.0"

@@ -23,7 +23,18 @@ from icrawler_ray.functions.urlnorm import canonicalize, classify_greedy
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Column-pruned parquet read with schema METADATA stripped: the
+    testdata files carry a ``pandas`` metadata blob that makes pa.Schema
+    unhashable, which defeats Ray's schema-dedup fast path and spams a
+    warning from every read task."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    sch = pq.read_schema(path).remove_metadata()
+    if columns:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=sch)
 
 
 # =====================================================================
@@ -778,15 +789,18 @@ def q_media_pipeline(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id"])
 
-    def blobs(df: pd.DataFrame) -> pd.DataFrame:
+    def blobs(t: pa.Table) -> pa.Table:
         content = [
             fakeimg.encode(int(d % 500 + 10), int((d * 7) % 500 + 10)) if d % 11 else b"BAD"
-            for d in df["doc_id"]
+            for d in t["doc_id"].to_pylist()
         ]
-        return pd.DataFrame({"doc_id": df["doc_id"], "content": content})
+        # Arrow out: a pandas block here has an unhashable block schema that
+        # defeats Ray's schema-dedup fast path (and warns per batch)
+        return pa.table({"doc_id": t["doc_id"],
+                         "content": pa.array(content, type=pa.binary())})
 
     out = (
-        ds.map_batches(blobs, batch_format="pandas")
+        ds.map_batches(blobs, batch_format="pyarrow")
         .map_batches(DecodeImage, batch_size=128, concurrency=2, batch_format="pyarrow")
         .map_batches(ResizeStub, batch_size=128, concurrency=2, batch_format="pyarrow")
     )
