@@ -74,6 +74,9 @@ def make_session(spec, flaky: dict | None = None):
       ("procedural", params)    -> ProceduralSession (zero shared state;
                                    bodies synthesized on fetch — the
                                    bench/scale path)
+      ("live", kwargs)          -> LiveSession (real requests.Session with
+                                   the reference's retry/cookie/header
+                                   semantics, functions/live_session.py)
     """
     import ray
 
@@ -81,6 +84,10 @@ def make_session(spec, flaky: dict | None = None):
         from icrawler_ray.synthweb.procedural import ProceduralSession
 
         return ProceduralSession(spec[1])
+    if isinstance(spec, tuple) and len(spec) == 2 and spec[0] == "live":
+        from icrawler_ray.functions.live_session import LiveSession
+
+        return LiveSession(**(spec[1] or {}))
     url_map = ray.get(spec) if isinstance(spec, ray.ObjectRef) else spec
     return StubSession(url_map, flaky=flaky)
 
@@ -89,6 +96,6 @@ def session_spec_key(spec) -> str:
     """Stable hashable cache key for a session spec."""
     import json
 
-    if isinstance(spec, tuple) and spec and spec[0] == "procedural":
-        return "procedural:" + json.dumps(spec[1], sort_keys=True)
+    if isinstance(spec, tuple) and spec and spec[0] in ("procedural", "live"):
+        return spec[0] + ":" + json.dumps(spec[1], sort_keys=True, default=str)
     return spec.hex() if hasattr(spec, "hex") else str(id(spec))
