@@ -113,6 +113,7 @@ class GreedyCrawl:
         driver_threshold: int = 200_000,
         seeds: list[str] | None = None,
         emit_docs: bool = True,
+        enforce_inflight: bool = False,
     ):
         # emit_docs=False: throughput mode — no corpus rows are built or
         # shipped (span assembly is the widest data in the pipeline);
@@ -156,6 +157,15 @@ class GreedyCrawl:
             f"{self.run_id}:files", num_shards, seen_capacity, exact=exact_seen
         )
         self.ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+        # exact per-host inflight caps (opt-in: one named token actor per
+        # run, slots acquired per (task, host run) in the fetch stages)
+        if enforce_inflight:
+            from icrawler_ray.stages.politeness import make_inflight_limiter
+
+            self.inflight_name, self._inflight_actor = make_inflight_limiter(
+                f"inflight:{self.run_id}", self.policy)
+        else:
+            self.inflight_name, self._inflight_actor = None, None
         self.metrics: list[dict] = []
         self.dl_count = 0
         self.next_seq = 0
@@ -327,6 +337,7 @@ class GreedyCrawl:
                 "rules": "greedy",
                 "rules_kwargs": {"domains": self.domains},
                 "emit_docs": True,
+                "inflight": self.inflight_name,
             },
             batch_format="pyarrow",
             batch_size=64,
@@ -349,6 +360,7 @@ class GreedyCrawl:
                 "min_size": self.min_size,
                 "max_size": self.max_size,
                 "keep_content": self.keep_content,
+                "inflight": self.inflight_name,
             },
             batch_format="pyarrow",
             batch_size=FETCH_BATCH_SIZE,
@@ -449,6 +461,7 @@ class GreedyCrawl:
                 emit_docs=self.emit_docs, with_keys=True, slim=True,
                 claim=(self.seen_pages.name, self.seen_files.name,
                        self.seen_pages.num_shards, self.max_depth),
+                inflight=self.inflight_name,
             ),
             batch_format="pyarrow",
             batch_size=None,
@@ -505,7 +518,7 @@ class GreedyCrawl:
             fetched_ds = tasks_ds.select_columns(task_cols).map_batches(
                 make_fetcher_fn(
                     self.url_map_ref, min_size=self.min_size, max_size=self.max_size,
-                    keep_content=self.keep_content,
+                    keep_content=self.keep_content, inflight=self.inflight_name,
                 ),
                 batch_format="pyarrow",
                 batch_size=None,
@@ -622,6 +635,9 @@ class GreedyCrawl:
     def shutdown(self) -> None:
         self.seen_pages.shutdown()
         self.seen_files.shutdown()
+        if self._inflight_actor is not None:
+            ray.kill(self._inflight_actor)
+            self._inflight_actor = None
 
 
 def _dir_num_rows(d: str) -> int:

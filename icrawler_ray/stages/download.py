@@ -48,11 +48,19 @@ class Fetcher:
     (defaults.FETCH_BATCH_SIZE) to bound per-actor heap."""
 
     def __init__(self, url_map_ref, min_size=None, max_size=None, flaky=None,
-                 keep_content: bool = True):
+                 keep_content: bool = True, inflight: str | None = None):
         self.session = make_session(url_map_ref, flaky=flaky)
         self.min_size = tuple(min_size) if min_size else None
         self.max_size = tuple(max_size) if max_size else None
         self.keep_content = keep_content
+        # exact per-host inflight caps via the named HostInflightLimiter
+        # actor (stages/politeness.py); one slot per (task, host run)
+        if inflight:
+            from icrawler_ray.stages.politeness import InflightGuard
+
+            self.guard = InflightGuard(inflight)
+        else:
+            self.guard = None
 
     def keep_file(self, content: bytes):
         """(keep, w, h): decode + size gates (ImageDownloader.keep_file,
@@ -76,24 +84,27 @@ class Fetcher:
         img_h = np.full(n, -1, dtype=np.int32)
         contents: list[bytes | None] = [None] * n
         errors = [""] * n
-        for i, url in enumerate(urls):
-            try:
-                resp = self.session.get(url)
-            except Exception as e:
-                errors[i] = str(e)
-                continue
-            status[i] = resp.status_code
-            if not (200 <= resp.status_code < 300):  # intended (non-inverted) gate
-                errors[i] = "http status"
-                continue
-            keep, w, h = self.keep_file(resp.content)
-            img_w[i], img_h[i] = w, h
-            if not keep:
-                errors[i] = "keep_file rejected"
-                continue
-            success[i] = True
-            if self.keep_content:
-                contents[i] = resp.content
+        if self.guard is not None:
+            from icrawler_ray.functions.urlnorm import host_of_one
+
+            hosts = [host_of_one(u) for u in urls]
+            order = sorted(range(n), key=hosts.__getitem__)  # stable host runs
+        else:
+            hosts, order = None, range(n)
+        held: str | None = None
+        try:
+            for i in order:
+                if hosts is not None and hosts[i] != held:
+                    if held is not None:
+                        self.guard.release(held)
+                        held = None
+                    self.guard.acquire(hosts[i])
+                    held = hosts[i]
+                self._fetch_one(i, urls[i], status, success, img_w, img_h,
+                                contents, errors)
+        finally:
+            if held is not None:
+                self.guard.release(held)
         out = batch.drop_columns([c for c in ("status", "success", "img_w", "img_h", "content", "error") if c in batch.column_names])
         out = out.append_column("status", pa.array(status))
         out = out.append_column("success", pa.array(success))
@@ -103,11 +114,31 @@ class Fetcher:
         out = out.append_column("error", pa.array(errors, type=pa.string()))
         return out
 
+    def _fetch_one(self, i, url, status, success, img_w, img_h, contents, errors):
+        try:
+            resp = self.session.get(url)
+        except Exception as e:
+            errors[i] = str(e)
+            return
+        status[i] = resp.status_code
+        if not (200 <= resp.status_code < 300):  # intended (non-inverted) gate
+            errors[i] = "http status"
+            return
+        keep, w, h = self.keep_file(resp.content)
+        img_w[i], img_h[i] = w, h
+        if not keep:
+            errors[i] = "keep_file rejected"
+            return
+        success[i] = True
+        if self.keep_content:
+            contents[i] = resp.content
+
 
 _FETCHER_CACHE: dict = {}
 
 
-def make_fetcher_fn(url_map_ref, min_size=None, max_size=None, keep_content=True):
+def make_fetcher_fn(url_map_ref, min_size=None, max_size=None, keep_content=True,
+                    inflight: str | None = None):
     """Task-pool variant of Fetcher with a worker-process-level cache —
     same rationale as stages.fetch_parse.make_fetch_parse_fn (amortize
     session state across the per-round Ray Data executions of an iterative
@@ -117,13 +148,14 @@ def make_fetcher_fn(url_map_ref, min_size=None, max_size=None, keep_content=True
         tuple(min_size) if min_size else None,
         tuple(max_size) if max_size else None,
         keep_content,
+        inflight,
     )
 
     def fn(batch: pa.Table) -> pa.Table:
         f = _FETCHER_CACHE.get(key)
         if f is None:
             f = Fetcher(url_map_ref, min_size=min_size, max_size=max_size,
-                        keep_content=keep_content)
+                        keep_content=keep_content, inflight=inflight)
             _FETCHER_CACHE[key] = f
         return f(batch)
 

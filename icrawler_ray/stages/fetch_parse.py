@@ -51,10 +51,20 @@ class FetchParse:
     def __init__(self, url_map_ref, rules: str, rules_kwargs: dict | None = None,
                  flaky: dict | None = None, emit_docs: bool = True,
                  with_keys: bool = False, claim: tuple | None = None,
-                 slim: bool = False):
+                 slim: bool = False, inflight: str | None = None):
         self.session = make_session(url_map_ref, flaky=flaky)
         self.rules = RULES_REGISTRY[rules](**(rules_kwargs or {}))
         self.emit_docs = emit_docs
+        # inflight: name of a HostInflightLimiter actor — exact per-host
+        # concurrent-request caps (politeness.py); one slot per (task,
+        # host-run), URLs walked host-grouped so each host costs one
+        # acquire/release round trip per batch.
+        if inflight:
+            from icrawler_ray.stages.politeness import InflightGuard
+
+            self.guard = InflightGuard(inflight)
+        else:
+            self.guard = None
         # with_keys: compute url_canon/url_hash for task/link rows INSIDE
         # the parallel task (vectorized per batch) instead of a serial
         # driver pass — keeps the round loop's serial fraction small.
@@ -100,41 +110,80 @@ class FetchParse:
         sp_off: list = []
         span_row_idx: list = []  # row index of each doc row (for ListArray assembly)
 
-        for url, depth, seq in zip(urls, depths, seqs):
-            try:
-                resp = self.session.get(url)
-            except Exception as e:  # retries exhausted (parser.py:88-94 path)
-                row_kind.append("error"); page_url.append(url); status.append(-1)
-                depth_c.append(depth); parent_seq.append(seq); emit_ord.append(-1)
-                file_url.append(""); link_url.append(""); meta_json.append("")
-                doc_id.append(""); error.append(str(e))
-                continue
-            if not (200 <= resp.status_code < 300):
-                row_kind.append("error"); page_url.append(url); status.append(resp.status_code)
-                depth_c.append(depth); parent_seq.append(seq); emit_ord.append(-1)
-                file_url.append(""); link_url.append(""); meta_json.append("")
-                doc_id.append(""); error.append("http status")
-                continue
-            spans, emissions = self.rules.parse(resp, session=self.session)
-            if self.emit_docs:
-                row_kind.append("doc"); page_url.append(url); status.append(resp.status_code)
-                depth_c.append(depth); parent_seq.append(seq); emit_ord.append(-1)
-                file_url.append(""); link_url.append(""); meta_json.append("")
-                doc_id.append(url); error.append("")
-                span_row_idx.append(len(row_kind) - 1)
-                for i, (k, t, r) in enumerate(spans):
-                    sp_kind.append(k); sp_text.append(t); sp_ref.append(r); sp_off.append(i)
-                span_offsets.append(len(sp_kind))
-            for ord_, em in enumerate(emissions):
-                if em[0] == "task":
-                    row_kind.append("task"); file_url.append(em[1]); link_url.append("")
-                    meta_json.append(em[2])
-                else:
-                    row_kind.append("link"); file_url.append(""); link_url.append(em[1])
-                    meta_json.append("")
-                page_url.append(url); status.append(resp.status_code)
-                depth_c.append(depth); parent_seq.append(seq); emit_ord.append(ord_)
-                doc_id.append(""); error.append("")
+        if self.guard is not None:
+            from icrawler_ray.functions.urlnorm import host_of_one
+
+            hosts = [host_of_one(u) for u in urls]
+            order = sorted(range(n), key=hosts.__getitem__)  # stable host runs
+        else:
+            hosts, order = None, range(n)
+        held: str | None = None
+        try:
+            for _i in order:
+                url, depth, seq = urls[_i], depths[_i], seqs[_i]
+                if hosts is not None and hosts[_i] != held:
+                    if held is not None:
+                        self.guard.release(held)
+                        held = None
+                    self.guard.acquire(hosts[_i])
+                    held = hosts[_i]
+                self._one(url, depth, seq, row_kind, page_url, status, depth_c,
+                          parent_seq, emit_ord, file_url, link_url, meta_json,
+                          doc_id, error, span_offsets, sp_kind, sp_text, sp_ref,
+                          sp_off, span_row_idx)
+        finally:
+            if held is not None:
+                self.guard.release(held)
+
+        return self._assemble(row_kind, page_url, status, depth_c,
+                              parent_seq, emit_ord, file_url, link_url,
+                              meta_json, doc_id, error, span_offsets, sp_kind,
+                              sp_text, sp_ref, sp_off, span_row_idx)
+
+    def _one(self, url, depth, seq, row_kind, page_url, status, depth_c,
+             parent_seq, emit_ord, file_url, link_url, meta_json, doc_id,
+             error, span_offsets, sp_kind, sp_text, sp_ref, sp_off,
+             span_row_idx) -> None:
+        try:
+            resp = self.session.get(url)
+        except Exception as e:  # retries exhausted (parser.py:88-94 path)
+            row_kind.append("error"); page_url.append(url); status.append(-1)
+            depth_c.append(depth); parent_seq.append(seq); emit_ord.append(-1)
+            file_url.append(""); link_url.append(""); meta_json.append("")
+            doc_id.append(""); error.append(str(e))
+            return
+        if not (200 <= resp.status_code < 300):
+            row_kind.append("error"); page_url.append(url); status.append(resp.status_code)
+            depth_c.append(depth); parent_seq.append(seq); emit_ord.append(-1)
+            file_url.append(""); link_url.append(""); meta_json.append("")
+            doc_id.append(""); error.append("http status")
+            return
+        spans, emissions = self.rules.parse(resp, session=self.session)
+        if self.emit_docs:
+            row_kind.append("doc"); page_url.append(url); status.append(resp.status_code)
+            depth_c.append(depth); parent_seq.append(seq); emit_ord.append(-1)
+            file_url.append(""); link_url.append(""); meta_json.append("")
+            doc_id.append(url); error.append("")
+            span_row_idx.append(len(row_kind) - 1)
+            for i, (k, t, r) in enumerate(spans):
+                sp_kind.append(k); sp_text.append(t); sp_ref.append(r); sp_off.append(i)
+            span_offsets.append(len(sp_kind))
+        for ord_, em in enumerate(emissions):
+            if em[0] == "task":
+                row_kind.append("task"); file_url.append(em[1]); link_url.append("")
+                meta_json.append(em[2])
+            else:
+                row_kind.append("link"); file_url.append(""); link_url.append(em[1])
+                meta_json.append("")
+            page_url.append(url); status.append(resp.status_code)
+            depth_c.append(depth); parent_seq.append(seq); emit_ord.append(ord_)
+            doc_id.append(""); error.append("")
+
+    def _assemble(self, row_kind, page_url, status, depth_c, parent_seq,
+                  emit_ord, file_url, link_url, meta_json, doc_id, error,
+                  span_offsets, sp_kind, sp_text, sp_ref, sp_off,
+                  span_row_idx) -> pa.Table:
+        import numpy as np
 
         total = len(row_kind)
         if self.slim:
@@ -233,7 +282,8 @@ _FP_CACHE: dict = {}
 
 def make_fetch_parse_fn(url_map_ref, rules: str, rules_kwargs: dict | None = None,
                         emit_docs: bool = True, with_keys: bool = False,
-                        claim: tuple | None = None, slim: bool = False):
+                        claim: tuple | None = None, slim: bool = False,
+                        inflight: str | None = None):
     """Task-pool variant of FetchParse with a worker-process-level cache.
 
     An iterative crawl runs one Ray Data execution per round; an actor pool
@@ -249,14 +299,15 @@ def make_fetch_parse_fn(url_map_ref, rules: str, rules_kwargs: dict | None = Non
     key = (
         session_spec_key(url_map_ref),
         rules, _json.dumps(rules_kwargs or {}, sort_keys=True), emit_docs, with_keys,
-        claim, slim,
+        claim, slim, inflight,
     )
 
     def fn(batch: pa.Table) -> pa.Table:
         fp = _FP_CACHE.get(key)
         if fp is None:
             fp = FetchParse(url_map_ref, rules, rules_kwargs, emit_docs=emit_docs,
-                            with_keys=with_keys, claim=claim, slim=slim)
+                            with_keys=with_keys, claim=claim, slim=slim,
+                            inflight=inflight)
             _FP_CACHE[key] = fp
         return fp(batch)
 

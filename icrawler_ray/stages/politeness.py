@@ -12,12 +12,12 @@ Semantics (shared with the sequential oracle, so goldens match):
   (priority DESC, seq ASC) order. Rows over budget are DEFERRED to the
   next round, not dropped.
 
-``max_inflight`` note: in this batch engine each fetch task walks its
-block sequentially, so a host's concurrent request count equals the number
-of tasks concurrently holding its URLs — bounded by the round budget, not
-exactly by ``max_inflight``. Exact per-host inflight caps need per-host
-token actors (cross-task coordination); that is round-2 work, recorded
-here so the divergence from the policy field's name is explicit.
+- max_inflight: at most N of a host's requests in flight AT ONCE across
+  all fetch tasks, enforced by the HostInflightLimiter token actor at the
+  bottom of this module (opt-in: GreedyCrawl(enforce_inflight=True) or a
+  Fetcher/FetchParse ``inflight`` kwarg). Each fetch task walks its
+  sub-batch sequentially, so one task-level slot per (task, host) caps the
+  request-level concurrency exactly.
 
 Scale shape (SURVEY.md §7.4 skew decoupling): the gate never shuffles the
 full frontier by host. It computes per-block partial top-B_h candidates
@@ -52,6 +52,14 @@ class HostPolicy:
     def disallowed(self, host: str) -> list[str]:
         pol = self.policies.get(host)
         return list(pol.get("robots_disallow", [])) if pol else []
+
+    def max_inflight(self, host: str) -> int:
+        pol = self.policies.get(host)
+        return int(pol.get("max_inflight", 0)) if pol else 0  # 0 = uncapped
+
+    def inflight_limits(self) -> dict[str, int]:
+        return {h: int(p.get("max_inflight", 0)) for h, p in self.policies.items()
+                if p.get("max_inflight")}
 
 
 def _path_of(urls: pd.Series) -> pd.Series:
@@ -127,3 +135,83 @@ def politeness_gate(frontier: ray.data.Dataset, policy_ref,
 
     deferred = frontier.map_batches(deferred_fn, batch_format="pyarrow")
     return gated, deferred
+
+
+# ---------------------------------------------------------------------------
+# Exact per-host inflight caps (SURVEY.md W4 / round-1 TODO at the top of
+# this module). The round budget bounds how many of a host's URLs a ROUND
+# fetches; ``max_inflight`` additionally bounds how many are in flight AT
+# ONCE. Each fetch task walks its sub-batch sequentially, so a task holds at
+# most one in-flight request per host — a task-level slot per (task, host)
+# therefore enforces the request-level cap exactly, with ONE actor
+# round-trip per host per batch instead of per URL.
+
+@ray.remote(num_cpus=0.05)
+class HostInflightLimiter:
+    """Named token actor: at most ``limits[host]`` concurrent slot holders
+    per host (0 / missing = uncapped). Tracks the observed maximum for
+    tests/metrics."""
+
+    def __init__(self, limits: dict[str, int]):
+        self.limits = {h: int(v) for h, v in limits.items() if int(v) > 0}
+        self.inflight: dict[str, int] = {}
+        self.max_seen: dict[str, int] = {}
+
+    def try_acquire(self, host: str) -> bool:
+        cap = self.limits.get(host, 0)
+        cur = self.inflight.get(host, 0)
+        if cap and cur >= cap:
+            return False
+        self.inflight[host] = cur + 1
+        if self.inflight[host] > self.max_seen.get(host, 0):
+            self.max_seen[host] = self.inflight[host]
+        return True
+
+    def release(self, host: str) -> None:
+        self.inflight[host] = max(0, self.inflight.get(host, 0) - 1)
+
+    def stats(self) -> dict:
+        return {"inflight": dict(self.inflight), "max_seen": dict(self.max_seen)}
+
+
+class InflightGuard:
+    """Worker-side handle: blocking slot acquisition with a poll backoff.
+    Cached per (process, name) like the seen-shard handles."""
+
+    _CACHE: dict = {}
+
+    def __init__(self, name: str, poll_s: float = 0.005):
+        self.name = name
+        self.poll_s = poll_s
+
+    def _actor(self):
+        a = InflightGuard._CACHE.get(self.name)
+        if a is None:
+            a = ray.get_actor(self.name)
+            InflightGuard._CACHE[self.name] = a
+        return a
+
+    def acquire(self, host: str) -> None:
+        import time as _time
+
+        a = self._actor()
+        while not ray.get(a.try_acquire.remote(host)):
+            _time.sleep(self.poll_s)
+
+    def release(self, host: str) -> None:
+        self._actor().release.remote(host)
+
+    def stats(self) -> dict:
+        return ray.get(self._actor().stats.remote())
+
+
+def make_inflight_limiter(name: str, policy: HostPolicy):
+    """Create (or reuse) the named limiter actor from a policy's
+    max_inflight fields; returns (name, handle) — the CALLER must hold the
+    handle, a named non-detached actor dies when its last handle drops —
+    or (None, None) when nothing is capped."""
+    limits = policy.inflight_limits()
+    if not limits:
+        return None, None
+    handle = HostInflightLimiter.options(name=name, get_if_exists=True).remote(limits)
+    return name, handle

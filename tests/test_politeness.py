@@ -71,3 +71,63 @@ def test_budget_scaling(delay, expected):
         "priority": 1.0, "seq": range(10), "url_hash": np.arange(10, dtype=np.uint64),
     })
     assert len(_topk_per_host(df, pol)) == expected
+
+
+# ------------------------------------------------- per-host inflight caps
+
+def test_inflight_limiter_caps_concurrency(ray_session):
+    """8 concurrent holders contend for one host with cap 2: the limiter
+    must reach exactly the cap (pressure existed) and never exceed it."""
+    import time
+
+    from icrawler_ray.stages.politeness import HostInflightLimiter, InflightGuard
+
+    a = HostInflightLimiter.options(name="inflight:test1").remote({"hot.com": 2})
+
+    @ray.remote(num_cpus=0.1)
+    def holder():
+        g = InflightGuard("inflight:test1", poll_s=0.002)
+        g.acquire("hot.com")
+        time.sleep(0.05)
+        g.release("hot.com")
+        return 1
+
+    assert sum(ray.get([holder.remote() for _ in range(8)])) == 8
+    stats = ray.get(a.stats.remote())
+    assert stats["max_seen"]["hot.com"] == 2
+    assert stats["inflight"]["hot.com"] == 0  # all released
+    ray.kill(a)
+
+
+def test_inflight_uncapped_host_passes_through(ray_session):
+    from icrawler_ray.stages.politeness import HostInflightLimiter, InflightGuard
+
+    a = HostInflightLimiter.options(name="inflight:test2").remote({"hot.com": 1})
+    g = InflightGuard("inflight:test2")
+    for _ in range(5):  # cold host: no cap, never blocks
+        g.acquire("cold.com")
+    ray.kill(a)
+
+
+def test_crawl_parity_with_inflight_enforcement(ray_session):
+    """enforce_inflight=True must not change crawl outputs (the cap only
+    re-times fetches; ordering is defined by sort keys, not arrival)."""
+    from icrawler_ray.oracle import OracleCrawl
+    from icrawler_ray.pipelines.greedy import greedy_crawl
+    from icrawler_ray.stages.politeness import HostPolicy
+    from icrawler_ray.synthweb.generate import make_synthweb
+
+    web = make_synthweb(n_pages=60, n_hosts=3, seed=7)
+    pol = HostPolicy(web.host_policy, round_ms=1000)
+    odocs, oresults = OracleCrawl(web.url_map(), web.domains, policy=pol,
+                                  max_num=25, max_depth=3).run()
+    docs, results, _ = greedy_crawl(
+        ray.put(web.url_map()), web.domains, policy=pol, max_num=25,
+        max_depth=3, num_shards=2, mode="driver", enforce_inflight=True,
+    )
+    edocs = docs.to_pandas()
+    assert {d["doc_id"] for d in odocs} == set(edocs["doc_id"])
+    rdf = results.to_pandas().sort_values("filename")
+    assert list(zip(rdf.file_url, rdf.filename)) == [
+        (r["file_url"], r["filename"]) for r in oresults
+    ]
