@@ -114,7 +114,14 @@ class GreedyCrawl:
         seeds: list[str] | None = None,
         emit_docs: bool = True,
         enforce_inflight: bool = False,
+        max_idle_time: float | None = None,
     ):
+        # max_idle_time (reference downloader.py:195-205): stop the crawl
+        # once no round has produced progress (docs, downloads or new
+        # links) for this many seconds — the open-ended live-web exit
+        # condition. Bounded hermetic crawls drain the frontier naturally
+        # and never need it.
+        self.max_idle_time = max_idle_time
         # emit_docs=False: throughput mode — no corpus rows are built or
         # shipped (span assembly is the widest data in the pipeline);
         # crawl ordering / seen-set semantics are unchanged.
@@ -299,8 +306,11 @@ class GreedyCrawl:
         return ray.data.from_arrow_refs(parts)
 
     def run(self):
+        import time as _time
+
         self._init_frontier()
         round_idx = self.start_round
+        last_progress = _time.time()
         while round_idx < self.max_rounds:
             if self._frontier is None or self._frontier_rows() == 0:
                 break
@@ -312,6 +322,12 @@ class GreedyCrawl:
             m = self._run_round_driver(round_idx) if use_driver else self._run_round(round_idx)
             self.metrics.append(m)
             round_idx += 1
+            if any(m.get(k) for k in ("docs", "downloads", "new_links")):
+                last_progress = _time.time()
+            elif (self.max_idle_time is not None
+                  and _time.time() - last_progress >= self.max_idle_time):
+                m["idle_stop"] = True
+                break
         return self._assemble(self._doc_parts), self._assemble(self._result_parts), self.metrics
 
     def _run_round(self, round_idx: int) -> dict:

@@ -122,9 +122,67 @@ class ParquetDirSink:
         )
 
 
+def parse_bucket_uri(root_dir: str) -> tuple[str, str]:
+    """Reference bucket/prefix arithmetic, mirrored exactly
+    (google_storage.py:24-28): ``gs://<bucket>/<dir...>`` ->
+    (bucket, dir-without-leading-slash)."""
+    bucket = root_dir[5:].split("/")[0]
+    folder = root_dir[6 + len(bucket):]
+    if folder.startswith("/"):
+        folder = folder[1:]
+    return bucket, folder
+
+
+class CloudStorageSink(BaseSink):
+    """KV blob sink over any ``pyarrow.fs`` URI — ``gs://bucket/dir``
+    (GcsFileSystem), ``s3://``, or a local path/``file://`` URI (the
+    offline-testable instantiation: same code path, LocalFileSystem).
+
+    Reference parity (google_storage.py:6-40): write(id, data) puts one
+    blob under the prefix; exists probes it; ``max_file_idx`` returns the
+    BLOB COUNT under the prefix — the reference's GCS quirk (it diverges
+    from the filesystem backend's integer-stem max; google_storage.py:40)
+    — mirrored so ``file_idx_offset='auto'`` resumes identically."""
+
+    def __init__(self, root_dir: str):
+        from pyarrow import fs as pafs
+
+        self.root_dir = root_dir
+        self.fs, self.base = pafs.FileSystem.from_uri(root_dir)
+
+    def _path(self, id: str) -> str:
+        return f"{self.base.rstrip('/')}/{id}"
+
+    def write(self, id: str, data) -> None:
+        path = self._path(id)
+        parent = path.rsplit("/", 1)[0]
+        self.fs.create_dir(parent, recursive=True)
+        payload = data.encode() if isinstance(data, str) else bytes(data)
+        with self.fs.open_output_stream(path) as f:
+            f.write(payload)
+
+    def exists(self, id: str) -> bool:
+        from pyarrow import fs as pafs
+
+        return self.fs.get_file_info(self._path(id)).type != pafs.FileType.NotFound
+
+    def max_file_idx(self) -> int:
+        from pyarrow import fs as pafs
+
+        sel = pafs.FileSelector(self.base, recursive=True, allow_not_found=True)
+        return sum(1 for i in self.fs.get_file_info(sel)
+                   if i.type == pafs.FileType.File)
+
+
 SINK_REGISTRY = {
     "FileSystem": FileSystemSink,
     "ParquetDir": ParquetDirSink,
+    # columnar corpus format scope: Lance when the package is available,
+    # parquet otherwise — same logical schema, same sink class (the
+    # in-sandbox TESTED format is parquet; see SURVEY §1.4 note)
+    "Lance": ParquetDirSink,
+    "GoogleStorage": CloudStorageSink,  # reference class-name resolution
+    "CloudStorage": CloudStorageSink,
 }
 
 

@@ -490,3 +490,80 @@ def test_dataset_mode_frontier_stays_off_driver(ray_session):
             f"{fbytes >> 20} MiB frontier")
     finally:
         crawl.shutdown()
+
+
+def test_cloud_storage_sink_local_fs_instantiation(tmp_path):
+    """CloudStorageSink drives the same pyarrow.fs code path gs:// uses,
+    instantiated offline over a LocalFileSystem URI."""
+    from icrawler_ray.storage.sinks import CloudStorageSink, parse_bucket_uri, resolve_sink
+
+    sink = resolve_sink({"backend": "CloudStorage", "root_dir": str(tmp_path / "blobs")})
+    assert isinstance(sink, CloudStorageSink)
+    sink.write("000001.jpg", b"bytes")
+    sink.write("sub/000002.txt", "text")
+    assert sink.exists("000001.jpg") and sink.exists("sub/000002.txt")
+    assert not sink.exists("missing.jpg")
+    # reference GCS quirk: max_file_idx == blob COUNT under the prefix
+    assert sink.max_file_idx() == 2
+
+    # bucket/prefix arithmetic mirrors google_storage.py:24-28 exactly
+    assert parse_bucket_uri("gs://mybucket/some/dir") == ("mybucket", "some/dir")
+    assert parse_bucket_uri("gs://mybucket/dir") == ("mybucket", "dir")
+
+
+def test_proxy_scanners_and_validation_offline():
+    """The four reference site scanners (proxy_pool.py:388-469) parse
+    fixture HTML through the hermetic stub session; the validation loop
+    (proxy_pool.py:231-300) admits only candidates the injected prober
+    accepts, stopping at expected_num."""
+    from icrawler_ray.state.proxy import (
+        ProxyPoolState,
+        run_scanner,
+        scan_and_validate,
+        scan_free_proxy_list,
+    )
+    from icrawler_ray.synthweb.fetchstub import StubSession
+
+    def table(attrs, rows):
+        trs = "".join(
+            "<tr>" + "".join(f"<td>{c}</td>" for c in r) + "</tr>" for r in rows
+        )
+        return f'<table {attrs}><tr><th>h</th></tr>{trs}</table>'
+
+    ip84 = table('class="list"', [["1.2.3.4", "80", "cn", "city", "HTTP", "x"],
+                                  ["5.6.7.8", "8080", "cn", "city", "HTTPS", "x"]])
+    cnproxy = table('class="sortable"', [["9.9.9.9", "3128", "city", "fast"]])
+    fpl = table('id="proxylisttable"',
+                [["10.0.0.1", "80", "US", "x", "elite proxy", "x", "yes", "x"],
+                 ["10.0.0.2", "80", "US", "x", "anonymous", "x", "no", "x"],
+                 ["10.0.0.3", "80", "US", "x", "elite proxy", "x", "no", "x"]])
+    url_map = {
+        "http://ip84.com/dlgn/1": (200, ip84.encode()),
+        "http://www.mimiip.com/gngao/1": (200, ip84.encode()),
+        "http://cn-proxy.com": (200, cnproxy.encode()),
+        "http://free-proxy-list.net": (200, fpl.encode()),
+    }
+    s = StubSession(url_map)
+
+    assert list(run_scanner("ip84", s, page=1)) == [
+        {"addr": "1.2.3.4:80", "protocol": "http"},
+        {"addr": "5.6.7.8:8080", "protocol": "https"},
+    ]
+    assert list(run_scanner("mimiip", s, page=1))[0]["addr"] == "1.2.3.4:80"
+    assert list(run_scanner("cnproxy", s)) == [{"addr": "9.9.9.9:3128", "protocol": "http"}]
+    # elite-only filter + https-when-yes (proxy_pool.py:461-468)
+    assert list(scan_free_proxy_list(s)) == [
+        {"addr": "10.0.0.1:80", "protocol": "https"},
+        {"addr": "10.0.0.3:80", "protocol": "http"},
+    ]
+
+    # validation loop: injected prober accepts only 10.0.0.x, cap at 2
+    st = ProxyPoolState()
+    cands = list(run_scanner("ip84", s)) + list(scan_free_proxy_list(s))
+    n = scan_and_validate(
+        st, [cands], expected_num=2,
+        is_valid_fn=lambda a, p: {"valid": a.startswith("10.")} if a.startswith("10.")
+        else {"valid": False, "msg": "refused"})
+    assert n == 2
+    addrs = {p.addr for pool in st.proxies.values() for p in pool}
+    assert addrs == {"10.0.0.1:80", "10.0.0.3:80"}

@@ -214,3 +214,21 @@ def test_depth_capped_claim_wins_then_url_stays_admittable(mode):
     docs, _, _ = greedy_crawl(ray.put(url_map), seeds, policy=pol,
                               max_num=0, max_depth=2, num_shards=2, mode=mode)
     assert set(docs.to_pandas()["doc_id"]) == oracle_ids
+
+
+def test_max_idle_time_watchdog(ray_session):
+    """D10 (downloader.py:195-205): with max_idle_time set, the crawl
+    stops after the idle window once rounds stop producing docs/downloads/
+    links — here five 404-only seeds on one budget-1 host would otherwise
+    burn five zero-progress rounds."""
+    seeds = [f"http://a.com/s{i}" for i in range(5)]
+    url_map = {u: (404, b"gone") for u in seeds}
+    pol = HostPolicy({"a.com": {"crawl_delay_ms": 1000, "robots_disallow": []}},
+                     round_ms=1000)
+    ref = ray.put(url_map)
+    _d, _r, metrics = greedy_crawl(ref, seeds, policy=pol, max_num=0, max_depth=2,
+                                   num_shards=2, mode="driver")
+    assert len(metrics) == 5  # no watchdog: one idle round per deferred seed
+    _d, _r, metrics = greedy_crawl(ref, seeds, policy=pol, max_num=0, max_depth=2,
+                                   num_shards=2, mode="driver", max_idle_time=0.0)
+    assert len(metrics) == 1 and metrics[-1].get("idle_stop")
