@@ -115,7 +115,12 @@ class GreedyCrawl:
         emit_docs: bool = True,
         enforce_inflight: bool = False,
         max_idle_time: float | None = None,
+        file_idx_offset: int = 0,
     ):
+        # file_idx_offset: filename numbering starts after this offset
+        # (the reference's resume numbering, downloader.py:53-58); does not
+        # affect the max_num download budget.
+        self.file_idx_offset = int(file_idx_offset)
         # max_idle_time (reference downloader.py:195-205): stop the crawl
         # once no round has produced progress (docs, downloads or new
         # links) for this many seconds — the open-ended live-web exit
@@ -385,7 +390,8 @@ class GreedyCrawl:
         )
         results = assign_filenames(
             fetched, ["parent_seq", "emit_ord"], default_ext=self.default_ext,
-            file_idx_offset=self.dl_count, max_num=remaining, seq_col="dl_seq",
+            file_idx_offset=self.dl_count + self.file_idx_offset,
+            max_num=remaining, seq_col="dl_seq",
         )
         n_kept = self._persist(results, round_idx, "results", self._result_parts)
         self.dl_count += n_kept
@@ -558,7 +564,7 @@ class GreedyCrawl:
                 dl_seq = np.arange(len(kept_packed), dtype=np.int64)
                 sp = np.argsort(kept_packed)
                 name_ref = ray.put((kept_packed[sp], dl_seq[sp]))
-                offset, default_ext = self.dl_count, self.default_ext
+                offset, default_ext = self.dl_count + self.file_idx_offset, self.default_ext
 
                 def finalize(t: pa.Table) -> pa.Table:
                     from icrawler_ray.defaults import IMAGE_EXT_WHITELIST

@@ -1,0 +1,83 @@
+"""Reference-API facade: unmodified hellock/icrawler call sites run
+against this engine (SURVEY §3.1-3.3 entry points), writing files through
+the storage sink with the reference's filename sequence."""
+
+import os
+
+import pytest
+import ray
+
+from icrawler_ray.compat import (
+    BingImageCrawler,
+    FlickrImageCrawler,
+    GoogleImageCrawler,
+    GreedyImageCrawler,
+    UrlListCrawler,
+)
+
+
+def test_google_crawl_writes_numbered_files(web, url_map_ref, tmp_path):
+    n = GoogleImageCrawler(
+        storage={"backend": "FileSystem", "root_dir": str(tmp_path)},
+        downloader_threads=4, session_spec=url_map_ref,
+    ).crawl("cat", max_num=5)
+    files = sorted(os.listdir(tmp_path))
+    assert n == 5 and len(files) == 5
+    assert files[0] == "000001.jpg" or files[0].startswith("000001.")
+    assert all(f.split(".")[0].isdigit() for f in files)
+
+
+def test_bing_overwrite_false_skips_existing(web, url_map_ref, tmp_path):
+    c = BingImageCrawler(storage={"backend": "FileSystem", "root_dir": str(tmp_path)},
+                         session_spec=url_map_ref)
+    n1 = c.crawl("cat", max_num=4)
+    assert n1 == 4
+    n2 = c.crawl("cat", max_num=4)  # same filenames, overwrite=False
+    assert n2 == 0
+    assert c.crawl("cat", max_num=4, overwrite=True) == 4
+
+
+def test_flickr_requires_apikey(monkeypatch):
+    monkeypatch.delenv("FLICKR_APIKEY", raising=False)
+    with pytest.raises(RuntimeError):
+        FlickrImageCrawler()
+
+
+def test_flickr_crawl(web, url_map_ref, tmp_path):
+    n = FlickrImageCrawler(
+        apikey="stub-key",
+        storage={"backend": "FileSystem", "root_dir": str(tmp_path)},
+        session_spec=url_map_ref,
+    ).crawl(max_num=5, per_page=10, max_pages=1)
+    assert n >= 1 and len(os.listdir(tmp_path)) == n
+
+
+def test_urllist_crawl_with_file_and_auto_offset(web, url_map_ref, tmp_path):
+    listfile = tmp_path / "urls.txt"
+    urls = [u for u, k in zip(web.seeds, web.seed_kinds) if k == "file"][:6]
+    listfile.write_text("\n".join(urls) + "\n")
+    out = tmp_path / "out"
+    c = UrlListCrawler(storage={"backend": "FileSystem", "root_dir": str(out)},
+                       session_spec=url_map_ref)
+    n1 = c.crawl(str(listfile), max_num=3)
+    assert n1 == 3
+    # file_idx_offset='auto' resumes numbering after the storage scan
+    n2 = c.crawl(urls[3:], max_num=3, file_idx_offset="auto")
+    stems = sorted(int(f.split(".")[0]) for f in os.listdir(out))
+    assert n2 >= 1 and stems[:3] == [1, 2, 3] and stems[3] == 4
+
+
+def test_greedy_crawl_compat(web, url_map_ref, tmp_path):
+    from icrawler_ray.stages.politeness import HostPolicy  # noqa: F401 (compat has no policy arg, like the reference)
+
+    n = GreedyImageCrawler(
+        storage={"backend": "FileSystem", "root_dir": str(tmp_path)},
+        parser_threads=2, downloader_threads=2, session_spec=url_map_ref,
+    ).crawl(web.domains, max_num=10)
+    assert n == 10
+    assert sorted(os.listdir(tmp_path))[0].startswith("000001.")
+
+
+def test_component_override_points_to_crawlplan():
+    with pytest.raises(NotImplementedError):
+        GoogleImageCrawler(feeder_cls=object)
