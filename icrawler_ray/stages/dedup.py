@@ -248,7 +248,12 @@ def minhash_lsh_pairs(
 
 
 def simhash64(texts: list[str]) -> np.ndarray:
-    """64-bit simhash over token hashes (vectorized bit-count per doc)."""
+    """64-bit simhash over token hashes (vectorized bit-count per doc).
+
+    Deliberately per-doc: the (tokens, 64) matrix stays cache-resident. A
+    whole-batch flat-matrix variant (minhash_signatures-style reduceat)
+    was measured 15x SLOWER here — the 64-column int64 expansion of every
+    token makes allocation/bandwidth, not loop overhead, the cost."""
     out = np.zeros(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
         toks = np.array(t.split(" "), dtype=object)

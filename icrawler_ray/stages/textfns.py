@@ -33,8 +33,9 @@ def token_stats(batch: pa.Table) -> pa.Table:
     to be exactly replicable in SQL."""
     text = pd.Series(batch["text"].to_pylist(), dtype="string")
     n_tokens = text.str.count(" ").to_numpy() + 1
-    toks = text.str.split(" ")
-    n_stop = np.array([sum(t in STOPWORDS for t in ts) for ts in toks], dtype=np.int64)
+    ex = text.str.split(" ").explode()  # vectorized: explode + isin + per-doc sum
+    n_stop = (ex.isin(STOPWORDS).groupby(level=0).sum()
+              .reindex(range(len(text)), fill_value=0).to_numpy().astype(np.int64))
     n_chars = text.str.len().to_numpy()
     avg_word_len = np.round((n_chars - n_tokens + 1) / n_tokens, 6)
     return pa.table(
