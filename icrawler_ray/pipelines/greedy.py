@@ -474,8 +474,12 @@ class GreedyCrawl:
         from icrawler_ray.stages.download import make_fetcher_fn
         from icrawler_ray.stages.fetch_parse import make_fetch_parse_fn
 
+        # ~4 tasks per core: a fat round otherwise runs as ONE wave of
+        # core-count tasks and the slowest worker sets the phase time
+        # (measured 20-40% run-to-run swing on the 156k-row round); smaller
+        # blocks amortize stragglers at negligible scheduling cost.
         gds = from_pandas_blocks(gated[["url", "depth", "seq"]].reset_index(drop=True),
-                                 min_rows_per_block=64)
+                                 min_rows_per_block=64, tasks_per_cpu=4.0)
         _t0 = _time.time()
         parsed_ds = gds.map_batches(
             make_fetch_parse_fn(
