@@ -81,3 +81,34 @@ def test_greedy_crawl_compat(web, url_map_ref, tmp_path):
 def test_component_override_points_to_crawlplan():
     with pytest.raises(NotImplementedError):
         GoogleImageCrawler(feeder_cls=object)
+
+
+def test_cli_urllist(web, url_map, tmp_path):
+    """python -m icrawler_ray urllist ... drives the compat pipeline from
+    the command line (stub session via a JSON url map)."""
+    import base64
+    import json
+    import subprocess
+    import sys
+
+    from icrawler_ray.synthweb import fakeimg
+
+    urls = [u for u, k in zip(web.seeds, web.seed_kinds)
+            if k == "file" and web.blobs.get(u, (0,))[0] == 200
+            and fakeimg.decode_size(web.blobs[u][1]) is not None][:3]
+    assert len(urls) == 3
+    (tmp_path / "urls.txt").write_text("\n".join(urls) + "\n")
+    stubmap = {u: [s, base64.b64encode(b).decode()] for u, (s, b) in url_map.items()}
+    (tmp_path / "web.json").write_text(json.dumps(stubmap))
+    out = tmp_path / "imgs"
+    r = subprocess.run(
+        [sys.executable, "-m", "icrawler_ray", "urllist",
+         "--url-list", str(tmp_path / "urls.txt"), "--max-num", "3",
+         "--out", str(out), "--session", f"stub:{tmp_path / 'web.json'}",
+         "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "downloaded 3 files" in r.stdout
+    assert sorted(os.listdir(out))[0].startswith("000001.")
