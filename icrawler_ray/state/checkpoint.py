@@ -86,13 +86,28 @@ class CheckpointManager:
     def round_dir(self, r: int) -> str:
         return osp.join(self.root, f"round={r}")
 
+    @staticmethod
+    def _delta_table(deltas: list) -> pa.Table:
+        import numpy as np
+
+        sid = np.concatenate([np.full(len(k), i, dtype=np.int32)
+                              for i, k in enumerate(deltas)]) if deltas else np.empty(0, np.int32)
+        keys = np.concatenate([np.asarray(k, dtype=np.uint64) for k in deltas]) \
+            if deltas else np.empty(0, np.uint64)
+        return pa.table({"shard_id": pa.array(sid), "key": pa.array(keys, type=pa.uint64())})
+
     def save_round(self, r: int, frontier,
-                   seen_pages: list[dict], seen_files: list[dict],
-                   counters: dict, metrics: dict) -> None:
+                   seen_pages, seen_files,
+                   counters: dict, metrics: dict, seen_kind: str = "full") -> None:
         """``frontier``: pa.Table (driver mode), ray.data.Dataset (dataset
         mode — written distributed, never collected), or None. The frontier
         dir is replaced, not appended, so a crash between write and
-        manifest publish cannot leave duplicated partials."""
+        manifest publish cannot leave duplicated partials.
+
+        ``seen_kind``: "full" (seen_* are per-shard filter payloads —
+        O(capacity) bytes) or "delta" (seen_* are per-shard arrays of keys
+        inserted since the previous checkpoint — O(novel) bytes; restore
+        replays them onto the latest full snapshot)."""
         import shutil
 
         rd = self.round_dir(r)
@@ -104,8 +119,14 @@ class CheckpointManager:
             pq.write_table(frontier, osp.join(fdir, "part-0.parquet"))
         elif frontier is not None:
             frontier.write_parquet(fdir)
-        pq.write_table(_seen_table(seen_pages, r), osp.join(rd, "seen_pages.parquet"))
-        pq.write_table(_seen_table(seen_files, r), osp.join(rd, "seen_files.parquet"))
+        if seen_kind == "full":
+            pq.write_table(_seen_table(seen_pages, r), osp.join(rd, "seen_pages.parquet"))
+            pq.write_table(_seen_table(seen_files, r), osp.join(rd, "seen_files.parquet"))
+        else:
+            pq.write_table(self._delta_table(seen_pages),
+                           osp.join(rd, "seen_pages.delta.parquet"))
+            pq.write_table(self._delta_table(seen_files),
+                           osp.join(rd, "seen_files.delta.parquet"))
         manifest = self.load_manifest() or {"rounds": [], "lineage": []}
         manifest["last_round"] = r
         manifest["counters"] = counters
@@ -121,6 +142,26 @@ class CheckpointManager:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self.manifest_path())  # atomic publish
 
+    def _load_seen(self, r: int, name: str):
+        """(full_payloads, [per-round per-shard delta key arrays]) walking
+        back from round r to the latest full snapshot."""
+        import numpy as np
+
+        r0 = r
+        while r0 >= 0 and not osp.isfile(osp.join(self.round_dir(r0), f"{name}.parquet")):
+            r0 -= 1
+        if r0 < 0:
+            raise FileNotFoundError(f"no full {name} snapshot at or before round {r}")
+        payloads = _seen_payloads(pq.read_table(osp.join(self.round_dir(r0), f"{name}.parquet")))
+        deltas = []
+        for rr in range(r0 + 1, r + 1):
+            p = osp.join(self.round_dir(rr), f"{name}.delta.parquet")
+            t = pq.read_table(p)
+            sid = t["shard_id"].to_numpy()
+            keys = t["key"].to_numpy()
+            deltas.append([keys[sid == s] for s in range(len(payloads))])
+        return payloads, deltas
+
     def load_round(self, r: int):
         rd = self.round_dir(r)
         fdir = osp.join(rd, "frontier")
@@ -128,6 +169,4 @@ class CheckpointManager:
         frontier = (
             pa.concat_tables([pq.read_table(osp.join(fdir, p)) for p in parts]) if parts else None
         )
-        seen_pages = _seen_payloads(pq.read_table(osp.join(rd, "seen_pages.parquet")))
-        seen_files = _seen_payloads(pq.read_table(osp.join(rd, "seen_files.parquet")))
-        return frontier, seen_pages, seen_files
+        return frontier, self._load_seen(r, "seen_pages"), self._load_seen(r, "seen_files")

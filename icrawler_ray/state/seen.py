@@ -73,6 +73,10 @@ class SeenShard:           # a full-CPU reservation per shard would starve
                     novel[i] = True
         self.num_items += int(novel.sum())
         self.num_hits += int(len(keys) - novel.sum())
+        if novel.any():  # delta-checkpoint capture (keys since last ckpt)
+            if not hasattr(self, "_delta") or self._delta is None:
+                self._delta = []
+            self._delta.append(keys[novel].copy())
         return novel
 
     # ---- round-scoped claim protocol (frontier dedup without a shuffle):
@@ -152,7 +156,34 @@ class SeenShard:           # a full-CPU reservation per shard would starve
         out["bloom"] = self.bloom.serialize() if self.bloom else None
         out["cuckoo"] = self.cuckoo.serialize() if self.cuckoo else None
         out["exact"] = np.array(sorted(self.exact), dtype=np.uint64).tobytes() if self.exact is not None else None
+        self._delta = []  # full snapshot subsumes any pending delta
         return out
+
+    # ---- incremental checkpoints: a full filter snapshot costs
+    # O(capacity) bytes EVERY round; at the 10^10-key design point that is
+    # ~21 GiB/round. The delta is just the keys inserted since the last
+    # checkpoint — O(novel) — and restore replays deltas onto the most
+    # recent full snapshot.
+
+    def take_delta(self) -> np.ndarray:
+        d = getattr(self, "_delta", None) or []
+        self._delta = []
+        return np.concatenate(d) if d else np.empty(0, dtype=np.uint64)
+
+    def replay(self, keys: np.ndarray) -> None:
+        """Re-insert checkpointed delta keys (restore path): membership
+        structures + num_items only — per-round query/hit counters are not
+        reconstructed from deltas (documented approximation)."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        if not len(keys):
+            return
+        if self.cuckoo is not None:
+            self.cuckoo.add(keys)
+            if self.bloom is not None:
+                self.bloom.add(keys)
+        else:
+            self.exact.update(int(k) for k in keys)
+        self.num_items += len(keys)
 
     def restore(self, payload: dict) -> None:
         self.num_items = payload["num_items"]
@@ -209,8 +240,19 @@ class ShardedSeenSet:
     def serialize(self) -> list[dict]:
         return ray.get([s.serialize.remote() for s in self.shards])
 
-    def restore(self, payloads: list[dict]) -> None:
+    def take_deltas(self) -> list[np.ndarray]:
+        return ray.get([s.take_delta.remote() for s in self.shards])
+
+    def restore(self, payloads: list[dict],
+                deltas: list[list[np.ndarray]] | None = None) -> None:
         ray.get([s.restore.remote(p) for s, p in zip(self.shards, payloads)])
+        if deltas:
+            futs = []
+            for per_round in deltas:
+                futs.extend(s.replay.remote(k) for s, k in zip(self.shards, per_round)
+                            if len(k))
+            if futs:
+                ray.get(futs)
 
     def shutdown(self) -> None:
         for s in self.shards:

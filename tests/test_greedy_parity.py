@@ -232,3 +232,46 @@ def test_max_idle_time_watchdog(ray_session):
     _d, _r, metrics = greedy_crawl(ref, seeds, policy=pol, max_num=0, max_depth=2,
                                    num_shards=2, mode="driver", max_idle_time=0.0)
     assert len(metrics) == 1 and metrics[-1].get("idle_stop")
+
+
+def test_delta_checkpoints_resume_across_chain(ray_session, tmp_path):
+    """Rounds between full snapshots checkpoint only the inserted-key
+    delta (O(novel) bytes, not O(capacity)); resuming from the middle of a
+    delta chain replays onto the last full snapshot and continues to the
+    same outputs as a fresh run."""
+    import os
+
+    web = make_synthweb(n_pages=60, n_hosts=3, seed=7)
+    pol = HostPolicy(web.host_policy, round_ms=1000)
+    ref = ray.put(web.url_map())
+    ck = str(tmp_path / "ck")
+
+    golden, gres, _ = greedy_crawl(ref, web.domains, policy=pol, max_num=25,
+                                   max_depth=3, num_shards=2, mode="driver")
+
+    c1 = GreedyCrawl(ref, web.domains, policy=pol, max_num=25, max_depth=3,
+                     num_shards=2, mode="driver", checkpoint_dir=ck,
+                     seen_full_every=100, max_rounds=3)  # rounds 1-2 = deltas
+    c1.run()
+    c1.shutdown()
+    assert os.path.isfile(os.path.join(ck, "round=0", "seen_pages.parquet"))
+    for r in (1, 2):
+        assert os.path.isfile(os.path.join(ck, f"round={r}", "seen_pages.delta.parquet"))
+        assert not os.path.isfile(os.path.join(ck, f"round={r}", "seen_pages.parquet"))
+    # delta files are key-sized, far smaller than the full filter snapshot
+    full_sz = os.path.getsize(os.path.join(ck, "round=0", "seen_pages.parquet"))
+    delta_sz = os.path.getsize(os.path.join(ck, "round=2", "seen_pages.delta.parquet"))
+    assert delta_sz < full_sz / 10
+
+    c2 = GreedyCrawl(ref, web.domains, policy=pol, max_num=25, max_depth=3,
+                     num_shards=2, mode="driver", checkpoint_dir=ck,
+                     seen_full_every=100)
+    docs, results, _ = c2.run()
+    c2.shutdown()
+    assert c2.start_round == 3  # resumed from the tip of the delta chain
+    gdf = golden.to_pandas()
+    edf = docs.to_pandas()
+    assert set(gdf["doc_id"]) == set(edf["doc_id"])
+    grf = gres.to_pandas().sort_values("filename")
+    erf = results.to_pandas().sort_values("filename")
+    assert list(zip(grf.file_url, grf.filename)) == list(zip(erf.file_url, erf.filename))
