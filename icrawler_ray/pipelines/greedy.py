@@ -45,7 +45,7 @@ from icrawler_ray.stages.download import Fetcher, assign_filenames
 from icrawler_ray.stages.fetch_parse import FetchParse, split_fetch_parse
 from icrawler_ray.stages.politeness import HostPolicy, politeness_gate
 from icrawler_ray.state.checkpoint import CheckpointManager
-from icrawler_ray.state.seen import ShardedSeenSet, seen_filter_dataset
+from icrawler_ray.state.seen import ShardedSeenSet
 
 
 def normalize_domains(domains) -> list[str]:
@@ -76,16 +76,6 @@ def _frontier_table(urls, depths, priorities, seqs) -> pa.Table:
         },
         schema=FRONTIER,
     )
-
-
-def dedup_first_multi(ds, key: str, order_cols: list[str]):
-    """groupby(key) keep the row with the smallest order key — CachedQueue
-    insertion-order dedup (cached_queue.py:26-59), deterministic."""
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_cols, kind="mergesort").head(1)
-
-    return ds.groupby(key).map_groups(first, batch_format="pandas")
 
 
 class GreedyCrawl:
@@ -357,65 +347,81 @@ class GreedyCrawl:
             self._checkpoint(round_idx, metrics)
             return metrics
 
+        # Claims are fused into the parse pass exactly as in the hybrid
+        # mode ([[claim-protocol-design]]): frontier dedup + seen filtering
+        # cost zero shuffles. The previous expression — groupby(url_canon)
+        # .map_groups(first) — created ONE pandas group per URL, the known
+        # catastrophic many-tiny-groups pattern at frontier scale.
         parsed = gated.map_batches(
             FetchParse,
             fn_constructor_kwargs={
                 "url_map_ref": self.url_map_ref,
                 "rules": "greedy",
                 "rules_kwargs": {"domains": self.domains},
-                "emit_docs": True,
+                "emit_docs": self.emit_docs,
+                "with_keys": True,
+                "claim": (self.seen_pages.name, self.seen_files.name,
+                          self.seen_pages.num_shards, self.max_depth),
                 "inflight": self.inflight_name,
             },
             batch_format="pyarrow",
             batch_size=64,
             concurrency=self.parse_concurrency,
             num_cpus=0.5,
-        ).materialize()  # round boundary: docs/tasks/links all read these blocks
+        ).materialize()  # round + claim-delivery barrier
 
-        docs, tasks, links, errors = split_fetch_parse(parsed)
-        metrics["errors"] = errors.count()
-        metrics["docs"] = self._persist(docs, round_idx, "docs", self._doc_parts)
+        metrics["errors"] = parsed.filter(expr="row_kind == 'error'").count()
+        if self.emit_docs:
+            docs, _t, _l, _e = split_fetch_parse(parsed)
+            metrics["docs"] = self._persist(docs, round_idx, "docs", self._doc_parts)
+        else:
+            metrics["docs"] = 0
 
-        # ---- downloads (task path)
-        tasks = dedup_first_multi(tasks, "url_canon", ["parent_seq", "emit_ord"])
-        tasks = seen_filter_dataset(tasks, self.seen_files)
+        _task_keys, task_packed = self.seen_files.finish_round_winners()
+        _link_keys, link_packed = self.seen_pages.finish_round_winners()
+
+        # ---- downloads (task path): min-order winners only
+        tasks = _admitted_rows(parsed, "task", task_packed)
+        n_kept = 0
         remaining = (self.max_num - self.dl_count) if self.max_num else 0
-        fetched = tasks.map_batches(
-            Fetcher,
-            fn_constructor_kwargs={
-                "url_map_ref": self.url_map_ref,
-                "min_size": self.min_size,
-                "max_size": self.max_size,
-                "keep_content": self.keep_content,
-                "inflight": self.inflight_name,
-            },
-            batch_format="pyarrow",
-            batch_size=FETCH_BATCH_SIZE,
-            concurrency=self.fetch_concurrency,
-            num_cpus=0.5,
-        )
-        results = assign_filenames(
-            fetched, ["parent_seq", "emit_ord"], default_ext=self.default_ext,
-            file_idx_offset=self.dl_count + self.file_idx_offset,
-            max_num=remaining, seq_col="dl_seq",
-        )
-        n_kept = self._persist(results, round_idx, "results", self._result_parts)
+        if tasks is not None:
+            task_cols = [c for c in ("file_url", "meta_json", "parent_seq", "emit_ord")
+                         if c in tasks.schema().names]
+            fetched = tasks.select_columns(task_cols).map_batches(
+                Fetcher,
+                fn_constructor_kwargs={
+                    "url_map_ref": self.url_map_ref,
+                    "min_size": self.min_size,
+                    "max_size": self.max_size,
+                    "keep_content": self.keep_content,
+                    "inflight": self.inflight_name,
+                },
+                batch_format="pyarrow",
+                batch_size=FETCH_BATCH_SIZE,
+                concurrency=self.fetch_concurrency,
+                num_cpus=0.5,
+            )
+            results = assign_filenames(
+                fetched, ["parent_seq", "emit_ord"], default_ext=self.default_ext,
+                file_idx_offset=self.dl_count + self.file_idx_offset,
+                max_num=remaining, seq_col="dl_seq",
+            )
+            n_kept = self._persist(results, round_idx, "results", self._result_parts)
         self.dl_count += n_kept
         metrics["downloads"] = n_kept
 
-        # ---- frontier expansion (link path)
-        links = dedup_first_multi(links, "url_canon", ["parent_seq", "emit_ord"])
-        links = links.filter(expr=f"depth < {self.max_depth}")  # child depth = depth+1 <= max
-        links = seen_filter_dataset(links, self.seen_pages)
-        links = assign_global_seq(links, ["parent_seq", "emit_ord"], col="new_seq",
-                                  start=self.next_seq)
+        # ---- frontier expansion (link path): winners are already
+        # depth-eligible (capped winners were dropped, unmarked, in
+        # finish_round — oracle claimed-before-depth-check semantics)
+        links = _admitted_rows(parsed, "link", link_packed)
 
         def to_frontier(t: pa.Table) -> pa.Table:
             s = pd.Series(t["link_url"].to_pylist(), dtype="string")
+            canon = canonicalize(s).fillna("")
             return pa.table(
                 {
                     "url": t["link_url"],
-                    "url_canon": t["url_canon"],
+                    "url_canon": pa.array(canon.astype(object), type=pa.string()),
                     "url_hash": t["url_hash"],
                     "host": pa.array(hosts_of(s).astype(object), type=pa.string()),
                     "depth": pa.array(
@@ -431,7 +437,12 @@ class GreedyCrawl:
         # next round's frontier stays in the object store: deferred and new
         # links are materialized (blocks only), unioned lazily, and the
         # driver records just the two counts.
-        new_md = links.map_batches(to_frontier, batch_format="pyarrow").materialize()
+        if links is not None:
+            links = assign_global_seq(links, ["parent_seq", "emit_ord"], col="new_seq",
+                                      start=self.next_seq)
+            new_md = links.map_batches(to_frontier, batch_format="pyarrow").materialize()
+        else:
+            new_md = ray.data.from_arrow(FRONTIER.empty_table()).materialize()
         deferred_md = deferred.map_batches(
             lambda t: t.rename_columns(
                 ["url", "url_canon", "url_hash", "host", "depth", "priority",
@@ -517,31 +528,13 @@ class GreedyCrawl:
         _link_keys, link_packed = self.seen_pages.finish_round_winners()
         _t["claims"] = _time.time() - _t0
 
-        def _admitted(kind_name, packed_winners, pre_expr=None):
-            if not len(packed_winners):
-                return None
-            adm_ref = ray.put(np.sort(packed_winners))
-            kind_ds = parsed_ds.filter(expr=f"row_kind == '{kind_name}'")
-            if pre_expr:
-                kind_ds = kind_ds.filter(expr=pre_expr)
-
-            def keep(t: pa.Table) -> pa.Table:
-                adm = ray.get(adm_ref)
-                packed = t["packed"].to_numpy(zero_copy_only=False)
-                idx = np.searchsorted(adm, packed)
-                idx[idx >= len(adm)] = 0
-                return t.filter(pa.array(adm[idx] == packed))
-
-            return kind_ds.map_batches(keep, batch_format="pyarrow")
-
-
         # ---- downloads. The fetched blocks (binary content) stay in the
         # object store; the driver sees only the narrow (parent_seq,
         # emit_ord) control pairs, computes the crawl-ordered kept set +
         # per-row download sequence, and broadcasts it. Filenames are then
         # appended distributively and the result blocks persisted without
         # ever crossing the driver.
-        tasks_ds = _admitted("task", task_packed)
+        tasks_ds = _admitted_rows(parsed_ds, "task", task_packed)
         n_kept = 0
         if tasks_ds is not None:
             task_cols = [c for c in ("file_url", "meta_json", "parent_seq", "emit_ord")
@@ -605,7 +598,7 @@ class GreedyCrawl:
 
         # ---- frontier expansion
         _t0 = _time.time()
-        links_ds = _admitted("link", link_packed, pre_expr=f"depth < {self.max_depth}")
+        links_ds = _admitted_rows(parsed_ds, "link", link_packed)
         _t["links"] = _time.time() - _t0
         if links_ds is not None:
             link_cols = [c for c in ("link_url", "page_url", "depth", "parent_seq",
@@ -672,6 +665,26 @@ class GreedyCrawl:
         if self._inflight_actor is not None:
             ray.kill(self._inflight_actor)
             self._inflight_actor = None
+
+
+def _admitted_rows(parsed_ds, kind: str, packed_winners):
+    """Select a round's claim-winning rows: broadcast the sorted winner
+    packed-order array once, searchsorted-filter each block. packed =
+    parent_seq<<20 | emit_ord is unique per emission row, so no collision
+    with non-winning rows is possible. Returns None when no winners."""
+    if packed_winners is None or not len(packed_winners):
+        return None
+    adm_ref = ray.put(np.sort(packed_winners))
+    kind_ds = parsed_ds.filter(expr=f"row_kind == '{kind}'")
+
+    def keep(t: pa.Table) -> pa.Table:
+        adm = ray.get(adm_ref)
+        packed = t["packed"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(adm, packed)
+        idx[idx >= len(adm)] = 0
+        return t.filter(pa.array(adm[idx] == packed))
+
+    return kind_ds.map_batches(keep, batch_format="pyarrow")
 
 
 def _dir_num_rows(d: str) -> int:

@@ -310,36 +310,8 @@ def make_claim_fn(pages_set: str, files_set: str, num_shards: int, max_depth: in
     return fn
 
 
-def seen_filter_dataset(ds, seen: ShardedSeenSet, key_col: str = "url_hash"):
-    """Dataset-native seen filtering: route rows to shards with a
-    groupby(shard) shuffle; each group performs ONE batched actor call and
-    keeps only novel rows. The shuffle key is uniform (hash-derived), so
-    hot hosts do NOT skew this exchange (SURVEY.md §7.4 decoupling)."""
-    import pandas as pd
-
-    num_shards = seen.num_shards
-    name = seen.name
-
-    def add_shard(t):
-        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        import pyarrow as pa
-
-        return t.append_column("_shard", pa.array((keys % num_shards).astype(np.int32)))
-
-    def filter_group(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return g
-        shard_id = int(g["_shard"].iloc[0])
-        actor = ray.get_actor(f"seen:{name}:{shard_id}")
-        keys = g[key_col].to_numpy().astype(np.uint64)
-        novel = ray.get(actor.filter_and_insert.remote(keys))
-        return g[novel]
-
-    import pyarrow  # noqa: F401
-
-    return (
-        ds.map_batches(add_shard, batch_format="pyarrow")
-        .groupby("_shard")
-        .map_groups(filter_group, batch_format="pandas")
-        .drop_columns(["_shard"])
-    )
+# NB: the former ``seen_filter_dataset`` (groupby(shard)-shuffled seen
+# filtering) was retired in round 2: both crawl modes now route claims to
+# the shard actors INSIDE the parse pass (route_claims above) — zero
+# shuffles — and admit winners with a broadcast filter
+# (pipelines/greedy.py::_admitted_rows).

@@ -87,7 +87,7 @@ def test_sharded_seen_checkpoint_restore(ray_session, tmp_path):
     _, restored, _ = ck.load_round(0)
 
     seen2 = ShardedSeenSet("t3", num_shards=2, capacity_per_shard=4096)
-    seen2.restore(restored)
+    seen2.restore(*restored)  # (full payloads, delta chain)
     assert not seen2.filter_and_insert_array(k).any()  # all remembered
     seen2.shutdown()
 
