@@ -352,22 +352,24 @@ class GreedyCrawl:
         # cost zero shuffles. The previous expression — groupby(url_canon)
         # .map_groups(first) — created ONE pandas group per URL, the known
         # catastrophic many-tiny-groups pattern at frontier scale.
+        from icrawler_ray.stages.download import make_fetcher_fn
+        from icrawler_ray.stages.fetch_parse import make_fetch_parse_fn
+
+        # Task-pool stages with worker-process-cached state (NOT an actor
+        # pool): an iterative crawl runs one Ray Data execution per round,
+        # and actor pools respawn per execution — measured 13x slower
+        # end-to-end at 200k pages before this change.
         parsed = gated.map_batches(
-            FetchParse,
-            fn_constructor_kwargs={
-                "url_map_ref": self.url_map_ref,
-                "rules": "greedy",
-                "rules_kwargs": {"domains": self.domains},
-                "emit_docs": self.emit_docs,
-                "with_keys": True,
-                "claim": (self.seen_pages.name, self.seen_files.name,
-                          self.seen_pages.num_shards, self.max_depth),
-                "inflight": self.inflight_name,
-            },
+            make_fetch_parse_fn(
+                self.url_map_ref, "greedy", {"domains": self.domains},
+                emit_docs=self.emit_docs, with_keys=True,
+                claim=(self.seen_pages.name, self.seen_files.name,
+                       self.seen_pages.num_shards, self.max_depth),
+                inflight=self.inflight_name,
+            ),
             batch_format="pyarrow",
-            batch_size=64,
-            concurrency=self.parse_concurrency,
-            num_cpus=0.5,
+            batch_size=None,
+            num_cpus=1,
         ).materialize()  # round + claim-delivery barrier
 
         metrics["errors"] = parsed.filter(expr="row_kind == 'error'").count()
@@ -388,18 +390,13 @@ class GreedyCrawl:
             task_cols = [c for c in ("file_url", "meta_json", "parent_seq", "emit_ord")
                          if c in tasks.schema().names]
             fetched = tasks.select_columns(task_cols).map_batches(
-                Fetcher,
-                fn_constructor_kwargs={
-                    "url_map_ref": self.url_map_ref,
-                    "min_size": self.min_size,
-                    "max_size": self.max_size,
-                    "keep_content": self.keep_content,
-                    "inflight": self.inflight_name,
-                },
+                make_fetcher_fn(
+                    self.url_map_ref, min_size=self.min_size, max_size=self.max_size,
+                    keep_content=self.keep_content, inflight=self.inflight_name,
+                ),
                 batch_format="pyarrow",
                 batch_size=FETCH_BATCH_SIZE,
-                concurrency=self.fetch_concurrency,
-                num_cpus=0.5,
+                num_cpus=1,
             )
             results = assign_filenames(
                 fetched, ["parent_seq", "emit_ord"], default_ext=self.default_ext,
