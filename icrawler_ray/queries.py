@@ -881,6 +881,80 @@ SELECT doc_id, source AS host FROM documents WHERE doc_id % 5 <> 0
 """
 
 
+def q_media_frame_sample(sf_dir: str):
+    """video frame-sampling plumbing: deterministic fake video containers
+    as a binary column -> FrameSample actor stage -> one row per sampled
+    frame (uniform k-point integer sampling + pts). Pixel extraction is
+    codec-gated; the sampling plan and expanded layout are SQL-exact."""
+    from icrawler_ray.stages.media import FrameSample
+    from icrawler_ray.synthweb.fakemedia import encode_video
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def blobs(t: pa.Table) -> pa.Table:
+        content = [
+            encode_video(int(d % 37 + 2), int(10 + (d % 3) * 5)) if d % 13 else b"BAD"
+            for d in t["doc_id"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"],
+                         "content": pa.array(content, type=pa.binary())})
+
+    return ds.map_batches(blobs, batch_format="pyarrow").map_batches(
+        FrameSample, fn_constructor_kwargs={"k": 4}, batch_size=128,
+        concurrency=2, batch_format="pyarrow")
+
+
+SQL_MEDIA_FRAME_SAMPLE = """
+WITH v AS (
+  SELECT doc_id, doc_id % 37 + 2 AS n, 10 + (doc_id % 3) * 5 AS fps
+  FROM documents WHERE doc_id % 13 <> 0)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(f * 1000 // fps AS BIGINT) AS pts_ms
+FROM (SELECT doc_id, fps,
+             unnest(CASE WHEN n <= 4 THEN range(0, n)
+                    ELSE [0, (n-1)//3, 2*(n-1)//3, n-1] END) AS f
+      FROM v)
+"""
+
+
+def q_audio_features(sf_dir: str):
+    """audio feature plumbing: deterministic fake 8-bit PCM containers ->
+    AudioFeatures actor stage -> per-doc windowed integer features computed
+    from the real payload bytes (closed-form PCM, so DuckDB recomputes the
+    identical sums)."""
+    from icrawler_ray.stages.media import AudioFeatures
+    from icrawler_ray.synthweb.fakemedia import encode_audio
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def blobs(t: pa.Table) -> pa.Table:
+        content = [
+            encode_audio(int(8000 + (d % 2) * 8000), int(d % 400 + 100), int(d))
+            if d % 11 else b"BAD"
+            for d in t["doc_id"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"],
+                         "content": pa.array(content, type=pa.binary())})
+
+    out = ds.map_batches(blobs, batch_format="pyarrow").map_batches(
+        AudioFeatures, fn_constructor_kwargs={"window": 100}, batch_size=128,
+        concurrency=2, batch_format="pyarrow")
+    return out.filter(expr="n_windows >= 0")
+
+
+SQL_AUDIO_FEATURES = """
+WITH a AS (SELECT doc_id, doc_id % 400 + 100 AS n, 8000 + (doc_id % 2) * 8000 AS sr
+           FROM documents WHERE doc_id % 11 <> 0),
+s AS (SELECT doc_id, sr, n // 100 AS n_windows,
+             unnest(range(0, (n // 100) * 100)) AS i FROM a)
+SELECT doc_id, CAST(any_value(sr) AS BIGINT) AS sample_rate,
+       CAST(any_value(n_windows) AS BIGINT) AS n_windows,
+       CAST(SUM((doc_id * 7 + i * 13) % 256) AS BIGINT) AS energy,
+       CAST(MAX((doc_id * 7 + i * 13) % 256) AS BIGINT) AS peak
+FROM s GROUP BY doc_id
+"""
+
+
 def q_hll_distinct(sf_dir: str):
     """approximate distinct counts via mergeable HyperLogLog sketches (one
     partial per batch, max-merged), made oracle-checkable: the output
@@ -1041,6 +1115,8 @@ QUERIES = {
     "label_centroid_norm": q_label_centroid_norm,
     "embedding_near_dup": q_embedding_near_dup,
     "media_pipeline": q_media_pipeline,
+    "media_frame_sample": q_media_frame_sample,
+    "audio_features": q_audio_features,
     "events_sliding_window": q_events_sliding_window,
     "robots_gate": q_robots_gate,
     "hll_distinct": q_hll_distinct,
@@ -1078,6 +1154,8 @@ ORACLE_SQL = {
     "label_centroid_norm": SQL_LABEL_CENTROID_NORM,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "media_pipeline": SQL_MEDIA_PIPELINE,
+    "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
+    "audio_features": SQL_AUDIO_FEATURES,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "robots_gate": SQL_ROBOTS_GATE,
     "langid": SQL_LANGID,

@@ -567,3 +567,30 @@ def test_proxy_scanners_and_validation_offline():
     assert n == 2
     addrs = {p.addr for pool in st.proxies.values() for p in pool}
     assert addrs == {"10.0.0.1:80", "10.0.0.3:80"}
+
+
+def test_frame_sample_and_audio_features(ray_session):
+    from icrawler_ray.stages.media import AudioFeatures, FrameSample
+    from icrawler_ray.synthweb.fakemedia import encode_audio, encode_video, pcm_byte
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "content": [encode_video(10, 10), encode_video(3, 20), b"garbage"],
+    })
+    out = FrameSample(k=4)(t).to_pandas()
+    # n=10: idx = j*9//3 -> 0,3,6,9 with pts = idx*1000//10; n=3 <= k: all
+    assert list(out[out.doc_id == 1].frame_idx) == [0, 3, 6, 9]
+    assert list(out[out.doc_id == 1].pts_ms) == [0, 300, 600, 900]
+    assert list(out[out.doc_id == 2].frame_idx) == [0, 1, 2]
+    assert 3 not in set(out.doc_id)  # undecodable rows expand to nothing
+
+    a = pa.table({
+        "doc_id": [7, 8],
+        "content": [encode_audio(8000, 250, seed=7), b"nope"],
+    })
+    feats = AudioFeatures(window=100)(a).to_pandas()
+    row = feats[feats.doc_id == 7].iloc[0]
+    assert row.sample_rate == 8000 and row.n_windows == 2
+    assert row.energy == sum(pcm_byte(7, i) for i in range(200))
+    assert row.peak == max(pcm_byte(7, i) for i in range(200))
+    assert feats[feats.doc_id == 8].iloc[0].n_windows == -1  # undecodable
