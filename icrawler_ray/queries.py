@@ -727,6 +727,26 @@ def q_knn_lsh(sf_dir: str):
     return lsh_bucketed_topk(ds, queries, k=5, query_ids=head["vec_id"].to_numpy())
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF ANN (coarse-quantizer lists, broadcast centroids, inline list
+    filtering). Probing ALL lists makes the search exhaustive, so the
+    brute-force SQL is an exact oracle for the IVF machinery (assignment +
+    probing + scoring); the recall tradeoff of partial probing is pinned
+    in pytest (test_ivf_topk_recall_and_sims)."""
+    from icrawler_ray.stages.similarity import ivf_topk
+
+    head = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).sort("vec_id").limit(3).to_pandas()
+    queries = np.asarray(head["embedding"].tolist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, queries, k=5, query_ids=head["vec_id"].to_numpy(),
+                   n_centroids=8, n_probe=8)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "vec_id", "rank"]]
+
+
+SQL_KNN_IVF = SQL_KNN_BRUTEFORCE  # full probing == exhaustive search
+
+
 def q_label_centroid_norm(sf_dir: str):
     """per-label count + mean vector norm (mergeable partial aggregation)."""
     from ray.data.aggregate import Count, Mean
@@ -878,6 +898,81 @@ def q_robots_gate(sf_dir: str):
 
 SQL_ROBOTS_GATE = """
 SELECT doc_id, source AS host FROM documents WHERE doc_id % 5 <> 0
+"""
+
+
+def q_events_asof_join(sf_dir: str):
+    """As-of join (latest-threshold-at-event-time) as a broadcast
+    small-side merge: the per-type threshold series (distinct 6-hourly
+    event hours, deterministic value) is collected once, broadcast via
+    ray.put as sorted arrays, and each event batch resolves its match with
+    one searchsorted — no shuffle. Large-side-vs-large-side as-of would
+    instead range-partition both sides on (key, ts); documented assumption:
+    the threshold side is dimension-sized. Oracle: DuckDB ASOF JOIN."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
+
+    def hour_pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        hour = df["ts"].astype("int64") // 10**6 // 3600  # datetime64[us] -> hour number
+        out = pd.DataFrame({"event_type": df["event_type"], "hour": hour})
+        out = out[out["hour"] % 6 == 0].drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    small = (ds.map_batches(hour_pairs, batch_format="pyarrow")
+             .groupby(["event_type", "hour"]).count().to_pandas())
+    small = small.sort_values(["event_type", "hour"])
+    lookup = {
+        et: ((g["hour"].to_numpy() * 3_600_000_000).astype(np.int64),
+             ((g["hour"].to_numpy() % 97) / 10.0).astype(np.float64))
+        for et, g in small.groupby("event_type")
+    }
+    ref = ray.put(lookup)
+
+    def asof(t: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        df = t.to_pandas()
+        ts_us = df["ts"].astype("int64").to_numpy()
+        thr_us = np.full(len(df), -1, dtype=np.int64)
+        thr_val = np.full(len(df), np.nan)
+        for et, g in df.groupby("event_type", sort=False):
+            if et not in lk:
+                continue
+            tus, tval = lk[et]
+            pos = np.searchsorted(tus, ts_us[df.index.get_indexer(g.index)],
+                                  side="right") - 1
+            sel = df.index.get_indexer(g.index)
+            ok = pos >= 0
+            thr_us[sel[ok]] = tus[pos[ok]]
+            thr_val[sel[ok]] = tval[pos[ok]]
+        keep = thr_us >= 0  # ASOF JOIN is inner: pre-first-threshold events drop
+        val = df["value"].to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy()[keep]),
+                "event_type": pa.array(df["event_type"].to_numpy()[keep].astype(object),
+                                       type=pa.string()),
+                "ts_us": pa.array(ts_us[keep]),
+                "value": pa.array(val[keep]),
+                "thr_us": pa.array(thr_us[keep]),
+                "threshold": pa.array(thr_val[keep]),
+                "above": pa.array(val[keep] > thr_val[keep]),
+            }
+        )
+
+    return ds.map_batches(asof, batch_format="pyarrow")
+
+
+SQL_EVENTS_ASOF_JOIN = """
+WITH e AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+           FROM events),
+hrs AS (SELECT DISTINCT event_type, ts_us // 3600000000 AS hour FROM e
+        WHERE (ts_us // 3600000000) % 6 = 0),
+thr AS (SELECT event_type, hour * 3600000000 AS thr_us,
+               (hour % 97) / 10.0 AS threshold FROM hrs)
+SELECT e.user_id, e.event_type, e.ts_us, e.value, t.thr_us, t.threshold,
+       e.value > t.threshold AS above
+FROM e ASOF JOIN thr t
+  ON e.event_type = t.event_type AND e.ts_us >= t.thr_us
 """
 
 
@@ -1112,12 +1207,14 @@ QUERIES = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "label_centroid_norm": q_label_centroid_norm,
     "embedding_near_dup": q_embedding_near_dup,
     "media_pipeline": q_media_pipeline,
     "media_frame_sample": q_media_frame_sample,
     "audio_features": q_audio_features,
     "events_sliding_window": q_events_sliding_window,
+    "events_asof_join": q_events_asof_join,
     "robots_gate": q_robots_gate,
     "hll_distinct": q_hll_distinct,
     "crawl_urllist": q_crawl_urllist,
@@ -1151,12 +1248,14 @@ ORACLE_SQL = {
     "lang_quality_agg": SQL_LANG_QUALITY_AGG,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "knn_ivf": SQL_KNN_IVF,
     "label_centroid_norm": SQL_LABEL_CENTROID_NORM,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "media_pipeline": SQL_MEDIA_PIPELINE,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "audio_features": SQL_AUDIO_FEATURES,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
+    "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "robots_gate": SQL_ROBOTS_GATE,
     "langid": SQL_LANGID,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,

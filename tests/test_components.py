@@ -594,3 +594,25 @@ def test_frame_sample_and_audio_features(ray_session):
     assert row.energy == sum(pcm_byte(7, i) for i in range(200))
     assert row.peak == max(pcm_byte(7, i) for i in range(200))
     assert feats[feats.doc_id == 8].iloc[0].n_windows == -1  # undecodable
+
+
+def test_ivf_topk_recall_and_sims(ray_session):
+    """IVF candidates are true-similarity-scored (sims match brute force
+    where present) and with full probing IVF == brute force exactly."""
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((300, 16))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    )
+    from icrawler_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    q = vecs[:3]
+    qi = np.array([0, 1, 2])
+    bf = brute_force_topk(ds, q, k=5, query_ids=qi)
+    # n_probe == n_centroids: every list probed -> identical to brute force
+    full = ivf_topk(ds, q, k=5, query_ids=qi, n_centroids=8, n_probe=8)
+    pd.testing.assert_frame_equal(full.reset_index(drop=True), bf.reset_index(drop=True))
+    # partial probing: a subset with matching sims
+    part = ivf_topk(ds, q, k=5, query_ids=qi, n_centroids=8, n_probe=2)
+    merged = part.merge(bf, on=["query_id", "vec_id"], suffixes=("_i", "_b"))
+    assert len(part) and np.allclose(merged.sim_i, merged.sim_b)
