@@ -57,16 +57,13 @@ def q_agg_lineitem(sf_dir: str):
         )
         return g.reset_index()
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                   Sum("sum_base", alias_name="sum_base"),
-                   Sum("sum_rev", alias_name="sum_rev"),
-                   Sum("n", alias_name="n"))
-    ).to_pandas()
+    # final reduce over the combiner partials happens in pandas: the
+    # partials are (#keys x #blocks) rows — OUTPUT-sized, not input-sized —
+    # and Ray's sort-based aggregate costs ~2.5s of fixed shuffle machinery
+    # to move 384 rows (measured via ds.stats()). At a key cardinality
+    # where partials stop being small, switch back to groupby().aggregate.
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
     for c in ("sum_qty", "sum_base", "sum_rev"):
         out[c] = out[c].round(2)
     out["n"] = out["n"].astype("int64")
@@ -87,25 +84,27 @@ def q_join_revenue_by_nation(sf_dir: str):
     """orders x customer x nation revenue rollup. customer+nation are the
     small sides: broadcast once via ray.put, merged per batch (no shuffle
     join; the only exchange is the final small groupby)."""
-    from ray.data.aggregate import Count, Sum
-
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
     dim_ref = ray.put(dim[["c_custkey", "n_name"]])
 
     def join_batch(t: pa.Table) -> pa.Table:
+        # broadcast merge + per-batch COMBINER: one partial row per nation
+        # per batch leaves the task, not one row per order
         d = ray.get(dim_ref)
         df = t.to_pandas().merge(d, left_on="o_custkey", right_on="c_custkey", how="inner")
-        return pa.Table.from_pandas(df[["n_name", "o_totalprice"]], preserve_index=False)
+        g = df.groupby("n_name", sort=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
-    out = (
+    parts = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(join_batch, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
-    ).to_pandas()
+    ).to_pandas()  # output-sized partials; pandas final reduce (see q_agg_lineitem)
+    out = parts.groupby("n_name", as_index=False).sum()
     out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
     return out
 
 
@@ -170,13 +169,10 @@ def q_events_hourly(sf_dir: str):
             n=("value", "size"), sum_value=("value", "sum"))
         return g.reset_index()
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "hour_ts"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
-    ).to_pandas()
+    # pandas final reduce over output-sized combiner partials (see
+    # q_agg_lineitem note on the measured fixed cost of the Ray aggregate)
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["event_type", "hour_ts"], as_index=False).sum()
     out["sum_value"] = out["sum_value"].round(2)
     out["n"] = out["n"].astype("int64")
     return out
