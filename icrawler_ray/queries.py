@@ -192,15 +192,28 @@ def q_events_sessionize(sf_dir: str):
     assumption)."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gap.sum()) + 1],
-             "n_events": [len(g)]}
-        )
+    # hash-partition users into a BOUNDED number of fat groups and walk
+    # each partition vectorized (sort + shift + pandas groupby) — one
+    # pandas group per user is the many-tiny-groups map_groups pitfall
+    P = 32
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["part"] = (df["user_id"].to_numpy() % P).astype(np.int32)
+        return df
+
+    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        gap = (g["ts"].diff() > pd.Timedelta(minutes=30)) & same_user
+        res = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "gap": gap.to_numpy()})
+        out = res.groupby("user_id", as_index=False).agg(
+            n_sessions=("gap", "sum"), n_events=("gap", "size"))
+        out["n_sessions"] = out["n_sessions"].astype("int64") + 1
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (ds.map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(sessions_part, batch_format="pandas"))
 
 
 SQL_EVENTS_SESSIONIZE = """
@@ -519,18 +532,22 @@ def q_dedup_exact(sf_dir: str):
     from icrawler_ray.pipelines.urllist import dedup_first  # noqa: F401 (family)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    P = 32  # bounded fat partitions, vectorized within (see q_events_sessionize)
 
     def key(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": df["doc_id"], "k": df["text"].str.slice(0, 40)})
+        k = df["text"].str.slice(0, 40)
+        part = (pd.util.hash_array(k.to_numpy(dtype=object)) % P).astype(np.int32)
+        return pd.DataFrame({"doc_id": df["doc_id"], "k": k, "part": part})
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"k": [g["k"].iloc[0]], "keep_doc_id": [int(g["doc_id"].min())],
-                             "n_dups": [len(g)]})
+    def first_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("k", as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        out["keep_doc_id"] = out["keep_doc_id"].astype("int64")
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out
 
-    return (
-        ds.map_batches(key, batch_format="pandas").groupby("k")
-        .map_groups(first, batch_format="pandas")
-    )
+    return (ds.map_batches(key, batch_format="pandas")
+            .groupby("part").map_groups(first_part, batch_format="pandas"))
 
 
 SQL_DEDUP_EXACT = """
