@@ -112,3 +112,13 @@ def test_cli_urllist(web, url_map, tmp_path):
     assert r.returncode == 0, r.stderr[-800:]
     assert "downloaded 3 files" in r.stdout
     assert sorted(os.listdir(out))[0].startswith("000001.")
+
+
+def test_baidu_crawl(web, url_map_ref, tmp_path):
+    from icrawler_ray.compat import BaiduImageCrawler
+
+    n = BaiduImageCrawler(
+        storage={"backend": "FileSystem", "root_dir": str(tmp_path)},
+        session_spec=url_map_ref,
+    ).crawl("cat", max_num=4)
+    assert n >= 1 and len(os.listdir(tmp_path)) == n
