@@ -651,6 +651,25 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, max_hamming=12)
 
 
+def q_token_counts(sf_dir: str):
+    """token counting, whitespace + BPE-ish regex pre-tokenizer (the two
+    budget units of a training-data pipeline); identical regexes run under
+    DuckDB RE2 for the oracle."""
+    from icrawler_ray.stages.textfns import token_counts
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_counts, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_langid(sf_dir: str):
     """stopword-profile language ID — the heuristic is simple enough to be
     SQL-exact (list_filter hit-rate, argmax with alphabetic tie-break)."""
@@ -1217,6 +1236,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
+    "token_counts": q_token_counts,
     "rolling_fingerprint": q_rolling_fingerprint,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
@@ -1271,6 +1291,7 @@ ORACLE_SQL = {
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "robots_gate": SQL_ROBOTS_GATE,
     "langid": SQL_LANGID,
+    "token_counts": SQL_TOKEN_COUNTS,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "hll_distinct": SQL_HLL_DISTINCT,
 }

@@ -83,6 +83,29 @@ def langid_scores(batch: pa.Table) -> pa.Table:
     )
 
 
+#: BPE-ish pre-tokenizer approximation (GPT-2-style character classes —
+#: letter runs, digit runs, punctuation runs; no lookahead so the SAME
+#: pattern runs under DuckDB's RE2 for the oracle)
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_counts(batch: pa.Table) -> pa.Table:
+    """doc_id, n_ws_tokens (whitespace), n_bpe_tokens (regex pre-tokenizer)
+    — the two token-count flavors a training-data pipeline budgets with;
+    vectorized str.count / str.findall-free via pandas str.count on the
+    alternation (count of non-overlapping matches)."""
+    text = pd.Series(batch["text"].to_pylist(), dtype="string")
+    n_ws = text.str.count(r"\S+").astype("int64")
+    n_bpe = text.str.count(BPE_TOKEN_RE).astype("int64")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_ws_tokens": pa.array(n_ws.to_numpy()),
+            "n_bpe_tokens": pa.array(n_bpe.to_numpy()),
+        }
+    )
+
+
 def rolling_hashes(batch: pa.Table, window: int = 8, base: int = 257,
                    mod: int = (1 << 31) - 1) -> pa.Table:
     """Rabin-Karp rolling-hash document fingerprint: min polynomial hash
