@@ -35,6 +35,7 @@ _WORDS = (
     "hash agg group window stream batch vector query filter order part line "
     "customer data spark dup"
 ).split()
+_WORDS_ARR = np.asarray(_WORDS, dtype=object)
 _EXTS = ("jpg", "jpg", "jpg", "png", "gif", "bmp")
 
 _PAGE_RE = re.compile(r"^http://h(\d+)\.example\.com(?:/p/(\d+)\.html)?/?$")
@@ -82,11 +83,15 @@ class ProceduralWeb:
         word_idx = rng.integers(0, len(_WORDS), n * 8).reshape(n, 8)
         targets = rng.integers(0, self.n_pages, n)
         imgs = rng.integers(0, self.n_images, n)
+        # one vectorized word gather + per-row join (content-identical to
+        # the per-word genexpr, ~2x cheaper — this generator bounds the
+        # measured fetch throughput of every bench)
+        word_rows = _WORDS_ARR[word_idx].tolist()
         spans = []
         for s in range(n):
             r = kinds[s]
             if r < 0.55:
-                spans.append(("text", " ".join(_WORDS[w] for w in word_idx[s]), ""))
+                spans.append(("text", " ".join(word_rows[s]), ""))
             elif r < 0.75:
                 spans.append(("media", "", self.img_url_of(int(imgs[s]))))
             else:
