@@ -38,14 +38,17 @@ def scan_page(body: str) -> list[tuple[str, str, str]]:
     page-faithful spans.
     """
     spans = []
+    append = spans.append
     for m in _SPAN_RE.finditer(body):
-        src, href, text = m.group(1), m.group(2), m.group(3)
-        if src is not None:
-            spans.append(("media", "", src))
-        elif href is not None:
-            spans.append(("link", "", href))
+        # exactly one alternative participates per match; lastindex names
+        # it without materializing all three groups (hot path)
+        gi = m.lastindex
+        if gi == 1:
+            append(("media", "", m.group(1)))
+        elif gi == 2:
+            append(("link", "", m.group(2)))
         else:
-            spans.append(("text", text, ""))
+            append(("text", m.group(3), ""))
     return spans
 
 

@@ -33,6 +33,10 @@ class GreedyRules:
     def __init__(self, domains: list[str]):
         self.domains = list(domains)
         self.pattern = IMAGE_URL_RE
+        # single C-level scan instead of a Python any()-loop over domains
+        # (semantics identical to any(d in href for d in domains))
+        self._domain_re = re.compile("|".join(map(re.escape, self.domains))) \
+            if self.domains else None
 
     def _norm_href(self, href: str, base_url: str):
         if len(href) < 2:
@@ -67,7 +71,7 @@ class GreedyRules:
         scheme = href.split(":", 1)[0].lower() if ":" in href else ""
         if scheme not in OK_SCHEMES:
             return None
-        if any(d in href for d in self.domains):
+        if self._domain_re is not None and self._domain_re.search(href):
             return "page"
         return None
 
