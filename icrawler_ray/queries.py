@@ -651,6 +651,39 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, max_hamming=12)
 
 
+def q_quality_filter(sf_dir: str):
+    """training-data quality gate: composite score from length / stopword
+    / word-length signals, keep docs above threshold — the filter stage of
+    a corpus pipeline, expressed as one vectorized map_batches with the
+    exact formula mirrored in SQL."""
+    from icrawler_ray.stages.textfns import quality_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_scores, batch_format="pyarrow")
+    return ds.filter(expr="keep == True")
+
+
+SQL_QUALITY_FILTER = """
+WITH t AS (
+  SELECT doc_id,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter(string_split(lower(text), ' '),
+             x -> list_contains(['the','a'], x))) AS n_stop
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_word_len
+  FROM t)
+SELECT doc_id, n_tokens, stop_ratio, avg_word_len,
+       (n_tokens >= 10 AND avg_word_len >= 2.0 AND avg_word_len <= 12.0
+        AND stop_ratio <= 0.6) AS keep
+FROM s WHERE n_tokens >= 10 AND avg_word_len >= 2.0 AND avg_word_len <= 12.0
+        AND stop_ratio <= 0.6
+"""
+
+
 def q_token_counts(sf_dir: str):
     """token counting, whitespace + BPE-ish regex pre-tokenizer (the two
     budget units of a training-data pipeline); identical regexes run under
@@ -1237,6 +1270,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
     "token_counts": q_token_counts,
+    "quality_filter": q_quality_filter,
     "rolling_fingerprint": q_rolling_fingerprint,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
@@ -1292,6 +1326,7 @@ ORACLE_SQL = {
     "robots_gate": SQL_ROBOTS_GATE,
     "langid": SQL_LANGID,
     "token_counts": SQL_TOKEN_COUNTS,
+    "quality_filter": SQL_QUALITY_FILTER,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "hll_distinct": SQL_HLL_DISTINCT,
 }

@@ -138,3 +138,22 @@ def seed_dataset(urls: list[str], *, override_num_blocks: int | None = None) -> 
     10-row seed list doesn't schedule 10 tasks."""
     n = override_num_blocks or max(1, min(16, len(urls) // 64 or 1))
     return ray.data.from_items([{"url": u} for u in urls], override_num_blocks=n)
+
+
+_SITEMAP_LOC_RE = None
+
+
+def sitemap_seeds(bodies: list[str]) -> list[str]:
+    """Seed source from sitemap.xml bodies: every <loc> in document order
+    (urlset AND sitemapindex entries — callers fetch nested sitemaps and
+    call again). Regex-scanned like the rest of this engine's parsing; no
+    XML library dependency."""
+    import re
+
+    global _SITEMAP_LOC_RE
+    if _SITEMAP_LOC_RE is None:
+        _SITEMAP_LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.S | re.I)
+    out = []
+    for body in bodies:
+        out.extend(_SITEMAP_LOC_RE.findall(body))
+    return out

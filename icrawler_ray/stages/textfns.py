@@ -83,6 +83,32 @@ def langid_scores(batch: pa.Table) -> pa.Table:
     )
 
 
+def quality_scores(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens, stop_ratio, avg_word_len, keep — the composite
+    quality gate of a training-data pipeline (length / stopword /
+    word-length bands). Raw-double ratios so the DuckDB oracle's identical
+    divisions hash-match (queries.py SQL_QUALITY_FILTER)."""
+    text = pd.Series(batch["text"].to_pylist(), dtype="string")
+    n_tokens = (text.str.count(" ") + 1).astype("int64")
+    ex = text.str.lower().str.split(" ").explode()
+    n_stop = (ex.isin(STOPWORDS).groupby(level=0).sum()
+              .reindex(range(len(text)), fill_value=0).to_numpy().astype(np.int64))
+    n_chars = text.str.len().to_numpy()
+    nt = n_tokens.to_numpy()
+    stop_ratio = n_stop / nt
+    avg_word_len = (n_chars - nt + 1) / nt
+    keep = (nt >= 10) & (avg_word_len >= 2.0) & (avg_word_len <= 12.0) & (stop_ratio <= 0.6)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(nt),
+            "stop_ratio": pa.array(stop_ratio),
+            "avg_word_len": pa.array(avg_word_len),
+            "keep": pa.array(keep),
+        }
+    )
+
+
 #: BPE-ish pre-tokenizer approximation (GPT-2-style character classes —
 #: letter runs, digit runs, punctuation runs; no lookahead so the SAME
 #: pattern runs under DuckDB's RE2 for the oracle)

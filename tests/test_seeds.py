@@ -71,3 +71,52 @@ def test_flickr_urls():
         flickr_search_urls("k", bogus_param=1)
     with pytest.raises(ValueError):
         flickr_search_urls("k", min_upload_date=3.14)
+
+
+def test_sitemap_seeds():
+    from icrawler_ray.sources.seeds import sitemap_seeds
+
+    body = """<?xml version="1.0"?>
+    <urlset><url><loc>http://a.com/1.html</loc></url>
+    <url><loc> http://a.com/2.html </loc><lastmod>2024-01-01</lastmod></url></urlset>"""
+    idx = "<sitemapindex><sitemap><loc>http://a.com/s2.xml</loc></sitemap></sitemapindex>"
+    assert sitemap_seeds([body, idx]) == [
+        "http://a.com/1.html", "http://a.com/2.html", "http://a.com/s2.xml"]
+
+
+def test_parse_robots_groups_and_policy():
+    from icrawler_ray.functions.robots import parse_robots, policy_from_robots
+
+    body = """
+    # global comment
+    Sitemap: http://h.com/sitemap.xml
+
+    User-agent: *
+    Disallow: /private/
+    Crawl-delay: 2
+
+    User-agent: raybot
+    User-agent: otherbot
+    Disallow: /raysecret/
+    Disallow:
+    Allow: /raysecret/ok/
+    Crawl-delay: 0.5
+    """
+    star = parse_robots(body, agent="someagent")
+    assert star["robots_disallow"] == ["/private/"]
+    assert star["crawl_delay_ms"] == 2000
+    assert star["sitemaps"] == ["http://h.com/sitemap.xml"]
+    ray_ = parse_robots(body, agent="raybot/1.0")
+    assert ray_["robots_disallow"] == ["/raysecret/"]  # empty Disallow skipped
+    assert ray_["allow"] == ["/raysecret/ok/"]
+    assert ray_["crawl_delay_ms"] == 500
+
+    pol = policy_from_robots({"h.com": body}, agent="raybot")
+    assert pol["h.com"]["robots_disallow"] == ["/raysecret/"]
+    assert pol["h.com"]["crawl_delay_ms"] == 500
+
+    # the parsed shape drives the real gate
+    from icrawler_ray.stages.politeness import HostPolicy
+
+    hp = HostPolicy(pol, round_ms=1000)
+    assert hp.budget("h.com") == 2 and hp.disallowed("h.com") == ["/raysecret/"]
