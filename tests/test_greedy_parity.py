@@ -275,3 +275,23 @@ def test_delta_checkpoints_resume_across_chain(ray_session, tmp_path):
     grf = gres.to_pandas().sort_values("filename")
     erf = results.to_pandas().sort_values("filename")
     assert list(zip(grf.file_url, grf.filename)) == list(zip(erf.file_url, erf.filename))
+
+
+def test_dataset_mode_resume_equals_fresh(small_web, small_ref, policy, golden, tmp_path):
+    """Checkpoint/resume parity on the pure-Ray-Data (dataset) round path:
+    interrupt after 2 rounds, resume with a new GreedyCrawl, outputs equal
+    the fresh golden run (frontier checkpointed via distributed parquet)."""
+    c1 = GreedyCrawl(
+        small_ref, small_web.domains, policy=policy, max_num=25, max_depth=3,
+        num_shards=2, mode="dataset", checkpoint_dir=str(tmp_path), max_rounds=2,
+    )
+    c1.run()
+    c1.shutdown()
+    c2 = GreedyCrawl(
+        small_ref, small_web.domains, policy=policy, max_num=25, max_depth=3,
+        num_shards=2, mode="dataset", checkpoint_dir=str(tmp_path),
+    )
+    docs, results, _ = c2.run()
+    c2.shutdown()
+    assert c2.start_round == 2
+    _assert_parity(golden, docs, results)
