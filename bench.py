@@ -209,8 +209,9 @@ def bench_queries() -> dict:
     from icrawler_ray.queries import QUERIES
 
     names = ["agg_lineitem", "join_revenue_by_nation", "filter_project_lineitem",
-             "events_hourly", "events_sessionize", "knn_bruteforce",
-             "minhash_lsh_pairs", "text_stats", "dedup_exact"]
+             "events_hourly", "events_sessionize", "events_asof_join",
+             "knn_bruteforce", "knn_ivf", "minhash_lsh_pairs", "text_stats",
+             "token_counts", "quality_filter", "dedup_exact"]
     out = {}
     for name in names:
         t0 = time.time()
