@@ -149,20 +149,35 @@ def politeness_gate(frontier: ray.data.Dataset, policy_ref,
 @ray.remote(num_cpus=0.05)
 class HostInflightLimiter:
     """Named token actor: at most ``limits[host]`` concurrent slot holders
-    per host (0 / missing = uncapped). Tracks the observed maximum for
-    tests/metrics."""
+    per host (0 / missing = uncapped), optionally paced so successive
+    acquisitions for a host are at least ``delays_ms[host]`` apart — the
+    live-web crawl-delay semantics WITHIN a round (the per-round budget
+    alone would let a host's whole allowance fire as one burst). Tracks
+    the observed maximum and last-grant times for tests/metrics."""
 
-    def __init__(self, limits: dict[str, int]):
+    def __init__(self, limits: dict[str, int],
+                 delays_ms: dict[str, int] | None = None):
+        import time as _time
+
+        self._now = _time.monotonic
         self.limits = {h: int(v) for h, v in limits.items() if int(v) > 0}
+        self.delays = {h: int(v) / 1000.0 for h, v in (delays_ms or {}).items()
+                       if int(v) > 0}
         self.inflight: dict[str, int] = {}
         self.max_seen: dict[str, int] = {}
+        self.last_grant: dict[str, float] = {}
 
     def try_acquire(self, host: str) -> bool:
         cap = self.limits.get(host, 0)
         cur = self.inflight.get(host, 0)
         if cap and cur >= cap:
             return False
+        delay = self.delays.get(host)
+        now = self._now()
+        if delay and now - self.last_grant.get(host, -1e18) < delay:
+            return False
         self.inflight[host] = cur + 1
+        self.last_grant[host] = now
         if self.inflight[host] > self.max_seen.get(host, 0):
             self.max_seen[host] = self.inflight[host]
         return True
@@ -205,13 +220,19 @@ class InflightGuard:
         return ray.get(self._actor().stats.remote())
 
 
-def make_inflight_limiter(name: str, policy: HostPolicy):
+def make_inflight_limiter(name: str, policy: HostPolicy,
+                          pace: bool = False):
     """Create (or reuse) the named limiter actor from a policy's
     max_inflight fields; returns (name, handle) — the CALLER must hold the
     handle, a named non-detached actor dies when its last handle drops —
-    or (None, None) when nothing is capped."""
+    or (None, None) when nothing is capped. ``pace=True`` additionally
+    enforces each host's crawl_delay_ms between successive request grants
+    (live-web mode; hermetic benches leave it off)."""
     limits = policy.inflight_limits()
     if not limits:
         return None, None
-    handle = HostInflightLimiter.options(name=name, get_if_exists=True).remote(limits)
+    delays = ({h: p.get("crawl_delay_ms", 0) for h, p in policy.policies.items()}
+              if pace else None)
+    handle = HostInflightLimiter.options(name=name, get_if_exists=True).remote(
+        limits, delays_ms=delays)
     return name, handle

@@ -77,22 +77,30 @@ def test_budget_scaling(delay, expected):
 
 def test_inflight_limiter_caps_concurrency(ray_session):
     """8 concurrent holders contend for one host with cap 2: the limiter
-    must reach exactly the cap (pressure existed) and never exceed it."""
+    must reach exactly the cap (pressure existed) and never exceed it.
+    Driver threads guarantee the contention regardless of how Ray happens
+    to schedule tasks on the small test cluster."""
+    import threading
     import time
 
     from icrawler_ray.stages.politeness import HostInflightLimiter, InflightGuard
 
     a = HostInflightLimiter.options(name="inflight:test1").remote({"hot.com": 2})
+    done = []
 
-    @ray.remote(num_cpus=0.1)
     def holder():
         g = InflightGuard("inflight:test1", poll_s=0.002)
         g.acquire("hot.com")
         time.sleep(0.05)
         g.release("hot.com")
-        return 1
+        done.append(1)
 
-    assert sum(ray.get([holder.remote() for _ in range(8)])) == 8
+    threads = [threading.Thread(target=holder) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(done) == 8
     stats = ray.get(a.stats.remote())
     assert stats["max_seen"]["hot.com"] == 2
     assert stats["inflight"]["hot.com"] == 0  # all released
@@ -131,3 +139,24 @@ def test_crawl_parity_with_inflight_enforcement(ray_session):
     assert list(zip(rdf.file_url, rdf.filename)) == [
         (r["file_url"], r["filename"]) for r in oresults
     ]
+
+
+def test_inflight_limiter_paces_crawl_delay(ray_session):
+    """With delays_ms set, successive grants for a host are spaced at
+    least crawl_delay apart even when slots are free."""
+    import time
+
+    from icrawler_ray.stages.politeness import HostInflightLimiter, InflightGuard
+
+    a = HostInflightLimiter.options(name="inflight:pace").remote(
+        {"hot.com": 4}, delays_ms={"hot.com": 50})
+    g = InflightGuard("inflight:pace", poll_s=0.002)
+    t0 = time.monotonic()
+    for _ in range(4):
+        g.acquire("hot.com")
+        g.release("hot.com")
+    dt = time.monotonic() - t0
+    assert dt >= 0.145  # 3 inter-grant gaps of >= 50ms
+    stats = ray.get(a.stats.remote())
+    assert stats["max_seen"]["hot.com"] == 1
+    ray.kill(a)
