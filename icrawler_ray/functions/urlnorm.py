@@ -65,20 +65,38 @@ def normalize_hrefs(hrefs: pd.Series, base_url: str) -> pd.Series:
     rest = ~(too_short | frag | proto_rel | root_rel)
 
     out[proto_rel] = "http:" + s[proto_rel].str.rstrip("/")
-    # urljoin(base, href.strip("/")) where base has no path => base + "/" + x,
-    # EXCEPT when x is query-/fragment-leading or its first segment contains
-    # ':' (urljoin reads that as a scheme) — those take the per-row urljoin.
+    # urljoin(base, href.strip("/")) where base has no path => base + "/" + x
+    # — ONLY for plain path strings. Everything urljoin treats specially
+    # (leading '?'/'#'/';'/'.', a colon in the first segment, dot-segments)
+    # takes the per-row urljoin fallback. Property-fuzzed against the
+    # scalar twin (tests/test_urlnorm.py).
     root_vals = s[root_rel].str.strip("/")
-    root_simple = root_vals.str.match(r"^(?![^/]*:)[^?#]", na=False)
+    root_simple = (
+        root_vals.str.match(r"^(?![.;?#\s])(?![^/]*:).", na=False)
+        & ~root_vals.str.contains(r"(?:^|/)\.\.?(?:/|$)", regex=True, na=False)
+        & ~root_vals.str.contains("//", regex=False, na=False)
+        & ~root_vals.str.contains(r";[?#]", regex=True, na=False)
+        & ~root_vals.str.contains(r"[\t\r\n]", regex=True, na=False)
+        & ~root_vals.str.match(r".*[;?#\s]$", na=False)
+    )
     out[root_vals[root_simple].index] = base_url.rstrip("/") + "/" + root_vals[root_simple]
     for i in root_vals[~root_simple].index:
         out[i] = urljoin(base_url, root_vals[i])
-    # the else-branch: urljoin(base, href.rstrip("/")). urljoin passes any
-    # href with a real scheme prefix through unchanged; a relative href with
-    # a colon later in the path (e.g. 'a/b:c.html') is NOT absolute and must
-    # take the per-row urljoin fallback.
+    # the else-branch: urljoin(base, href.rstrip("/")). Fast passthrough for
+    # (a) well-formed absolute http(s) URLs — same conditions as the scalar
+    # fast path (non-empty netloc, no bare trailing ?/#) — and (b) hrefs
+    # with a NON-http(s) scheme, which urljoin returns unchanged when the
+    # scheme differs from the base's. 'http:x'-style same-scheme-no-netloc
+    # hrefs get relative resolution and must take the fallback.
     rest_vals = s[rest].str.rstrip("/")
-    abs_mask = rest_vals.str.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", na=False)
+    abs_http = (rest_vals.str.match(r"^https?://[^/]", na=False)
+                & ~rest_vals.str.match(r".*[?#\s]$", na=False)
+                & ~rest_vals.str.contains(r"[;\t\r\n]", regex=True, na=False))
+    other_scheme = (rest_vals.str.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", na=False)
+                    & ~rest_vals.str.match(r"^https?:", na=False)
+                    & ~rest_vals.str.match(r".*\s$", na=False)
+                    & ~rest_vals.str.contains(r"[\t\r\n]", regex=True, na=False))
+    abs_mask = abs_http | other_scheme
     out[rest_vals[abs_mask].index] = rest_vals[abs_mask]
     rel_idx = rest_vals[~abs_mask].index
     if len(rel_idx):

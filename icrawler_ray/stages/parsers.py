@@ -49,15 +49,16 @@ class GreedyRules:
             return None
         h = href.rstrip("/")
         # fast path: urljoin(base, h) == h for well-formed absolute
-        # http(s) URLs (fuzz-verified; the only exceptions — empty netloc,
-        # bare trailing '?'/'#', case-folded scheme — fall through).
-        # urljoin dominates parse CPU (60% measured) when every href is
-        # absolute, the common crawl case.
-        if (h.startswith("http://") and len(h) > 7 and h[7] != "/"
-                and h[-1] not in "?#"):
-            return h
-        if (h.startswith("https://") and len(h) > 8 and h[8] != "/"
-                and h[-1] not in "?#"):
+        # http(s) URLs (property-fuzzed vs the vectorized twin; the
+        # exceptions — empty netloc, bare trailing '?'/'#', edge
+        # whitespace, embedded tab/CR/LF which urllib strips, case-folded
+        # scheme — fall through). urljoin dominates parse CPU (60%
+        # measured) when every href is absolute, the common crawl case.
+        if (
+            (h.startswith("http://") and len(h) > 7 and h[7] != "/")
+            or (h.startswith("https://") and len(h) > 8 and h[8] != "/")
+        ) and h[-1] not in "?# \t\r\n" and ";" not in h and "\t" not in h \
+                and "\r" not in h and "\n" not in h:
             return h
         return urljoin(base_url, h)
 

@@ -120,3 +120,82 @@ def test_scalar_twins_match_vectorized():
         assert canonicalize_one(u) == vec_c[i], u
         assert host_of_one(u) == vec_h[i], u
         assert path_ext_one(u) == vec_e[i], u
+
+
+# --------------------------------------------------------- property fuzz
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_url_chars = st.text(
+    alphabet="abcXYZ019-._~:/?#@!$&'()*+,;=% \t", min_size=0, max_size=40)
+_urlish = st.one_of(
+    _url_chars,
+    st.builds(lambda h, p: f"http://{h}.com/{p}", st.text("abch0", max_size=8),
+              _url_chars),
+    st.builds(lambda p: "//" + p, _url_chars),
+    st.builds(lambda p: "/" + p, _url_chars),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_urlish, min_size=1, max_size=8))
+def test_fuzz_scalar_twins_match_vectorized(urls):
+    """Property: the scalar URL kit (used by the sequential oracle) and the
+    vectorized kit (used by the queries) agree on arbitrary URL-ish
+    strings."""
+    from icrawler_ray.functions.urlnorm import canonicalize_one, host_of_one, path_ext_one
+
+    s = pd.Series(urls, dtype="string")
+    vec_c = canonicalize(s).fillna("").tolist()
+    vec_h = hosts_of(s).tolist()
+    vec_e = path_ext(s).fillna("").tolist()
+    for i, u in enumerate(urls):
+        assert canonicalize_one(u) == vec_c[i], u
+        assert host_of_one(u) == vec_h[i], u
+        assert path_ext_one(u) == vec_e[i], u
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_urlish, min_size=1, max_size=8))
+def test_fuzz_norm_href_twins(hrefs):
+    """Property: GreedyRules._norm_href (scalar, oracle/crawl path,
+    including the absolute-URL urljoin fast path) and normalize_hrefs
+    (vectorized, query path) agree on arbitrary href-ish strings."""
+    from icrawler_ray.functions.urlnorm import normalize_hrefs
+    from icrawler_ray.stages.parsers import GreedyRules
+
+    base = "http://h0.example.com"
+    rules = GreedyRules([base])
+    vec = normalize_hrefs(pd.Series(hrefs, dtype="string"), base)
+    for i, h in enumerate(hrefs):
+        scalar = rules._norm_href(h, base)
+        v = vec.iloc[i]
+        v = None if pd.isna(v) else v
+        assert scalar == v, (h, scalar, v)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_urlish)
+def test_fuzz_norm_href_matches_reference_formula(href):
+    """Ground truth: the scalar _norm_href (with its fast paths) equals the
+    VERBATIM reference formula (greedy.py:43-53) on arbitrary strings."""
+    from urllib.parse import urljoin
+
+    from icrawler_ray.stages.parsers import GreedyRules
+
+    base = "http://h0.example.com"
+
+    def ref_norm(h):
+        if len(h) < 2:
+            return None
+        if h[0:2] == "//":
+            return "http:" + h.rstrip("/")
+        if h[0] == "/":
+            return urljoin(base, h.strip("/"))
+        if h[0] == "#":
+            return None
+        return urljoin(base, h.rstrip("/"))
+
+    rules = GreedyRules([base])
+    assert rules._norm_href(href, base) == ref_norm(href), href
