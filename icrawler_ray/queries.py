@@ -644,11 +644,13 @@ def q_minhash_lsh_pairs(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
-    """SimHash near-dup pairs (single-probe prefix buckets) — rows-only."""
+    """SimHash near-dup pairs — pigeonhole-banded buckets give EXACT
+    recall at the hamming threshold (pytest-verified against brute-force
+    all-pairs); hashes aren't SQL-reproducible, so rows-only here."""
     from icrawler_ray.stages.dedup import simhash_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_pairs(ds, max_hamming=12)
+    return simhash_pairs(ds, max_hamming=4)
 
 
 def q_quality_filter(sf_dir: str):

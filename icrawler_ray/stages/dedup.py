@@ -266,45 +266,83 @@ def simhash64(texts: list[str]) -> np.ndarray:
 
 
 def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 8, prefix_bits: int = 16) -> pd.DataFrame:
-    """Near-dup pairs with simhash hamming distance <= max_hamming.
-
-    Bucket by the top ``prefix_bits`` bits (docs differing only in low bits
-    collide; standard multi-probe would rotate the prefix — single probe
-    here, documented recall tradeoff), verify hamming within buckets.
+                  max_hamming: int = 8, num_bands: int | None = None,
+                  num_partitions: int = 32) -> pd.DataFrame:
+    """Near-dup pairs with simhash hamming distance <= max_hamming —
+    EXACT recall by pigeonhole banding: the 64 bits split into
+    ``num_bands`` (default max_hamming+1) contiguous bands, so any two
+    hashes within max_hamming agree exactly on at least one band and meet
+    in that band's bucket. Candidate discovery is the same
+    hash-partitioned fat-group exchange as minhash_lsh_pairs (bounded
+    group count, vectorized run walk); pair dedup across bands happens on
+    the OUTPUT-sized pair set.
     """
+    B = num_bands or min(16, max_hamming + 1)
+    # band bit boundaries (as even as possible over 64 bits)
+    widths = [64 // B + (1 if i < 64 % B else 0) for i in range(B)]
+    shifts, masks = [], []
+    pos = 0
+    for w in widths:
+        shifts.append(np.uint64(pos))
+        masks.append(np.uint64((1 << w) - 1))
+        pos += w
+    P = max(1, num_partitions)
 
     def stage_hash(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        h = simhash64(texts)
+        h = simhash64(batch[text_col].to_pylist())
+        n = len(h)
+        ids = np.asarray(batch[id_col].to_pylist())
+        bucket = np.empty(n * B, dtype=np.int64)
+        for b in range(B):
+            band_val = (h >> shifts[b]) & masks[b]
+            with np.errstate(over="ignore"):
+                bucket[b::B] = (
+                    (_mix(band_val, 19) + _mix(np.uint64(b + 1), 23)) % np.uint64(1 << 63)
+                ).astype(np.int64)
         return pa.table(
             {
-                "doc_id": batch[id_col],
-                "simhash": pa.array(h),
-                "bucket": pa.array((h >> np.uint64(64 - prefix_bits)).astype(np.int64)),
+                "bucket": pa.array(bucket),
+                "part": pa.array((bucket % P).astype(np.int32)),
+                "doc_id": pa.array(np.repeat(ids, B)),
+                "simhash": pa.array(np.repeat(h, B)),
             }
         )
 
-    def stage_verify(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        recs = sorted(zip(g["doc_id"], g["simhash"].astype(np.uint64)))
+        g = g.sort_values(["bucket", "doc_id"], kind="mergesort")
+        bk = g["bucket"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        hh = g["simhash"].to_numpy().astype(np.uint64)
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
         out = {"a": [], "b": [], "hamming": []}
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                d = int(bin(int(recs[i][1]) ^ int(recs[j][1])).count("1"))
-                if d <= max_hamming:
-                    out["a"].append(recs[i][0])
-                    out["b"].append(recs[j][0])
-                    out["hamming"].append(d)
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            order = np.argsort(d[s:e], kind="stable")
+            dv, hv = d[s:e][order], hh[s:e][order]
+            for i in range(len(dv)):
+                for j in range(i + 1, len(dv)):
+                    if dv[i] == dv[j]:
+                        continue
+                    ham = int(bin(int(hv[i]) ^ int(hv[j])).count("1"))
+                    if ham <= max_hamming:
+                        out["a"].append(dv[i])
+                        out["b"].append(dv[j])
+                        out["hamming"].append(ham)
         return pd.DataFrame(out)
 
     pairs = (
         ds.map_batches(stage_hash, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(stage_verify, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
     ).to_pandas()
-    return pairs.sort_values(["a", "b"]).reset_index(drop=True) if len(pairs) else pairs
+    if not len(pairs):
+        return pairs
+    pairs = pairs.drop_duplicates(["a", "b"])  # same pair via several bands
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def ngram_jaccard_pairs_grouped(

@@ -616,3 +616,31 @@ def test_ivf_topk_recall_and_sims(ray_session):
     part = ivf_topk(ds, q, k=5, query_ids=qi, n_centroids=8, n_probe=2)
     merged = part.merge(bf, on=["query_id", "vec_id"], suffixes=("_i", "_b"))
     assert len(part) and np.allclose(merged.sim_i, merged.sim_b)
+
+
+def test_simhash_banding_exact_recall(ray_session):
+    """Pigeonhole banding guarantees every pair within max_hamming is
+    found: compare against brute-force all-pairs on a small corpus."""
+    from itertools import combinations
+
+    from icrawler_ray.stages.dedup import simhash64, simhash_pairs
+
+    rng = np.random.default_rng(3)
+    base_words = [f"w{i}" for i in range(40)]
+    texts = []
+    for k in range(40):
+        words = list(base_words)
+        for _ in range(rng.integers(0, 6)):  # small perturbations -> near dups
+            words[rng.integers(0, len(words))] = f"x{rng.integers(0, 30)}"
+        texts.append(" ".join(words))
+    texts += [" ".join(f"z{i}_{j}" for i in range(30)) for j in range(10)]  # far docs
+
+    h = simhash64(texts)
+    want = set()
+    for i, j in combinations(range(len(texts)), 2):
+        if bin(int(h[i]) ^ int(h[j])).count("1") <= 6:
+            want.add((i, j))
+    ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    got = simhash_pairs(ds, max_hamming=6)
+    got_pairs = {(int(a), int(b)) for a, b in zip(got.a, got.b)}
+    assert got_pairs == want and len(want) > 0
