@@ -103,20 +103,26 @@ def politeness_gate(frontier: ray.data.Dataset, policy_ref,
     sum_h(B_h) rows) and deferred as a lazy filter of the frontier.
     """
     policy_handle = policy_ref
+    P = 32  # bounded fat host-hash partitions: one group PER HOST would be
+    # the many-tiny-groups map_groups pitfall at web host counts, and
+    # _topk_per_host is already vectorized across hosts within a frame
 
     def partial(batch: pa.Table) -> pa.Table:
         pol = ray.get(policy_handle) if isinstance(policy_handle, ray.ObjectRef) else policy_handle
         df = batch.to_pandas()
         df = robots_filter(df, pol, url_col=url_col)
         df = _topk_per_host(df, pol)
+        df["_part"] = (pd.util.hash_array(df["host"].to_numpy(dtype=object)) % P
+                       ).astype(np.int32)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
+    def final(g: pd.DataFrame) -> pa.Table:
         pol = ray.get(policy_handle) if isinstance(policy_handle, ray.ObjectRef) else policy_handle
-        return _topk_per_host(g, pol)
+        out = _topk_per_host(g.drop(columns=["_part"]), pol)
+        return pa.Table.from_pandas(out, preserve_index=False)  # arrow out: hashable schema
 
     candidates = frontier.map_batches(partial, batch_format="pyarrow")
-    gated = candidates.groupby("host").map_groups(final, batch_format="pandas").materialize()
+    gated = candidates.groupby("_part").map_groups(final, batch_format="pandas").materialize()
 
     gated_keys = np.unique(gated.to_pandas()["url_hash"].to_numpy().astype(np.uint64))
     gated_keys_ref = ray.put(gated_keys)  # broadcast once, not per task closure
