@@ -211,7 +211,8 @@ def bench_queries() -> dict:
     names = ["agg_lineitem", "join_revenue_by_nation", "filter_project_lineitem",
              "events_hourly", "events_sessionize", "events_asof_join",
              "knn_bruteforce", "knn_ivf", "minhash_lsh_pairs", "text_stats",
-             "token_counts", "quality_filter", "dedup_exact"]
+             "token_counts", "quality_filter", "dedup_exact",
+             "link_degree", "pagerank"]
     out = {}
     for name in names:
         t0 = time.time()

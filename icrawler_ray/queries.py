@@ -1144,6 +1144,146 @@ SELECT 'lineitem.l_partkey', COUNT(DISTINCT l_partkey), TRUE FROM lineitem
 
 
 # =====================================================================
+# C2. link-graph analytics + data-mixing (stages/linkgraph.py docstring
+#     explains the deterministic edge derivation both sides reproduce)
+# =====================================================================
+
+# shared edge CTE: doc i -> (i*131 + j*97) % n for j in 1..1+(i%4), no
+# self-loops (matches stages/linkgraph.py::derive_edges exactly)
+_SQL_EDGES_CTE = """
+nn AS (SELECT COUNT(*) AS cnt FROM documents),
+edges AS (
+  SELECT d.doc_id AS src,
+         CAST((d.doc_id * 131 + j.j * 97) % nn.cnt AS BIGINT) AS dst
+  FROM documents d, nn,
+       LATERAL (SELECT unnest(generate_series(1, 1 + CAST(d.doc_id % 4 AS INT))) AS j) j
+  WHERE (d.doc_id * 131 + j.j * 97) % nn.cnt <> d.doc_id
+)"""
+
+
+def q_link_degree(sf_dir: str):
+    """Per-node out/in-degree over the derived link graph (combiner
+    partial counts -> tiny final reduce; the frontier-priority signal a
+    crawl scheduler feeds back into politeness ordering)."""
+    from icrawler_ray.stages.linkgraph import degree_table, derive_edges
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    return degree_table(derive_edges(docs, n), docs)
+
+
+SQL_LINK_DEGREE = f"""
+WITH {_SQL_EDGES_CTE},
+o AS (SELECT src AS node, COUNT(*) AS c FROM edges GROUP BY src),
+i AS (SELECT dst AS node, COUNT(*) AS c FROM edges GROUP BY dst)
+SELECT d.doc_id AS node,
+       CAST(COALESCE(o.c, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(i.c, 0) AS BIGINT) AS in_deg
+FROM documents d
+LEFT JOIN o ON o.node = d.doc_id
+LEFT JOIN i ON i.node = d.doc_id
+ORDER BY node
+"""
+
+
+def q_pagerank(sf_dir: str):
+    """5-iteration damping-0.85 PageRank over the derived link graph
+    (broadcast-iterate; stages/linkgraph.py scale notes).  Fixed sweep
+    count so the SQL oracle unrolls the identical computation."""
+    from icrawler_ray.stages.linkgraph import derive_edges, pagerank
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    ranks = pagerank(derive_edges(docs, n), n, iters=5, damping=0.85)
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "pr": pd.Series(ranks).round(6)})
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT {prev}.node,
+         0.15e0 / (SELECT cnt FROM nn) + 0.85e0 * COALESCE(c.s, 0e0) AS r
+  FROM {prev} LEFT JOIN (
+    SELECT e.dst AS node, SUM(rp.r / od.deg) AS s
+    FROM edges e JOIN od ON od.src = e.src JOIN {prev} rp ON rp.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = {prev}.node
+)"""
+
+
+SQL_PAGERANK = f"""
+WITH {_SQL_EDGES_CTE},
+od AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT d.doc_id AS node, 1e0 / nn.cnt AS r FROM documents d, nn),
+{",".join(_pagerank_iter_sql(f"r{i}", f"r{i + 1}") for i in range(5))}
+SELECT node AS doc_id, ROUND(r, 6) AS pr FROM r5 ORDER BY doc_id
+"""
+
+
+#: per-lang keep-rate (percent) for the deterministic stratified sample:
+#: down-sample the head language, keep the tail — the data-mixing
+#: rebalance step of a training-data pipeline
+STRATA_RATES = {"de": 100, "en": 35, "es": 100, "fr": 60, "zh": 80}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified (per-language) sampling: keep doc iff
+    doc_id % 100 < rate[lang].  Hash-free modular gate so the oracle is
+    exact; at scale the gate would key on a content hash instead."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        rates = df["lang"].map(STRATA_RATES).fillna(0).to_numpy(dtype=np.int64)
+        return df[(df["doc_id"].to_numpy() % 100) < rates]
+
+    out = ds.map_batches(gate, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 100 < CASE lang
+  {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(STRATA_RATES.items()))}
+  ELSE 0 END
+ORDER BY doc_id
+"""
+
+
+def q_mixture_weights(sf_dir: str):
+    """Per-source token counts and mixture weights (the sampling-weight
+    table a data-mixing stage consumes).  Combiner partials -> 20-row
+    final reduce; the global total never shuffles."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.count(" ").to_numpy(dtype=np.int64) + 1
+        g = pd.DataFrame({"source": df["source"], "n_tokens": toks}).groupby(
+            "source", sort=False).agg(n_docs=("n_tokens", "size"),
+                                      n_tokens=("n_tokens", "sum"))
+        return g.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+    out["weight"] = (out["n_tokens"] / out["n_tokens"].sum()).round(6)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_MIXTURE_WEIGHTS = """
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens
+  FROM documents GROUP BY source)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS weight
+FROM s ORDER BY source
+"""
+
+
+# =====================================================================
 # D. crawl pipelines over the hermetic synthetic web (rows-only checks:
 #    the real oracle is the sequential crawler, enforced in pytest —
 #    tests/test_greedy_parity.py — not expressible in SQL)
@@ -1286,6 +1426,10 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "robots_gate": q_robots_gate,
     "hll_distinct": q_hll_distinct,
+    "link_degree": q_link_degree,
+    "pagerank": q_pagerank,
+    "stratified_sample": q_stratified_sample,
+    "mixture_weights": q_mixture_weights,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -1331,4 +1475,8 @@ ORACLE_SQL = {
     "quality_filter": SQL_QUALITY_FILTER,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "link_degree": SQL_LINK_DEGREE,
+    "pagerank": SQL_PAGERANK,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "mixture_weights": SQL_MIXTURE_WEIGHTS,
 }

@@ -1,0 +1,74 @@
+"""Link-graph operators (stages/linkgraph.py) vs an independent
+pure-numpy reference on the same deterministic edge derivation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from icrawler_ray.stages.linkgraph import degree_table, derive_edges, pagerank
+
+
+def _ref_edges(n):
+    rows = []
+    for i in range(n):
+        for j in range(1, 2 + i % 4):
+            d = (i * 131 + j * 97) % n
+            if d != i:
+                rows.append((i, d))
+    return np.array(rows, dtype=np.int64)
+
+
+@pytest.fixture(scope="module")
+def graph():
+    n = 97  # prime, != the testdata sizes, exercises the modulus
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)}))
+    return n, docs.repartition(5), _ref_edges(n)
+
+
+def test_derive_edges_matches_reference(graph):
+    n, docs, ref = graph
+    got = derive_edges(docs, n).to_pandas().sort_values(["src", "dst"])
+    np.testing.assert_array_equal(got.to_numpy(), ref[np.lexsort((ref[:, 1], ref[:, 0]))])
+
+
+def test_degree_table_matches_reference_and_zero_fills(graph):
+    n, docs, ref = graph
+    deg = degree_table(derive_edges(docs, n), docs)
+    assert deg["node"].tolist() == list(range(n))
+    np.testing.assert_array_equal(
+        deg["out_deg"].to_numpy(), np.bincount(ref[:, 0], minlength=n))
+    np.testing.assert_array_equal(
+        deg["in_deg"].to_numpy(), np.bincount(ref[:, 1], minlength=n))
+
+
+def test_pagerank_matches_numpy_power_iteration(graph):
+    n, docs, ref = graph
+    got = pagerank(derive_edges(docs, n), n, iters=5, damping=0.85)
+
+    outdeg = np.bincount(ref[:, 0], minlength=n).astype(float)
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        contrib = r / np.where(outdeg > 0, outdeg, 1.0)
+        r = np.full(n, 0.15 / n)
+        np.add.at(r, ref[:, 1], 0.85 * contrib[ref[:, 0]])
+    np.testing.assert_allclose(got, r, rtol=1e-12)
+    # at n=97 node 0's only edge is a dropped self-loop => it dangles and
+    # leaks mass each sweep (identically in engine, numpy, and the SQL
+    # oracle); the engine must agree with the reference's total exactly
+    assert outdeg[0] == 0 and got.sum() < 1.0
+    np.testing.assert_allclose(got.sum(), r.sum(), rtol=1e-12)
+
+
+def test_stratified_sample_gate_and_weights_sum():
+    from icrawler_ray.queries import (STRATA_RATES, q_mixture_weights,
+                                      q_stratified_sample)
+
+    sf = "/root/testdata/sf0.001"
+    samp = q_stratified_sample(sf)
+    rates = samp["lang"].map(STRATA_RATES).to_numpy()
+    assert ((samp["doc_id"].to_numpy() % 100) < rates).all()
+
+    mix = q_mixture_weights(sf)
+    assert abs(mix["weight"].sum() - 1.0) < 1e-4
+    assert (mix["n_tokens"] > 0).all()
