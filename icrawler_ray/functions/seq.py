@@ -77,5 +77,8 @@ def from_table_blocks(table: pa.Table, min_rows_per_block: int = 256,
 
 def from_pandas_blocks(df, min_rows_per_block: int = 256,
                        tasks_per_cpu: float = 1.0) -> ray.data.Dataset:
-    return from_table_blocks(pa.Table.from_pandas(df, preserve_index=False),
-                             min_rows_per_block, tasks_per_cpu)
+    # strip the b'pandas' metadata blob: it makes pa.Schema unhashable,
+    # defeating Ray's schema-dedup fast path
+    return from_table_blocks(
+        pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None),
+        min_rows_per_block, tasks_per_cpu)

@@ -96,7 +96,8 @@ def q_join_revenue_by_nation(sf_dir: str):
         df = t.to_pandas().merge(d, left_on="o_custkey", right_on="c_custkey", how="inner")
         g = df.groupby("n_name", sort=False).agg(
             revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        return pa.Table.from_pandas(g.reset_index(),
+                                    preserve_index=False).replace_schema_metadata(None)
 
     parts = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -983,7 +984,7 @@ def q_events_asof_join(sf_dir: str):
         hour = df["ts"].astype("int64") // 10**6 // 3600  # datetime64[us] -> hour number
         out = pd.DataFrame({"event_type": df["event_type"], "hour": hour})
         out = out[out["hour"] % 6 == 0].drop_duplicates()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     small = (ds.map_batches(hour_pairs, batch_format="pyarrow")
              .groupby(["event_type", "hour"]).count().to_pandas())

@@ -114,12 +114,15 @@ def politeness_gate(frontier: ray.data.Dataset, policy_ref,
         df = _topk_per_host(df, pol)
         df["_part"] = (pd.util.hash_array(df["host"].to_numpy(dtype=object)) % P
                        ).astype(np.int32)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # replace_schema_metadata(None): from_pandas attaches a b'pandas'
+        # metadata blob that makes pa.Schema UNHASHABLE, defeating Ray's
+        # schema-dedup fast path (one warning per reduce task)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def final(g: pd.DataFrame) -> pa.Table:
         pol = ray.get(policy_handle) if isinstance(policy_handle, ray.ObjectRef) else policy_handle
         out = _topk_per_host(g.drop(columns=["_part"]), pol)
-        return pa.Table.from_pandas(out, preserve_index=False)  # arrow out: hashable schema
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     candidates = frontier.map_batches(partial, batch_format="pyarrow")
     gated = candidates.groupby("_part").map_groups(final, batch_format="pandas").materialize()
