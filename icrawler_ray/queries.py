@@ -1222,6 +1222,41 @@ SELECT node AS doc_id, ROUND(r, 6) AS pr FROM r5 ORDER BY doc_id
 """
 
 
+def q_cc_labels(sf_dir: str):
+    """Connected components by 8-sweep min-label propagation over the
+    derived link graph — the cluster-assignment step after near-dup pair
+    generation (keep the min-id doc per cluster).  Fixed sweeps so the
+    SQL oracle unrolls the identical computation."""
+    from icrawler_ray.stages.linkgraph import connected_components, derive_edges
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    labels = connected_components(derive_edges(docs, n), n, iters=8)
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "component": labels})
+
+
+def _cc_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT {prev}.node, LEAST({prev}.l, COALESCE(m.ml, {prev}.l)) AS l
+  FROM {prev} LEFT JOIN (
+    SELECT u.dst AS node, MIN(lp.l) AS ml
+    FROM und u JOIN {prev} lp ON lp.node = u.src
+    GROUP BY u.dst
+  ) m ON m.node = {prev}.node
+)"""
+
+
+SQL_CC_LABELS = f"""
+WITH {_SQL_EDGES_CTE},
+und AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+l0 AS (SELECT d.doc_id AS node, d.doc_id AS l FROM documents d),
+{",".join(_cc_iter_sql(f"l{i}", f"l{i + 1}") for i in range(8))}
+SELECT node AS doc_id, CAST(l AS BIGINT) AS component FROM l8 ORDER BY doc_id
+"""
+
+
 #: per-lang keep-rate (percent) for the deterministic stratified sample:
 #: down-sample the head language, keep the tail — the data-mixing
 #: rebalance step of a training-data pipeline
@@ -1429,6 +1464,7 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "link_degree": q_link_degree,
     "pagerank": q_pagerank,
+    "cc_labels": q_cc_labels,
     "stratified_sample": q_stratified_sample,
     "mixture_weights": q_mixture_weights,
     "crawl_urllist": q_crawl_urllist,
@@ -1478,6 +1514,7 @@ ORACLE_SQL = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "link_degree": SQL_LINK_DEGREE,
     "pagerank": SQL_PAGERANK,
+    "cc_labels": SQL_CC_LABELS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
 }

@@ -38,7 +38,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-__all__ = ["derive_edges", "degree_table", "pagerank"]
+__all__ = ["derive_edges", "degree_table", "pagerank", "connected_components"]
 
 
 def derive_edges(docs: rd.Dataset, n_docs: int) -> rd.Dataset:
@@ -123,3 +123,41 @@ def pagerank(edges: rd.Dataset, n_nodes: int, *, iters: int = 5,
         ranks = np.full(n_nodes, (1.0 - damping) / n_nodes)
         ranks[agg.index.to_numpy()] += damping * agg.to_numpy()
     return ranks
+
+
+def connected_components(edges: rd.Dataset, n_nodes: int, *,
+                         iters: int = 8) -> np.ndarray:
+    """Min-label propagation connected components — the cluster-assignment
+    step a near-dup pipeline runs over its candidate PAIRS (each doc gets
+    the min doc_id of its duplicate cluster; the cluster min is the doc
+    you keep).
+
+    Fixed ``iters`` undirected sweeps: label'[v] = min(label[v], min over
+    neighbors u of label[u]).  A fixed sweep count (no convergence test)
+    keeps the computation identical to the unrolled SQL oracle
+    (queries.py::SQL_CC_LABELS) even on graphs where it has not converged;
+    pick iters >= graph diameter for true components.  Same
+    broadcast-iterate exchange as :func:`pagerank` — per-block partial
+    neighbor-mins, output-sized."""
+    edges = edges.materialize()
+    labels = np.arange(n_nodes, dtype=np.int64)
+    for _ in range(iters):
+        ref = ray.put(labels)
+
+        def part(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            lab = ray.get(_ref)
+            src = df["src"].to_numpy()
+            dst = df["dst"].to_numpy()
+            node = np.concatenate([dst, src])          # undirected
+            cand = np.concatenate([lab[src], lab[dst]])
+            s = pd.Series(cand).groupby(node).min()
+            return pd.DataFrame({"node": s.index.to_numpy(), "m": s.to_numpy()})
+
+        partials = edges.map_batches(part, batch_format="pandas").to_pandas()
+        agg = partials.groupby("node")["m"].min()
+        new = labels.copy()
+        np.minimum.at(new, agg.index.to_numpy(), agg.to_numpy())
+        if np.array_equal(new, labels):
+            break  # converged — further sweeps are identity in SQL too
+        labels = new
+    return labels

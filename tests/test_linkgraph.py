@@ -60,6 +60,31 @@ def test_pagerank_matches_numpy_power_iteration(graph):
     np.testing.assert_allclose(got.sum(), r.sum(), rtol=1e-12)
 
 
+def test_connected_components_match_union_find(graph):
+    from icrawler_ray.stages.linkgraph import connected_components
+
+    n, docs, ref = graph
+    got = connected_components(derive_edges(docs, n), n, iters=64)
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in ref:
+        parent[find(int(s))] = find(int(d))
+    # canonical label = min node id per component
+    comp_min = {}
+    for v in range(n):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expect = np.array([comp_min[find(v)] for v in range(n)], dtype=np.int64)
+    np.testing.assert_array_equal(got, expect)
+
+
 def test_stratified_sample_gate_and_weights_sum():
     from icrawler_ray.queries import (STRATA_RATES, q_mixture_weights,
                                       q_stratified_sample)
