@@ -48,6 +48,26 @@ from icrawler_ray.state.checkpoint import CheckpointManager
 from icrawler_ray.state.seen import ShardedSeenSet
 
 
+def _is_actor_death(e: BaseException) -> bool:
+    """True iff the exception chain bottoms out in a Ray actor death —
+    the one failure class the round loop can heal from (anything else is
+    a code bug and must surface).  Ray wraps worker-side failures in
+    RayTaskError / UserCodeException layers, so walk the chain and also
+    match on the pickled error's repr."""
+    from ray.exceptions import RayActorError
+
+    seen = set()
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        if isinstance(e, RayActorError):
+            return True
+        text = f"{e!r} {e}"  # RayTaskError embeds the remote traceback in str()
+        if "ActorDiedError" in text or "ActorUnavailableError" in text:
+            return True
+        e = getattr(e, "cause", None) or e.__cause__ or e.__context__
+    return False
+
+
 def normalize_domains(domains) -> list[str]:
     """GreedyImageCrawler.crawl input fixup (greedy.py:80-88)."""
     if isinstance(domains, str):
@@ -107,7 +127,13 @@ class GreedyCrawl:
         max_idle_time: float | None = None,
         file_idx_offset: int = 0,
         seen_full_every: int = 8,
+        max_recoveries: int = 2,
     ):
+        # max_recoveries: in-process fault-recovery budget — on a seen-shard
+        # actor death mid-round, rewind to the last round-boundary
+        # checkpoint (fresh shard fleet, restored state) and retry the
+        # round, at most this many times per run (requires checkpoint_dir).
+        self.max_recoveries = int(max_recoveries)
         # seen_full_every: a FULL seen-set snapshot costs O(capacity) bytes
         # per round (~21 GiB at the 10^10-key design point); rounds in
         # between checkpoint only the O(novel) inserted-key DELTA, and
@@ -158,6 +184,10 @@ class GreedyCrawl:
         self.fetch_concurrency = fetch_concurrency
         self.keep_content = keep_content
         self.run_id = run_id or uuid.uuid4().hex[:8]
+        self.num_shards = num_shards
+        self.seen_capacity = seen_capacity
+        self.exact_seen = exact_seen
+        self._seen_gen = 0  # bumped on fault recovery (fresh actor fleet)
         self.seen_pages = ShardedSeenSet(
             f"{self.run_id}:pages", num_shards, seen_capacity, exact=exact_seen
         )
@@ -178,6 +208,7 @@ class GreedyCrawl:
         self.dl_count = 0
         self.next_seq = 0
         self.start_round = 0
+        self._recoveries = 0
         # The frontier between rounds is EITHER a small driver-side table
         # (driver/hybrid mode) OR a Dataset whose blocks stay in the object
         # store (dataset mode — the 10^10-URL scale path, VERDICT r1 #4);
@@ -231,6 +262,39 @@ class GreedyCrawl:
                 d = self._round_out_dir(rr, kind)
                 if d and osp.isdir(d) and os.listdir(d):
                     parts.append(d)
+
+    def _recover_from_checkpoint(self) -> None:
+        """In-process fault recovery (seen-shard actor death mid-round):
+        kill whatever survives of the current shard fleet, spawn a fresh
+        generation of named actors, and rewind frontier / seen state /
+        counters to the last round-boundary checkpoint — the same restore
+        path a fresh-process resume takes (claim routing picks up the new
+        actor names because every round passes ``self.seen_pages.name``).
+        Already-written round partitions stay final (skip-finished
+        resume); the re-run round replaces its own partial output dir.
+        Not reconstructed: HostInflightLimiter slots held by tasks that
+        died with the actor (opt-in feature; slots leak until run end)."""
+        self._seen_gen += 1
+        for old in (self.seen_pages, self.seen_files):
+            try:
+                old.shutdown()
+            except Exception:  # noqa: BLE001 — actors may already be dead
+                pass
+        gen = f"{self.run_id}:g{self._seen_gen}"
+        self.seen_pages = ShardedSeenSet(
+            f"{gen}:pages", self.num_shards, self.seen_capacity, exact=self.exact_seen)
+        self.seen_files = ShardedSeenSet(
+            f"{gen}:files", self.num_shards, self.seen_capacity, exact=self.exact_seen)
+        self._doc_parts, self._result_parts = [], []
+        self.dl_count = 0
+        self._set_frontier(None)
+        manifest = self.ckpt.load_manifest()
+        if manifest is not None:
+            self._resume(manifest)
+        else:  # died during round 0: restart from seeds
+            self.start_round = 0
+            self.next_seq = 0
+            self._init_frontier()
 
     # ------------------------------------------------- frontier residency
 
@@ -320,7 +384,16 @@ class GreedyCrawl:
             use_driver = self.mode == "driver" or (
                 self.mode == "auto" and self._frontier_rows() <= self.driver_threshold
             )
-            m = self._run_round_driver(round_idx) if use_driver else self._run_round(round_idx)
+            try:
+                m = self._run_round_driver(round_idx) if use_driver else self._run_round(round_idx)
+            except Exception as e:  # noqa: BLE001 — filtered to actor death below
+                if (self.ckpt is None or self._recoveries >= self.max_recoveries
+                        or not _is_actor_death(e)):
+                    raise
+                self._recoveries += 1
+                self._recover_from_checkpoint()
+                round_idx = self.start_round
+                continue
             self.metrics.append(m)
             round_idx += 1
             if any(m.get(k) for k in ("docs", "downloads", "new_links")):

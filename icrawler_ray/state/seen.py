@@ -186,6 +186,11 @@ class SeenShard:           # a full-CPU reservation per shard would starve
         self.num_items += len(keys)
 
     def restore(self, payload: dict) -> None:
+        # drop any mid-round claim/delta state: restore() rewinds this
+        # shard to a round BOUNDARY (in-process fault recovery restores
+        # surviving shards alongside respawned ones)
+        self._claims = []
+        self._delta = []
         self.num_items = payload["num_items"]
         self.num_queries = payload["num_queries"]
         self.num_hits = payload["num_hits"]

@@ -120,6 +120,32 @@ def test_resume_equals_fresh(small_web, small_ref, policy, golden, tmp_path):
     _assert_parity(golden, docs, results)
 
 
+def test_shard_actor_death_recovers_in_process(small_web, small_ref, policy, golden, tmp_path):
+    """Kill a seen-shard actor right after the round-1 checkpoint: the
+    round loop must detect the actor death, respawn a fresh shard fleet,
+    rewind to the checkpoint IN-PROCESS, and finish with outputs equal to
+    an undisturbed run (no restart of the driver process)."""
+    import ray
+
+    class FaultyCrawl(GreedyCrawl):
+        killed = False
+
+        def _checkpoint(self, round_idx, metrics):
+            super()._checkpoint(round_idx, metrics)
+            if round_idx == 1 and not FaultyCrawl.killed:
+                FaultyCrawl.killed = True
+                ray.kill(self.seen_pages.shards[0])
+
+    c = FaultyCrawl(
+        small_ref, small_web.domains, policy=policy, max_num=25, max_depth=3,
+        num_shards=2, mode="driver", checkpoint_dir=str(tmp_path),
+    )
+    docs, results, _ = c.run()
+    c.shutdown()
+    assert FaultyCrawl.killed and c._recoveries == 1 and c._seen_gen == 1
+    _assert_parity(golden, docs, results)
+
+
 def test_parallelism_invariance(small_web, small_ref, policy, golden):
     """Same outputs regardless of shard count / batch sizes (the engine's
     ordering is defined, not emergent — SURVEY.md §4 ordering row)."""
