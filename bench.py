@@ -251,16 +251,58 @@ def run_scaling_child() -> dict:
         ray.shutdown()
 
 
-def run_once() -> dict:
+def _cpu_calibration() -> dict:
+    """Cheap machine-state probe recorded with every bench: single-proc
+    busy-loop seconds and the aggregate speedup of NUM_CPUS concurrent
+    copies.  The sandbox host is shared — observed effective-core counts
+    swing 2-3x day to day — so each BENCH json carries the state it ran
+    under (interpret throughput relative to this, see BASELINE.md)."""
+    import multiprocessing as mp
+
+    def burn(n: int = 10_000_000) -> float:
+        t0 = time.time()
+        x = 0
+        for i in range(n):
+            x += i * i
+        return time.time() - t0
+
+    def worker(q):
+        q.put(burn())
+
+    single = burn()
+    q = mp.Queue()
+    ps = [mp.Process(target=worker, args=(q,)) for _ in range(NUM_CPUS)]
+    t0 = time.time()
+    [p.start() for p in ps]
+    [p.join() for p in ps]
+    wall = time.time() - t0
+    total_cpu = sum(q.get() for _ in ps)
+    return {"single_proc_sec": round(single, 3),
+            "effective_cores": round(total_cpu / wall, 1),
+            "nominal_cores": NUM_CPUS}
+
+
+def _fresh_session():
+    """Isolate each headline bench in its own Ray session: worker-process
+    caches and object-store residue from one 200k-page workload otherwise
+    degrade the next section (measured 4x on the crawl under memory
+    pressure)."""
     import logging
 
     import ray
     import ray.data
 
+    ray.shutdown()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     ray.data.DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def run_once() -> dict:
+    import ray
+
+    calibration = _cpu_calibration()
     try:
         # warm the page cache so we measure compute+shuffle, not first read
         import pyarrow.parquet as pq
@@ -268,16 +310,22 @@ def run_once() -> dict:
         for t in ("lineitem", "orders", "events", "documents", "embeddings"):
             pq.read_table(f"{SF_DIR}/{t}.parquet")
 
-        # warm the Ray worker pool (32 workers cost ~20s to spawn+import on
-        # first use; steady-state throughput is the metric, not process
-        # cold start — a long-lived cluster pays this once)
+        # Each headline section gets a fresh Ray session, and each session
+        # warms its own worker pool first (32 workers cost ~20s to
+        # spawn+import; steady-state throughput is the metric, not process
+        # cold start — a long-lived cluster pays this once).
+        _fresh_session()
+        bench_fetch_parse(n_pages=2000)
+        fp = bench_fetch_parse(n_pages=int(os.environ.get("BENCH_FP_PAGES", "200000")))
+
+        _fresh_session()
+        bench_crawl(n_pages=2000)
+        crawl = bench_crawl()
+
+        _fresh_session()
         from icrawler_ray.queries import q_agg_lineitem
 
         q_agg_lineitem(SF_DIR)
-        bench_crawl(n_pages=2000)
-
-        fp = bench_fetch_parse(n_pages=int(os.environ.get("BENCH_FP_PAGES", "200000")))
-        crawl = bench_crawl()
         dedup = bench_frontier_dedup()
         baseline = bench_single_thread_baseline()
         queries = bench_queries()
@@ -298,6 +346,7 @@ def run_once() -> dict:
             "files_downloaded": crawl["files_downloaded"],
             "dedup_ops_per_sec": dedup["ops_per_sec"],
             "single_thread_urls_per_sec": baseline["urls_per_sec"],
+            "cpu_calibration": calibration,
         }
     finally:
         ray.shutdown()

@@ -51,6 +51,48 @@ def _block_count(block: pa.Table) -> int:
     return block.num_rows
 
 
+@ray.remote
+def _block_sum(block: pa.Table, col: str) -> int:
+    import pyarrow.compute as pc
+
+    return int(pc.sum(block[col]).as_py() or 0)
+
+
+@ray.remote
+def _add_cumsum_block(block: pa.Table, weight_col: str, col: str, offset: int) -> pa.Table:
+    import numpy as np
+
+    w = block[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = offset + np.concatenate([[0], np.cumsum(w)[:-1]]) if len(w) else np.empty(0, np.int64)
+    return block.append_column(col, pa.array(starts.astype("int64"), type=pa.int64()))
+
+
+def assign_global_cumsum(ds: ray.data.Dataset, sort_keys: list[str], weight_col: str,
+                         col: str = "cum_before", start: int = 0,
+                         descending=False) -> ray.data.Dataset:
+    """Sort ``ds`` and append the EXCLUSIVE global running total of
+    ``weight_col`` (each row sees the sum of all earlier rows' weights).
+
+    Same split-sizes pattern as :func:`assign_global_seq` with per-block
+    SUMS instead of counts: the sort is the only shuffle; the driver sees
+    one integer per block; the per-block cumulative+offset append is
+    embarrassingly parallel.  This is the sequence-packing primitive
+    (token offsets over a corpus) and generalizes byte/row offset
+    assignment for manifest building."""
+    if sort_keys:
+        ds = ds.sort(sort_keys, descending=descending)
+    refs = ds.to_arrow_refs()
+    sums = ray.get([_block_sum.remote(r, weight_col) for r in refs])
+    out_refs = []
+    offset = start
+    for r, s in zip(refs, sums):
+        out_refs.append(_add_cumsum_block.remote(r, weight_col, col, offset))
+        offset += s
+    if not out_refs:
+        return ds
+    return ray.data.from_arrow(ray.get(out_refs))
+
+
 def from_table_blocks(table: pa.Table, min_rows_per_block: int = 256,
                       tasks_per_cpu: float = 1.0) -> ray.data.Dataset:
     """Dataset from an in-memory Arrow table, SPLIT into row-range blocks.

@@ -1257,6 +1257,61 @@ SELECT node AS doc_id, CAST(l AS BIGINT) AS component FROM l8 ORDER BY doc_id
 """
 
 
+#: training-sequence length for the packing operator
+PACK_SEQ_LEN = 2048
+
+
+def q_sequence_pack(sf_dir: str):
+    """Sequence packing for training data: docs in doc_id order are laid
+    end-to-end on a token tape; sequence k owns tokens [k*L, (k+1)*L) and
+    a doc belongs to the sequence its FIRST token lands in
+    (document-preserving approximate packing).  The token-offset tape is
+    the distributed exclusive prefix sum (functions/seq.py::
+    assign_global_cumsum) — sort is the only shuffle, the driver sees one
+    integer per block."""
+    from icrawler_ray.functions.seq import assign_global_cumsum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": df["text"].str.count(" ").to_numpy(dtype=np.int64) + 1,
+        })
+
+    counted = ds.map_batches(tok, batch_format="pandas")
+    packed = assign_global_cumsum(counted, ["doc_id"], "n_tokens", col="tok_start")
+
+    def finish(t: pa.Table) -> pa.Table:
+        start = t["tok_start"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens"],
+            "tok_start": t["tok_start"],
+            "seq_id": pa.array(start // PACK_SEQ_LEN, type=pa.int64()),
+        })
+
+    return packed.map_batches(finish, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_start // {PACK_SEQ_LEN} AS BIGINT) AS seq_id
+FROM c ORDER BY doc_id
+"""
+
+
 #: per-lang keep-rate (percent) for the deterministic stratified sample:
 #: down-sample the head language, keep the tail — the data-mixing
 #: rebalance step of a training-data pipeline
@@ -1465,6 +1520,7 @@ QUERIES = {
     "link_degree": q_link_degree,
     "pagerank": q_pagerank,
     "cc_labels": q_cc_labels,
+    "sequence_pack": q_sequence_pack,
     "stratified_sample": q_stratified_sample,
     "mixture_weights": q_mixture_weights,
     "crawl_urllist": q_crawl_urllist,
@@ -1515,6 +1571,7 @@ ORACLE_SQL = {
     "link_degree": SQL_LINK_DEGREE,
     "pagerank": SQL_PAGERANK,
     "cc_labels": SQL_CC_LABELS,
+    "sequence_pack": SQL_SEQUENCE_PACK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
 }

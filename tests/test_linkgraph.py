@@ -85,6 +85,25 @@ def test_connected_components_match_union_find(graph):
     np.testing.assert_array_equal(got, expect)
 
 
+def test_sequence_pack_prefix_sum_matches_numpy():
+    """Distributed exclusive prefix sum (token tape) == numpy cumsum, at
+    any block split; packing assignment is floor(tok_start / L)."""
+    from icrawler_ray.queries import PACK_SEQ_LEN, q_sequence_pack
+
+    sf = "/root/testdata/sf0.001"
+    out = q_sequence_pack(sf)
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]) \
+        .to_pandas().sort_values("doc_id")
+    ntok = docs["text"].str.count(" ").to_numpy(dtype=np.int64) + 1
+    starts = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+    np.testing.assert_array_equal(out["n_tokens"].to_numpy(), ntok)
+    np.testing.assert_array_equal(out["tok_start"].to_numpy(), starts)
+    np.testing.assert_array_equal(out["seq_id"].to_numpy(), starts // PACK_SEQ_LEN)
+    # seq_ids are dense-ish and monotone with doc order
+    assert (np.diff(out["seq_id"].to_numpy()) >= 0).all()
+
+
 def test_stratified_sample_gate_and_weights_sum():
     from icrawler_ray.queries import (STRATA_RATES, q_mixture_weights,
                                       q_stratified_sample)
