@@ -128,7 +128,19 @@ class GreedyCrawl:
         file_idx_offset: int = 0,
         seen_full_every: int = 8,
         max_recoveries: int = 2,
+        host_rank_priority: bool = False,
     ):
+        # host_rank_priority (opt-in; default preserves reference/oracle
+        # parity): new frontier rows get priority 1 + log1p(cumulative
+        # admitted in-links of their host) instead of the flat 1.0 — the
+        # link-graph signal (stages/linkgraph.py) wired into the politeness
+        # gate's (-priority, seq) ordering, so heavily-referenced hosts are
+        # crawled first when budgets bind. The counter dict is
+        # driver-resident (bounded by distinct hosts; the 1e8-host design
+        # point shards it over counter actors) and intentionally NOT
+        # checkpointed: the signal re-warms after resume.
+        self.host_rank_priority = bool(host_rank_priority)
+        self._host_indeg: dict[str, int] = {}
         # max_recoveries: in-process fault-recovery budget — on a seen-shard
         # actor death mid-round, rewind to the last round-boundary
         # checkpoint (fresh shard fleet, restored state) and retry the
@@ -262,6 +274,16 @@ class GreedyCrawl:
                 d = self._round_out_dir(rr, kind)
                 if d and osp.isdir(d) and os.listdir(d):
                     parts.append(d)
+
+    def _apply_host_rank(self, hosts) -> np.ndarray:
+        """Accumulate admitted in-link counts per host; return the priority
+        vector 1 + log1p(count_after_update[host]) for these rows.  Both
+        round modes call this with the SAME admitted winner set (parity),
+        so priorities are identical at any parallelism."""
+        s = pd.Series(hosts, dtype="string")
+        for h, c in s.value_counts().items():
+            self._host_indeg[h] = self._host_indeg.get(h, 0) + int(c)
+        return 1.0 + np.log1p(s.map(self._host_indeg).to_numpy(dtype=np.float64))
 
     def _recover_from_checkpoint(self) -> None:
         """In-process fault recovery (seen-shard actor death mid-round):
@@ -511,6 +533,23 @@ class GreedyCrawl:
             links = assign_global_seq(links, ["parent_seq", "emit_ord"], col="new_seq",
                                       start=self.next_seq)
             new_md = links.map_batches(to_frontier, batch_format="pyarrow").materialize()
+            if self.host_rank_priority and new_md.count():
+                # per-host counts shuffle only (host, n) rows; the updated
+                # counter dict broadcasts back for the priority rewrite
+                hc = new_md.groupby("host").count().to_pandas()
+                cnt_col = next(c for c in hc.columns if c != "host")
+                for h, c in zip(hc["host"], hc[cnt_col]):
+                    self._host_indeg[h] = self._host_indeg.get(h, 0) + int(c)
+                indeg_ref = ray.put(dict(self._host_indeg))
+
+                def set_pr(t: pa.Table, _ref=indeg_ref) -> pa.Table:
+                    m = ray.get(_ref)
+                    hs = pd.Series(t["host"].to_pylist(), dtype="string")
+                    pr = 1.0 + np.log1p(hs.map(m).to_numpy(dtype=np.float64))
+                    return t.set_column(t.schema.get_field_index("priority"),
+                                        "priority", pa.array(pr, type=pa.float64()))
+
+                new_md = new_md.map_batches(set_pr, batch_format="pyarrow").materialize()
         else:
             new_md = ray.data.from_arrow(FRONTIER.empty_table()).materialize()
         deferred_md = deferred.map_batches(
@@ -702,6 +741,10 @@ class GreedyCrawl:
                 },
                 schema=FRONTIER,
             )
+            if self.host_rank_priority:
+                pr = self._apply_host_rank(new_t["host"].to_numpy(zero_copy_only=False))
+                new_t = new_t.set_column(new_t.schema.get_field_index("priority"),
+                                         "priority", pa.array(pr, type=pa.float64()))
         else:
             new_t = FRONTIER.empty_table()
         deferred_t = pa.Table.from_pandas(

@@ -5,6 +5,7 @@ crawl-order/filename equality — under the same seed list + politeness
 budget, at any parallelism and in both execution modes."""
 
 import numpy as np
+import pandas as pd
 import pytest
 import ray
 
@@ -144,6 +145,42 @@ def test_shard_actor_death_recovers_in_process(small_web, small_ref, policy, gol
     c.shutdown()
     assert FaultyCrawl.killed and c._recoveries == 1 and c._seen_gen == 1
     _assert_parity(golden, docs, results)
+
+
+def test_host_rank_priority_scores_frontier(ray_session):
+    """Opt-in link-graph scheduler signal: new frontier rows get priority
+    1 + log1p(cumulative admitted in-links of their host); identical in
+    driver and dataset round modes (flag off stays oracle-parity, covered
+    by every other test in this file)."""
+    import math
+
+    import ray
+
+    body = (b'<html><a href="http://b.com/b1.html">1</a>'
+            b'<a href="http://b.com/b2.html">2</a>'
+            b'<a href="http://b.com/b3.html">3</a>'
+            b'<a href="http://c.com/c1.html">4</a></html>')
+    m = {"http://a.com": (200, body)}
+    for u in ("http://b.com/b1.html", "http://b.com/b2.html",
+              "http://b.com/b3.html", "http://c.com/c1.html"):
+        m[u] = (200, b"<html>leaf</html>")
+    ref = ray.put(m)
+    domains = ["a.com", "b.com", "c.com"]
+
+    fronts = {}
+    for mode in ("driver", "dataset"):
+        c = GreedyCrawl(ref, domains, max_depth=3, max_rounds=1, mode=mode,
+                        num_shards=2, host_rank_priority=True)
+        c.run()
+        f = c._frontier_as_table().to_pandas().sort_values("url").reset_index(drop=True)
+        fronts[mode] = f[["url", "host", "priority"]]
+        c.shutdown()
+
+    f = fronts["driver"]
+    by_host = {h: g["priority"].iloc[0] for h, g in f.groupby("host")}
+    assert abs(by_host["b.com"] - (1 + math.log1p(3))) < 1e-12
+    assert abs(by_host["c.com"] - (1 + math.log1p(1))) < 1e-12
+    pd.testing.assert_frame_equal(fronts["driver"], fronts["dataset"])
 
 
 def test_parallelism_invariance(small_web, small_ref, policy, golden):
