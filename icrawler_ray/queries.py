@@ -1257,6 +1257,68 @@ SELECT node AS doc_id, CAST(l AS BIGINT) AS component FROM l8 ORDER BY doc_id
 """
 
 
+def q_clean_text(sf_dir: str):
+    """Text normalization pass (the cleaning stage before dedup/tokenize):
+    collapse whitespace runs, strip, lowercase — vectorized pandas str
+    kernels; corpus is ASCII so the RE2 (SQL) and Python regex semantics
+    of \\s coincide (checked: zero non-ASCII docs at every sf)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["text"].str.replace(r"\s+", " ", regex=True).str.strip().str.lower()
+        return pd.DataFrame({"doc_id": df["doc_id"], "clean_text": c,
+                             "n_chars_clean": c.str.len().astype("int64")})
+
+    return ds.map_batches(clean, batch_format="pandas").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CLEAN_TEXT = r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean_text,
+       length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_chars_clean
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_dedup_cluster_keep(sf_dir: str):
+    """END-TO-END near-dup dedup: exact n-gram Jaccard pairs (>= 0.6,
+    within source partitions) -> connected components over the pair graph
+    (8 min-label sweeps) -> keep the min-id doc per cluster.  Composes
+    two oracle-checked operators into the full corpus-dedup pipeline; the
+    SQL unrolls the identical sweeps over the identical pair edges."""
+    from icrawler_ray.functions.seq import from_pandas_blocks
+    from icrawler_ray.stages.dedup import ngram_jaccard_pairs_grouped
+    from icrawler_ray.stages.linkgraph import connected_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    n = _read(sf_dir, "documents", ["doc_id"]).count()
+    pairs = ngram_jaccard_pairs_grouped(ds, group_col="source", threshold=0.6)
+    edges_df = pd.DataFrame({"src": pairs["a"].to_numpy(dtype=np.int64),
+                             "dst": pairs["b"].to_numpy(dtype=np.int64)})
+    labels = (connected_components(from_pandas_blocks(edges_df), n, iters=8)
+              if len(edges_df) else np.arange(n, dtype=np.int64))
+    ids = np.arange(n, dtype=np.int64)
+    return pd.DataFrame({"doc_id": ids, "component": labels, "kept": labels == ids})
+
+
+SQL_DEDUP_CLUSTER_KEEP = f"""
+WITH w AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS words
+           FROM documents),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.words, b.words))) >= 0.6
+),
+und AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+l0 AS (SELECT d.doc_id AS node, d.doc_id AS l FROM documents d),
+{",".join(_cc_iter_sql(f"l{i}", f"l{i + 1}") for i in range(8))}
+SELECT node AS doc_id, CAST(l AS BIGINT) AS component, (l = node) AS kept
+FROM l8 ORDER BY doc_id
+"""
+
+
 #: training-sequence length for the packing operator
 PACK_SEQ_LEN = 2048
 
@@ -1520,6 +1582,8 @@ QUERIES = {
     "link_degree": q_link_degree,
     "pagerank": q_pagerank,
     "cc_labels": q_cc_labels,
+    "clean_text": q_clean_text,
+    "dedup_cluster_keep": q_dedup_cluster_keep,
     "sequence_pack": q_sequence_pack,
     "stratified_sample": q_stratified_sample,
     "mixture_weights": q_mixture_weights,
@@ -1571,6 +1635,8 @@ ORACLE_SQL = {
     "link_degree": SQL_LINK_DEGREE,
     "pagerank": SQL_PAGERANK,
     "cc_labels": SQL_CC_LABELS,
+    "clean_text": SQL_CLEAN_TEXT,
+    "dedup_cluster_keep": SQL_DEDUP_CLUSTER_KEEP,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
