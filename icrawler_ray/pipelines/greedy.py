@@ -294,8 +294,9 @@ class GreedyCrawl:
         actor names because every round passes ``self.seen_pages.name``).
         Already-written round partitions stay final (skip-finished
         resume); the re-run round replaces its own partial output dir.
-        Not reconstructed: HostInflightLimiter slots held by tasks that
-        died with the actor (opt-in feature; slots leak until run end)."""
+        HostInflightLimiter slots held by tasks that died mid-round are
+        dropped via reset() — the re-run round starts from a clean
+        slate."""
         self._seen_gen += 1
         for old in (self.seen_pages, self.seen_files):
             try:
@@ -310,6 +311,8 @@ class GreedyCrawl:
         self._doc_parts, self._result_parts = [], []
         self.dl_count = 0
         self._set_frontier(None)
+        if self._inflight_actor is not None:
+            ray.get(self._inflight_actor.reset.remote())
         manifest = self.ckpt.load_manifest()
         if manifest is not None:
             self._resume(manifest)

@@ -194,6 +194,11 @@ class HostInflightLimiter:
     def release(self, host: str) -> None:
         self.inflight[host] = max(0, self.inflight.get(host, 0) - 1)
 
+    def reset(self) -> None:
+        """Drop all held slots (fault recovery: tasks that died mid-hold
+        can never release; the round is re-run from a clean slate)."""
+        self.inflight = {}
+
     def stats(self) -> dict:
         return {"inflight": dict(self.inflight), "max_seen": dict(self.max_seen)}
 

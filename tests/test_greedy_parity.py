@@ -121,29 +121,34 @@ def test_resume_equals_fresh(small_web, small_ref, policy, golden, tmp_path):
     _assert_parity(golden, docs, results)
 
 
-def test_shard_actor_death_recovers_in_process(small_web, small_ref, policy, golden, tmp_path):
+@pytest.mark.parametrize("mode", ["driver", "dataset"])
+def test_shard_actor_death_recovers_in_process(small_web, small_ref, policy, golden,
+                                               tmp_path, mode):
     """Kill a seen-shard actor right after the round-1 checkpoint: the
-    round loop must detect the actor death, respawn a fresh shard fleet,
-    rewind to the checkpoint IN-PROCESS, and finish with outputs equal to
-    an undisturbed run (no restart of the driver process)."""
+    round loop must detect the actor death (direct ray.get in driver mode;
+    wrapped RayTaskError surfacing from the claim-fused parse tasks in
+    dataset mode), respawn a fresh shard fleet, rewind to the checkpoint
+    IN-PROCESS, and finish with outputs equal to an undisturbed run."""
     import ray
 
     class FaultyCrawl(GreedyCrawl):
-        killed = False
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self._killed = False
 
         def _checkpoint(self, round_idx, metrics):
             super()._checkpoint(round_idx, metrics)
-            if round_idx == 1 and not FaultyCrawl.killed:
-                FaultyCrawl.killed = True
+            if round_idx == 1 and not self._killed:
+                self._killed = True
                 ray.kill(self.seen_pages.shards[0])
 
     c = FaultyCrawl(
         small_ref, small_web.domains, policy=policy, max_num=25, max_depth=3,
-        num_shards=2, mode="driver", checkpoint_dir=str(tmp_path),
+        num_shards=2, mode=mode, checkpoint_dir=str(tmp_path / mode),
     )
     docs, results, _ = c.run()
     c.shutdown()
-    assert FaultyCrawl.killed and c._recoveries == 1 and c._seen_gen == 1
+    assert c._killed and c._recoveries == 1 and c._seen_gen == 1
     _assert_parity(golden, docs, results)
 
 
