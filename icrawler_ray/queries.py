@@ -1319,6 +1319,71 @@ FROM l8 ORDER BY doc_id
 """
 
 
+#: quantiles reported by the length-distribution operator
+LENGTH_QUANTS = (0.25, 0.5, 0.9, 0.99)
+
+
+def q_length_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of document length — the distribution
+    cut-offs a corpus pipeline uses for truncation/outlier thresholds.
+    Histogram combiner: each batch emits one (value, count) row per
+    distinct length; the merged histogram (bounded by distinct lengths,
+    not rows) lives on the driver; quantile = percentile_disc definition
+    (smallest value with cume_dist >= q), matching DuckDB quantile_disc."""
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_chars").size().rename("c").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    hist = parts.groupby("n_chars")["c"].sum().sort_index()
+    n = int(hist.sum())
+    cum = hist.cumsum().to_numpy()
+    vals = hist.index.to_numpy()
+    rows = [{"q": float(q), "n_chars_q": int(vals[np.searchsorted(cum, int(np.ceil(q * n)))])}
+            for q in LENGTH_QUANTS]
+    return pd.DataFrame(rows)
+
+
+SQL_LENGTH_QUANTILES = "\nUNION ALL\n".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q, quantile_disc(n_chars, {q}) AS n_chars_q FROM documents"
+    for q in LENGTH_QUANTS
+)
+
+
+def q_top_terms(sf_dir: str):
+    """Top-5 terms per source by corpus count (tie-break: term asc) — the
+    vocabulary-profile rollup of a text pipeline.  Per-batch (source,
+    term, count) partials keep the exchange at distinct-terms-per-block;
+    the final reduce over the merged vocabulary runs on the driver
+    (bounded by vocab x sources; a web-scale vocabulary hash-partitions
+    the final reduce instead)."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[["source"]].join(df["text"].str.split(" ").rename("term")).explode("term")
+        return t.groupby(["source", "term"], sort=False).size().rename("n").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["source", "term"], as_index=False)["n"].sum()
+    g = g.sort_values(["source", "n", "term"], ascending=[True, False, True],
+                      kind="mergesort")
+    top = g.groupby("source").head(5).reset_index(drop=True)
+    top["rank"] = (top.groupby("source").cumcount() + 1).astype(np.int64)
+    top["n"] = top["n"].astype(np.int64)
+    return top[["source", "term", "n", "rank"]]
+
+
+SQL_TOP_TERMS = """
+WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT source, term, COUNT(*) AS n FROM t GROUP BY source, term),
+r AS (SELECT source, term, n,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, term ASC) AS rank
+      FROM c)
+SELECT source, term, n, rank FROM r WHERE rank <= 5 ORDER BY source, rank
+"""
+
+
 #: training-sequence length for the packing operator
 PACK_SEQ_LEN = 2048
 
@@ -1584,6 +1649,8 @@ QUERIES = {
     "cc_labels": q_cc_labels,
     "clean_text": q_clean_text,
     "dedup_cluster_keep": q_dedup_cluster_keep,
+    "length_quantiles": q_length_quantiles,
+    "top_terms": q_top_terms,
     "sequence_pack": q_sequence_pack,
     "stratified_sample": q_stratified_sample,
     "mixture_weights": q_mixture_weights,
@@ -1637,6 +1704,8 @@ ORACLE_SQL = {
     "cc_labels": SQL_CC_LABELS,
     "clean_text": SQL_CLEAN_TEXT,
     "dedup_cluster_keep": SQL_DEDUP_CLUSTER_KEEP,
+    "length_quantiles": SQL_LENGTH_QUANTILES,
+    "top_terms": SQL_TOP_TERMS,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
