@@ -1319,6 +1319,37 @@ FROM l8 ORDER BY doc_id
 """
 
 
+def q_anti_join_customers(sf_dir: str):
+    """Broadcast ANTI-join: customers with no events activity.  The
+    distinct-user set reduces through a groupby (small side), ships once
+    via ray.put, and each customer batch filters against it — the same
+    no-shuffle anti-join shape as the crawl's resume/skip-existing path
+    (storage/sinks.py finished_partitions), in relational form."""
+    users = _read(sf_dir, "events", ["user_id"]).groupby("user_id").count().to_pandas()
+    uref = ray.put(np.sort(users["user_id"].to_numpy(dtype=np.int64)))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        u = ray.get(uref)
+        keys = df["c_custkey"].to_numpy(dtype=np.int64)
+        idx = np.searchsorted(u, keys)
+        idx[idx >= len(u)] = len(u) - 1 if len(u) else 0
+        hit = (len(u) > 0) & (u[idx] == keys)
+        return df[~hit]
+
+    out = cust.map_batches(anti, batch_format="pandas").to_pandas()
+    out["c_acctbal"] = out["c_acctbal"].round(2)
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
 #: quantiles reported by the length-distribution operator
 LENGTH_QUANTS = (0.25, 0.5, 0.9, 0.99)
 
@@ -1651,6 +1682,7 @@ QUERIES = {
     "dedup_cluster_keep": q_dedup_cluster_keep,
     "length_quantiles": q_length_quantiles,
     "top_terms": q_top_terms,
+    "anti_join_customers": q_anti_join_customers,
     "sequence_pack": q_sequence_pack,
     "stratified_sample": q_stratified_sample,
     "mixture_weights": q_mixture_weights,
@@ -1706,6 +1738,7 @@ ORACLE_SQL = {
     "dedup_cluster_keep": SQL_DEDUP_CLUSTER_KEEP,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "top_terms": SQL_TOP_TERMS,
+    "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
