@@ -299,10 +299,7 @@ class GreedyCrawl:
         slate."""
         self._seen_gen += 1
         for old in (self.seen_pages, self.seen_files):
-            try:
-                old.shutdown()
-            except Exception:  # noqa: BLE001 — actors may already be dead
-                pass
+            old.shutdown()  # per-shard kill, tolerant of the dead one
         gen = f"{self.run_id}:g{self._seen_gen}"
         self.seen_pages = ShardedSeenSet(
             f"{gen}:pages", self.num_shards, self.seen_capacity, exact=self.exact_seen)

@@ -1331,11 +1331,11 @@ def q_anti_join_customers(sf_dir: str):
 
     def anti(df: pd.DataFrame) -> pd.DataFrame:
         u = ray.get(uref)
+        if not len(u):
+            return df
         keys = df["c_custkey"].to_numpy(dtype=np.int64)
-        idx = np.searchsorted(u, keys)
-        idx[idx >= len(u)] = len(u) - 1 if len(u) else 0
-        hit = (len(u) > 0) & (u[idx] == keys)
-        return df[~hit]
+        idx = np.minimum(np.searchsorted(u, keys), len(u) - 1)
+        return df[u[idx] != keys]
 
     out = cust.map_batches(anti, batch_format="pandas").to_pandas()
     out["c_acctbal"] = out["c_acctbal"].round(2)

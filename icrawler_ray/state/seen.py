@@ -261,7 +261,10 @@ class ShardedSeenSet:
 
     def shutdown(self) -> None:
         for s in self.shards:
-            ray.kill(s)
+            try:
+                ray.kill(s)
+            except Exception:  # noqa: BLE001 — shard may already be dead
+                pass
 
 
 _ACTOR_CACHE: dict = {}
