@@ -140,7 +140,17 @@ def test_shard_actor_death_recovers_in_process(small_web, small_ref, policy, gol
             super()._checkpoint(round_idx, metrics)
             if round_idx == 1 and not self._killed:
                 self._killed = True
-                ray.kill(self.seen_pages.shards[0])
+                shard = self.seen_pages.shards[0]
+                ray.kill(shard)
+                # ray.kill is async — block until the actor is actually
+                # dead so the NEXT round deterministically observes the
+                # failure (otherwise a fast crawl can finish first and
+                # the recovery assertion below flakes)
+                while True:
+                    try:
+                        ray.get(shard.stats.remote(), timeout=10)
+                    except Exception:  # noqa: BLE001 — RayActorError = dead
+                        break
 
     c = FaultyCrawl(
         small_ref, small_web.domains, policy=policy, max_num=25, max_depth=3,
