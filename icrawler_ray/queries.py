@@ -1153,7 +1153,7 @@ SELECT 'lineitem.l_partkey', COUNT(DISTINCT l_partkey), TRUE FROM lineitem
 # self-loops (matches stages/linkgraph.py::derive_edges exactly)
 _SQL_EDGES_CTE = """
 nn AS (SELECT COUNT(*) AS cnt FROM documents),
-edges AS (
+edges AS MATERIALIZED (
   SELECT d.doc_id AS src,
          CAST((d.doc_id * 131 + j.j * 97) % nn.cnt AS BIGINT) AS dst
   FROM documents d, nn,
@@ -1215,7 +1215,7 @@ def _pagerank_iter_sql(prev: str, cur: str) -> str:
 
 SQL_PAGERANK = f"""
 WITH {_SQL_EDGES_CTE},
-od AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+od AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
 r0 AS (SELECT d.doc_id AS node, 1e0 / nn.cnt AS r FROM documents d, nn),
 {",".join(_pagerank_iter_sql(f"r{i}", f"r{i + 1}") for i in range(5))}
 SELECT node AS doc_id, ROUND(r, 6) AS pr FROM r5 ORDER BY doc_id
@@ -1250,7 +1250,7 @@ def _cc_iter_sql(prev: str, cur: str) -> str:
 
 SQL_CC_LABELS = f"""
 WITH {_SQL_EDGES_CTE},
-und AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+und AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
 l0 AS (SELECT d.doc_id AS node, d.doc_id AS l FROM documents d),
 {",".join(_cc_iter_sql(f"l{i}", f"l{i + 1}") for i in range(8))}
 SELECT node AS doc_id, CAST(l AS BIGINT) AS component FROM l8 ORDER BY doc_id
@@ -1305,13 +1305,13 @@ def q_dedup_cluster_keep(sf_dir: str):
 SQL_DEDUP_CLUSTER_KEEP = f"""
 WITH w AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS words
            FROM documents),
-edges AS (
+edges AS MATERIALIZED (
   SELECT a.doc_id AS src, b.doc_id AS dst
   FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
         / len(list_distinct(list_concat(a.words, b.words))) >= 0.6
 ),
-und AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+und AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
 l0 AS (SELECT d.doc_id AS node, d.doc_id AS l FROM documents d),
 {",".join(_cc_iter_sql(f"l{i}", f"l{i + 1}") for i in range(8))}
 SELECT node AS doc_id, CAST(l AS BIGINT) AS component, (l = node) AS kept

@@ -355,16 +355,55 @@ def ngram_jaccard_pairs_grouped(
     partitioning assumption."""
 
     def stage(g: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(zip(g[id_col], g[text_col].map(lambda t: set(t.split(" ")))))
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sets = [set(t.split(" ")) for t in g[text_col]]
+        n = len(sets)
+        if n < 2:
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        # term-doc incidence matrix: pairwise intersections become ONE
+        # BLAS matmul instead of O(n^2) Python set ops; float32 counts are
+        # exact below 2^24. Row-tiled so peak memory is tile x n, and the
+        # dense build is skipped for huge vocab x docs (fallback loop) —
+        # genuinely hot groups should route to minhash_lsh_pairs instead
+        # (the documented skew path).
+        vocab: dict = {}
+        rows, cols = [], []
+        for i, s in enumerate(sets):
+            for w in s:
+                cols.append(vocab.setdefault(w, len(vocab)))
+                rows.append(i)
         out = {"a": [], "b": [], "jaccard": []}
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                A, B = recs[i][1], recs[j][1]
-                jac = len(A & B) / len(A | B)
-                if jac >= threshold:
-                    out["a"].append(recs[i][0])
-                    out["b"].append(recs[j][0])
-                    out["jaccard"].append(round(jac, 6))
+        if n * len(vocab) <= 50_000_000:
+            M = np.zeros((n, len(vocab)), dtype=np.float32)
+            M[rows, cols] = 1.0
+            sizes = M.sum(axis=1)
+            tile = max(1, 50_000_000 // max(n, 1))
+            for lo in range(0, n, tile):
+                hi = min(lo + tile, n)
+                inter = M[lo:hi] @ M.T  # float32 counts, exact below 2^24
+                union = sizes[lo:hi, None] + sizes[None, :] - inter
+                # loose float32 prefilter (margin absorbs fp32 product
+                # error), then EXACT float64 division — identical to the
+                # oracle's — on the few candidates only
+                ii, jj = np.nonzero(inter >= (threshold - 1e-4) * union)
+                keep = (ii + lo) < jj  # upper triangle in id order
+                ii, jj = ii[keep], jj[keep]
+                jac = inter[ii, jj].astype(np.float64) / union[ii, jj].astype(np.float64)
+                final = jac >= threshold
+                ii, jj, jac = ii[final], jj[final], jac[final]
+                out["a"].extend(ids[ii + lo].tolist())
+                out["b"].extend(ids[jj].tolist())
+                out["jaccard"].extend(np.round(jac, 6).tolist())
+        else:  # vocab too large for the dense build: exact per-pair loop
+            for i in range(n):
+                for j in range(i + 1, n):
+                    A, B = sets[i], sets[j]
+                    jac = len(A & B) / len(A | B)
+                    if jac >= threshold:
+                        out["a"].append(ids[i])
+                        out["b"].append(ids[j])
+                        out["jaccard"].append(round(jac, 6))
         return pd.DataFrame(out)
 
     pairs = ds.groupby(group_col).map_groups(stage, batch_format="pandas").to_pandas()
