@@ -1382,6 +1382,36 @@ SQL_LENGTH_QUANTILES = "\nUNION ALL\n".join(
 )
 
 
+def q_length_quantiles_by_lang(sf_dir: str):
+    """Grouped exact quantiles (length distribution per language): the
+    histogram combiner now keys on (lang, n_chars) — still one row per
+    distinct (group, value) per block, never per document."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "n_chars"]).size().rename("c").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    hist = parts.groupby(["lang", "n_chars"])["c"].sum().reset_index()
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        cum = g["c"].cumsum().to_numpy()
+        vals = g["n_chars"].to_numpy()
+        n = int(cum[-1])
+        for q in LENGTH_QUANTS:
+            rows.append({"lang": lang, "q": float(q),
+                         "n_chars_q": int(vals[np.searchsorted(cum, int(np.ceil(q * n)))])})
+    return pd.DataFrame(rows).sort_values(["lang", "q"]).reset_index(drop=True)
+
+
+SQL_LENGTH_QUANTILES_BY_LANG = "\nUNION ALL\n".join(
+    f"SELECT lang, CAST({q} AS DOUBLE) AS q, quantile_disc(n_chars, {q}) AS n_chars_q "
+    f"FROM documents GROUP BY lang"
+    for q in LENGTH_QUANTS
+)
+
+
 def q_top_terms(sf_dir: str):
     """Top-5 terms per source by corpus count (tie-break: term asc) — the
     vocabulary-profile rollup of a text pipeline.  Per-batch (source,
@@ -1681,6 +1711,7 @@ QUERIES = {
     "clean_text": q_clean_text,
     "dedup_cluster_keep": q_dedup_cluster_keep,
     "length_quantiles": q_length_quantiles,
+    "length_quantiles_by_lang": q_length_quantiles_by_lang,
     "top_terms": q_top_terms,
     "anti_join_customers": q_anti_join_customers,
     "sequence_pack": q_sequence_pack,
@@ -1737,6 +1768,7 @@ ORACLE_SQL = {
     "clean_text": SQL_CLEAN_TEXT,
     "dedup_cluster_keep": SQL_DEDUP_CLUSTER_KEEP,
     "length_quantiles": SQL_LENGTH_QUANTILES,
+    "length_quantiles_by_lang": SQL_LENGTH_QUANTILES_BY_LANG,
     "top_terms": SQL_TOP_TERMS,
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "sequence_pack": SQL_SEQUENCE_PACK,

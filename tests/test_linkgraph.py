@@ -104,6 +104,58 @@ def test_sequence_pack_prefix_sum_matches_numpy():
     assert (np.diff(out["seq_id"].to_numpy()) >= 0).all()
 
 
+def test_cumsum_property_random_splits_and_weights():
+    """assign_global_cumsum == numpy exclusive cumsum for random weights
+    at random block splits (hypothesis-style sweep, fixed seeds)."""
+    from icrawler_ray.functions.seq import assign_global_cumsum, from_table_blocks
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        n = int(rng.integers(1, 400))
+        w = rng.integers(0, 1000, n).astype(np.int64)
+        ids = rng.permutation(n).astype(np.int64)
+        t = pa.table({"k": ids, "w": w})
+        ds = from_table_blocks(t, min_rows_per_block=int(rng.integers(1, 50)))
+        out = assign_global_cumsum(ds, ["k"], "w", col="start").to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        order = np.argsort(ids, kind="stable")
+        expect = np.concatenate([[0], np.cumsum(w[order])[:-1]])
+        np.testing.assert_array_equal(out["start"].to_numpy(), expect)
+
+
+def test_connected_components_random_graphs_vs_union_find():
+    """CC on random sparse graphs equals union-find (iters high enough to
+    converge on these sizes)."""
+    from icrawler_ray.stages.linkgraph import connected_components
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = int(rng.integers(10, 120))
+        m = int(rng.integers(0, n))
+        e = rng.integers(0, n, size=(m, 2)).astype(np.int64)
+        e = e[e[:, 0] != e[:, 1]]
+        edges = rd.from_pandas(pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]}))
+        got = connected_components(edges.repartition(3), n, iters=n)
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d in e:
+            parent[find(int(s))] = find(int(d))
+        comp_min = {}
+        for v in range(n):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expect = np.array([comp_min[find(v)] for v in range(n)], dtype=np.int64)
+        np.testing.assert_array_equal(got, expect)
+
+
 def test_stratified_sample_gate_and_weights_sum():
     from icrawler_ray.queries import (STRATA_RATES, q_mixture_weights,
                                       q_stratified_sample)
