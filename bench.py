@@ -323,8 +323,17 @@ def run_once() -> dict:
         crawl = bench_crawl()
 
         _fresh_session()
+        # spawn the FULL worker pool before timing queries: a single small
+        # query only starts a handful of workers, and the remaining ~30
+        # then cold-start inside the timed section (measured 6x inflation)
+        import pyarrow as _pa
+
+        from icrawler_ray.functions.seq import from_table_blocks
         from icrawler_ray.queries import q_agg_lineitem
 
+        warm = from_table_blocks(_pa.table({"x": list(range(NUM_CPUS * 64))}),
+                                 min_rows_per_block=1, tasks_per_cpu=4.0)
+        warm.map_batches(lambda t: t, batch_size=None, num_cpus=1).count()
         q_agg_lineitem(SF_DIR)
         dedup = bench_frontier_dedup()
         baseline = bench_single_thread_baseline()
