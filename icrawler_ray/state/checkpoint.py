@@ -141,6 +141,43 @@ class CheckpointManager:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self.manifest_path())  # atomic publish
+        self.prune(r)
+
+    def prune(self, r: int) -> None:
+        """Drop bulky state a resume can no longer need: resume loads
+        round ``r``'s frontier plus the seen chain (latest FULL snapshot
+        .. r deltas).  Older frontier snapshots — the dominant cost at the
+        10^10-URL design point — and rounds before the latest full are
+        deleted; the manifest keeps the full lineage/metrics history
+        (cheap JSON).  Runs after each atomic manifest publish, so a
+        crash mid-prune only leaves extra (never missing) state."""
+        import shutil
+
+        rounds = []
+        for name in os.listdir(self.root):
+            if name.startswith("round="):
+                try:
+                    rounds.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        fulls = [x for x in rounds
+                 if x <= r and osp.isfile(osp.join(self.round_dir(x), "seen_pages.parquet"))]
+        last_full = max(fulls) if fulls else r
+        for x in sorted(rounds):
+            if x >= r:
+                continue
+            rd = self.round_dir(x)
+            # only CHECKPOINT artifacts are pruned — the round's
+            # docs/results output partitions share this directory and are
+            # final data (skip-finished resume reads them)
+            shutil.rmtree(osp.join(rd, "frontier"), ignore_errors=True)
+            if x < last_full:  # seen chain starts at the latest full
+                for fname in ("seen_pages.parquet", "seen_files.parquet",
+                              "seen_pages.delta.parquet", "seen_files.delta.parquet"):
+                    try:
+                        os.remove(osp.join(rd, fname))
+                    except FileNotFoundError:
+                        pass
 
     def _load_seen(self, r: int, name: str):
         """(full_payloads, [per-round per-shard delta key arrays]) walking

@@ -355,6 +355,52 @@ def test_delta_checkpoints_resume_across_chain(ray_session, tmp_path):
     assert list(zip(grf.file_url, grf.filename)) == list(zip(erf.file_url, erf.filename))
 
 
+def test_checkpoint_pruning_keeps_only_resume_chain(ray_session, tmp_path):
+    """After each round's atomic publish, bulky state a resume can no
+    longer need is pruned: rounds before the latest full snapshot vanish,
+    delta rounds in the live chain lose their frontier snapshot (kept
+    only for the tip), while manifest lineage/metrics keep full history."""
+    import json
+    import os
+
+    web = make_synthweb(n_pages=60, n_hosts=3, seed=7)
+    pol = HostPolicy(web.host_policy, round_ms=1000)
+    ref = ray.put(web.url_map())
+    ck = str(tmp_path / "ck")
+
+    c = GreedyCrawl(ref, web.domains, policy=pol, max_num=25, max_depth=3,
+                    num_shards=2, mode="driver", checkpoint_dir=ck,
+                    seen_full_every=2)  # fulls at rounds 0, 2, ...
+    c.run()
+    c.shutdown()
+    last = json.load(open(os.path.join(ck, "MANIFEST.json")))["last_round"]
+    assert last >= 2
+    fulls = [r for r in range(last + 1)
+             if os.path.isfile(os.path.join(ck, f"round={r}", "seen_pages.parquet"))]
+    last_full = max(f for f in fulls if f <= last)
+    for r in range(last_full):  # pre-chain rounds: all checkpoint state gone
+        rd = os.path.join(ck, f"round={r}")
+        assert not os.path.isdir(os.path.join(rd, "frontier")), r
+        assert not any(f.startswith("seen_") for f in os.listdir(rd)), r
+    for r in range(last_full, last):  # live chain: seen kept, frontier pruned
+        rd = os.path.join(ck, f"round={r}")
+        assert any(f.startswith("seen_") for f in os.listdir(rd)), r
+        assert not os.path.isdir(os.path.join(rd, "frontier")), r
+    # output partitions survive pruning (they are final data, not state)
+    assert os.path.isdir(os.path.join(ck, "round=0", "docs"))
+    # manifest lineage still records every round
+    m = json.load(open(os.path.join(ck, "MANIFEST.json")))
+    assert [x["round"] for x in m["lineage"]][:3] == [0, 1, 2]
+
+    # a fresh GreedyCrawl still resumes from the pruned dir
+    c2 = GreedyCrawl(ref, web.domains, policy=pol, max_num=25, max_depth=3,
+                     num_shards=2, mode="driver", checkpoint_dir=ck,
+                     seen_full_every=2)
+    c2.run()
+    c2.shutdown()
+    assert c2.start_round == last + 1
+
+
 def test_dataset_mode_resume_equals_fresh(small_web, small_ref, policy, golden, tmp_path):
     """Checkpoint/resume parity on the pure-Ray-Data (dataset) round path:
     interrupt after 2 rounds, resume with a new GreedyCrawl, outputs equal
