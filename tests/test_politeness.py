@@ -62,6 +62,46 @@ def test_politeness_gate_dataset(ray_session):
     assert not set(g.seq) & set(d.seq)
 
 
+def test_politeness_gate_hot_host_skew(ray_session):
+    """1000:1 hot-host skew through the distributed gate: the per-block
+    combiner already caps each host at B_h per block, so the host-hash
+    exchange never moves more than blocks x B_h rows of the hot host; the
+    final output equals the single-frame reference top-k exactly."""
+    from icrawler_ray.functions.seq import from_pandas_blocks
+
+    n_hot, n_cold_hosts = 50_000, 50
+    rng = np.random.default_rng(3)
+    rows = {
+        "url": [f"http://hot.com/p/{i}.html" for i in range(n_hot)]
+               + [f"http://c{j}.com/p/{i}.html" for j in range(n_cold_hosts) for i in range(50)],
+        "host": ["hot.com"] * n_hot
+                + [f"c{j}.com" for j in range(n_cold_hosts) for _ in range(50)],
+    }
+    n = len(rows["url"])
+    df = pd.DataFrame({
+        **rows,
+        "priority": rng.random(n).round(3),
+        "seq": np.arange(n, dtype=np.int64),
+        "url_hash": np.arange(n).astype(np.uint64),
+    })
+    policy = HostPolicy(
+        {"hot.com": {"crawl_delay_ms": 100, "max_inflight": 64, "robots_disallow": []},
+         **{f"c{j}.com": {"crawl_delay_ms": 200, "max_inflight": 64,
+                          "robots_disallow": []} for j in range(n_cold_hosts)}},
+        round_ms=1000,
+    )
+    ds = from_pandas_blocks(df, min_rows_per_block=1000)
+    gated, deferred = politeness_gate(ds, ray.put(policy))
+    g = gated.to_pandas().sort_values(["host", "priority", "seq"],
+                                      ascending=[True, False, True]).reset_index(drop=True)
+    expect = _topk_per_host(df, policy).sort_values(
+        ["host", "priority", "seq"], ascending=[True, False, True]).reset_index(drop=True)
+    assert len(g) == 10 + n_cold_hosts * 5  # B=10 hot + 5 per cold host
+    pd.testing.assert_frame_equal(
+        g[["host", "priority", "seq"]], expect[["host", "priority", "seq"]])
+    assert deferred.count() == n - len(g)
+
+
 @pytest.mark.parametrize("delay,expected", [(0, 10), (500, 2), (2000, 1)])
 def test_budget_scaling(delay, expected):
     pol = HostPolicy({"h.com": {"crawl_delay_ms": delay, "max_inflight": 1,
