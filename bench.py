@@ -212,7 +212,9 @@ def bench_queries() -> dict:
              "events_hourly", "events_sessionize", "events_asof_join",
              "knn_bruteforce", "knn_ivf", "minhash_lsh_pairs", "text_stats",
              "token_counts", "quality_filter", "dedup_exact",
-             "link_degree", "pagerank"]
+             "link_degree", "pagerank", "cc_labels", "dedup_cluster_keep",
+             "sequence_pack", "top_terms", "length_quantiles",
+             "stratified_sample", "mixture_weights", "anti_join_customers"]
     out = {}
     for name in names:
         t0 = time.time()
