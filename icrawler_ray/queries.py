@@ -1319,6 +1319,70 @@ FROM l8 ORDER BY doc_id
 """
 
 
+def q_events_pivot_hourly(sf_dir: str):
+    """Pivot / crosstab: events per (event_type, hour-of-day) reshaped
+    wide — one row per type, 24 hour columns.  Combiner partials (type,
+    hod, n) -> tiny driver pivot; the wide reshape never touches
+    row-level data."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hod = df["ts"].dt.hour.astype(np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"], "hod": hod}) \
+            .groupby(["event_type", "hod"], sort=False).size().rename("n")
+        return g.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["event_type", "hod"])["n"].sum().reset_index()
+    wide = agg.pivot_table(index="event_type", columns="hod", values="n",
+                           fill_value=0, aggfunc="sum")
+    wide = wide.reindex(columns=range(24), fill_value=0)
+    out = pd.DataFrame({"event_type": wide.index.to_numpy()})
+    for h in range(24):
+        out[f"h{h}"] = wide[h].to_numpy(dtype=np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_PIVOT_HOURLY = "SELECT event_type, " + ", ".join(
+    f"CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) = {h} THEN 1 ELSE 0 END) AS BIGINT) AS h{h}"
+    for h in range(24)
+) + " FROM events GROUP BY event_type ORDER BY event_type"
+
+
+def q_events_daily_delta(sf_dir: str):
+    """Per-type daily counts with day-over-day delta (LAG window over the
+    combiner output): partials shuffle only (type, day, n) rows; the lag
+    runs on the driver over the bounded (types x days) frame."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.floor("D").astype("int64") // (10**6 * 86400)
+        g = pd.DataFrame({"event_type": df["event_type"], "day": day}) \
+            .groupby(["event_type", "day"], sort=False).size().rename("n")
+        return g.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["event_type", "day"])["n"].sum().reset_index()
+    agg = agg.sort_values(["event_type", "day"]).reset_index(drop=True)
+    prev = agg.groupby("event_type")["n"].shift()
+    agg["delta"] = (agg["n"] - prev).fillna(agg["n"]).astype(np.int64)
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["day"] = agg["day"].astype(np.int64)
+    return agg
+
+
+SQL_EVENTS_DAILY_DELTA = """
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type, day)
+SELECT event_type, day, n,
+       CAST(n - COALESCE(LAG(n) OVER (PARTITION BY event_type ORDER BY day), 0) AS BIGINT) AS delta
+FROM d ORDER BY event_type, day
+"""
+
+
 def q_anti_join_customers(sf_dir: str):
     """Broadcast ANTI-join: customers with no events activity.  The
     distinct-user set reduces through a groupby (small side), ships once
@@ -1714,6 +1778,8 @@ QUERIES = {
     "length_quantiles_by_lang": q_length_quantiles_by_lang,
     "top_terms": q_top_terms,
     "anti_join_customers": q_anti_join_customers,
+    "events_pivot_hourly": q_events_pivot_hourly,
+    "events_daily_delta": q_events_daily_delta,
     "sequence_pack": q_sequence_pack,
     "stratified_sample": q_stratified_sample,
     "mixture_weights": q_mixture_weights,
@@ -1771,6 +1837,8 @@ ORACLE_SQL = {
     "length_quantiles_by_lang": SQL_LENGTH_QUANTILES_BY_LANG,
     "top_terms": SQL_TOP_TERMS,
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
+    "events_pivot_hourly": SQL_EVENTS_PIVOT_HOURLY,
+    "events_daily_delta": SQL_EVENTS_DAILY_DELTA,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
