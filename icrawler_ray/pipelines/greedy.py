@@ -307,6 +307,8 @@ class GreedyCrawl:
             f"{gen}:files", self.num_shards, self.seen_capacity, exact=self.exact_seen)
         self._doc_parts, self._result_parts = [], []
         self.dl_count = 0
+        self._host_indeg = {}  # re-warms, like resume (else the re-run
+        #                        round would double-count its in-links)
         self._set_frontier(None)
         if self._inflight_actor is not None:
             ray.get(self._inflight_actor.reset.remote())

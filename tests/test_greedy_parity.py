@@ -162,6 +162,53 @@ def test_shard_actor_death_recovers_in_process(small_web, small_ref, policy, gol
     _assert_parity(golden, docs, results)
 
 
+def test_recovery_equals_resume_with_host_rank(small_web, small_ref, policy, tmp_path):
+    """The host-rank counter is deliberately NOT checkpointed (it re-warms
+    after resume); in-process fault recovery must follow the same
+    semantics — reset, not double-count — so a recovered run's outputs
+    EQUAL a fresh-process interrupted+resumed run's."""
+    import ray
+
+    kw = dict(policy=policy, max_num=25, max_depth=3, num_shards=2,
+              mode="driver", host_rank_priority=True)
+
+    # reference: interrupt at the round-2 boundary, resume in a new object
+    c1 = GreedyCrawl(small_ref, small_web.domains, checkpoint_dir=str(tmp_path / "a"),
+                     max_rounds=2, **kw)
+    c1.run()
+    c1.shutdown()
+    c2 = GreedyCrawl(small_ref, small_web.domains, checkpoint_dir=str(tmp_path / "a"), **kw)
+    rdocs, rres, _ = c2.run()
+    c2.shutdown()
+
+    class FaultyCrawl(GreedyCrawl):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self._killed = False
+
+        def _checkpoint(self, round_idx, metrics):
+            super()._checkpoint(round_idx, metrics)
+            if round_idx == 1 and not self._killed:
+                self._killed = True
+                shard = self.seen_pages.shards[0]
+                ray.kill(shard)
+                while True:
+                    try:
+                        ray.get(shard.stats.remote(), timeout=10)
+                    except Exception:  # noqa: BLE001
+                        break
+
+    cf = FaultyCrawl(small_ref, small_web.domains, checkpoint_dir=str(tmp_path / "b"), **kw)
+    fdocs, fres, _ = cf.run()
+    cf.shutdown()
+    assert cf._recoveries == 1
+
+    a = rres.to_pandas().sort_values("filename").reset_index(drop=True)
+    b = fres.to_pandas().sort_values("filename").reset_index(drop=True)
+    assert list(zip(a.file_url, a.filename)) == list(zip(b.file_url, b.filename))
+    assert set(rdocs.to_pandas()["doc_id"]) == set(fdocs.to_pandas()["doc_id"])
+
+
 def test_host_rank_priority_scores_frontier(ray_session):
     """Opt-in link-graph scheduler signal: new frontier rows get priority
     1 + log1p(cumulative admitted in-links of their host); identical in
