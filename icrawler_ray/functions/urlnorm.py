@@ -91,6 +91,7 @@ def normalize_hrefs(hrefs: pd.Series, base_url: str) -> pd.Series:
     rest_vals = s[rest].str.rstrip("/")
     abs_http = (rest_vals.str.match(r"^https?://[^/]", na=False)
                 & ~rest_vals.str.match(r".*[?#\s]$", na=False)
+                & ~rest_vals.str.contains(r"\?#", regex=True, na=False)
                 & ~rest_vals.str.contains(r"[;\t\r\n]", regex=True, na=False))
     other_scheme = (rest_vals.str.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", na=False)
                     & ~rest_vals.str.match(r"^https?:", na=False)

@@ -64,6 +64,12 @@ def _is_actor_death(e: BaseException) -> bool:
         text = f"{e!r} {e}"  # RayTaskError embeds the remote traceback in str()
         if "ActorDiedError" in text or "ActorUnavailableError" in text:
             return True
+        # A dead shard may already be deregistered when a worker re-resolves
+        # the handle by name: ray.get_actor then raises ValueError("Failed to
+        # look up actor with name 'seen:...'").  Only our own seen-shard
+        # namespace is healable; any other name is a code bug.
+        if "Failed to look up actor with name 'seen:" in text:
+            return True
         e = getattr(e, "cause", None) or e.__cause__ or e.__context__
     return False
 

@@ -57,8 +57,8 @@ class GreedyRules:
         if (
             (h.startswith("http://") and len(h) > 7 and h[7] != "/")
             or (h.startswith("https://") and len(h) > 8 and h[8] != "/")
-        ) and h[-1] not in "?# \t\r\n" and ";" not in h and "\t" not in h \
-                and "\r" not in h and "\n" not in h:
+        ) and h[-1] not in "?# \t\r\n" and ";" not in h and "?#" not in h \
+                and "\t" not in h and "\r" not in h and "\n" not in h:
             return h
         return urljoin(base_url, h)
 
