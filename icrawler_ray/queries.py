@@ -635,23 +635,96 @@ WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
 
 
 def q_minhash_lsh_pairs(sf_dir: str):
-    """MinHash+LSH near-dup candidates with exact-Jaccard verification —
-    probabilistic recall (LSH may miss borderline pairs), so no SQL oracle;
-    driver records a rows-only check. Deterministic given the fixed hash."""
+    """MinHash+LSH near-dup candidates with exact-Jaccard verification.
+    The hash family is md5 double hashing (lower + p*upper mod 2^64), so
+    the SQL oracle reproduces the ENTIRE pipeline bit-exactly: shingling,
+    64-permutation signatures, 16-band bucket equality, candidate pairs
+    and the exact-Jaccard verify — including LSH's recall misses."""
     from icrawler_ray.stages.dedup import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_lsh_pairs(ds, jaccard_threshold=0.5)
 
 
+#: Bit-exact replica of minhash_lsh_pairs (k=3 shingles, 64 perms, 16
+#: bands x 4 rows, threshold 0.5): md5_number_lower/upper are DuckDB's
+#: halves of the md5 digest, the permuted hash is HUGEINT modular
+#: arithmetic, band signatures compare by value (the engine's splitmix
+#: bucket fold is an exchange key only), Jaccard is over distinct
+#: shingle strings (engine: their 64-bit md5-lower identities).
+SQL_MINHASH_LSH_PAIRS = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+shl AS (SELECT doc_id,
+         CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         END AS sh FROM tok),
+sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shl),
+h AS (SELECT doc_id, md5_number_lower(s)::HUGEINT AS hl,
+             md5_number_upper(s)::HUGEINT AS hu FROM sh),
+sig AS (SELECT doc_id, perms.p,
+               MIN((hl + perms.p * hu) % 18446744073709551616::HUGEINT) AS m
+        FROM h CROSS JOIN (SELECT unnest(range(64)) AS p) perms
+        GROUP BY doc_id, perms.p),
+bs AS (SELECT doc_id, p // 4 AS band,
+              string_agg(m::VARCHAR, ',' ORDER BY p) AS bsig
+       FROM sig GROUP BY doc_id, p // 4),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bs x JOIN bs y
+           ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.a, c.b, COUNT(*) AS i
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.a
+          JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+          GROUP BY c.a, c.b)
+SELECT c.a AS a, c.b AS b,
+       ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sizes na ON na.doc_id = c.a
+JOIN sizes nb ON nb.doc_id = c.b
+WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5
+ORDER BY c.a, c.b
+"""
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs — pigeonhole-banded buckets give EXACT
     recall at the hamming threshold (pytest-verified against brute-force
-    all-pairs); hashes aren't SQL-reproducible, so rows-only here."""
+    all-pairs). Token hashing is md5-lower, so the SQL oracle replays the
+    bit-vote, banding and hamming verify exactly."""
     from icrawler_ray.stages.dedup import simhash_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=4)
+
+
+#: Bit-exact replica of simhash_pairs(max_hamming=4): md5-lower token
+#: hashes (every occurrence votes), per-bit majority (strict > 0), 5
+#: pigeonhole bands of widths 13/13/13/13/12, pair on any-band equality,
+#: keep hamming <= 4.
+SQL_SIMHASH_PAIRS = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+th AS (SELECT doc_id, md5_number_lower(t) AS hl FROM tok),
+bits AS (SELECT doc_id, bb.b,
+                CASE WHEN SUM(CASE WHEN (hl >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                     THEN (1::UBIGINT << bb.b) ELSE 0::UBIGINT END AS bit
+         FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+         GROUP BY doc_id, bb.b),
+sh AS (SELECT doc_id, CAST(SUM(bit::HUGEINT) AS UBIGINT) AS h
+       FROM bits GROUP BY doc_id),
+bands(band, shift, mask) AS (VALUES
+  (0, 0, 8191), (1, 13, 8191), (2, 26, 8191), (3, 39, 8191), (4, 52, 4095)),
+bv AS (SELECT doc_id, h, band, (h >> shift) & mask::UBIGINT AS v
+       FROM sh CROSS JOIN bands),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.h AS ha, y.h AS hb
+         FROM bv x JOIN bv y
+           ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+ORDER BY a, b
+"""
 
 
 def q_quality_filter(sf_dir: str):
@@ -786,13 +859,49 @@ QUALIFY rank <= 5
 
 
 def q_knn_lsh(sf_dir: str):
-    """LSH-bucketed ANN (scale path) — approximate, rows-only check."""
+    """LSH-bucketed ANN (scale path). The hyperplanes are deterministic
+    from seed 0, so the SQL oracle reproduces the bucket assignment
+    (sign-pattern of plane dot products — scale-invariant, so normalizing
+    first like the engine or not like the oracle is equivalent), the
+    single-probe candidate filter and the cosine top-k exactly."""
     from icrawler_ray.stages.similarity import lsh_bucketed_topk
 
     head = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).sort("vec_id").limit(3).to_pandas()
     queries = np.asarray(head["embedding"].tolist(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return lsh_bucketed_topk(ds, queries, k=5, query_ids=head["vec_id"].to_numpy())
+
+
+def _sql_knn_lsh() -> str:
+    """Replica of lsh_bucketed_topk(n_planes=8, seed=0, k=5) over the 3
+    lowest vec_ids as queries. The plane matrix is embedded as literals
+    (repr round-trips float64 exactly); bucket = sum of sign bits."""
+    planes = np.random.default_rng(0).standard_normal((8, 64))
+    rows = ",\n  ".join(
+        "({}, [{}]::DOUBLE[])".format(j, ", ".join(repr(float(x)) for x in planes[j]))
+        for j in range(8)
+    )
+    return f"""
+WITH planes(j, p) AS (VALUES
+  {rows}),
+b AS (SELECT e.vec_id, e.embedding,
+        CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.p) > 0
+                      THEN (1 << pl.j) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, e.embedding),
+q AS (SELECT b.vec_id AS query_id, b.embedding AS qe, b.bucket AS qb FROM b
+      JOIN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3) h
+        ON h.vec_id = b.vec_id),
+sims AS (SELECT q.query_id, b.vec_id,
+                list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) AS sim
+         FROM q JOIN b ON b.bucket = q.qb AND b.vec_id <> q.query_id)
+SELECT query_id, vec_id, ROUND(sim, 6) AS sim,
+       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+FROM sims QUALIFY rank <= 5 ORDER BY query_id, rank
+"""
+
+
+SQL_KNN_LSH = _sql_knn_lsh()
 
 
 def q_knn_ivf(sf_dir: str):
@@ -1393,15 +1502,15 @@ def q_anti_join_customers(sf_dir: str):
     uref = ray.put(np.sort(users["user_id"].to_numpy(dtype=np.int64)))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
 
-    def anti(df: pd.DataFrame) -> pd.DataFrame:
+    def anti(batch: pa.Table) -> pa.Table:
         u = ray.get(uref)
         if not len(u):
-            return df
-        keys = df["c_custkey"].to_numpy(dtype=np.int64)
+            return batch
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         idx = np.minimum(np.searchsorted(u, keys), len(u) - 1)
-        return df[u[idx] != keys]
+        return batch.filter(pa.array(u[idx] != keys))
 
-    out = cust.map_batches(anti, batch_format="pandas").to_pandas()
+    out = cust.map_batches(anti, batch_format="pyarrow").to_pandas()
     out["c_acctbal"] = out["c_acctbal"].round(2)
     return out.sort_values("c_custkey").reset_index(drop=True)
 
@@ -1813,7 +1922,10 @@ ORACLE_SQL = {
     "text_stats": SQL_TEXT_STATS,
     "lang_quality_agg": SQL_LANG_QUALITY_AGG,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "knn_lsh": SQL_KNN_LSH,
     "knn_ivf": SQL_KNN_IVF,
     "label_centroid_norm": SQL_LABEL_CENTROID_NORM,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

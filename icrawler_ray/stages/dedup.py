@@ -11,11 +11,20 @@ is hash-derived and uniform, so no skew):
 - ngram-jaccard: per-partition pairwise set Jaccard (within a grouping key)
 - embedding near-dup: see stages/similarity.py
 
-Determinism: all hashing is pandas SipHash (fixed key) + splitmix64 rounds
-(state/bloom.py) — no RNG at query time.
+Determinism: shingle/token identity hashing is md5 (split into DuckDB's
+``md5_number_lower``/``md5_number_upper`` uint64 halves) and the minhash
+permutation family is Kirsch-Mitzenmacher double hashing
+``g_p = lower + p * upper (mod 2^64)`` — both chosen because a SQL oracle
+can reproduce them EXACTLY (DuckDB md5_number_* + HUGEINT modular
+arithmetic), which is what turns the pairs queries from rows-only into
+fully hash-checked. Bucket folding (an engine-internal exchange key) still
+uses splitmix64 (state/bloom.py); the oracle replicates band-signature
+equality, not the fold. No RNG at query time.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -32,52 +41,48 @@ def _shingles(text: str, k: int = 3) -> set[str]:
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
+def md5_pair(strs) -> np.ndarray:
+    """(n, 2) uint64: [:, 0] = DuckDB md5_number_lower (LE bytes 8:16),
+    [:, 1] = md5_number_upper (LE bytes 0:8) of each string."""
+    if not len(strs):
+        return np.empty((0, 2), dtype=np.uint64)
+    digs = b"".join(hashlib.md5(s.encode()).digest() for s in strs)
+    arr = np.frombuffer(digs, dtype="<u8").reshape(-1, 2)
+    return np.stack([arr[:, 1], arr[:, 0]], axis=1)
+
+
 def shingle_hashes(texts: list[str], k: int = 3) -> list[np.ndarray]:
-    """Per doc: uint64 hashes of its k-token shingles."""
-    out = []
-    for t in texts:
-        sh = sorted(_shingles(t, k))
-        out.append(pd.util.hash_array(np.array(sh, dtype=object), categorize=False))
-    return out
+    """Per doc: (n_i, 2) uint64 md5 halves of its distinct k-token
+    shingles ([:, 0] = lower = the shingle's set identity)."""
+    return [md5_pair(sorted(_shingles(t, k))) for t in texts]
 
 
-def minhash_signature(hashes: np.ndarray, num_perm: int = 64) -> np.ndarray:
-    """num_perm minimums over splitmix64-mixed shingle hashes (one mix
-    round per permutation — standard one-pass minhash)."""
-    if len(hashes) == 0:
+def minhash_signature(pair: np.ndarray, num_perm: int = 64) -> np.ndarray:
+    """num_perm minimums of ``lower + p * upper (mod 2^64)`` over one
+    doc's shingle md5 pairs — standard double-hashing minhash."""
+    if len(pair) == 0:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    sig = np.empty(num_perm, dtype=np.uint64)
-    for p in range(num_perm):
-        sig[p] = _mix(hashes, p).min()
-    return sig
+    p = np.arange(num_perm, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = pair[:, 0][:, None] + p[None, :] * pair[:, 1][:, None]
+    return z.min(axis=0)
 
 
-def minhash_signatures(hashes: list[np.ndarray], num_perm: int = 64) -> np.ndarray:
-    """Batched minhash: (n_docs, num_perm) uint64 — one (total_shingles,
-    num_perm) matrix mix + per-doc ``minimum.reduceat`` instead of a
-    64-permutation Python loop per doc (~40x faster per batch). Bit-equal
-    to :func:`minhash_signature` row-by-row."""
-    n = len(hashes)
+def minhash_signatures(pairs: list[np.ndarray], num_perm: int = 64) -> np.ndarray:
+    """Batched minhash: (n_docs, num_perm) uint64 — one flat
+    (total_shingles, num_perm) permuted-hash matrix + per-doc
+    ``minimum.reduceat`` instead of a per-doc Python loop. Bit-equal to
+    :func:`minhash_signature` row-by-row."""
+    n = len(pairs)
     out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
+    lens = np.fromiter((len(h) for h in pairs), dtype=np.int64, count=n)
     nz = np.flatnonzero(lens)
     if not len(nz):
         return out
-    flat = np.concatenate([hashes[i] for i in nz]).astype(np.uint64)
-    # inlined _mix with a vector round, in-place ops (the naive expression
-    # allocates ~8 matrix temporaries and is allocation-bound):
-    # (total_shingles, num_perm)
-    p = (np.arange(num_perm, dtype=np.uint64) + np.uint64(1)) * _GOLDEN
+    flat = np.concatenate([pairs[i] for i in nz]).astype(np.uint64)
+    p = np.arange(num_perm, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        z = flat[:, None] + p[None, :]
-        t = np.right_shift(z, np.uint64(30))
-        z ^= t
-        z *= np.uint64(0xBF58476D1CE4E5B9)
-        np.right_shift(z, np.uint64(27), out=t)
-        z ^= t
-        z *= np.uint64(0x94D049BB133111EB)
-        np.right_shift(z, np.uint64(31), out=t)
-        z ^= t
+        z = flat[:, 0][:, None] + p[None, :] * flat[:, 1][:, None]
     starts = np.r_[0, np.cumsum(lens[nz])[:-1]]
     out[nz] = np.minimum.reduceat(z, starts, axis=0)
     return out
@@ -187,7 +192,8 @@ def minhash_lsh_pairs(
                 "pair_id": pa.array(np.full(len(ids), -1, dtype=np.int64)),
                 "slot": pa.array(np.full(len(ids), -1, dtype=np.int8)),
                 "doc_id": pa.array(ids),
-                "sh": pa.array([h.astype(np.uint64) for h in sh],
+                # the lower md5 half is the shingle's set identity
+                "sh": pa.array([h[:, 0].astype(np.uint64) for h in sh],
                                type=pa.list_(pa.uint64())),
             }
         )
@@ -248,7 +254,9 @@ def minhash_lsh_pairs(
 
 
 def simhash64(texts: list[str]) -> np.ndarray:
-    """64-bit simhash over token hashes (vectorized bit-count per doc).
+    """64-bit simhash over md5 token hashes (vectorized bit-count per doc;
+    every token OCCURRENCE votes, not just distinct tokens — the md5 of
+    each distinct token is computed once and gathered per occurrence).
 
     Deliberately per-doc: the (tokens, 64) matrix stays cache-resident. A
     whole-batch flat-matrix variant (minhash_signatures-style reduceat)
@@ -256,8 +264,9 @@ def simhash64(texts: list[str]) -> np.ndarray:
     token makes allocation/bandwidth, not loop overhead, the cost."""
     out = np.zeros(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
-        toks = np.array(t.split(" "), dtype=object)
-        h = pd.util.hash_array(toks, categorize=False)
+        toks = t.split(" ")
+        uniq, inv = np.unique(np.array(toks, dtype=object), return_inverse=True)
+        h = md5_pair(uniq.tolist())[:, 0][inv]
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
         v = bits.sum(axis=0) * 2 - len(h)
         pos = np.nonzero(v > 0)[0].astype(np.uint64)
