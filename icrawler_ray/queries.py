@@ -1390,6 +1390,150 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination — the eval-leak gate every training-data
+    pipeline needs: the 20 lowest doc_ids stand in for an eval benchmark;
+    every OTHER doc is flagged if it shares any 8-token gram with them.
+    Shape: the benchmark's distinct gram hashes (md5-lower, small side)
+    broadcast once via ray.put; each batch counts distinct shared grams
+    with a sorted-array membership probe — no shuffle at all, the same
+    broadcast-filter shape as the crawl's resume anti-join. At 100 TB the
+    benchmark side stays small (evals are), so this scales linearly."""
+    from icrawler_ray.stages.dedup import md5_pair
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.sort("doc_id").limit(20).to_pandas()
+
+    def grams8(text: str) -> list[str]:
+        toks = text.split(" ")
+        return [" ".join(toks[i:i + 8]) for i in range(len(toks) - 7)]
+
+    bgrams = sorted({g for t in bench["text"] for g in grams8(t)})
+    gh = np.sort(md5_pair(bgrams)[:, 0])
+    gref = ray.put(gh)
+    bench_ids = ray.put(np.sort(bench["doc_id"].to_numpy()))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        g = ray.get(gref)
+        bids = ray.get(bench_ids)
+        ids = np.asarray(batch["doc_id"].to_pylist())
+        bi = np.minimum(np.searchsorted(bids, ids), len(bids) - 1)
+        keep = bids[bi] != ids  # non-benchmark docs only
+        ids = ids[keep]
+        texts = [t for t, k in zip(batch["text"].to_pylist(), keep) if k]
+        # one flat md5 array for the whole batch + per-doc reduceat
+        per_doc = [sorted(set(grams8(t))) for t in texts]
+        lens = np.fromiter((len(p) for p in per_doc), dtype=np.int64,
+                           count=len(per_doc))
+        n_hits = np.zeros(len(ids), dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if len(nz) and len(g):
+            flat = md5_pair([s for i in nz for s in per_doc[i]])[:, 0]
+            idx = np.minimum(np.searchsorted(g, flat), len(g) - 1)
+            hit = (g[idx] == flat).astype(np.int64)
+            starts = np.r_[0, np.cumsum(lens[nz])[:-1]]
+            n_hits[nz] = np.add.reduceat(hit, starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_hits": pa.array(n_hits, type=pa.int64()),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    out = docs.map_batches(scan, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DECONTAMINATE = """
+WITH bench AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20),
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (SELECT doc_id,
+             unnest(CASE WHEN len(tk) < 8 THEN []::VARCHAR[]
+                    ELSE list_transform(range(1, len(tk) - 6),
+                                        i -> array_to_string(list_slice(tk, i, i + 7), ' '))
+                    END) AS gram
+      FROM toks),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id IN (SELECT doc_id FROM bench)),
+dg AS (SELECT DISTINCT doc_id, gram FROM g
+       WHERE doc_id NOT IN (SELECT doc_id FROM bench)),
+hits AS (SELECT doc_id, COUNT(*) AS n FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(h.n, 0) AS n_hits, COALESCE(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM bench)) d
+LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals per doc: duplicate-word
+    fraction (1 - distinct/total) and top-bigram fraction (most frequent
+    word bigram / all bigrams) — the classic repetition gates applied
+    before training. Pure per-doc map_batches (embarrassingly parallel);
+    np.unique does the counting, no Python dict per row."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        dup = np.empty(len(ids), dtype=np.float64)
+        top = np.zeros(len(ids), dtype=np.float64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            toks = np.array(t.split(" "), dtype=object)
+            n = len(toks)
+            dup[i] = round(1.0 - len(np.unique(toks)) / n, 6)
+            if n >= 2:
+                big = np.char.add(np.char.add(toks[:-1].astype(str), " "),
+                                  toks[1:].astype(str))
+                _, counts = np.unique(big, return_counts=True)
+                top[i] = round(counts.max() / (n - 1), 6)
+        return pa.table({"doc_id": ids, "dup_word_frac": pa.array(dup),
+                         "top_bigram_frac": pa.array(top)})
+
+    return ds.map_batches(stats, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_REPETITION_STATS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+w AS (SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd FROM toks),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                                            i -> tk[i] || ' ' || tk[i + 1])) AS b
+       FROM toks WHERE len(tk) >= 2),
+bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+tb AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM bc GROUP BY doc_id)
+SELECT w.doc_id, ROUND(1.0 - CAST(nd AS DOUBLE) / n, 6) AS dup_word_frac,
+       ROUND(COALESCE(CAST(mx AS DOUBLE) / tot, 0.0), 6) AS top_bigram_frac
+FROM w LEFT JOIN tb USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic 10% corpus sample by content-stable hash
+    (md5(doc_id) mod 100 < 10): the scale-stable way to cut an eval or
+    dev slice — membership depends only on the key, so the sample is
+    reproducible across runs, machines and resharding, unlike
+    random_shuffle().limit(). Pure vectorized filter, no shuffle."""
+    from icrawler_ray.stages.dedup import md5_pair
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        # md5 of the key's decimal rendering (what DuckDB's implicit
+        # int->VARCHAR cast hashes), so the oracle filter is identical
+        ids = [str(i) for i in batch["doc_id"].to_pylist()]
+        keep = (md5_pair(ids)[:, 0] % np.uint64(100)) < 10
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE md5_number_lower(doc_id::VARCHAR) % 100 < 10 ORDER BY doc_id
+"""
+
+
 def q_dedup_cluster_keep(sf_dir: str):
     """END-TO-END near-dup dedup: exact n-gram Jaccard pairs (>= 0.6,
     within source partitions) -> connected components over the pair graph
@@ -1882,6 +2026,9 @@ QUERIES = {
     "pagerank": q_pagerank,
     "cc_labels": q_cc_labels,
     "clean_text": q_clean_text,
+    "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
+    "hash_sample": q_hash_sample,
     "dedup_cluster_keep": q_dedup_cluster_keep,
     "length_quantiles": q_length_quantiles,
     "length_quantiles_by_lang": q_length_quantiles_by_lang,
@@ -1944,6 +2091,9 @@ ORACLE_SQL = {
     "pagerank": SQL_PAGERANK,
     "cc_labels": SQL_CC_LABELS,
     "clean_text": SQL_CLEAN_TEXT,
+    "decontaminate": SQL_DECONTAMINATE,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "hash_sample": SQL_HASH_SAMPLE,
     "dedup_cluster_keep": SQL_DEDUP_CLUSTER_KEEP,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "length_quantiles_by_lang": SQL_LENGTH_QUANTILES_BY_LANG,

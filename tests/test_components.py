@@ -644,3 +644,45 @@ def test_simhash_banding_exact_recall(ray_session):
     got = simhash_pairs(ds, max_hamming=6)
     got_pairs = {(int(a), int(b)) for a, b in zip(got.a, got.b)}
     assert got_pairs == want and len(want) > 0
+
+
+def test_decontaminate_planted_overlap(ray_session, tmp_path):
+    """A doc sharing an 8-gram with the benchmark head is flagged with the
+    exact distinct-gram hit count; disjoint docs are clean."""
+    import pyarrow.parquet as pq
+
+    from icrawler_ray.queries import q_decontaminate
+
+    bench_text = " ".join(f"b{i}" for i in range(20))          # doc_ids 0..19
+    leak = " ".join(f"b{i}" for i in range(8)) + " tail words here"  # one 8-gram hit
+    leak2 = " ".join(f"b{i}" for i in range(10))               # grams 0..7,1..8,2..9 -> 3 hits
+    clean = " ".join(f"c{i}" for i in range(30))
+    rows = [{"doc_id": i, "text": bench_text} for i in range(20)]
+    rows += [{"doc_id": 20, "text": leak}, {"doc_id": 21, "text": leak2},
+             {"doc_id": 22, "text": clean}]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+
+    out = q_decontaminate(str(tmp_path)).set_index("doc_id")
+    assert bool(out.loc[20, "contaminated"]) and int(out.loc[20, "n_hits"]) == 1
+    assert bool(out.loc[21, "contaminated"]) and int(out.loc[21, "n_hits"]) == 3
+    assert not bool(out.loc[22, "contaminated"]) and int(out.loc[22, "n_hits"]) == 0
+
+
+def test_repetition_stats_formula(ray_session, tmp_path):
+    """dup_word_frac / top_bigram_frac match hand-computed values."""
+    import pyarrow.parquet as pq
+
+    from icrawler_ray.queries import q_repetition_stats
+
+    rows = [
+        {"doc_id": 0, "text": "a a a a"},        # dup 3/4, top bigram 'a a' 3/3
+        {"doc_id": 1, "text": "a b c d"},        # dup 0, each bigram 1/3
+        {"doc_id": 2, "text": "x"},              # single token: dup 0, no bigrams
+        {"doc_id": 3, "text": "p q p q p"},      # dup 3/5, 'p q' 2/4
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = q_repetition_stats(str(tmp_path)).set_index("doc_id")
+    assert out.loc[0, "dup_word_frac"] == 0.75 and out.loc[0, "top_bigram_frac"] == 1.0
+    assert out.loc[1, "dup_word_frac"] == 0.0 and out.loc[1, "top_bigram_frac"] == round(1 / 3, 6)
+    assert out.loc[2, "dup_word_frac"] == 0.0 and out.loc[2, "top_bigram_frac"] == 0.0
+    assert out.loc[3, "dup_word_frac"] == round(1 - 2 / 5, 6) and out.loc[3, "top_bigram_frac"] == 0.5
