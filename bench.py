@@ -214,7 +214,8 @@ def bench_queries() -> dict:
              "token_counts", "quality_filter", "dedup_exact",
              "link_degree", "pagerank", "cc_labels", "dedup_cluster_keep",
              "sequence_pack", "top_terms", "length_quantiles",
-             "stratified_sample", "mixture_weights", "anti_join_customers"]
+             "stratified_sample", "mixture_weights", "anti_join_customers",
+             "decontaminate", "repetition_stats", "hash_sample"]
     out = {}
     for name in names:
         t0 = time.time()
