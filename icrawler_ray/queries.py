@@ -1153,6 +1153,72 @@ FROM e ASOF JOIN thr t
 """
 
 
+def q_range_join_orders(sf_dir: str):
+    """Range (interval) join: pairs of SAME-CUSTOMER orders placed within
+    30 days of each other. The grouping key (o_custkey) is the documented
+    partition assumption bounding the within-window quadratic; inside a
+    group the sweep is fully vectorized — sort by (date, key), one
+    searchsorted for every row's window end, arithmetic run expansion (no
+    Python pair loop). The general two-large-sides range join (no shared
+    equi-key) would range-partition both sides on time buckets with
+    boundary replication of one window width; this is the keyed form a
+    crawl/events pipeline actually uses."""
+    P = 32  # bounded fat groups, not one group per customer (tiny-group
+    #         map_groups overhead is the known Ray pitfall; same pattern
+    #         as sessionize / the LSH bucket exchange)
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: t.append_column(
+            "part", pa.array((t["o_custkey"].to_numpy() % P).astype(np.int32))),
+            batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_custkey": pd.Series([], dtype="int64"),
+                              "k_a": pd.Series([], dtype="int64"),
+                              "k_b": pd.Series([], dtype="int64"),
+                              "days_apart": pd.Series([], dtype="int64")})
+        n = len(g)
+        if n < 2:
+            return empty
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        c = g["o_custkey"].to_numpy()
+        d = g["o_orderdate"].astype("int64").to_numpy() // 86_400_000_000
+        k = g["o_orderkey"].to_numpy()
+        # composite key keeps the window probe inside each customer's run:
+        # spans ~11k days << 10^6, so cust*1e6 + day is collision-free
+        comp = c * 1_000_000 + d
+        hi = np.searchsorted(comp, comp + 30, side="right")
+        counts = hi - np.arange(n) - 1  # partners strictly after i in sort order
+        total = int(counts.sum())
+        if not total:
+            return empty
+        ii = np.repeat(np.arange(n), counts)
+        jj = (np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+              + ii + 1)
+        return pd.DataFrame({
+            "o_custkey": c[ii], "k_a": k[ii], "k_b": k[jj],
+            "days_apart": (d[jj] - d[ii]).astype(np.int64),
+        })
+
+    out = ds.groupby("part").map_groups(pairs, batch_format="pandas").to_pandas()
+    return out.sort_values(["o_custkey", "k_a", "k_b"]).reset_index(drop=True)
+
+
+#: Same pair definition: (a, b) with b in [a, a+30d], ordered by (date,
+#: key) so equal-date pairs appear once — matches the engine's sorted
+#: sweep exactly.
+SQL_RANGE_JOIN_ORDERS = """
+SELECT a.o_custkey, a.o_orderkey AS k_a, b.o_orderkey AS k_b,
+       CAST(date_diff('day', a.o_orderdate, b.o_orderdate) AS BIGINT) AS days_apart
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND b.o_orderdate >= a.o_orderdate
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+ AND (a.o_orderdate < b.o_orderdate OR a.o_orderkey < b.o_orderkey)
+ORDER BY a.o_custkey, k_a, k_b
+"""
+
+
 def q_media_frame_sample(sf_dir: str):
     """video frame-sampling plumbing: deterministic fake video containers
     as a binary column -> FrameSample actor stage -> one row per sampled
@@ -2020,6 +2086,7 @@ QUERIES = {
     "audio_features": q_audio_features,
     "events_sliding_window": q_events_sliding_window,
     "events_asof_join": q_events_asof_join,
+    "range_join_orders": q_range_join_orders,
     "robots_gate": q_robots_gate,
     "hll_distinct": q_hll_distinct,
     "link_degree": q_link_degree,
@@ -2081,6 +2148,7 @@ ORACLE_SQL = {
     "audio_features": SQL_AUDIO_FEATURES,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+    "range_join_orders": SQL_RANGE_JOIN_ORDERS,
     "robots_gate": SQL_ROBOTS_GATE,
     "langid": SQL_LANGID,
     "token_counts": SQL_TOKEN_COUNTS,

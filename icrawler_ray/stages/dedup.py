@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from icrawler_ray.state.bloom import _GOLDEN, _mix
+from icrawler_ray.state.bloom import _mix
 
 
 def _shingles(text: str, k: int = 3) -> set[str]:
