@@ -214,7 +214,7 @@ def bench_queries() -> dict:
              "knn_bruteforce", "knn_ivf", "minhash_lsh_pairs", "text_stats",
              "token_counts", "quality_filter", "dedup_exact",
              "link_degree", "pagerank", "cc_labels", "dedup_cluster_keep",
-             "sequence_pack", "top_terms", "length_quantiles",
+             "sequence_pack", "top_terms", "tfidf_top_terms", "length_quantiles",
              "stratified_sample", "mixture_weights", "anti_join_customers",
              "decontaminate", "repetition_stats", "hash_sample"]
     out = {}

@@ -1702,6 +1702,68 @@ FROM d ORDER BY event_type, day
 """
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """TF-IDF: top-3 most distinctive terms per document. Two passes —
+    (1) document frequency as a partial-aggregate exchange (per-batch
+    distinct doc-term pairs -> per-term partial counts -> one small
+    groupby-sum), (2) the DF table broadcast once via ray.put and every
+    batch scores tf*ln(N/df) locally, top-3 by (rounded score desc, term
+    asc). Documented assumption: the vocabulary-sized DF table fits a
+    broadcast (hash-partition the score join when it doesn't). Ranking
+    uses the ROUNDED score in both engine and oracle so float64 libm
+    differences can't flip near-ties."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def partial_df(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df.assign(term=df["text"].str.split(" "))[["doc_id", "term"]] \
+            .explode("term").drop_duplicates()
+        vc = pairs["term"].value_counts()
+        return pd.DataFrame({"term": vc.index, "pdf": vc.to_numpy()})
+
+    dftab = (docs.map_batches(partial_df, batch_format="pandas")
+             .groupby("term").sum("pdf").to_pandas())
+    dfs = ray.put(pd.Series(dftab["sum(pdf)"].to_numpy(dtype=np.float64),
+                            index=dftab["term"]))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dfmap = ray.get(dfs)
+        ex = df.assign(term=df["text"].str.split(" "))[["doc_id", "term"]] \
+            .explode("term")
+        cnt = ex.groupby(["doc_id", "term"], sort=False).size().reset_index(name="c")
+        dl = cnt.groupby("doc_id", sort=False)["c"].transform("sum")
+        tfidf = (cnt["c"] / dl) * np.log(float(n_docs) / dfmap[cnt["term"]].to_numpy())
+        cnt["tfidf"] = np.round(tfidf, 6)
+        cnt = cnt.sort_values(["doc_id", "tfidf", "term"],
+                              ascending=[True, False, True], kind="mergesort")
+        cnt["rnk"] = cnt.groupby("doc_id", sort=False).cumcount() + 1
+        out = cnt[cnt["rnk"] <= 3]
+        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(),
+                             "term": out["term"].to_numpy(),
+                             "tfidf": out["tfidf"].to_numpy(),
+                             "rnk": out["rnk"].to_numpy(dtype=np.int64)})
+
+    return docs.map_batches(score, batch_format="pandas").to_pandas() \
+        .sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             ROUND((CAST(tf.c AS DOUBLE) / dl.n)
+                   * ln(CAST(nd.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN nd)
+SELECT doc_id, term, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+FROM s QUALIFY rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
 def q_anti_join_customers(sf_dir: str):
     """Broadcast ANTI-join: customers with no events activity.  The
     distinct-user set reduces through a groupby (small side), ships once
@@ -2100,6 +2162,7 @@ QUERIES = {
     "length_quantiles": q_length_quantiles,
     "length_quantiles_by_lang": q_length_quantiles_by_lang,
     "top_terms": q_top_terms,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "anti_join_customers": q_anti_join_customers,
     "events_pivot_hourly": q_events_pivot_hourly,
     "events_daily_delta": q_events_daily_delta,
@@ -2166,6 +2229,7 @@ ORACLE_SQL = {
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "length_quantiles_by_lang": SQL_LENGTH_QUANTILES_BY_LANG,
     "top_terms": SQL_TOP_TERMS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "events_pivot_hourly": SQL_EVENTS_PIVOT_HOURLY,
     "events_daily_delta": SQL_EVENTS_DAILY_DELTA,
