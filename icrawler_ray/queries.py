@@ -1602,23 +1602,44 @@ WHERE md5_number_lower(doc_id::VARCHAR) % 100 < 10 ORDER BY doc_id
 
 def q_dedup_cluster_keep(sf_dir: str):
     """END-TO-END near-dup dedup: exact n-gram Jaccard pairs (>= 0.6,
-    within source partitions) -> connected components over the pair graph
-    (8 min-label sweeps) -> keep the min-id doc per cluster.  Composes
-    two oracle-checked operators into the full corpus-dedup pipeline; the
-    SQL unrolls the identical sweeps over the identical pair edges."""
+    within source partitions) -> SPARSE connected components over the
+    pair graph (pairs_components: distributed contraction + pair-set-
+    bounded union-find — nothing is O(n_docs), the doc-scale path) ->
+    keep the min-id doc per cluster.  Docs in no pair are their own
+    singleton cluster and never get a label row; the sparse label table
+    is broadcast once (it is pair-set-bounded, i.e. output-sized) and
+    each doc batch resolves its component by sorted-array lookup.  The
+    SQL oracle unrolls 8 min-label sweeps — equal to true components
+    because near-dup clusters are near-cliques (diameter << 8); the
+    engine side is exact CC regardless."""
     from icrawler_ray.functions.seq import from_pandas_blocks
     from icrawler_ray.stages.dedup import ngram_jaccard_pairs_grouped
-    from icrawler_ray.stages.linkgraph import connected_components
+    from icrawler_ray.stages.linkgraph import pairs_components
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
-    n = _read(sf_dir, "documents", ["doc_id"]).count()
     pairs = ngram_jaccard_pairs_grouped(ds, group_col="source", threshold=0.6)
     edges_df = pd.DataFrame({"src": pairs["a"].to_numpy(dtype=np.int64),
                              "dst": pairs["b"].to_numpy(dtype=np.int64)})
-    labels = (connected_components(from_pandas_blocks(edges_df), n, iters=8)
-              if len(edges_df) else np.arange(n, dtype=np.int64))
-    ids = np.arange(n, dtype=np.int64)
-    return pd.DataFrame({"doc_id": ids, "component": labels, "kept": labels == ids})
+    sparse = (pairs_components(from_pandas_blocks(edges_df))
+              if len(edges_df)
+              else pd.DataFrame({"node": np.array([], dtype=np.int64),
+                                 "component": np.array([], dtype=np.int64)}))
+    lab_ref = ray.put((sparse["node"].to_numpy(dtype=np.int64),
+                       sparse["component"].to_numpy(dtype=np.int64)))
+
+    def label(batch: pa.Table) -> pa.Table:
+        nodes, comps = ray.get(lab_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = ids.copy()
+        if len(nodes):
+            idx = np.minimum(np.searchsorted(nodes, ids), len(nodes) - 1)
+            hit = nodes[idx] == ids
+            comp[hit] = comps[idx[hit]]
+        return pa.table({"doc_id": ids, "component": comp, "kept": comp == ids})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(label, batch_format="pyarrow").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
 
 
 SQL_DEDUP_CLUSTER_KEEP = f"""

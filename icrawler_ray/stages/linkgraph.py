@@ -38,7 +38,15 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-__all__ = ["derive_edges", "degree_table", "pagerank", "connected_components"]
+__all__ = ["derive_edges", "degree_table", "pagerank", "connected_components",
+           "pairs_components"]
+
+#: Broadcast-iterate CC/PageRank hold a dense ``n_nodes`` vector on the
+#: driver and ship it per sweep — fine for the HOST-level graphs they
+#: exist for (~1e8 hosts = 800 MB), catastrophic for doc-level graphs
+#: (1e10 docs = 80 GB).  ``connected_components`` refuses beyond this
+#: bound; doc-scale near-dup clustering must use :func:`pairs_components`.
+MAX_BROADCAST_NODES = 200_000_000
 
 
 def derive_edges(docs: rd.Dataset, n_docs: int) -> rd.Dataset:
@@ -139,6 +147,12 @@ def connected_components(edges: rd.Dataset, n_nodes: int, *,
     pick iters >= graph diameter for true components.  Same
     broadcast-iterate exchange as :func:`pagerank` — per-block partial
     neighbor-mins, output-sized."""
+    if n_nodes > MAX_BROADCAST_NODES:
+        raise ValueError(
+            f"connected_components is the broadcast (host-scale) variant; "
+            f"n_nodes={n_nodes} exceeds MAX_BROADCAST_NODES="
+            f"{MAX_BROADCAST_NODES} — use pairs_components for doc-scale "
+            f"near-dup graphs (sparse, pair-set-bounded)")
     edges = edges.materialize()
     labels = np.arange(n_nodes, dtype=np.int64)
     for _ in range(iters):
@@ -161,3 +175,131 @@ def connected_components(edges: rd.Dataset, n_nodes: int, *,
             break  # converged — further sweeps are identity in SQL too
         labels = new
     return labels
+
+
+def _contract_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over ONE edge block -> star edges (root, member) with
+    root = min node id of each within-block set.  Output is bounded by
+    the number of distinct nodes in the block (<= 2x its edge count, and
+    typically far fewer after the first round), never grows.  Node-set
+    and connectivity preserving: every node of an input edge appears as
+    an endpoint of some output star edge."""
+    if not len(df):
+        return pd.DataFrame({"src": np.array([], dtype=np.int64),
+                             "dst": np.array([], dtype=np.int64)})
+    src = df["src"].to_numpy(dtype=np.int64)
+    dst = df["dst"].to_numpy(dtype=np.int64)
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:        # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(src.tolist(), dst.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-root convention: the smaller id wins, so the final
+            # star root IS the set minimum (the "keep" doc id)
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    nodes = np.unique(np.concatenate([src, dst]))
+    roots = np.fromiter((find(int(x)) for x in nodes), dtype=np.int64,
+                        count=len(nodes))
+    member = roots != nodes
+    return pd.DataFrame({"src": roots[member], "dst": nodes[member]})
+
+
+def _merge_shared_members(g: pd.DataFrame) -> pd.DataFrame:
+    """groupby(member) merge step: a node holding star edges from
+    several blocks has several roots r1..rk; link them through the
+    minimum (m, node) + (m, r_j).  Connectivity- and node-set-
+    preserving; output size per group is the group size."""
+    node = int(g["dst"].iloc[0])
+    roots = np.unique(g["src"].to_numpy(dtype=np.int64))
+    m = int(roots[0])
+    dsts = np.concatenate([[node], roots[1:]])
+    return pd.DataFrame({"src": np.full(len(dsts), m, dtype=np.int64),
+                         "dst": dsts})
+
+
+def pairs_components(pairs: rd.Dataset, *, src_col: str = "src",
+                     dst_col: str = "dst",
+                     driver_edge_budget: int = 4_000_000,
+                     max_rounds: int = 12) -> pd.DataFrame:
+    """SPARSE connected components over a near-dup candidate PAIR set —
+    the doc-scale clustering step of an end-to-end dedup pipeline
+    (pairs from minhash_lsh_pairs / ngram_jaccard / simhash -> clusters
+    -> keep min-id doc per cluster).
+
+    Unlike :func:`connected_components` (broadcast dense label vector,
+    host-scale only — see MAX_BROADCAST_NODES), nothing here is sized by
+    the corpus: nodes that appear in no pair are their own singleton
+    cluster and never get a row.  All work is bounded by the PAIR set —
+    for a near-dup graph that is output-sized (dup clusters), orders of
+    magnitude below the 1e10-doc corpus.
+
+    Algorithm: alternating distributed contraction rounds —
+      (a) per-block union-find -> star edges (min-root, member), which
+          shrinks each block to <= its distinct-node count;
+      (b) ``groupby(member)`` min-root merge, which links components
+          that were split across blocks
+    — repeated until the surviving edge set fits ``driver_edge_budget``,
+    then one driver-side union-find over the contracted (pair-set-
+    bounded, NEVER corpus-bounded) remainder produces final labels.
+    Each round only shrinks the edge set; the driver finish makes
+    correctness independent of how many distributed rounds ran, so
+    ``max_rounds`` is a latency knob, not a correctness one.
+
+    Returns a sparse DataFrame (node, component) sorted by node, one row
+    per node appearing in >= 1 pair, component = min node id of its
+    connected component.  Join it back to the doc stream with a
+    broadcast sorted-array lookup (see queries.q_dedup_cluster_keep) —
+    the table is pair-set-bounded, so the broadcast is the same
+    small-side pattern as every other lookup in this engine.
+    """
+    edges = pairs
+    if src_col != "src" or dst_col != "dst":
+        edges = edges.map_batches(
+            lambda df: df.rename(columns={src_col: "src", dst_col: "dst"})[["src", "dst"]],
+            batch_format="pandas")
+    edges = edges.map_batches(_contract_block, batch_format="pandas").materialize()
+    rounds = 0
+    while edges.count() > driver_edge_budget and rounds < max_rounds:
+        edges = (edges.groupby("dst")
+                 .map_groups(_merge_shared_members, batch_format="pandas")
+                 .map_batches(_contract_block, batch_format="pandas")
+                 .materialize())
+        rounds += 1
+
+    rem = edges.to_pandas()
+    if not len(rem):
+        return pd.DataFrame({"node": np.array([], dtype=np.int64),
+                             "component": np.array([], dtype=np.int64)})
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(rem["src"].to_numpy(dtype=np.int64).tolist(),
+                    rem["dst"].to_numpy(dtype=np.int64).tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    nodes = np.unique(rem[["src", "dst"]].to_numpy(dtype=np.int64))
+    comp = np.fromiter((find(int(x)) for x in nodes), dtype=np.int64,
+                       count=len(nodes))
+    return pd.DataFrame({"node": nodes, "component": comp})

@@ -168,3 +168,90 @@ def test_stratified_sample_gate_and_weights_sum():
     mix = q_mixture_weights(sf)
     assert abs(mix["weight"].sum() - 1.0) < 1e-4
     assert (mix["n_tokens"] > 0).all()
+
+
+def _uf_sparse(edges):
+    """Sparse union-find reference: {node: min-id component label} for
+    nodes appearing in >=1 edge."""
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in edges:
+        rs, rd_ = find(int(s)), find(int(d))
+        if rs != rd_:
+            parent[max(rs, rd_)] = min(rs, rd_)
+    nodes = sorted({int(x) for e in edges for x in e})
+    return {v: find(v) for v in nodes}
+
+
+def test_pairs_components_random_graphs_vs_union_find():
+    from icrawler_ray.stages.linkgraph import pairs_components
+
+    rng = np.random.default_rng(23)
+    for trial in range(4):
+        n = int(rng.integers(10, 200))
+        m = int(rng.integers(1, 2 * n))
+        e = rng.integers(0, n, size=(m, 2)).astype(np.int64)
+        e = e[e[:, 0] != e[:, 1]]
+        if not len(e):
+            continue
+        ds = rd.from_pandas(pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]})) \
+            .repartition(4)
+        got = pairs_components(ds)
+        ref = _uf_sparse(e.tolist())
+        assert got["node"].tolist() == sorted(ref)
+        assert dict(zip(got["node"], got["component"])) == ref
+
+
+def test_pairs_components_long_chain_multiround_distributed():
+    """Planted cluster with diameter >> any sweep budget: a 5000-node
+    chain (plus scattered singleton pairs) must collapse to ONE
+    component labelled by its min node — with driver_edge_budget forced
+    tiny so several distributed contraction+merge rounds actually run.
+    This is the doc-scale case the broadcast variant cannot serve."""
+    from icrawler_ray.stages.linkgraph import pairs_components
+
+    chain = np.arange(5000, dtype=np.int64)
+    e = np.stack([chain[:-1], chain[1:]], axis=1)
+    extra = np.array([[90001, 90002], [90003, 90004]], dtype=np.int64)
+    e = np.concatenate([e, extra])
+    ds = rd.from_pandas(pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]})) \
+        .repartition(16)
+    got = pairs_components(ds, driver_edge_budget=100, max_rounds=12)
+    lab = dict(zip(got["node"], got["component"]))
+    assert all(lab[int(v)] == 0 for v in chain)
+    assert lab[90002] == 90001 and lab[90004] == 90003
+    assert len(got) == 5004
+
+
+def test_pairs_components_sparse_ids_no_dense_array():
+    """Node ids near 1e15 — any O(n_nodes) dense allocation would be
+    impossible; the sparse path must handle them untouched."""
+    from icrawler_ray.stages.linkgraph import pairs_components
+
+    base = 10**15
+    e = np.array([[base + 7, base + 3], [base + 3, base + 11],
+                  [base + 100, base + 200]], dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]}))
+    got = pairs_components(ds)
+    lab = dict(zip(got["node"], got["component"]))
+    assert lab == {base + 3: base + 3, base + 7: base + 3, base + 11: base + 3,
+                   base + 100: base + 100, base + 200: base + 100}
+
+
+def test_connected_components_refuses_doc_scale():
+    """The broadcast variant asserts its host-scale boundary instead of
+    silently allocating an 80 GB label vector."""
+    from icrawler_ray.stages.linkgraph import (MAX_BROADCAST_NODES,
+                                               connected_components)
+
+    edges = rd.from_pandas(pd.DataFrame({"src": [0], "dst": [1]}))
+    with pytest.raises(ValueError, match="pairs_components"):
+        connected_components(edges, MAX_BROADCAST_NODES + 1)
