@@ -354,14 +354,75 @@ def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "d
     return pairs.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _local_lsh_wordset_pairs(ids: np.ndarray, sets: list, threshold: float,
+                             num_perm: int = 64, bands: int = 16) -> dict:
+    """In-process LSH candidates + exact word-set Jaccard verify for ONE
+    oversized group: minhash over word (k=1 shingle) md5 hashes, band
+    buckets, pair walk over multi-doc buckets only, exact set Jaccard on
+    the candidates.  Cost is O(n * num_perm + candidates) — never the
+    O(n^2) pair loop.  Approximate only in RECALL (a pair with no
+    matching band is missed); every emitted jaccard is exact."""
+    n = len(ids)
+    out = {"a": [], "b": [], "jaccard": []}
+    if n < 2:
+        return out
+    hashes = [md5_pair(sorted(s)) for s in sets]
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(hashes, num_perm).reshape(n, bands, rows_per_band)
+    with np.errstate(over="ignore"):
+        bh = _mix(sigs, 17).sum(axis=2, dtype=np.uint64)
+        bh += _mix(np.arange(1, bands + 1, dtype=np.uint64), 7)[None, :]
+    buckets = bh.ravel()
+    doc_idx = np.repeat(np.arange(n), bands)
+    order = np.argsort(buckets, kind="mergesort")
+    b_sorted, d_sorted = buckets[order], doc_idx[order]
+    starts = np.flatnonzero(np.r_[True, b_sorted[1:] != b_sorted[:-1]])
+    ends = np.r_[starts[1:], len(b_sorted)]
+    seen_pairs = set()
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        vals = np.unique(d_sorted[s:e])
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                seen_pairs.add((int(vals[i]), int(vals[j])))
+    for i, j in sorted(seen_pairs):
+        A, B = sets[i], sets[j]
+        jac = len(A & B) / len(A | B)
+        if jac >= threshold:
+            out["a"].append(ids[i])
+            out["b"].append(ids[j])
+            out["jaccard"].append(round(jac, 6))
+    return out
+
+
+#: groups larger than this route through the distributed minhash-LSH +
+#: exact-verify path instead of the in-group all-pairs stage — the
+#: automatic skew cap (a hot partition key at corpus scale would
+#: otherwise put O(n^2) work into one task)
+NGRAM_HOT_GROUP_THRESHOLD = 20_000
+
+
 def ngram_jaccard_pairs_grouped(
     ds: ray.data.Dataset, group_col: str = "source", text_col: str = "text",
     id_col: str = "doc_id", threshold: float = 0.6,
+    hot_group_threshold: int = NGRAM_HOT_GROUP_THRESHOLD,
 ) -> pd.DataFrame:
     """Exact word-set Jaccard pairs within a partition key (SQL-matchable:
     self-join + list_intersect/list_distinct in DuckDB). The groupby
     bounds the O(n^2) to within-group; the grouping key is the documented
-    partitioning assumption."""
+    partitioning assumption.
+
+    Skew safety (no unbounded O(n^2) anywhere): group sizes are counted
+    first with a combiner pass; any group above ``hot_group_threshold``
+    is excluded from the all-pairs stage and routed through
+    :func:`minhash_lsh_pairs` with ``shingle_k=1`` — word-set shingles,
+    so its stage-4 EXACT verify computes the identical word-set Jaccard
+    — losing only LSH recall (pairs whose 16 bands all differ), which at
+    dedup-grade thresholds is negligible.  Within the all-pairs stage,
+    groups whose dense incidence matrix would exceed the memory budget
+    fall back to in-process LSH + exact verify
+    (:func:`_local_lsh_wordset_pairs`), not to a pair loop."""
 
     def stage(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)
@@ -404,16 +465,31 @@ def ngram_jaccard_pairs_grouped(
                 out["a"].extend(ids[ii + lo].tolist())
                 out["b"].extend(ids[jj].tolist())
                 out["jaccard"].extend(np.round(jac, 6).tolist())
-        else:  # vocab too large for the dense build: exact per-pair loop
-            for i in range(n):
-                for j in range(i + 1, n):
-                    A, B = sets[i], sets[j]
-                    jac = len(A & B) / len(A | B)
-                    if jac >= threshold:
-                        out["a"].append(ids[i])
-                        out["b"].append(ids[j])
-                        out["jaccard"].append(round(jac, 6))
+        else:  # vocab too large for the dense build: local LSH + exact verify
+            out = _local_lsh_wordset_pairs(ids, sets, threshold)
         return pd.DataFrame(out)
 
-    pairs = ds.groupby(group_col).map_groups(stage, batch_format="pandas").to_pandas()
+    # combiner pass: per-batch partial group sizes -> tiny driver reduce
+    size_parts = ds.map_batches(
+        lambda df: df.groupby(group_col, sort=False).size().rename("n").reset_index(),
+        batch_format="pandas").to_pandas()
+    sizes = size_parts.groupby(group_col)["n"].sum()
+    hot_keys = sorted(sizes.index[sizes > hot_group_threshold].tolist())
+
+    if hot_keys:
+        hot_set = set(hot_keys)
+        cold = ds.map_batches(
+            lambda df: df[~df[group_col].isin(hot_set)], batch_format="pandas")
+        frames = [cold.groupby(group_col).map_groups(
+            stage, batch_format="pandas").to_pandas()]
+        for key in hot_keys:  # few by definition (skewed keys)
+            sub = ds.map_batches(
+                lambda df, _k=key: df[df[group_col] == _k], batch_format="pandas")
+            frames.append(minhash_lsh_pairs(
+                sub, text_col=text_col, id_col=id_col, shingle_k=1,
+                jaccard_threshold=threshold))
+        pairs = pd.concat([f for f in frames if len(f)], ignore_index=True) \
+            if any(len(f) for f in frames) else frames[0]
+    else:
+        pairs = ds.groupby(group_col).map_groups(stage, batch_format="pandas").to_pandas()
     return pairs.sort_values(["a", "b"]).reset_index(drop=True) if len(pairs) else pairs

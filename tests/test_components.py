@@ -686,3 +686,62 @@ def test_repetition_stats_formula(ray_session, tmp_path):
     assert out.loc[1, "dup_word_frac"] == 0.0 and out.loc[1, "top_bigram_frac"] == round(1 / 3, 6)
     assert out.loc[2, "dup_word_frac"] == 0.0 and out.loc[2, "top_bigram_frac"] == 0.0
     assert out.loc[3, "dup_word_frac"] == round(1 - 2 / 5, 6) and out.loc[3, "top_bigram_frac"] == 0.5
+
+
+def test_ngram_jaccard_hot_group_routes_to_lsh(ray_session):
+    """A planted hot partition key (size > hot_group_threshold) must be
+    routed through the distributed minhash-LSH + exact-verify path and
+    still produce the IDENTICAL pair set the exact all-pairs stage finds
+    at this similarity grade — while cold groups keep the exact path."""
+    import pandas as pd
+    from icrawler_ray.stages.dedup import ngram_jaccard_pairs_grouped
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # hot group: 60 docs, three planted near-dup clusters of 3 (word
+    # overlap ~0.95 => every LSH band-match probability is ~1), rest unique
+    for c in range(3):
+        base = [f"h{c}_{i}" for i in range(40)]
+        for v in range(3):
+            words = list(base)
+            words[v] = f"var{c}_{v}"
+            rows.append({"doc_id": 100 + c * 10 + v, "text": " ".join(words),
+                         "source": "hot"})
+    for i in range(51):
+        rows.append({"doc_id": 500 + i,
+                     "text": " ".join(f"u{i}_{j}" for j in range(30)),
+                     "source": "hot"})
+    # cold group: one planted dup pair
+    cold_base = [f"c{i}" for i in range(40)]
+    rows.append({"doc_id": 1, "text": " ".join(cold_base), "source": "cold"})
+    rows.append({"doc_id": 2, "text": " ".join(cold_base[:-1] + ["zz"]),
+                 "source": "cold"})
+    rng.shuffle(rows)
+    ds = ray.data.from_items(rows).repartition(4)
+
+    exact = ngram_jaccard_pairs_grouped(ds, threshold=0.6,
+                                        hot_group_threshold=10**9)
+    routed = ngram_jaccard_pairs_grouped(ds, threshold=0.6,
+                                         hot_group_threshold=40)
+    key = lambda df: sorted(zip(df.a.astype(int), df.b.astype(int),
+                                df.jaccard.round(6)))
+    assert key(routed) == key(exact)
+    assert len(exact) == 3 * 3 + 1  # 3 pairs per planted cluster + cold pair
+
+
+def test_local_lsh_fallback_matches_exact_pairs():
+    """The huge-vocab in-stage fallback (local LSH + exact verify) finds
+    the same high-similarity pairs as brute force — no O(n^2) loop."""
+    from icrawler_ray.stages.dedup import _local_lsh_wordset_pairs
+
+    sets = []
+    base = {f"w{i}" for i in range(50)}
+    sets.append(base)
+    sets.append((base - {"w0"}) | {"q"})
+    sets.extend({f"z{i}_{j}" for j in range(30)} for i in range(10))
+    ids = np.arange(len(sets), dtype=np.int64)
+    got = _local_lsh_wordset_pairs(ids, sets, 0.6)
+    assert list(zip(got["a"], got["b"])) == [(0, 1)]
+    brute = [(i, j) for i in range(len(sets)) for j in range(i + 1, len(sets))
+             if len(sets[i] & sets[j]) / len(sets[i] | sets[j]) >= 0.6]
+    assert [(int(a), int(b)) for a, b in zip(got["a"], got["b"])] == brute

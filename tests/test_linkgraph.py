@@ -255,3 +255,18 @@ def test_connected_components_refuses_doc_scale():
     edges = rd.from_pandas(pd.DataFrame({"src": [0], "dst": [1]}))
     with pytest.raises(ValueError, match="pairs_components"):
         connected_components(edges, MAX_BROADCAST_NODES + 1)
+
+
+def test_tfidf_partitioned_join_matches_broadcast():
+    """Forcing broadcast_df_limit=0 routes TF-IDF through the
+    hash-partitioned score join; output must equal the broadcast path
+    row-for-row (same ranking, same rounded scores)."""
+    import ray.data as rdata
+    from icrawler_ray.queries import _read, tfidf_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    docs = _read(sf, "documents", ["doc_id", "text"])
+    n = docs.count()
+    broad = tfidf_top_terms(docs, n)
+    part = tfidf_top_terms(docs, n, broadcast_df_limit=0, score_partitions=7)
+    pd.testing.assert_frame_equal(broad, part)
