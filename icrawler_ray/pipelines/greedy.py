@@ -135,18 +135,27 @@ class GreedyCrawl:
         seen_full_every: int = 8,
         max_recoveries: int = 2,
         host_rank_priority: bool = False,
+        host_rank_shard_threshold: int | None = None,
     ):
         # host_rank_priority (opt-in; default preserves reference/oracle
         # parity): new frontier rows get priority 1 + log1p(cumulative
         # admitted in-links of their host) instead of the flat 1.0 — the
         # link-graph signal (stages/linkgraph.py) wired into the politeness
         # gate's (-priority, seq) ordering, so heavily-referenced hosts are
-        # crawled first when budgets bind. The counter dict is
-        # driver-resident (bounded by distinct hosts; the 1e8-host design
-        # point shards it over counter actors) and intentionally NOT
+        # crawled first when budgets bind. Counter state lives in
+        # HostRankState: a driver dict while distinct hosts are few,
+        # auto-migrated to hash-partitioned counter shard actors past
+        # host_rank_shard_threshold (state/hostrank.py — the 1e8-host
+        # design point holds no per-host driver state and exchanges only
+        # the round's own (host, n) rows). Intentionally NOT
         # checkpointed: the signal re-warms after resume.
+        from icrawler_ray.state.hostrank import DEFAULT_SHARD_THRESHOLD, HostRankState
+
         self.host_rank_priority = bool(host_rank_priority)
-        self._host_indeg: dict[str, int] = {}
+        self._host_rank_threshold = (DEFAULT_SHARD_THRESHOLD
+                                     if host_rank_shard_threshold is None
+                                     else int(host_rank_shard_threshold))
+        self._host_rank = HostRankState(self._host_rank_threshold)
         # max_recoveries: in-process fault-recovery budget — on a seen-shard
         # actor death mid-round, rewind to the last round-boundary
         # checkpoint (fresh shard fleet, restored state) and retry the
@@ -285,11 +294,12 @@ class GreedyCrawl:
         """Accumulate admitted in-link counts per host; return the priority
         vector 1 + log1p(count_after_update[host]) for these rows.  Both
         round modes call this with the SAME admitted winner set (parity),
-        so priorities are identical at any parallelism."""
-        s = pd.Series(hosts, dtype="string")
-        for h, c in s.value_counts().items():
-            self._host_indeg[h] = self._host_indeg.get(h, 0) + int(c)
-        return 1.0 + np.log1p(s.map(self._host_indeg).to_numpy(dtype=np.float64))
+        so priorities are identical at any parallelism — and identical on
+        the dict and the sharded-counter paths (pinned by pytest)."""
+        codes, uniq = pd.factorize(np.asarray(hosts, dtype=object))
+        ns = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        newc = self._host_rank.update_and_counts(uniq, ns)
+        return 1.0 + np.log1p(newc[codes].astype(np.float64))
 
     def _recover_from_checkpoint(self) -> None:
         """In-process fault recovery (seen-shard actor death mid-round):
@@ -313,8 +323,8 @@ class GreedyCrawl:
             f"{gen}:files", self.num_shards, self.seen_capacity, exact=self.exact_seen)
         self._doc_parts, self._result_parts = [], []
         self.dl_count = 0
-        self._host_indeg = {}  # re-warms, like resume (else the re-run
-        #                        round would double-count its in-links)
+        self._host_rank.reset()  # re-warms, like resume (else the re-run
+        #                          round would double-count its in-links)
         self._set_frontier(None)
         if self._inflight_actor is not None:
             ray.get(self._inflight_actor.reset.remote())
@@ -542,13 +552,17 @@ class GreedyCrawl:
                                       start=self.next_seq)
             new_md = links.map_batches(to_frontier, batch_format="pyarrow").materialize()
             if self.host_rank_priority and new_md.count():
-                # per-host counts shuffle only (host, n) rows; the updated
-                # counter dict broadcasts back for the priority rewrite
+                # per-host counts shuffle only (host, n) rows; only THIS
+                # round's updated (host, count) mapping broadcasts back
+                # for the priority rewrite — never the cumulative host
+                # universe (which lives in the dict or, past the
+                # threshold, in the counter shard actors)
                 hc = new_md.groupby("host").count().to_pandas()
                 cnt_col = next(c for c in hc.columns if c != "host")
-                for h, c in zip(hc["host"], hc[cnt_col]):
-                    self._host_indeg[h] = self._host_indeg.get(h, 0) + int(c)
-                indeg_ref = ray.put(dict(self._host_indeg))
+                hosts_u = hc["host"].to_numpy(dtype=object)
+                newc = self._host_rank.update_and_counts(
+                    hosts_u, hc[cnt_col].to_numpy(dtype=np.int64))
+                indeg_ref = ray.put(dict(zip(hosts_u.tolist(), newc.tolist())))
 
                 def set_pr(t: pa.Table, _ref=indeg_ref) -> pa.Table:
                     m = ray.get(_ref)
@@ -783,6 +797,7 @@ class GreedyCrawl:
     def shutdown(self) -> None:
         self.seen_pages.shutdown()
         self.seen_files.shutdown()
+        self._host_rank.reset()
         if self._inflight_actor is not None:
             ray.kill(self._inflight_actor)
             self._inflight_actor = None

@@ -52,7 +52,10 @@ def expand_search(engine: str, keyword: str = "", offset: int = 0, max_num: int 
         return baidu_search_urls(keyword, offset, max_num, filters), "baidu", {}
     if engine == "flickr":
         kw = dict(flickr_kwargs or {})
-        return flickr_search_urls(apikey, max_num=min(max_num, 4000), **kw), "flickr", {"apikey": apikey}
+        # defer_sizes: the nested per-photo getSizes fetch moves out of
+        # the parse actors into the batched FlickrSizes stage (SURVEY P6)
+        return (flickr_search_urls(apikey, max_num=min(max_num, 4000), **kw),
+                "flickr", {"apikey": apikey, "defer_sizes": True})
     raise KeyError(f"unknown search engine: {engine}")
 
 
@@ -80,6 +83,19 @@ def search_crawl(url_map_ref, engine: str, keyword: str = "", max_num: int = 100
         concurrency=parse_concurrency,
         num_cpus=0.5,
     )
+    if engine == "flickr":
+        # second actor-pool stage: photo rows -> getSizes (one batched
+        # round-trip per batch) -> task rows; other rows pass through
+        from icrawler_ray.stages.parsers import FlickrSizes
+
+        parsed = parsed.map_batches(
+            FlickrSizes,
+            fn_constructor_kwargs={"url_map_ref": url_map_ref},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=parse_concurrency,
+            num_cpus=0.5,
+        )
     _docs, tasks, _links, _errors = split_fetch_parse(parsed)
     tasks = assign_global_seq(tasks, ["parent_seq", "emit_ord"], col="seq")
     tasks = dedup_first(tasks, "url_canon", "seq")

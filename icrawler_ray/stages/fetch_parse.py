@@ -172,6 +172,11 @@ class FetchParse:
             if em[0] == "task":
                 row_kind.append("task"); file_url.append(em[1]); link_url.append("")
                 meta_json.append(em[2])
+            elif em[0] == "photo":
+                # deferred Flickr getSizes (SURVEY P6): file_url carries
+                # the sizes-request URL until FlickrSizes resolves it
+                row_kind.append("photo"); file_url.append(em[1]); link_url.append("")
+                meta_json.append(em[2])
             else:
                 row_kind.append("link"); file_url.append(""); link_url.append(em[1])
                 meta_json.append("")

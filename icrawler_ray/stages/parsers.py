@@ -175,13 +175,41 @@ class FlickrRules:
         "medium", "small 320", "small", "thumbnail", "large Square", "square",
     ]
 
-    def __init__(self, apikey: str, size_preference=None):
+    def __init__(self, apikey: str, size_preference=None, defer_sizes: bool = False):
         self.apikey = apikey
         self.size_preference = size_preference or self.DEFAULT_ORDER
+        # defer_sizes=True is the SCALE path (SURVEY §2.2 P6): parse emits
+        # ("photo", getSizes_url, photo_json) rows WITHOUT touching the
+        # session, and a second actor-pool stage (FlickrSizes) resolves
+        # them in batches — the parse actor never serializes on per-photo
+        # network latency.  False keeps the reference's nested-fetch
+        # semantics (flickr.py:81-110) for parity tests / compat.
+        self.defer_sizes = bool(defer_sizes)
 
-    def parse(self, response, session=None):
+    def sizes_url(self, photo_id) -> str:
         from urllib.parse import urlencode
 
+        params = {
+            "method": "flickr.photos.getSizes",
+            "api_key": self.apikey,
+            "photo_id": photo_id,
+            "format": "json",
+            "nojsoncallback": 1,
+        }
+        return "https://api.flickr.com/services/rest/?" + urlencode(params)
+
+    def pick_size(self, info: dict) -> str | None:
+        """size-preference pick over one getSizes response body
+        (flickr.py:100-108 semantics, labels lowercased)."""
+        if info.get("stat") != "ok":
+            return None
+        urls = {str(s["label"]).lower(): s["source"] for s in info["sizes"]["size"]}
+        for sz in self.size_preference:
+            if sz in urls:
+                return urls[sz]
+        return None
+
+    def parse(self, response, session=None):
         try:
             content = json.loads(response.content.decode("utf-8", "ignore"))
         except ValueError:
@@ -190,25 +218,18 @@ class FlickrRules:
             return [], []
         emissions = []
         for photo in content["photos"]["photo"]:
-            params = {
-                "method": "flickr.photos.getSizes",
-                "api_key": self.apikey,
-                "photo_id": photo["id"],
-                "format": "json",
-                "nojsoncallback": 1,
-            }
+            meta = json.dumps(photo, sort_keys=True)
+            if self.defer_sizes:
+                emissions.append(("photo", self.sizes_url(photo["id"]), meta))
+                continue
             try:
-                ret = session.get("https://api.flickr.com/services/rest/?" + urlencode(params))
+                ret = session.get(self.sizes_url(photo["id"]))
                 info = json.loads(ret.content.decode())
             except Exception:
                 continue
-            if info.get("stat") != "ok":
-                continue
-            urls = {str(s["label"]).lower(): s["source"] for s in info["sizes"]["size"]}
-            for sz in self.size_preference:
-                if sz in urls:
-                    emissions.append(("task", urls[sz], json.dumps(photo, sort_keys=True)))
-                    break
+            url = self.pick_size(info)
+            if url is not None:
+                emissions.append(("task", url, meta))
         return [], emissions
 
 
@@ -219,3 +240,76 @@ RULES_REGISTRY = {
     "baidu": BaiduRules,
     "flickr": FlickrRules,
 }
+
+
+def session_get_many(session, urls: list):
+    """Batched fetch through a session: one multiplexed round-trip when
+    the session supports ``get_many`` (StubSession models this for the
+    fixture's round-trip accounting; a live adapter would pipeline or
+    issue concurrently), else a sequential fallback."""
+    fn = getattr(session, "get_many", None)
+    if fn is not None:
+        return fn(urls)
+    return [session.get(u) for u in urls]
+
+
+class FlickrSizes:
+    """Second-stage actor pool for the Flickr getSizes fan-out (SURVEY
+    §2.2 P6): FetchParse (rules defer_sizes=True) emits narrow
+    ("photo", getSizes_url, photo_json) rows; this stage resolves each
+    BATCH of photo rows through one ``session_get_many`` call and
+    rewrites them into ordinary task rows (file_url = the
+    size-preference pick), dropping photos whose getSizes fails — the
+    reference's per-photo ``continue`` (flickr.py:96-99).  Non-photo
+    rows pass through untouched, so the stage composes transparently
+    between FetchParse and split_fetch_parse.
+
+    Round-trips drop from one per PHOTO (the reference's nested fetch,
+    serializing the parse actor on network latency) to one per BATCH;
+    (parent_seq, emit_ord) ride along unchanged, so crawl ordering and
+    filename assignment are identical to the nested path."""
+
+    def __init__(self, url_map_ref, size_preference=None, flaky=None):
+        from icrawler_ray.synthweb.fetchstub import make_session
+
+        self.session = make_session(url_map_ref, flaky=flaky)
+        self.rules = FlickrRules(apikey="", size_preference=size_preference)
+
+    def __call__(self, batch):
+        import numpy as np
+        import pyarrow as pa
+
+        kinds = np.asarray(batch["row_kind"].to_pylist(), dtype=object)
+        photo = kinds == "photo"
+        if not photo.any():
+            return batch
+        idx = np.flatnonzero(photo)
+        urls = [batch["file_url"][int(i)].as_py() for i in idx]
+        resolved: dict[int, str] = {}
+        try:
+            resps = session_get_many(self.session, urls)
+        except Exception:
+            resps = [None] * len(urls)
+        for i, resp in zip(idx, resps):
+            if resp is None or not (200 <= resp.status_code < 300):
+                continue
+            try:
+                info = json.loads(resp.content.decode())
+            except Exception:
+                continue
+            url = self.rules.pick_size(info)
+            if url is not None:
+                resolved[int(i)] = url
+        file_url = batch["file_url"].to_pylist()
+        for i in idx:
+            if int(i) in resolved:
+                kinds[int(i)] = "task"
+                file_url[int(i)] = resolved[int(i)]
+        keep = np.ones(len(kinds), dtype=bool)
+        keep[idx] = [int(i) in resolved for i in idx]
+        names = batch.schema.names
+        batch = batch.set_column(names.index("row_kind"), "row_kind",
+                                 pa.array(kinds.tolist(), type=pa.string()))
+        batch = batch.set_column(names.index("file_url"), "file_url",
+                                 pa.array(file_url, type=pa.string()))
+        return batch.filter(pa.array(keep))

@@ -64,6 +64,17 @@ class StubSession:
     def get(self, url: str, timeout=None, headers=None) -> StubResponse:
         return self._get(url)
 
+    def get_many(self, urls: list) -> list:
+        """Batched fetch: models ONE multiplexed round-trip for the whole
+        batch (what a pipelined HTTP/2 connection or a concurrent pool
+        amortizes to) — request_count increases by 1 per call, which is
+        what the FlickrSizes round-trip test measures.  Per-url retry /
+        flaky semantics are unchanged."""
+        before = self.request_count
+        out = [self._get(u) for u in urls]
+        self.request_count = before + (1 if urls else 0)
+        return out
+
 
 def make_session(spec, flaky: dict | None = None):
     """Session factory used by the fetch stages.

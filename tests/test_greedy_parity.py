@@ -466,3 +466,70 @@ def test_dataset_mode_resume_equals_fresh(small_web, small_ref, policy, golden, 
     c2.shutdown()
     assert c2.start_round == 2
     _assert_parity(golden, docs, results)
+
+
+def test_host_rank_sharded_counters_match_dict_and_hold_1e5_hosts(ray_session):
+    """Above host_rank_shard_threshold the counter state migrates to
+    hash-partitioned shard actors; counts must equal the dict path
+    exactly and the driver must hold NO per-host state afterwards —
+    exercised at >= 1e5 distinct hosts (the scale the driver dict was
+    flagged for)."""
+    import numpy as np
+
+    from icrawler_ray.state.hostrank import HostRankState
+
+    rng = np.random.default_rng(3)
+    n_hosts = 120_000
+    hosts = np.array([f"h{i}.example.com" for i in range(n_hosts)], dtype=object)
+
+    dict_state = HostRankState(shard_threshold=10**9)
+    shard_state = HostRankState(shard_threshold=50_000, num_shards=4)
+    expect = {}
+    for _round in range(3):
+        take = rng.integers(0, n_hosts, size=60_000)
+        uniq, ns = np.unique(hosts[take], return_counts=True)
+        a = dict_state.update_and_counts(uniq, ns)
+        b = shard_state.update_and_counts(uniq, ns)
+        np.testing.assert_array_equal(a, b)
+        for h, n, c in zip(uniq.tolist(), ns.tolist(), a.tolist()):
+            expect[h] = expect.get(h, 0) + n
+            assert expect[h] == c
+    assert shard_state.sharded and shard_state.local == {}  # driver dict gone
+    assert not dict_state.sharded
+    shard_state.reset()
+    dict_state.reset()
+
+
+def test_host_rank_crawl_parity_dict_vs_sharded(ray_session):
+    """A host-rank crawl forced onto the sharded-counter path from the
+    first round produces the identical frontier priorities as the dict
+    path, in both round modes."""
+    import ray
+
+    body = (b'<html><a href="http://b.com/b1.html">1</a>'
+            b'<a href="http://b.com/b2.html">2</a>'
+            b'<a href="http://b.com/b3.html">3</a>'
+            b'<a href="http://c.com/c1.html">4</a></html>')
+    m = {"http://a.com": (200, body)}
+    for u in ("http://b.com/b1.html", "http://b.com/b2.html",
+              "http://b.com/b3.html", "http://c.com/c1.html"):
+        m[u] = (200, b"<html>leaf</html>")
+    ref = ray.put(m)
+    domains = ["a.com", "b.com", "c.com"]
+
+    fronts = {}
+    for mode in ("driver", "dataset"):
+        for thresh in (None, 0):  # None = dict path, 0 = sharded from round 0
+            c = GreedyCrawl(ref, domains, max_depth=3, max_rounds=1, mode=mode,
+                            num_shards=2, host_rank_priority=True,
+                            host_rank_shard_threshold=thresh)
+            c.run()
+            f = c._frontier_as_table().to_pandas().sort_values("url") \
+                .reset_index(drop=True)
+            fronts[(mode, thresh)] = f[["url", "host", "priority"]]
+            if thresh == 0:
+                assert c._host_rank.sharded and c._host_rank.local == {}
+            c.shutdown()
+    for mode in ("driver", "dataset"):
+        pd.testing.assert_frame_equal(fronts[(mode, None)], fronts[(mode, 0)])
+    pd.testing.assert_frame_equal(fronts[("driver", 0)], fronts[("dataset", 0)])

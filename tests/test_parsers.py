@@ -103,3 +103,48 @@ def test_greedy_parse_emission_order_and_spans():
         ("link", "http://h0.example.com/p/2.html", ""),
         ("task", "http://img/c.gif", ""),
     ]
+
+
+def test_flickr_deferred_sizes_stage_matches_nested_and_batches_roundtrips(web, url_map):
+    """SURVEY P6 fan-out: defer_sizes parse emits photo rows with NO
+    session traffic; the FlickrSizes stage resolves a whole batch in ONE
+    measured round-trip and yields the identical task set (url, meta) in
+    the identical order as the reference's nested per-photo fetch."""
+    import pyarrow as pa
+
+    from icrawler_ray.stages.parsers import FlickrSizes
+
+    nested_session = StubSession(url_map)
+    nested = FlickrRules(apikey="stub-key")
+    deferred = FlickrRules(apikey="stub-key", defer_sizes=True)
+    checked = 0
+    for url in web.search_expected:
+        if "flickr.com" not in url or "getSizes" in url:
+            continue
+        _, em_nested = nested.parse(
+            StubResponse(url, 200, web.search_pages[url]), session=nested_session)
+        _, em_photo = deferred.parse(
+            StubResponse(url, 200, web.search_pages[url]), session=None)
+        assert all(e[0] == "photo" for e in em_photo)
+        n_photos = len(em_photo)
+        if n_photos < 2:
+            continue
+        batch = pa.table({
+            "row_kind": ["photo"] * n_photos,
+            "file_url": [e[1] for e in em_photo],
+            "meta_json": [e[2] for e in em_photo],
+            "parent_seq": list(range(n_photos)),
+        })
+        stage = FlickrSizes(url_map)
+        out = stage(batch)
+        # one batched round-trip for the whole photo batch, vs one per
+        # photo on the nested path
+        assert stage.session.request_count == 1
+        assert nested_session.request_count >= n_photos
+        got = list(zip(out["file_url"].to_pylist(), out["meta_json"].to_pylist()))
+        want = [(e[1], e[2]) for e in em_nested if e[0] == "task"]
+        assert got == want
+        assert out["row_kind"].to_pylist() == ["task"] * len(want)
+        nested_session = StubSession(url_map)  # reset counter per page
+        checked += 1
+    assert checked >= 3
