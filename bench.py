@@ -210,7 +210,7 @@ def bench_queries() -> dict:
 
     names = ["agg_lineitem", "join_revenue_by_nation", "filter_project_lineitem",
              "events_hourly", "events_sessionize", "events_asof_join",
-             "range_join_orders",
+             "events_sliding_window", "range_join_orders", "ngram_jaccard_pairs",
              "knn_bruteforce", "knn_ivf", "minhash_lsh_pairs", "text_stats",
              "token_counts", "quality_filter", "dedup_exact",
              "link_degree", "pagerank", "cc_labels", "dedup_cluster_keep",

@@ -38,8 +38,8 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-__all__ = ["derive_edges", "degree_table", "pagerank", "connected_components",
-           "pairs_components"]
+__all__ = ["derive_edges", "degree_table", "pagerank", "pagerank_partitioned",
+           "connected_components", "pairs_components"]
 
 #: Broadcast-iterate CC/PageRank hold a dense ``n_nodes`` vector on the
 #: driver and ship it per sweep — fine for the HOST-level graphs they
@@ -303,3 +303,142 @@ def pairs_components(pairs: rd.Dataset, *, src_col: str = "src",
     comp = np.fromiter((find(int(x)) for x in nodes), dtype=np.int64,
                        count=len(nodes))
     return pd.DataFrame({"node": nodes, "component": comp})
+
+
+def pagerank_partitioned(edges: rd.Dataset, n_nodes: int, *, iters: int = 5,
+                         damping: float = 0.85,
+                         num_partitions: int = 32) -> pd.DataFrame:
+    """Shuffle-variant PageRank for graphs whose rank vector exceeds the
+    broadcast boundary (MAX_BROADCAST_NODES): the rank vector is never a
+    dense driver array — it lives as (node, rank, outdeg) rows
+    hash-partitioned by node, and every sweep is two bounded exchanges:
+
+      1. rank rows and edge rows meet in a ``groupby(hash(src) % P)``
+         partition join; each partition emits per-dst PARTIAL
+         contribution sums (combiner — output is bounded by distinct dst
+         per partition, never edge count);
+      2. partials reduce in a ``groupby(hash(dst) % P)`` exchange and
+         rejoin the static node table to produce next sweep's rank rows
+         ((1-d)/n for nodes with no in-links, same dangling-mass
+         semantics as :func:`pagerank` — dangling nodes contribute
+         nothing).
+
+    Same fixed-sweep computation as the broadcast variant (pinned
+    equal-to-1e-9 by pytest on the derived graph); use this one when
+    node count makes the dense vector impossible (doc-level graphs),
+    the broadcast one for the host-rank signal.  Returns the final
+    (node, rank) table sorted by node — at true scale callers keep it
+    as a Dataset; the pandas return mirrors the test/query surface.
+    """
+    P = max(1, num_partitions)
+    edges = edges.map_batches(
+        lambda df: pd.DataFrame({
+            "part": (pd.util.hash_array(df["src"].to_numpy(dtype=np.int64)) % P)
+            .astype(np.int64),
+            "src": df["src"].to_numpy(dtype=np.int64),
+            "dst": df["dst"].to_numpy(dtype=np.int64)}),
+        batch_format="pandas").materialize()
+
+    # static node + outdeg table (one combiner pass over the edges; node
+    # universe = 0..n_nodes-1 to match the broadcast variant's semantics)
+    od_parts = edges.map_batches(
+        lambda df: df.groupby("src", sort=False).size().rename("n").reset_index(),
+        batch_format="pandas").to_pandas()
+    od = od_parts.groupby("src")["n"].sum()
+
+    def node_blocks(lo: int, hi: int) -> pd.DataFrame:
+        nodes = np.arange(lo, hi, dtype=np.int64)
+        deg = np.zeros(len(nodes), dtype=np.float64)
+        inter = od.index.to_numpy()
+        m = (inter >= lo) & (inter < hi)
+        deg[inter[m] - lo] = od.to_numpy(dtype=np.float64)[m]
+        return pd.DataFrame({
+            "part": (pd.util.hash_array(nodes) % P).astype(np.int64),
+            "node": nodes,
+            "outdeg": deg})
+
+    # node table built in blocks (at scale this comes straight from the
+    # corpus Dataset; here n_nodes is test-sized)
+    step = max(1, (n_nodes + 31) // 32)
+    node_tab = rd.from_pandas([node_blocks(lo, min(lo + step, n_nodes))
+                               for lo in range(0, n_nodes, step)]).materialize()
+
+    rank = node_tab.map_batches(
+        lambda df: df.assign(rank=np.full(len(df), 1.0 / n_nodes)),
+        batch_format="pandas").materialize()
+
+    for _ in range(iters):
+        def contrib_partials(g: pd.DataFrame) -> pd.DataFrame:
+            rk = g[g["kind"] == "r"]
+            eg = g[g["kind"] == "e"]
+            if not len(eg):
+                return pd.DataFrame({"part2": np.array([], dtype=np.int64),
+                                     "dst": np.array([], dtype=np.int64),
+                                     "s": np.array([], dtype=np.float64)})
+            cmap = pd.Series(
+                np.where(rk["outdeg"].to_numpy() > 0,
+                         rk["rank"].to_numpy() / np.where(rk["outdeg"].to_numpy() > 0,
+                                                          rk["outdeg"].to_numpy(), 1.0),
+                         0.0),
+                index=rk["node"].to_numpy())
+            s = pd.Series(cmap[eg["src"]].to_numpy()).groupby(
+                eg["dst"].to_numpy()).sum()
+            dsts = s.index.to_numpy().astype(np.int64)
+            return pd.DataFrame({
+                "part2": (pd.util.hash_array(dsts) % P).astype(np.int64),
+                "dst": dsts, "s": s.to_numpy()})
+
+        tagged_rank = rank.map_batches(
+            lambda df: pd.DataFrame({
+                "part": df["part"].to_numpy(), "kind": "r",
+                "src": np.full(len(df), -1, dtype=np.int64),
+                "dst": np.full(len(df), -1, dtype=np.int64),
+                "node": df["node"].to_numpy(), "rank": df["rank"].to_numpy(),
+                "outdeg": df["outdeg"].to_numpy()}),
+            batch_format="pandas")
+        tagged_edges = edges.map_batches(
+            lambda df: pd.DataFrame({
+                "part": df["part"].to_numpy(), "kind": "e",
+                "src": df["src"].to_numpy(), "dst": df["dst"].to_numpy(),
+                "node": np.full(len(df), -1, dtype=np.int64),
+                "rank": np.zeros(len(df)), "outdeg": np.zeros(len(df))}),
+            batch_format="pandas")
+        partials = (tagged_edges.union(tagged_rank)
+                    .groupby("part").map_groups(contrib_partials,
+                                                batch_format="pandas"))
+
+        def reduce_and_score(g: pd.DataFrame) -> pd.DataFrame:
+            is_node = g["kind"] == "n"
+            nodes = g[is_node]
+            ss = g[~is_node].groupby("dst")["s"].sum()
+            base = np.full(len(nodes), (1.0 - damping) / n_nodes)
+            add = ss.reindex(nodes["node"].to_numpy()).fillna(0.0).to_numpy()
+            return pd.DataFrame({
+                "part": nodes["part"].to_numpy(),
+                "node": nodes["node"].to_numpy(),
+                "outdeg": nodes["outdeg"].to_numpy(),
+                "rank": base + damping * add})
+
+        tagged_nodes = node_tab.map_batches(
+            lambda df: pd.DataFrame({
+                "part2": df["part"].to_numpy(), "kind": "n",
+                "part": df["part"].to_numpy(),
+                "dst": np.full(len(df), -1, dtype=np.int64),
+                "s": np.zeros(len(df)),
+                "node": df["node"].to_numpy(),
+                "outdeg": df["outdeg"].to_numpy()}),
+            batch_format="pandas")
+        tagged_partials = partials.map_batches(
+            lambda df: pd.DataFrame({
+                "part2": df["part2"].to_numpy(), "kind": "p",
+                "part": np.zeros(len(df), dtype=np.int64),
+                "dst": df["dst"].to_numpy(), "s": df["s"].to_numpy(),
+                "node": df["dst"].to_numpy(),
+                "outdeg": np.zeros(len(df))}),
+            batch_format="pandas")
+        rank = (tagged_nodes.union(tagged_partials)
+                .groupby("part2").map_groups(reduce_and_score,
+                                             batch_format="pandas")).materialize()
+
+    out = rank.to_pandas()[["node", "rank"]]
+    return out.sort_values("node").reset_index(drop=True)

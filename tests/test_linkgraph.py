@@ -270,3 +270,17 @@ def test_tfidf_partitioned_join_matches_broadcast():
     broad = tfidf_top_terms(docs, n)
     part = tfidf_top_terms(docs, n, broadcast_df_limit=0, score_partitions=7)
     pd.testing.assert_frame_equal(broad, part)
+
+
+def test_pagerank_partitioned_matches_broadcast(graph):
+    """The shuffle-variant PageRank (rank as hash-partitioned rows, no
+    dense driver vector) must equal the broadcast variant sweep-for-sweep
+    on the same graph — the doc-scale path vs the host-scale path."""
+    from icrawler_ray.stages.linkgraph import pagerank, pagerank_partitioned
+
+    n, docs, ref = graph
+    broad = pagerank(derive_edges(docs, n), n, iters=4, damping=0.85)
+    part = pagerank_partitioned(derive_edges(docs, n), n, iters=4,
+                                damping=0.85, num_partitions=5)
+    assert part["node"].tolist() == list(range(n))
+    np.testing.assert_allclose(part["rank"].to_numpy(), broad, rtol=1e-9)
