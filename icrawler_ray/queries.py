@@ -2210,6 +2210,260 @@ def q_frontier_seen_filter(sf_dir: str):
         seen.shutdown()
 
 
+#: inverted-index DF floor — keeps the index output to terms that matter
+#: (and the oracle's HAVING clause identical)
+INVINDEX_MIN_DF = 5
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build: term -> (df, comma-joined sorted posting
+    list) for terms with df >= INVINDEX_MIN_DF.  The index build IS a
+    shuffle — distinct (doc, term) pairs exchanged by hash(term) — but
+    the pairs are per-batch DEDUPED before the exchange and the groupby
+    key is a bounded partition id (one fat group per partition, not one
+    tiny group per term — the known Ray pitfall).  Posting lists are
+    emitted as strings so the driver's sort/hash compare stays on scalar
+    columns."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    P = 32
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.assign(term=df["text"].str.split(" "))[["doc_id", "term"]] \
+            .explode("term").drop_duplicates()
+        return pd.DataFrame({
+            "part": (pd.util.hash_array(ex["term"].to_numpy(dtype=object)) % P)
+            .astype(np.int64),
+            "term": ex["term"].to_numpy(dtype=object),
+            "doc_id": ex["doc_id"].to_numpy(dtype=np.int64)})
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"term": [], "df": [], "postings": []}
+        for term, rows in g.groupby("term", sort=True):
+            ids = np.unique(rows["doc_id"].to_numpy())
+            if len(ids) < INVINDEX_MIN_DF:
+                continue
+            out["term"].append(term)
+            out["df"].append(len(ids))
+            out["postings"].append(",".join(map(str, ids.tolist())))
+        return pd.DataFrame({"term": out["term"],
+                             "df": np.asarray(out["df"], dtype=np.int64),
+                             "postings": out["postings"]})
+
+    return (ds.map_batches(pairs, batch_format="pandas")
+            .groupby("part").map_groups(build, batch_format="pandas")
+            .to_pandas().sort_values("term").reset_index(drop=True))
+
+
+SQL_INVERTED_INDEX = f"""
+WITH pairs AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY term HAVING COUNT(*) >= {INVINDEX_MIN_DF} ORDER BY term
+"""
+
+
+#: collocation floor + report size (identical constants in the oracle)
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Top-{PMI_TOP_K} bigram collocations by pointwise mutual
+    information: pmi = ln((c_ab/B) / ((c_a/T)(c_b/T))) over corpus
+    unigram/bigram counts, bigrams with count >= PMI_MIN_COUNT.
+    Combiner pattern: per-batch unigram and bigram partial counts (both
+    within-doc, so batches are independent) -> vocabulary-bounded driver
+    reduce -> vectorized PMI + top-k.  Ranking uses the ROUNDED pmi in
+    both engine and oracle so libm near-ties can't flip order."""
+    from itertools import chain
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lists = df["text"].str.split(" ").tolist()
+        uni = pd.Series(list(chain.from_iterable(lists))).value_counts()
+        w1 = list(chain.from_iterable(t[:-1] for t in lists))
+        w2 = list(chain.from_iterable(t[1:] for t in lists))
+        bc = pd.DataFrame({"w1": w1, "w2": w2}).groupby(
+            ["w1", "w2"], sort=False).size()
+        return pd.DataFrame({
+            "w1": np.concatenate([uni.index.to_numpy(dtype=object),
+                                  bc.index.get_level_values(0).to_numpy(dtype=object)]),
+            "w2": np.concatenate([np.full(len(uni), "", dtype=object),
+                                  bc.index.get_level_values(1).to_numpy(dtype=object)]),
+            "c": np.concatenate([uni.to_numpy(), bc.to_numpy()]).astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["w1", "w2"], as_index=False)["c"].sum()
+    uni = agg[agg["w2"] == ""].set_index("w1")["c"]
+    big = agg[agg["w2"] != ""]
+    big = big[big["c"] >= PMI_MIN_COUNT]
+    T = float(uni.sum())
+    B = float(agg.loc[agg["w2"] != "", "c"].sum())
+    pa_ = uni[big["w1"]].to_numpy(dtype=np.float64) / T
+    pb_ = uni[big["w2"]].to_numpy(dtype=np.float64) / T
+    pmi = np.round(np.log((big["c"].to_numpy(dtype=np.float64) / B) / (pa_ * pb_)), 6)
+    out = pd.DataFrame({"w1": big["w1"].to_numpy(), "w2": big["w2"].to_numpy(),
+                        "n": big["c"].to_numpy(dtype=np.int64), "pmi": pmi})
+    out = out.sort_values(["pmi", "w1", "w2"], ascending=[False, True, True],
+                          kind="mergesort").head(PMI_TOP_K)
+    return out.reset_index(drop=True)
+
+
+SQL_BIGRAM_PMI = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+u AS (SELECT unnest(tk) AS w FROM toks),
+uc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uc),
+bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+                                    i -> [tk[i], tk[i + 1]])) AS p
+       FROM toks WHERE len(tk) >= 2),
+bc AS (SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+bb AS (SELECT CAST(SUM(c) AS DOUBLE) AS b FROM bc)
+SELECT w1, w2, CAST(bc.c AS BIGINT) AS n,
+       ROUND(ln((bc.c / bb.b) / ((a1.c / tt.t) * (a2.c / tt.t))), 6) AS pmi
+FROM bc JOIN uc a1 ON bc.w1 = a1.w JOIN uc a2 ON bc.w2 = a2.w
+CROSS JOIN bb CROSS JOIN tt
+WHERE bc.c >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP_K}
+"""
+
+
+#: heavy-hitter report size and Misra-Gries sketch width (width >> k so
+#: the containment guarantee holds with huge margin at every sf)
+HH_TOP_K = 20
+HH_SKETCH_K = 4000
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Top-{HH_TOP_K} most frequent terms via a MERGEABLE Misra-Gries
+    sketch + exact recount — the sketch pattern for frequency stats at
+    corpus scale, kept oracle-exact:
+
+    1. per-batch: exact term counts, MG-truncated to HH_SKETCH_K entries
+       (subtract the (k+1)-th count, drop <= 0) — bounded partials, so
+       the exchange is sketch-sized, never vocabulary-sized;
+    2. driver merge (sum + re-truncate): any term with true count >
+       N/HH_SKETCH_K survives — with HH_SKETCH_K >> HH_TOP_K the true
+       top-{HH_TOP_K} are guaranteed in the candidate set (asserted);
+    3. exact recount of the candidates only (broadcast sorted array,
+       per-batch searchsorted counts) -> exact counts -> top-k by
+       (count desc, term asc), identical to the SQL oracle."""
+    from itertools import chain
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def mg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.Series(list(chain.from_iterable(
+            df["text"].str.split(" ").tolist()))).value_counts()
+        n_total = int(vc.sum())
+        if len(vc) > HH_SKETCH_K:
+            cut = int(vc.iloc[HH_SKETCH_K])
+            vc = (vc - cut)[lambda s: s > 0]
+        nb = np.zeros(len(vc), dtype=np.int64)
+        if len(nb):
+            nb[0] = n_total  # batch token total rides the first row
+        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
+                             "c": vc.to_numpy(dtype=np.int64),
+                             "n_batch": nb})
+
+    parts = ds.map_batches(mg_partial, batch_format="pandas").to_pandas()
+    n_tokens = int(parts["n_batch"].sum())
+    merged = parts.groupby("term")["c"].sum().sort_values(ascending=False)
+    if len(merged) > HH_SKETCH_K:
+        cut = int(merged.iloc[HH_SKETCH_K])
+        merged = (merged - cut)[lambda s: s > 0]
+    cand = np.sort(merged.index.to_numpy(dtype=object))
+    cand_ref = ray.put(cand)
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        cset = ray.get(cand_ref)
+        toks = np.asarray(list(chain.from_iterable(
+            df["text"].str.split(" ").tolist())), dtype=object)
+        idx = np.searchsorted(cset, toks)
+        idx[idx >= len(cset)] = 0
+        hit = cset[idx] == toks
+        bc = np.bincount(idx[hit], minlength=len(cset))
+        nz = np.flatnonzero(bc)
+        return pd.DataFrame({"term": cset[nz], "c": bc[nz].astype(np.int64)})
+
+    exact = (ds.map_batches(recount, batch_format="pandas").to_pandas()
+             .groupby("term")["c"].sum())
+    out = exact.reset_index().rename(columns={"c": "n"})
+    out = out.sort_values(["n", "term"], ascending=[False, True],
+                          kind="mergesort").head(HH_TOP_K).reset_index(drop=True)
+    # MG containment guarantee check: the smallest reported exact count
+    # must clear the sketch's max undercount, else the candidate set
+    # could not be trusted (never fires at HH_SKETCH_K >> HH_TOP_K)
+    assert int(out["n"].min()) > n_tokens // HH_SKETCH_K, \
+        "MG sketch width too small for this corpus — raise HH_SKETCH_K"
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks GROUP BY term ORDER BY n DESC, term LIMIT {HH_TOP_K}
+"""
+
+
+def q_cross_source_overlap(sf_dir: str):
+    """Cross-source content-overlap matrix: for every source pair, how
+    many distinct opening 3-token shingles they share (the corpus-
+    hygiene signal behind per-source dedup priorities; full-doc md5
+    never collides across sources in this corpus, so the operator
+    fingerprints the opening shingle).  Per-batch distinct (source,
+    fingerprint) rows -> hash(fp) partition exchange -> each partition
+    emits source-PAIR rows per shared fingerprint -> tiny (n_sources^2)
+    driver reduce.  Nothing driver-side is fingerprint-sized."""
+    from icrawler_ray.stages.dedup import md5_pair
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+    P = 32
+
+    def fps(df: pd.DataFrame) -> pd.DataFrame:
+        prefix = [" ".join(t.split(" ")[:3]) for t in df["text"]]
+        h = md5_pair(prefix)[:, 0].astype(np.uint64)
+        out = pd.DataFrame({"fp": h.view(np.int64),
+                            "source": df["source"].to_numpy(dtype=object)}) \
+            .drop_duplicates()
+        out["part"] = (out["fp"].to_numpy().astype(np.uint64) % np.uint64(P)) \
+            .astype(np.int64)
+        return out[["part", "fp", "source"]]
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"src_a": [], "src_b": []}
+        for _fp, rows in g.groupby("fp", sort=False):
+            ss = sorted(set(rows["source"]))
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    out["src_a"].append(ss[i])
+                    out["src_b"].append(ss[j])
+        return pd.DataFrame(out)
+
+    got = (ds.map_batches(fps, batch_format="pandas")
+           .groupby("part").map_groups(pairs, batch_format="pandas")
+           .to_pandas())
+    if not len(got):
+        return pd.DataFrame({"src_a": [], "src_b": [], "shared": []})
+    out = got.groupby(["src_a", "src_b"], as_index=False).size() \
+        .rename(columns={"size": "shared"})
+    out["shared"] = out["shared"].astype(np.int64)
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+SQL_CROSS_SOURCE_OVERLAP = """
+WITH fp AS (SELECT DISTINCT source,
+                   array_to_string(string_split(text, ' ')[1:3], ' ') AS f
+            FROM documents)
+SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS shared
+FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+GROUP BY src_a, src_b ORDER BY src_a, src_b
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2246,7 +2500,7 @@ QUERIES = {
     "langid": q_langid,
     "token_counts": q_token_counts,
     "quality_filter": q_quality_filter,
-    "rolling_fingerprint": q_rolling_fingerprint,
+    "inverted_index": q_inverted_index,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_near_dup": q_embedding_near_dup,
     "media_pipeline": q_media_pipeline,
@@ -2261,7 +2515,7 @@ QUERIES = {
     "clean_text": q_clean_text,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
-    "hash_sample": q_hash_sample,
+    "bigram_pmi": q_bigram_pmi,
     "dedup_cluster_keep": q_dedup_cluster_keep,
     "length_quantiles": q_length_quantiles,
     "top_terms": q_top_terms,
@@ -2273,6 +2527,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "mixture_weights": q_mixture_weights,
     # ---- below the driver's 50-entry window: family variants ----
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "hash_sample": q_hash_sample,
     "expand_bing": q_expand_bing,
     "expand_baidu": q_expand_baidu,
     "lang_quality_agg": q_lang_quality_agg,
@@ -2282,6 +2538,8 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "audio_features": q_audio_features,
     "length_quantiles_by_lang": q_length_quantiles_by_lang,
+    "heavy_hitters": q_heavy_hitters,
+    "cross_source_overlap": q_cross_source_overlap,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -2349,4 +2607,8 @@ ORACLE_SQL = {
     "sequence_pack": SQL_SEQUENCE_PACK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
+    "inverted_index": SQL_INVERTED_INDEX,
+    "bigram_pmi": SQL_BIGRAM_PMI,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
+    "cross_source_overlap": SQL_CROSS_SOURCE_OVERLAP,
 }
