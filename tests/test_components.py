@@ -745,3 +745,35 @@ def test_local_lsh_fallback_matches_exact_pairs():
     brute = [(i, j) for i in range(len(sets)) for j in range(i + 1, len(sets))
              if len(sets[i] & sets[j]) / len(sets[i] | sets[j]) >= 0.6]
     assert [(int(a), int(b)) for a, b in zip(got["a"], got["b"])] == brute
+
+
+def test_minhash_to_pairs_components_end_to_end_dedup(ray_session):
+    """Composition of the doc-scale dedup stack: minhash-LSH candidate
+    pairs -> sparse pairs_components -> keep the min-id doc per cluster.
+    Planted: two near-dup clusters (sizes 3 and 2) among unique docs —
+    the keep set must be exactly {cluster minima} + {unique docs}."""
+    from icrawler_ray.functions.seq import from_pandas_blocks
+    from icrawler_ray.stages.dedup import minhash_lsh_pairs
+    from icrawler_ray.stages.linkgraph import pairs_components
+
+    rows = []
+    base_a = " ".join(f"a{i}" for i in range(60))
+    for j, did in enumerate((10, 11, 12)):
+        rows.append({"doc_id": did, "text": base_a + f" tail{j}"})
+    base_b = " ".join(f"b{i}" for i in range(60))
+    for j, did in enumerate((20, 21)):
+        rows.append({"doc_id": did, "text": base_b + f" end{j}"})
+    for did in (30, 31, 32):
+        rows.append({"doc_id": did,
+                     "text": " ".join(f"u{did}_{i}" for i in range(40))})
+    ds = ray.data.from_items(rows).repartition(3)
+
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.5)
+    edges = pd.DataFrame({"src": pairs["a"].to_numpy(dtype=np.int64),
+                          "dst": pairs["b"].to_numpy(dtype=np.int64)})
+    sparse = pairs_components(from_pandas_blocks(edges))
+    lab = dict(zip(sparse["node"], sparse["component"]))
+    all_ids = [r["doc_id"] for r in rows]
+    kept = sorted(d for d in all_ids if lab.get(d, d) == d)
+    assert kept == [10, 20, 30, 31, 32]
+    assert lab == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
