@@ -216,7 +216,8 @@ def bench_queries() -> dict:
              "link_degree", "pagerank", "cc_labels", "dedup_cluster_keep",
              "sequence_pack", "top_terms", "tfidf_top_terms", "length_quantiles",
              "stratified_sample", "mixture_weights", "anti_join_customers",
-             "decontaminate", "repetition_stats", "hash_sample"]
+             "decontaminate", "repetition_stats", "hash_sample",
+             "kmeans_assign", "semantic_dedup"]
     out = {}
     for name in names:
         t0 = time.time()

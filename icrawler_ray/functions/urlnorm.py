@@ -76,6 +76,7 @@ def normalize_hrefs(hrefs: pd.Series, base_url: str) -> pd.Series:
         & ~root_vals.str.contains(r"(?:^|/)\.\.?(?:/|$)", regex=True, na=False)
         & ~root_vals.str.contains("//", regex=False, na=False)
         & ~root_vals.str.contains(r";[?#]", regex=True, na=False)
+        & ~root_vals.str.contains(r"\?#", regex=True, na=False)
         & ~root_vals.str.contains(r"[\t\r\n]", regex=True, na=False)
         & ~root_vals.str.match(r".*[;?#\s]$", na=False)
     )

@@ -2464,6 +2464,154 @@ GROUP BY src_a, src_b ORDER BY src_a, src_b
 """
 
 
+def q_kmeans_assign(sf_dir: str):
+    """Distributed k-means (k=6, 2 Lloyd iterations, cosine assignment,
+    raw-mean update, init = k lowest-id vectors): (vec_id, cluster).
+    Each iteration is one map_batches pass emitting k x dim partial
+    (count, sum) rows combined on the driver; centroids travel by one
+    ray.put per iteration. The oracle unrolls both iterations in SQL."""
+    from icrawler_ray.stages.clustering import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = kmeans_assign(ds, k=6, n_iter=2).to_pandas()
+    out["cluster"] = out["cluster"].astype(np.int64)
+    return out[["vec_id", "cluster"]].sort_values("vec_id").reset_index(drop=True)
+
+
+def _sql_kmeans(k: int, n_iter: int, dim: int = 64) -> str:
+    """Iteration-unrolled Lloyd's: assignment = argmax cosine (ties to
+    the lowest centroid id), update = element-wise AVG of raw vectors.
+    An empty cluster simply vanishes from the next centroid CTE, which
+    matches the engine's drop-not-reseed rule."""
+    parts = [f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+      FROM e ORDER BY vec_id LIMIT {k})"""]
+    for it in range(n_iter):
+        parts.append(f"""
+a{it} AS MATERIALIZED (SELECT vec_id, cid FROM (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cid) AS rn
+  FROM e CROSS JOIN c{it} c) WHERE rn = 1)""")
+        parts.append(f"""
+c{it + 1} AS MATERIALIZED (SELECT cid, list(m ORDER BY idx) AS v FROM (
+  SELECT a.cid, t.i AS idx, AVG(e.v[t.i]) AS m
+  FROM a{it} a JOIN e USING (vec_id) CROSS JOIN range(1, {dim + 1}) t(i)
+  GROUP BY a.cid, t.i) GROUP BY cid)""")
+    parts.append(f"""
+afin AS (SELECT vec_id, cid FROM (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cid) AS rn
+  FROM e CROSS JOIN c{n_iter} c) WHERE rn = 1)""")
+    return (",".join(parts)
+            + "\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM afin ORDER BY vec_id")
+
+
+SQL_KMEANS_ASSIGN = _sql_kmeans(k=6, n_iter=2)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540) earlier-neighbor variant: k-means
+    partition (k=6, 2 iters), then drop any vector whose cosine to a
+    lower-id member of its cluster is >= 0.3 (threshold tuned
+    to the synthetic table's cosine range so the drop path is exercised —
+    see embedding_near_dup's 0.4). Returns kept
+    (vec_id, cluster). The cluster key is the only shuffle; the
+    per-cluster kernel is a tiled matmul (stages/clustering.py)."""
+    from icrawler_ray.stages.clustering import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semantic_dedup(ds, k=6, n_iter=2, tau=0.3)
+    out["cluster"] = out["cluster"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+SQL_SEMANTIC_DEDUP = _sql_kmeans(k=6, n_iter=2).replace(
+    "\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM afin ORDER BY vec_id",
+    """,
+dropped AS (SELECT DISTINCT hi.vec_id
+  FROM afin lo JOIN afin hi ON lo.cid = hi.cid AND lo.vec_id < hi.vec_id
+  JOIN e el ON el.vec_id = lo.vec_id JOIN e eh ON eh.vec_id = hi.vec_id
+  WHERE list_cosine_similarity(el.v, eh.v) >= 0.3)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster FROM afin a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY a.vec_id""")
+
+
+def q_topk_per_group(sf_dir: str):
+    """Grouped top-k without a global sort: each batch emits its own
+    per-group top-3 (output-sized partial — at most groups x 3 rows per
+    batch), and the driver merge re-ranks the bounded partial table.
+    The full orders table is never shuffled or sorted."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        top = (df.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True])
+               .groupby("o_orderpriority", sort=False).head(3))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True])
+           .groupby("o_orderpriority", sort=False).head(3))
+    out = out.sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    out["rank"] = out.groupby("o_orderpriority").cumcount() + 1
+    return out
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       row_number() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rank
+FROM orders QUALIFY rank <= 3
+ORDER BY o_orderpriority, rank
+"""
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, k=50, weight = o_totalprice): score = -ln(u)/w with
+    u derived from md5(o_orderkey) — content-stable, so the sample is
+    identical across runs/resharding AND SQL-reproducible. Each batch
+    keeps its 50 best scores (output-sized partials); no shuffle. The
+    2^32 modulus keeps every intermediate exactly representable in
+    float64 on both sides."""
+    from icrawler_ray.stages.dedup import md5_pair
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["o_orderkey"].to_pylist()
+        h = md5_pair([str(i) for i in ids])[:, 0]
+        u = ((h % np.uint64(4294967296)).astype(np.float64) + 1.0) / 4294967297.0
+        w = np.asarray(batch["o_totalprice"].to_pylist(), dtype=np.float64)
+        score = -np.log(u) / w
+        take = np.argsort(score, kind="stable")[:50]
+        return pa.table({
+            "o_orderkey": pa.array([ids[i] for i in take], type=pa.int64()),
+            "o_totalprice": pa.array(w[take], type=pa.float64()),
+            "score": pa.array(score[take], type=pa.float64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.nsmallest(50, "score").sort_values("o_orderkey")
+    return out[["o_orderkey", "o_totalprice"]].reset_index(drop=True)
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice,
+         -ln(((md5_number_lower(o_orderkey::VARCHAR) % 4294967296) + 1.0)
+             / 4294967297.0) / o_totalprice AS score
+  FROM orders ORDER BY score LIMIT 50)
+ORDER BY o_orderkey
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2522,11 +2670,15 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "anti_join_customers": q_anti_join_customers,
     "events_pivot_hourly": q_events_pivot_hourly,
-    "events_daily_delta": q_events_daily_delta,
+    "kmeans_assign": q_kmeans_assign,
     "sequence_pack": q_sequence_pack,
     "stratified_sample": q_stratified_sample,
     "mixture_weights": q_mixture_weights,
     # ---- below the driver's 50-entry window: family variants ----
+    "semantic_dedup": q_semantic_dedup,
+    "topk_per_group": q_topk_per_group,
+    "weighted_sample": q_weighted_sample,
+    "events_daily_delta": q_events_daily_delta,
     "rolling_fingerprint": q_rolling_fingerprint,
     "hash_sample": q_hash_sample,
     "expand_bing": q_expand_bing,
@@ -2603,6 +2755,10 @@ ORACLE_SQL = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "events_pivot_hourly": SQL_EVENTS_PIVOT_HOURLY,
+    "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "events_daily_delta": SQL_EVENTS_DAILY_DELTA,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

@@ -1,0 +1,174 @@
+"""Distributed k-means clustering + SemDeDup-style semantic dedup.
+
+The canonical scalable Lloyd's loop over a Ray Dataset:
+
+- init: the k lowest-id vectors (found by a per-batch partial k-smallest
+  -> tiny driver merge, never a full sort);
+- each iteration: centroids broadcast once via ``ray.put``; one
+  ``map_batches`` pass emits per-batch per-cluster (count, sum-vector)
+  partials — k x dim rows per batch — combined on the driver into the
+  next centroid set (a k x dim array, bounded regardless of corpus size);
+- assignment: cosine similarity against the broadcast centroids, ties to
+  the lowest centroid id; an empty cluster is dropped (not re-seeded) so
+  a SQL oracle can reproduce the trajectory exactly;
+- centroid update: element-wise mean of the RAW member vectors in
+  float64 (cosine is scale-invariant, so normalizing members first would
+  only change the mean direction — the raw mean is what the DuckDB
+  oracle's AVG reproduces bit-for-bit up to summation order).
+
+``semantic_dedup`` composes the fit with the SemDeDup rule (Abbas et al.
+2023, arXiv:2303.09540): within each cluster, a document is dropped when
+some LOWER-id member sits within cosine ``tau`` of it ("earlier-neighbor"
+rule — deterministic, order-free, SQL-expressible; the paper's
+keep-farthest-from-centroid variant differs only in which member of a
+duplicate set survives). Scale assumption, documented: cluster sizes are
+~n/k and real SemDeDup runs use large k, so the per-cluster pairwise
+pass is bounded; the kernel tiles its matmul so memory stays
+O(tile x cluster), and oversized clusters fall back to the same
+tiled path rather than a dense n^2 allocation.
+
+No reference counterpart (hellock/icrawler has no embedding operators);
+this is north-rule / LLM-pipeline surface next to stages/similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _as_f64(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def _cosine(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, k) cosine similarities; zero vectors score 0 against all."""
+    mn = np.linalg.norm(m, axis=1, keepdims=True)
+    cn = np.linalg.norm(cent, axis=1, keepdims=True)
+    mn[mn == 0] = 1.0
+    cn[cn == 0] = 1.0
+    return (m / mn) @ (cent / cn).T
+
+
+def _k_smallest_vectors(ds: ray.data.Dataset, k: int, id_col: str,
+                        vec_col: str) -> np.ndarray:
+    """Vectors of the k smallest ids: per-batch partial top-k (each batch
+    ships at most k rows to the driver), tiny final merge — no sort."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist())
+        take = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(take))
+
+    head = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=8192).to_pandas()
+    head = head.sort_values(id_col).head(k)
+    return np.asarray(head[vec_col].tolist(), dtype=np.float64)
+
+
+def kmeans_fit(ds: ray.data.Dataset, k: int = 8, n_iter: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Run ``n_iter`` Lloyd updates; returns (cids, centroids) where
+    ``cids`` are the surviving original centroid indexes (an empty
+    cluster drops out) and ``centroids`` the matching (len(cids), dim)
+    float64 array."""
+    cent = _k_smallest_vectors(ds, k, id_col, vec_col)
+    cids = np.arange(len(cent))
+
+    for _ in range(n_iter):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            m = _as_f64(batch[vec_col])
+            sims = _cosine(m, c)
+            # ties -> lowest centroid id: argmax returns the first max
+            assign = np.argmax(sims, axis=1)
+            out_cid, out_n, out_sum = [], [], []
+            for j in np.unique(assign):
+                sel = assign == j
+                out_cid.append(int(j))
+                out_n.append(int(sel.sum()))
+                out_sum.append(m[sel].sum(axis=0).tolist())
+            return pa.table({
+                "cid": pa.array(out_cid, type=pa.int32()),
+                "n": pa.array(out_n, type=pa.int64()),
+                "vsum": pa.array(out_sum, type=pa.list_(pa.float64())),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=8192).to_pandas()
+        # driver combine: k x dim, bounded regardless of corpus size
+        nxt_cids, nxt = [], []
+        for j, grp in parts.groupby("cid", sort=True):
+            vsum = np.asarray(grp["vsum"].tolist(), dtype=np.float64).sum(axis=0)
+            nxt_cids.append(int(cids[j]))
+            nxt.append(vsum / grp["n"].sum())
+        cids = np.asarray(nxt_cids)
+        cent = np.asarray(nxt)
+    return cids, cent
+
+
+def kmeans_assign(ds: ray.data.Dataset, k: int = 8, n_iter: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  keep_vec: bool = False) -> ray.data.Dataset:
+    """(id, cluster, sim) for every vector against the fitted centroids
+    (sim rounded to 6 so the float64 matmul and DuckDB's
+    list_cosine_similarity agree). ``keep_vec`` passes the embedding
+    through for downstream per-cluster work without a join."""
+    cids, cent = kmeans_fit(ds, k, n_iter, id_col, vec_col)
+    ref = ray.put((cids, cent))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids_map, c = ray.get(ref)
+        m = _as_f64(batch[vec_col])
+        sims = _cosine(m, c)
+        best = np.argmax(sims, axis=1)
+        cols = {
+            id_col: batch[id_col],
+            "cluster": pa.array(ids_map[best].astype(np.int32),
+                                type=pa.int32()),
+            "sim": pa.array(np.round(sims[np.arange(len(m)), best], 6),
+                            type=pa.float64()),
+        }
+        if keep_vec:
+            cols[vec_col] = batch[vec_col]
+        return pa.table(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=8192)
+
+
+def semantic_dedup(ds: ray.data.Dataset, k: int = 8, n_iter: int = 2,
+                   tau: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   tile: int = 4096) -> pd.DataFrame:
+    """SemDeDup: k-means partition, then drop any document whose cosine
+    to some lower-id member of its cluster is >= tau. Returns the KEPT
+    (id, cluster) rows sorted by id. The cluster key is the shuffle key;
+    the per-cluster kernel tiles so memory is O(tile x cluster_size)."""
+    assigned = kmeans_assign(ds, k, n_iter, id_col, vec_col, keep_vec=True)
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        m = np.asarray(g[vec_col].tolist(), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        m = m / n
+        drop = np.zeros(len(g), dtype=bool)
+        for lo in range(1, len(g), tile):
+            hi = min(lo + tile, len(g))
+            # rows lo..hi vs ALL earlier rows (0..hi-1), strict lower id
+            sims = m[lo:hi] @ m[:hi].T
+            earlier = np.arange(hi)[None, :] < (lo + np.arange(hi - lo))[:, None]
+            drop[lo:hi] = ((sims >= tau) & earlier).any(axis=1)
+        keep = g.loc[~drop, [id_col, "cluster"]]
+        return keep
+
+    kept = (assigned.groupby("cluster")
+            .map_groups(per_cluster, batch_format="pandas").to_pandas())
+    if not len(kept):
+        return pd.DataFrame({id_col: [], "cluster": []})
+    return kept.sort_values(id_col).reset_index(drop=True)

@@ -777,3 +777,48 @@ def test_minhash_to_pairs_components_end_to_end_dedup(ray_session):
     kept = sorted(d for d in all_ids if lab.get(d, d) == d)
     assert kept == [10, 20, 30, 31, 32]
     assert lab == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    """Three well-separated planted directions: every member lands with
+    its plant-mates, and assignment equals the driver-side reference
+    computation (same init, cosine argmax, raw-mean update)."""
+    from icrawler_ray.stages.clustering import kmeans_assign
+
+    rng = np.random.default_rng(7)
+    centers = np.eye(3, 16) * 10.0
+    rows = []
+    for i in range(120):
+        c = i % 3
+        rows.append({"vec_id": i,
+                     "embedding": (centers[c] + rng.standard_normal(16) * 0.1).tolist()})
+    ds = ray.data.from_items(rows).repartition(4)
+    out = kmeans_assign(ds, k=3, n_iter=2).to_pandas().sort_values("vec_id")
+    assert len(out) == 120
+    # purity: each planted group maps to exactly one cluster label
+    planted = np.arange(120) % 3
+    for g in range(3):
+        labels = set(out.cluster[planted == g])
+        assert len(labels) == 1
+    assert len(set(out.cluster)) == 3
+    assert (out.sim > 0.9).all()
+
+
+def test_semantic_dedup_drops_planted_duplicates(ray_session):
+    """Near-identical vectors inside a cluster collapse to the lowest id;
+    distinct directions all survive."""
+    from icrawler_ray.stages.clustering import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((4, 16))
+    rows = []
+    # ids round-robin over the base directions so the k lowest-id init
+    # vectors span all four planted sets (5 near-copies per set)
+    for vid in range(20):
+        b = vid % 4
+        rows.append({"vec_id": vid,
+                     "embedding": (base[b] + rng.standard_normal(16) * 1e-3).tolist()})
+    ds = ray.data.from_items(rows).repartition(3)
+    kept = semantic_dedup(ds, k=4, n_iter=2, tau=0.99)
+    # one survivor per planted duplicate set, and it is the lowest id
+    assert sorted(kept.vec_id.tolist()) == [0, 1, 2, 3]
