@@ -2612,6 +2612,42 @@ ORDER BY o_orderkey
 """
 
 
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension mean / population std over the embedding column —
+    the feature-scaling primitive. One map_batches pass emits dim-sized
+    (n, sum, sumsq) partials; the driver combine is O(dim) regardless of
+    corpus size."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "n": pa.array(np.full(m.shape[1], m.shape[0], dtype=np.int64)),
+            "s": pa.array(m.sum(axis=0)),
+            "ss": pa.array((m * m).sum(axis=0)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("dim", sort=True).sum()
+    mean = g.s / g.n
+    var = g.ss / g.n - mean * mean
+    return pd.DataFrame({
+        "dim": g.index.to_numpy() + 1,  # 1-based like SQL list indexing
+        "mean": np.round(mean.to_numpy(), 6),
+        "std": np.round(np.sqrt(np.maximum(var.to_numpy(), 0.0)), 6),
+    })
+
+
+SQL_EMBEDDING_DIM_STATS = """
+SELECT t.i AS dim,
+       ROUND(AVG(CAST(embedding[t.i] AS DOUBLE)), 6) AS mean,
+       ROUND(stddev_pop(CAST(embedding[t.i] AS DOUBLE)), 6) AS std
+FROM embeddings CROSS JOIN range(1, 65) t(i)
+GROUP BY t.i ORDER BY t.i
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2677,6 +2713,7 @@ QUERIES = {
     # ---- below the driver's 50-entry window: family variants ----
     "semantic_dedup": q_semantic_dedup,
     "topk_per_group": q_topk_per_group,
+    "embedding_dim_stats": q_embedding_dim_stats,
     "weighted_sample": q_weighted_sample,
     "events_daily_delta": q_events_daily_delta,
     "rolling_fingerprint": q_rolling_fingerprint,
@@ -2758,6 +2795,7 @@ ORACLE_SQL = {
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "topk_per_group": SQL_TOPK_PER_GROUP,
+    "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "events_daily_delta": SQL_EVENTS_DAILY_DELTA,
     "sequence_pack": SQL_SEQUENCE_PACK,
