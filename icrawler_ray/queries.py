@@ -2648,6 +2648,39 @@ GROUP BY t.i ORDER BY t.i
 """
 
 
+def q_shuffle_positions(sf_dir: str):
+    """Deterministic global training-order shuffle: every doc gets a
+    content-stable pseudo-random position (rank of md5(doc_id)). One
+    vectorized pass adds the hash key; the distributed sort is the only
+    shuffle; position assignment is the metadata prefix-sum from
+    functions/seq.py (driver sees one int per block). Reproducible
+    across runs and resharding — unlike random_shuffle()."""
+    from icrawler_ray.functions.seq import assign_global_seq
+    from icrawler_ray.stages.dedup import md5_pair
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        h = md5_pair([str(i) for i in ids])[:, 0]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "h": pa.array(h, type=pa.uint64())})
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    pos = assign_global_seq(keyed, ["h", "doc_id"], col="pos")
+    out = pos.to_pandas()[["doc_id", "pos"]].sort_values("doc_id")
+    return out.reset_index(drop=True)
+
+
+SQL_SHUFFLE_POSITIONS = """
+SELECT doc_id,
+       row_number() OVER (
+           ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id
+       ) - 1 AS pos
+FROM documents ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2714,6 +2747,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "topk_per_group": q_topk_per_group,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "shuffle_positions": q_shuffle_positions,
     "weighted_sample": q_weighted_sample,
     "events_daily_delta": q_events_daily_delta,
     "rolling_fingerprint": q_rolling_fingerprint,
@@ -2796,6 +2830,7 @@ ORACLE_SQL = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
+    "shuffle_positions": SQL_SHUFFLE_POSITIONS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "events_daily_delta": SQL_EVENTS_DAILY_DELTA,
     "sequence_pack": SQL_SEQUENCE_PACK,

@@ -822,3 +822,52 @@ def test_semantic_dedup_drops_planted_duplicates(ray_session):
     kept = semantic_dedup(ds, k=4, n_iter=2, tau=0.99)
     # one survivor per planted duplicate set, and it is the lowest id
     assert sorted(kept.vec_id.tolist()) == [0, 1, 2, 3]
+
+
+def test_topk_per_group_matches_pandas_reference(ray_session):
+    """Per-batch partial top-3 + bounded merge == a straight pandas
+    window rank over the whole table."""
+    from icrawler_ray.queries import q_topk_per_group
+
+    sf = "/root/testdata/sf0.001"
+    got = q_topk_per_group(sf)
+    df = pd.read_parquet(sf + "/orders.parquet",
+                         columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    ref = (df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+           .groupby("o_orderpriority", sort=False).head(3)
+           .sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                        ascending=[True, False, True]).reset_index(drop=True))
+    assert got.o_orderkey.tolist() == ref.o_orderkey.tolist()
+    assert got["rank"].tolist() == ref.groupby("o_orderpriority").cumcount().add(1).tolist()
+
+
+def test_weighted_sample_matches_pandas_reference(ray_session):
+    """Distributed per-batch 50-best A-ES keys merge to the exact global
+    50-best (scores are content-stable md5 exponential keys)."""
+    from icrawler_ray.queries import q_weighted_sample
+    from icrawler_ray.stages.dedup import md5_pair
+
+    sf = "/root/testdata/sf0.001"
+    got = q_weighted_sample(sf)
+    df = pd.read_parquet(sf + "/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    h = md5_pair([str(i) for i in df.o_orderkey])[:, 0]
+    u = ((h % np.uint64(4294967296)).astype(np.float64) + 1.0) / 4294967297.0
+    score = -np.log(u) / df.o_totalprice.to_numpy(dtype=np.float64)
+    ref = df.assign(score=score).nsmallest(50, "score")
+    assert sorted(got.o_orderkey) == sorted(ref.o_orderkey)
+    # higher-weight rows must be overrepresented vs uniform
+    assert ref.o_totalprice.mean() > df.o_totalprice.mean()
+
+
+def test_shuffle_positions_is_a_permutation(ray_session):
+    """Positions are a dense 0..n-1 permutation, stable across block
+    structure, and NOT the identity (the hash actually shuffles)."""
+    from icrawler_ray.queries import q_shuffle_positions
+
+    sf = "/root/testdata/sf0.001"
+    got = q_shuffle_positions(sf)
+    n = len(got)
+    assert sorted(got.pos.tolist()) == list(range(n))
+    assert got.pos.tolist() != list(range(n))
+    again = q_shuffle_positions(sf)
+    assert got.pos.tolist() == again.pos.tolist()
