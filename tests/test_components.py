@@ -871,3 +871,27 @@ def test_shuffle_positions_is_a_permutation(ray_session):
     assert got.pos.tolist() != list(range(n))
     again = q_shuffle_positions(sf)
     assert got.pos.tolist() == again.pos.tolist()
+
+
+def test_kmeans_empty_cluster_drops_not_reseeds(ray_session):
+    """Two init centroids are near-identical, so one empties after the
+    first assignment (ties go to the lowest centroid id). The engine must
+    DROP it — surviving original ids only — matching the SQL oracle's
+    vanishing-CTE-row semantics."""
+    from icrawler_ray.stages.clustering import kmeans_fit
+
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal(8)
+    b = rng.standard_normal(8)
+    rows = [{"vec_id": 0, "embedding": a.tolist()},
+            {"vec_id": 1, "embedding": (a * 1.000001).tolist()},  # same direction
+            {"vec_id": 2, "embedding": b.tolist()}]
+    for i in range(3, 40):
+        base = a if i % 2 else b
+        rows.append({"vec_id": i,
+                     "embedding": (base + rng.standard_normal(8) * 0.01).tolist()})
+    ds = ray.data.from_items(rows).repartition(3)
+    cids, cent = kmeans_fit(ds, k=3, n_iter=2)
+    # centroid 1 (the duplicated direction, higher id) empties and drops
+    assert cids.tolist() == [0, 2]
+    assert len(cent) == 2
