@@ -2681,6 +2681,71 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Shuffle-free big-side semi-join: lineitem rows whose order is
+    URGENT-priority, without moving lineitem. The small side's keys are
+    collected via a column-pruned read, packed into the engine's
+    BloomFilter (state/bloom.py — 10 bits/key, ~100x smaller than the
+    key set) and broadcast once with ray.put; each lineitem batch
+    probes the bloom, then exact-verifies survivors against the
+    broadcast sorted key array so the result is EXACT (bloom false
+    positives die in the verify; at scale the bloom keeps the sorted
+    probe array out of the hot loop for the 99% of rows it rejects).
+    Output: per-returnflag row count + revenue of the semi-joined rows."""
+    import pyarrow.compute as pc
+
+    from icrawler_ray.state.bloom import BloomFilter
+
+    def urgent(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["o_orderpriority"], pa.scalar("1-URGENT"))
+        return batch.filter(m).select(["o_orderkey"])
+
+    keys = (_read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+            .map_batches(urgent, batch_format="pyarrow")
+            .to_pandas()["o_orderkey"].to_numpy(dtype=np.uint64))
+    bf = BloomFilter(capacity=max(len(keys), 1024))
+    bf.add(keys)
+    side = ray.put((bf.serialize(), np.sort(keys)))
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        payload, sorted_keys = ray.get(side)
+        bloom = BloomFilter.deserialize(payload)
+        k = np.asarray(batch["l_orderkey"].to_pylist(), dtype=np.uint64)
+        cand = bloom.contains(k)
+        exact = cand.copy()
+        if cand.any():
+            pos = np.searchsorted(sorted_keys, k[cand])
+            pos[pos >= len(sorted_keys)] = len(sorted_keys) - 1
+            exact[cand] = sorted_keys[pos] == k[cand]
+        t = batch.filter(pa.array(exact))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        df = pd.DataFrame({"l_returnflag": t["l_returnflag"].to_pylist(),
+                           "rev": rev.to_pylist()})
+        g = df.groupby("l_returnflag").agg(n=("rev", "size"), revenue=("rev", "sum"))
+        return pa.table({"l_returnflag": g.index.tolist(),
+                         "n": pa.array(g.n.to_numpy(), type=pa.int64()),
+                         "revenue": pa.array(g.revenue.to_numpy(), type=pa.float64())})
+
+    parts = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("l_returnflag", as_index=False)
+           .agg(n=("n", "sum"), revenue=("revenue", "sum")))
+    out["revenue"] = np.round(out["revenue"], 2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem WHERE l_orderkey IN
+  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2748,6 +2813,7 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "embedding_dim_stats": q_embedding_dim_stats,
     "shuffle_positions": q_shuffle_positions,
+    "bloom_semi_join": q_bloom_semi_join,
     "weighted_sample": q_weighted_sample,
     "events_daily_delta": q_events_daily_delta,
     "rolling_fingerprint": q_rolling_fingerprint,
@@ -2831,6 +2897,7 @@ ORACLE_SQL = {
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
     "shuffle_positions": SQL_SHUFFLE_POSITIONS,
+    "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "events_daily_delta": SQL_EVENTS_DAILY_DELTA,
     "sequence_pack": SQL_SEQUENCE_PACK,

@@ -895,3 +895,26 @@ def test_kmeans_empty_cluster_drops_not_reseeds(ray_session):
     # centroid 1 (the duplicated direction, higher id) empties and drops
     assert cids.tolist() == [0, 2]
     assert len(cent) == 2
+
+
+def test_bloom_semi_join_matches_pandas_reference(ray_session):
+    """Bloom-probe + exact-verify semi-join == plain pandas isin merge
+    (false positives must die in the verify step)."""
+    from icrawler_ray.queries import q_bloom_semi_join
+
+    sf = "/root/testdata/sf0.001"
+    got = q_bloom_semi_join(sf)
+    li = pd.read_parquet(sf + "/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_extendedprice", "l_discount"])
+    orders = pd.read_parquet(sf + "/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    keys = set(orders.loc[orders.o_orderpriority == "1-URGENT", "o_orderkey"])
+    sel = li[li.l_orderkey.isin(keys)]
+    ref = (sel.assign(rev=sel.l_extendedprice * (1.0 - sel.l_discount))
+           .groupby("l_returnflag", as_index=False)
+           .agg(n=("rev", "size"), revenue=("rev", "sum"))
+           .sort_values("l_returnflag").reset_index(drop=True))
+    assert got.l_returnflag.tolist() == ref.l_returnflag.tolist()
+    assert got.n.tolist() == ref.n.tolist()
+    assert np.allclose(got.revenue, np.round(ref.revenue, 2))
