@@ -1330,6 +1330,33 @@ SELECT 'lineitem.l_partkey', COUNT(DISTINCT l_partkey), TRUE FROM lineitem
 """
 
 
+def q_hll_distinct_by_type(sf_dir: str):
+    """Per-group mergeable HLL sketches (stages/sketches.py
+    hll_distinct_by): distinct users per event_type, driver state one
+    4-KB sketch per distinct group. Oracle-checkable the same way as
+    hll_distinct: output carries the exact per-group distinct count plus
+    the 3%-tolerance claim the DuckDB oracle asserts TRUE."""
+    from icrawler_ray.stages.sketches import hll_distinct_by
+
+    est = hll_distinct_by(_read(sf_dir, "events", ["event_type", "user_id"]),
+                          "event_type", "user_id")
+    exact = (_read(sf_dir, "events", ["event_type", "user_id"])
+             .groupby(["event_type", "user_id"]).count()
+             .groupby("event_type").count().to_pandas()
+             .rename(columns={"count()": "n_exact"}))
+    out = exact.merge(est, on="event_type")
+    out["n_exact"] = out["n_exact"].astype(np.int64)
+    out["within_3pct"] = (out.estimate / out.n_exact - 1.0).abs() <= 0.03
+    return (out[["event_type", "n_exact", "within_3pct"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+SQL_HLL_DISTINCT_BY_TYPE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_3pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # =====================================================================
 # C2. link-graph analytics + data-mixing (stages/linkgraph.py docstring
 #     explains the deterministic edge derivation both sides reproduce)
@@ -2814,6 +2841,7 @@ QUERIES = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "shuffle_positions": q_shuffle_positions,
     "bloom_semi_join": q_bloom_semi_join,
+    "hll_distinct_by_type": q_hll_distinct_by_type,
     "weighted_sample": q_weighted_sample,
     "events_daily_delta": q_events_daily_delta,
     "rolling_fingerprint": q_rolling_fingerprint,
@@ -2898,6 +2926,7 @@ ORACLE_SQL = {
     "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
     "shuffle_positions": SQL_SHUFFLE_POSITIONS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
+    "hll_distinct_by_type": SQL_HLL_DISTINCT_BY_TYPE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "events_daily_delta": SQL_EVENTS_DAILY_DELTA,
     "sequence_pack": SQL_SEQUENCE_PACK,

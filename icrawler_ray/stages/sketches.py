@@ -71,3 +71,37 @@ def hll_distinct(ds, col: str, p: int = 12) -> float:
     for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
         merged.merge(HLL.deserialize(row["sketch"]))
     return merged.estimate()
+
+
+def hll_distinct_by(ds, group_col: str, col: str, p: int = 12) -> "pd.DataFrame":
+    """Per-group approximate distinct counts: each batch emits one
+    (group, sketch) row per group it contains; the driver merge holds
+    one 2^p-byte sketch per DISTINCT GROUP — bounded by group
+    cardinality, never by row count (the documented assumption: the
+    group key is low-cardinality, e.g. event types, languages, sources).
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group_col: t[group_col].to_pylist(),
+                           "v": pd.Series(t[col].to_pylist()).astype(str)})
+        groups, sketches = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            h = HLL(p)
+            h.add_hashes(pd.util.hash_array(sub["v"].to_numpy(dtype=object),
+                                            categorize=False))
+            groups.append(g)
+            sketches.append(h.serialize())
+        return pa.table({group_col: pa.array(groups),
+                         "sketch": pa.array(sketches, type=pa.binary())})
+
+    merged: dict = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        g = row[group_col]
+        h = HLL.deserialize(row["sketch"])
+        if g in merged:
+            merged[g].merge(h)
+        else:
+            merged[g] = h
+    return pd.DataFrame({group_col: list(merged),
+                         "estimate": [h.estimate() for h in merged.values()]})
