@@ -1330,6 +1330,63 @@ SELECT 'lineitem.l_partkey', COUNT(DISTINCT l_partkey), TRUE FROM lineitem
 """
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """C4/Gopher-style corpus-global chunk dedup: split every doc into
+    non-overlapping 8-token chunks (the corpus has no sentence
+    punctuation, so fixed token windows are the dedup unit), keep only
+    the globally FIRST occurrence of each chunk (min (doc_id, idx)),
+    reassemble docs from their surviving chunks in order. Two bounded
+    exchanges: (1) chunks are pre-reduced per batch (chunk -> min
+    occurrence) before the groupby(para) — a hot chunk's fat group
+    holds one tiny row per batch it appeared in, not one per
+    occurrence; (2) groupby(doc_id) reassembly. Docs whose every chunk
+    loses vanish (same rule in the SQL)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split_reduce(batch: pa.Table) -> pa.Table:
+        ids, idxs, paras = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = t.split(" ")
+            for i in range(0, len(toks), 8):
+                ids.append(d)
+                idxs.append(i // 8)
+                paras.append(" ".join(toks[i:i + 8]))
+        df = pd.DataFrame({"doc_id": ids, "idx": idxs, "para": paras})
+        # batch-local pre-reduce: min occurrence per chunk
+        df = df.sort_values(["doc_id", "idx"]).drop_duplicates("para", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["doc_id", "idx"]).head(1)
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("idx")
+        return pd.DataFrame({"doc_id": [g.doc_id.iloc[0]],
+                             "text": [" ".join(g.para)]})
+
+    winners = (ds.map_batches(split_reduce, batch_format="pyarrow")
+               .groupby("para").map_groups(keep_first, batch_format="pandas"))
+    out = (winners.groupby("doc_id")
+           .map_groups(reassemble, batch_format="pandas").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH tok AS (
+  SELECT doc_id, unnest(ts) AS tk, generate_subscripts(ts, 1) AS ti
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+p AS (
+  SELECT doc_id, CAST((ti - 1) // 8 AS INTEGER) AS idx,
+         string_agg(tk, ' ' ORDER BY ti) AS para
+  FROM tok GROUP BY doc_id, (ti - 1) // 8),
+w AS (
+  SELECT doc_id, idx, para FROM p
+  QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1)
+SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS text
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_hll_distinct_by_type(sf_dir: str):
     """Per-group mergeable HLL sketches (stages/sketches.py
     hll_distinct_by): distinct users per event_type, driver state one
@@ -2842,6 +2899,7 @@ QUERIES = {
     "shuffle_positions": q_shuffle_positions,
     "bloom_semi_join": q_bloom_semi_join,
     "hll_distinct_by_type": q_hll_distinct_by_type,
+    "paragraph_dedup": q_paragraph_dedup,
     "weighted_sample": q_weighted_sample,
     "events_daily_delta": q_events_daily_delta,
     "rolling_fingerprint": q_rolling_fingerprint,
@@ -2927,6 +2985,7 @@ ORACLE_SQL = {
     "shuffle_positions": SQL_SHUFFLE_POSITIONS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "hll_distinct_by_type": SQL_HLL_DISTINCT_BY_TYPE,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "events_daily_delta": SQL_EVENTS_DAILY_DELTA,
     "sequence_pack": SQL_SEQUENCE_PACK,
