@@ -217,7 +217,8 @@ def bench_queries() -> dict:
              "sequence_pack", "top_terms", "tfidf_top_terms", "length_quantiles",
              "stratified_sample", "mixture_weights", "anti_join_customers",
              "decontaminate", "repetition_stats", "hash_sample",
-             "kmeans_assign", "semantic_dedup"]
+             "kmeans_assign", "semantic_dedup", "bloom_semi_join",
+             "paragraph_dedup", "shuffle_positions"]
     out = {}
     for name in names:
         t0 = time.time()
