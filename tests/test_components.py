@@ -918,3 +918,43 @@ def test_bloom_semi_join_matches_pandas_reference(ray_session):
     assert got.l_returnflag.tolist() == ref.l_returnflag.tolist()
     assert got.n.tolist() == ref.n.tolist()
     assert np.allclose(got.revenue, np.round(ref.revenue, 2))
+
+
+def test_hll_distinct_by_group_exact_at_low_cardinality(ray_session):
+    """Sparse-range HLL is exact for small per-group cardinalities; one
+    sketch per group regardless of row count or block structure."""
+    from icrawler_ray.stages.sketches import hll_distinct_by
+
+    rows = []
+    for g, n in (("a", 30), ("b", 7), ("c", 1)):
+        for i in range(n):
+            for _ in range(3):  # repeats must not inflate the estimate
+                rows.append({"g": g, "v": f"{g}-{i}"})
+    ds = ray.data.from_items(rows).repartition(4)
+    out = hll_distinct_by(ds, "g", "v").sort_values("g")
+    est = dict(zip(out.g, out.estimate))
+    for g, n in (("a", 30), ("b", 7), ("c", 1)):
+        assert abs(est[g] / n - 1.0) <= 0.03
+
+
+def test_paragraph_dedup_first_occurrence_wins(ray_session):
+    """A chunk shared by two docs survives only in the lower doc_id; a
+    doc made entirely of stolen chunks vanishes."""
+    from icrawler_ray.queries import q_paragraph_dedup
+    import pyarrow.parquet as pq
+    import os, tempfile
+
+    c1 = " ".join(f"w{i}" for i in range(8))
+    c2 = " ".join(f"x{i}" for i in range(8))
+    c3 = " ".join(f"y{i}" for i in range(8))
+    docs = pd.DataFrame({
+        "doc_id": ["d0", "d1", "d2"],
+        "text": [c1 + " " + c2,      # owns both chunks
+                 c2 + " " + c3,      # loses c2, keeps c3
+                 c1],                # fully duplicated -> vanishes
+    })
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(pa.Table.from_pandas(docs), os.path.join(tmp, "documents.parquet"))
+        out = q_paragraph_dedup(tmp)
+    got = dict(zip(out.doc_id, out.text))
+    assert got == {"d0": c1 + " " + c2, "d1": c3}
