@@ -1387,6 +1387,47 @@ FROM w GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_quality_ntiles(sf_dir: str):
+    """Curriculum bucketing: decile assignment over a quality key
+    (text length, doc_id tiebreak). Distributed sort is the only
+    shuffle; global position comes from the metadata prefix-sum
+    (functions/seq.py), and the bucket math replicates SQL NTILE's
+    remainder rule (first n%k buckets get the extra row) so the oracle
+    matches exactly."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table({"doc_id": batch["doc_id"],
+                         "len": pa.array([len(t) for t in texts], type=pa.int64())})
+
+    k = 10
+    lens = ds.map_batches(keyed, batch_format="pyarrow")
+    n = lens.count()
+    q, r = divmod(n, k)
+    pos = assign_global_seq(lens, ["len", "doc_id"], col="pos")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["pos"].to_pylist(), dtype=np.int64)
+        big = r * (q + 1)
+        b = np.where(p < big, p // (q + 1), r + (p - big) // max(q, 1)) + 1
+        return pa.table({"doc_id": batch["doc_id"],
+                         "len": batch["len"],
+                         "bucket": pa.array(b, type=pa.int64())})
+
+    out = pos.map_batches(bucket, batch_format="pyarrow").to_pandas()
+    return out[["doc_id", "len", "bucket"]].sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_QUALITY_NTILES = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+       CAST(ntile(10) OVER (ORDER BY length(text), doc_id) AS BIGINT) AS bucket
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_hll_distinct_by_type(sf_dir: str):
     """Per-group mergeable HLL sketches (stages/sketches.py
     hll_distinct_by): distinct users per event_type, driver state one
@@ -2900,6 +2941,7 @@ QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "hll_distinct_by_type": q_hll_distinct_by_type,
     "paragraph_dedup": q_paragraph_dedup,
+    "quality_ntiles": q_quality_ntiles,
     "weighted_sample": q_weighted_sample,
     "events_daily_delta": q_events_daily_delta,
     "rolling_fingerprint": q_rolling_fingerprint,
@@ -2986,6 +3028,7 @@ ORACLE_SQL = {
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "hll_distinct_by_type": SQL_HLL_DISTINCT_BY_TYPE,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "quality_ntiles": SQL_QUALITY_NTILES,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "events_daily_delta": SQL_EVENTS_DAILY_DELTA,
     "sequence_pack": SQL_SEQUENCE_PACK,

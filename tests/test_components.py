@@ -958,3 +958,22 @@ def test_paragraph_dedup_first_occurrence_wins(ray_session):
         out = q_paragraph_dedup(tmp)
     got = dict(zip(out.doc_id, out.text))
     assert got == {"d0": c1 + " " + c2, "d1": c3}
+
+
+def test_quality_ntiles_remainder_rule(ray_session):
+    """n=23, k=10: the first 3 buckets get 3 rows, the rest 2 — SQL
+    NTILE's remainder rule, which the distributed bucket math must
+    replicate exactly."""
+    from icrawler_ray.queries import q_quality_ntiles
+    import pyarrow.parquet as pq
+    import os, tempfile
+
+    docs = pd.DataFrame({"doc_id": [f"d{i:02d}" for i in range(23)],
+                         "text": ["x" * (10 + i) for i in range(23)]})
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(pa.Table.from_pandas(docs), os.path.join(tmp, "documents.parquet"))
+        out = q_quality_ntiles(tmp).sort_values("len")
+    sizes = out.bucket.value_counts().sort_index().tolist()
+    assert sizes == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+    # monotone: longer docs never land in a lower bucket
+    assert (out.bucket.diff().dropna() >= 0).all()
