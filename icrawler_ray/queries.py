@@ -1342,32 +1342,51 @@ def q_paragraph_dedup(sf_dir: str):
     occurrence; (2) groupby(doc_id) reassembly. Docs whose every chunk
     loses vanish (same rule in the SQL)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # order-preserving string encoding of doc_id for the packed winner
+    # key: 20-digit zero-pad for (non-negative) ints, raw for strings
+    int_ids = pa.types.is_integer(ds.schema().base_schema.field("doc_id").type)
 
     def split_reduce(batch: pa.Table) -> pa.Table:
-        ids, idxs, paras = [], [], []
+        # occurrence key enc(doc_id) + NUL + zero-padded idx sorts exactly
+        # like (doc_id, idx), so a plain string MIN picks the global
+        # winner — that keeps the wide step a NATIVE groupby aggregate
+        # instead of a per-group Python callback (measured 60x at 200k docs)
+        keys, paras = [], []
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            enc = f"{d:020d}" if int_ids else str(d)
             toks = t.split(" ")
             for i in range(0, len(toks), 8):
-                ids.append(d)
-                idxs.append(i // 8)
+                keys.append(f"{enc}\x00{i // 8:09d}")
                 paras.append(" ".join(toks[i:i + 8]))
-        df = pd.DataFrame({"doc_id": ids, "idx": idxs, "para": paras})
+        df = pd.DataFrame({"para": paras, "key": keys})
         # batch-local pre-reduce: min occurrence per chunk
-        df = df.sort_values(["doc_id", "idx"]).drop_duplicates("para", keep="first")
+        df = df.sort_values("key").drop_duplicates("para", keep="first")
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["doc_id", "idx"]).head(1)
+    def unpack(batch: pa.Table) -> pa.Table:
+        ids, idxs = [], []
+        for k in batch["min(key)"].to_pylist():
+            d, _, i = k.rpartition("\x00")
+            ids.append(int(d) if int_ids else d)
+            idxs.append(int(i))
+        id_arr = pa.array(ids, type=pa.int64()) if int_ids else pa.array(ids)
+        return pa.table({"doc_id": id_arr, "idx": pa.array(idxs, type=pa.int64()),
+                         "para": batch["para"]})
 
-    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("idx")
-        return pd.DataFrame({"doc_id": [g.doc_id.iloc[0]],
-                             "text": [" ".join(g.para)]})
+    def partial_join(df: pd.DataFrame) -> pd.DataFrame:
+        # rows arrive (doc_id, idx)-sorted; a doc may straddle blocks, so
+        # emit one fragment per doc per block and merge fragments below
+        g = (df.groupby("doc_id", sort=True)
+             .agg(first_idx=("idx", "min"), text=("para", " ".join)))
+        return g.reset_index()
 
     winners = (ds.map_batches(split_reduce, batch_format="pyarrow")
-               .groupby("para").map_groups(keep_first, batch_format="pandas"))
-    out = (winners.groupby("doc_id")
-           .map_groups(reassemble, batch_format="pandas").to_pandas())
+               .groupby("para").min("key")
+               .map_batches(unpack, batch_format="pyarrow"))
+    parts = (winners.sort(["doc_id", "idx"])
+             .map_batches(partial_join, batch_format="pandas").to_pandas())
+    out = (parts.sort_values(["doc_id", "first_idx"])
+           .groupby("doc_id", sort=True)["text"].agg(" ".join).reset_index())
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
