@@ -2076,6 +2076,61 @@ SQL_LENGTH_QUANTILES = "\nUNION ALL\n".join(
 )
 
 
+def q_approx_quantiles_sketch(sf_dir: str):
+    """Mergeable APPROXIMATE quantiles — the scale path when the value
+    domain is unbounded and the exact (value,count) histogram combiner
+    stops being small: a bottom-k uniform sample by md5(doc_id) order
+    statistics (each batch ships its k smallest hashes; merging partials
+    = taking the k smallest overall, so the sample is exchangeable and
+    deterministic). Oracle-checkable like hll_distinct: output carries
+    the EXACT quantile plus the claim that the sketch estimate lands
+    within the +/-0.05 quantile band, which the DuckDB oracle asserts
+    TRUE. k=1024 -> rank error ~1/sqrt(k) ~ 0.03."""
+    from icrawler_ray.stages.dedup import md5_pair
+
+    K = 1024
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        h = md5_pair([str(i) for i in batch["doc_id"].to_pylist()])[:, 0]
+        take = np.argsort(h, kind="stable")[:K]
+        return pa.table({"h": pa.array(h[take], type=pa.uint64()),
+                         "n_chars": pa.array(
+                             np.asarray(batch["n_chars"].to_pylist())[take])})
+
+    parts = ds.map_batches(bottom_k, batch_format="pyarrow").to_pandas()
+    sample = np.sort(parts.nsmallest(K, "h")["n_chars"].to_numpy())
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_chars").size().rename("c").reset_index()
+
+    parts2 = (_read(sf_dir, "documents", ["n_chars"])
+              .map_batches(hist_partial, batch_format="pandas").to_pandas())
+    hist = parts2.groupby("n_chars")["c"].sum().sort_index()
+    n = int(hist.sum())
+    cum = hist.cumsum().to_numpy()
+    vals = hist.index.to_numpy()
+
+    def exact_q(q: float) -> int:
+        q = min(max(q, 1.0 / n), 1.0)
+        return int(vals[np.searchsorted(cum, int(np.ceil(q * n)))])
+
+    rows = []
+    for q in LENGTH_QUANTS:
+        est = sample[min(int(np.ceil(q * len(sample))) - 1, len(sample) - 1)]
+        lo, hi = exact_q(q - 0.05), exact_q(q + 0.05)
+        rows.append({"q": float(q), "n_chars_q": np.int64(exact_q(q)),
+                     "within_band": bool(lo <= est <= hi)})
+    return pd.DataFrame(rows)
+
+
+SQL_APPROX_QUANTILES_SKETCH = "\nUNION ALL\n".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q, quantile_disc(n_chars, {q}) AS n_chars_q, "
+    f"TRUE AS within_band FROM documents"
+    for q in LENGTH_QUANTS
+)
+
+
 def q_length_quantiles_by_lang(sf_dir: str):
     """Grouped exact quantiles (length distribution per language): the
     histogram combiner now keys on (lang, n_chars) — still one row per
@@ -2961,6 +3016,7 @@ QUERIES = {
     "hll_distinct_by_type": q_hll_distinct_by_type,
     "paragraph_dedup": q_paragraph_dedup,
     "quality_ntiles": q_quality_ntiles,
+    "approx_quantiles_sketch": q_approx_quantiles_sketch,
     "weighted_sample": q_weighted_sample,
     "events_daily_delta": q_events_daily_delta,
     "rolling_fingerprint": q_rolling_fingerprint,
@@ -3048,6 +3104,7 @@ ORACLE_SQL = {
     "hll_distinct_by_type": SQL_HLL_DISTINCT_BY_TYPE,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "quality_ntiles": SQL_QUALITY_NTILES,
+    "approx_quantiles_sketch": SQL_APPROX_QUANTILES_SKETCH,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "events_daily_delta": SQL_EVENTS_DAILY_DELTA,
     "sequence_pack": SQL_SEQUENCE_PACK,
