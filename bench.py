@@ -218,7 +218,8 @@ def bench_queries() -> dict:
              "stratified_sample", "mixture_weights", "anti_join_customers",
              "decontaminate", "repetition_stats", "hash_sample",
              "kmeans_assign", "semantic_dedup", "bloom_semi_join",
-             "paragraph_dedup", "shuffle_positions"]
+             "paragraph_dedup", "shuffle_positions", "quality_ntiles",
+             "approx_quantiles_sketch", "training_tape"]
     out = {}
     for name in names:
         t0 = time.time()

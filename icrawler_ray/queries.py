@@ -1341,7 +1341,12 @@ def q_paragraph_dedup(sf_dir: str):
     holds one tiny row per batch it appeared in, not one per
     occurrence; (2) groupby(doc_id) reassembly. Docs whose every chunk
     loses vanish (same rule in the SQL)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _paragraph_dedup_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _paragraph_dedup_ds(ds) -> pd.DataFrame:
+    """Core of q_paragraph_dedup over any (doc_id, text) Dataset — also
+    the dedup stage of q_training_tape."""
     # order-preserving string encoding of doc_id for the packed winner
     # key: 20-digit zero-pad for (non-negative) ints, raw for strings
     int_ids = pa.types.is_integer(ds.schema().base_schema.field("doc_id").type)
@@ -1403,6 +1408,80 @@ w AS (
   QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1)
 SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS text
 FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_training_tape(sf_dir: str):
+    """FLAGSHIP training-data prep composition, end-to-end over one
+    Dataset chain: quality gate (vectorized score filter) -> corpus-global
+    paragraph dedup (native-MIN winner exchange + reassembly) ->
+    deterministic md5 shuffle order -> sequence packing (distributed
+    exclusive prefix sum over token counts; the tape follows the
+    SHUFFLED order, as a real run would). Text is dropped before the
+    ordering shuffle — only (doc_id, hash, n_tokens) moves. Output:
+    (doc_id, pos, n_tokens, tok_start, seq_id). Every stage reuses an
+    oracle-proven operator; the SQL oracle is the same chain as CTEs."""
+    from icrawler_ray.functions.seq import (assign_global_cumsum,
+                                            assign_global_seq, from_pandas_blocks)
+    from icrawler_ray.stages.dedup import md5_pair
+    from icrawler_ray.stages.textfns import quality_scores
+
+    def gate(batch: pa.Table) -> pa.Table:
+        # quality_scores' keep column, applied in the SAME pass so text
+        # flows through without a driver-side id set
+        keep = quality_scores(batch)["keep"]
+        return batch.filter(keep)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    deduped = _paragraph_dedup_ds(docs.map_batches(gate, batch_format="pyarrow"))
+
+    h = md5_pair([str(i) for i in deduped["doc_id"]])[:, 0]
+    narrow = pd.DataFrame({
+        "doc_id": deduped["doc_id"],
+        "n_tokens": deduped["text"].str.count(" ").to_numpy(dtype=np.int64) + 1,
+    })
+    narrow["h"] = pd.array(h, dtype="UInt64")
+    ds2 = from_pandas_blocks(narrow, min_rows_per_block=256)
+    pos = assign_global_seq(ds2, ["h", "doc_id"], col="pos")
+    packed = assign_global_cumsum(pos, ["pos"], "n_tokens", col="tok_start")
+
+    def finish(t: pa.Table) -> pa.Table:
+        start = t["tok_start"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"], "pos": t["pos"], "n_tokens": t["n_tokens"],
+            "tok_start": t["tok_start"],
+            "seq_id": pa.array(start // PACK_SEQ_LEN, type=pa.int64()),
+        })
+
+    out = packed.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_training_tape() -> str:
+    dedup_body = SQL_PARAGRAPH_DEDUP.replace("FROM documents", "FROM gated", 1)
+    dedup_body = dedup_body.strip().removeprefix("WITH ")
+    dedup_body = dedup_body.replace(
+        "SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS text\nFROM w GROUP BY doc_id ORDER BY doc_id",
+        "")
+    return f"""
+WITH q AS ({SQL_QUALITY_FILTER.strip()}),
+gated AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)),
+{dedup_body.strip()},
+dedup AS (SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS text
+          FROM w GROUP BY doc_id),
+ord AS (SELECT doc_id, text,
+        row_number() OVER (ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id) - 1 AS pos
+        FROM dedup),
+cnt AS (SELECT doc_id, pos,
+        length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens FROM ord),
+tape AS (SELECT doc_id, pos, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+         FROM cnt)
+SELECT doc_id, pos, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_start // {PACK_SEQ_LEN} AS BIGINT) AS seq_id
+FROM tape ORDER BY doc_id
 """
 
 
@@ -2196,6 +2275,7 @@ SELECT source, term, n, rank FROM r WHERE rank <= 5 ORDER BY source, rank
 
 #: training-sequence length for the packing operator
 PACK_SEQ_LEN = 2048
+SQL_TRAINING_TAPE = _sql_training_tape()
 
 
 def q_sequence_pack(sf_dir: str):
@@ -3017,6 +3097,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "quality_ntiles": q_quality_ntiles,
     "approx_quantiles_sketch": q_approx_quantiles_sketch,
+    "training_tape": q_training_tape,
     "weighted_sample": q_weighted_sample,
     "events_daily_delta": q_events_daily_delta,
     "rolling_fingerprint": q_rolling_fingerprint,
@@ -3105,6 +3186,7 @@ ORACLE_SQL = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "quality_ntiles": SQL_QUALITY_NTILES,
     "approx_quantiles_sketch": SQL_APPROX_QUANTILES_SKETCH,
+    "training_tape": SQL_TRAINING_TAPE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "events_daily_delta": SQL_EVENTS_DAILY_DELTA,
     "sequence_pack": SQL_SEQUENCE_PACK,
