@@ -242,7 +242,8 @@ def run_scaling_child() -> dict:
     import ray.data
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     ray.data.DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     try:
@@ -256,6 +257,15 @@ def run_scaling_child() -> dict:
         }
     finally:
         ray.shutdown()
+
+
+def _burn_once(n: int = 10_000_000) -> float:
+    """Single-proc busy-loop seconds — the per-section host-state probe."""
+    t0 = time.time()
+    x = 0
+    for i in range(n):
+        x += i * i
+    return time.time() - t0
 
 
 def _cpu_calibration() -> dict:
@@ -301,7 +311,8 @@ def _fresh_session():
 
     ray.shutdown()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     ray.data.DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
@@ -321,12 +332,15 @@ def run_once() -> dict:
         # warms its own worker pool first (32 workers cost ~20s to
         # spawn+import; steady-state throughput is the metric, not process
         # cold start — a long-lived cluster pays this once).
+        per_section = {}
         _fresh_session()
         bench_fetch_parse(n_pages=2000)
+        per_section["fetch_parse"] = round(_burn_once(), 3)
         fp = bench_fetch_parse(n_pages=int(os.environ.get("BENCH_FP_PAGES", "200000")))
 
         _fresh_session()
         bench_crawl(n_pages=2000)
+        per_section["crawl"] = round(_burn_once(), 3)
         crawl = bench_crawl()
 
         _fresh_session()
@@ -342,6 +356,7 @@ def run_once() -> dict:
                                  min_rows_per_block=1, tasks_per_cpu=4.0)
         warm.map_batches(lambda t: t, batch_size=None, num_cpus=1).count()
         q_agg_lineitem(SF_DIR)
+        per_section["queries"] = round(_burn_once(), 3)
         dedup = bench_frontier_dedup()
         baseline = bench_single_thread_baseline()
         queries = bench_queries()
@@ -362,7 +377,8 @@ def run_once() -> dict:
             "files_downloaded": crawl["files_downloaded"],
             "dedup_ops_per_sec": dedup["ops_per_sec"],
             "single_thread_urls_per_sec": baseline["urls_per_sec"],
-            "cpu_calibration": calibration,
+            "cpu_calibration": {**calibration,
+                                "per_section_single_proc_sec": per_section},
         }
     finally:
         ray.shutdown()
@@ -413,9 +429,19 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
+    # Guarantee EXACTLY one JSON line on stdout: Ray's raylet forwards
+    # out-of-band warnings to the driver's fd 1 even with
+    # log_to_driver=False, so point fd 1 at stderr for the duration of
+    # the run and write the JSON to the saved real stdout at the end.
+    real_stdout = os.fdopen(os.dup(1), "w")
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(1, "w")
     if os.environ.get("BENCH_SCALING_CHILD"):
-        print(json.dumps(run_scaling_child()))
+        result = run_scaling_child()
     elif "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        result = run_scaling()
     else:
-        print(json.dumps(run_once()))
+        result = run_once()
+    sys.stdout.flush()
+    real_stdout.write(json.dumps(result) + "\n")
+    real_stdout.flush()
