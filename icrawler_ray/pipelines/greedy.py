@@ -373,6 +373,33 @@ class GreedyCrawl:
             return osp.join(self.ckpt.round_dir(round_idx), kind)
         return None
 
+    def _flush_claims(self, parsed, metrics: dict, expected: int) -> None:
+        """Delivery barrier for the NON-BLOCKING fused claims: compare the
+        shards' claims_received() totals against the claimable-row count
+        of the materialized parse output (every task/link row claims
+        exactly once; the caller derives the count by subtraction from
+        row totals it already has — no extra Dataset execution). Normally
+        satisfied on the first poll — the claims drained while parse
+        tasks were still running; the blocking resend covers the rare
+        case of a submitting worker dying between task completion and
+        submission-queue flush (claims are idempotent within a round:
+        finish_round keeps the min packed per key, so duplicates from a
+        resend cannot change the winners)."""
+        import time as _time
+        deadline = _time.time() + 10.0
+        while _time.time() < deadline:
+            received = (self.seen_files.claims_received()
+                        + self.seen_pages.claims_received())
+            if received >= expected:
+                return
+            _time.sleep(0.02)
+        metrics["claims_resent"] = True
+        from icrawler_ray.state.seen import route_claims
+
+        for ref in parsed.to_arrow_refs():
+            route_claims(ray.get(ref), self.seen_pages.name, self.seen_files.name,
+                         self.seen_pages.num_shards, self.max_depth, block=True)
+
     def _persist(self, ds, round_idx: int, kind: str, parts: list) -> int:
         """Store one round's output without driver materialization.
 
@@ -492,6 +519,8 @@ class GreedyCrawl:
         else:
             metrics["docs"] = 0
 
+        expected_claims = parsed.count() - metrics["errors"] - metrics["docs"]
+        self._flush_claims(parsed, metrics, expected_claims)
         _task_keys, task_packed = self.seen_files.finish_round_winners()
         _link_keys, link_packed = self.seen_pages.finish_round_winners()
 
@@ -643,8 +672,8 @@ class GreedyCrawl:
         ).materialize()
         _t["parse"] = _time.time() - _t0
 
+        metrics["errors"] = parsed_ds.filter(expr="row_kind == 'error'").count()
         if self.emit_docs:
-            metrics["errors"] = parsed_ds.filter(expr="row_kind == 'error'").count()
             docs_ds = parsed_ds.filter(expr="row_kind == 'doc'").select_columns(
                 ["doc_id", "spans", "depth", "parent_seq", "status"]
             )
@@ -653,8 +682,13 @@ class GreedyCrawl:
             metrics["docs"] = 0
 
         # claims were routed to the seen-set shard actors INSIDE the parse
-        # tasks (fused); materialize() above is the delivery barrier.
+        # tasks (fused, NON-blocking); materialize() bounds submission and
+        # _flush_claims is the delivery barrier. Expected = every
+        # task/link row claims exactly once; derived by subtraction from
+        # counts already taken (parsed.count() is block metadata, free).
         _t0 = _time.time()
+        self._flush_claims(parsed_ds, metrics,
+                           parsed_ds.count() - metrics["errors"] - metrics["docs"])
         _task_keys, task_packed = self.seen_files.finish_round_winners()
         _link_keys, link_packed = self.seen_pages.finish_round_winners()
         _t["claims"] = _time.time() - _t0

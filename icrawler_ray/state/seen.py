@@ -96,7 +96,16 @@ class SeenShard:           # a full-CPU reservation per shard would starve
         self._claims.append((np.asarray(keys, dtype=np.uint64),
                              np.asarray(packed, dtype=np.int64),
                              np.asarray(eligible, dtype=bool)))
+        # round-scoped delivery counter: the driver's flush barrier
+        # compares this against the claimable-row count it derives from
+        # the materialized parse output ([[claim-protocol-design]])
+        self._claimed_n = getattr(self, "_claimed_n", 0) + n
         return n
+
+    def claims_received(self) -> int:
+        """Rows received by claim() since the last finish_round — the
+        flush-barrier signal for non-blocking claim submission."""
+        return getattr(self, "_claimed_n", 0)
 
     def finish_round(self):
         """-> (novel_keys, novel_packed): min-order first occurrence per
@@ -111,6 +120,7 @@ class SeenShard:           # a full-CPU reservation per shard would starve
         (oracle.py:176-185) and dataset mode's dedup-then-depth-filter."""
         claims = getattr(self, "_claims", None)
         self._claims = []
+        self._claimed_n = 0
         if not claims:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
         keys = np.concatenate([c[0] for c in claims])
@@ -239,6 +249,10 @@ class ShardedSeenSet:
         packed = np.concatenate([r[1] for r in res]) if res else np.empty(0, dtype=np.int64)
         return keys, packed
 
+    def claims_received(self) -> int:
+        """Total claim rows the shards have received this round."""
+        return int(sum(ray.get([s.claims_received.remote() for s in self.shards])))
+
     def stats(self) -> list[dict]:
         return ray.get([s.stats.remote() for s in self.shards])
 
@@ -279,16 +293,29 @@ def get_shard_actor(name: str, shard: int):
     return a
 
 
-def route_claims(t, pages_set: str, files_set: str, num_shards: int, max_depth: int) -> int:
+def route_claims(t, pages_set: str, files_set: str, num_shards: int,
+                 max_depth: int, block: bool = False) -> int:
     """Push one Arrow block's candidate (url_hash, packed) pairs to their
     seen-set shard actors (link rows -> pages set, task rows -> files set).
     Depth-capped link rows claim too — eligible=False — so the min-order
     emission wins the claim race exactly as in the oracle/dataset modes;
     finish_round drops ineligible winners without seen-marking them.
-    Blocks until delivered."""
+
+    Non-blocking by default: a parse task blocked in ray.get on actor
+    round-trips makes the raylet borrow its CPU and over-spawn cold
+    workers (observed 130-140 processes on a 32-CPU box, with the crawl's
+    final small round absorbing their import cost — 1.2 s -> 13-27 s
+    run-to-run swings). Delivery is instead guaranteed by the driver's
+    flush barrier (GreedyCrawl._flush_claims): it compares the shards'
+    claims_received() totals against the claimable-row counts of the
+    materialized parse output, and falls back to a blocking driver-side
+    resend (claims are idempotent within a round — min packed wins) in
+    the rare lost-submission case. ``block=True`` keeps the old behavior
+    for that resend path and for standalone callers."""
     import pyarrow.compute as pc
 
     futs = []
+    n_pushed = 0
     for kind, set_name in (("task", files_set), ("link", pages_set)):
         m = pc.equal(t["row_kind"], kind).to_numpy(zero_copy_only=False)
         if not m.any():
@@ -304,7 +331,10 @@ def route_claims(t, pages_set: str, files_set: str, num_shards: int, max_depth: 
             sel = shard == s
             futs.append(get_shard_actor(set_name, int(s)).claim.remote(
                 keys[sel], packed[sel], None if elig is None else elig[sel]))
-    return sum(ray.get(futs)) if futs else 0
+            n_pushed += int(sel.sum())
+    if block and futs:
+        return sum(ray.get(futs))
+    return n_pushed
 
 
 def make_claim_fn(pages_set: str, files_set: str, num_shards: int, max_depth: int):
@@ -312,7 +342,7 @@ def make_claim_fn(pages_set: str, files_set: str, num_shards: int, max_depth: in
     import pyarrow as pa
 
     def fn(t: pa.Table) -> pa.Table:
-        n = route_claims(t, pages_set, files_set, num_shards, max_depth)
+        n = route_claims(t, pages_set, files_set, num_shards, max_depth, block=True)
         return pa.table({"claimed": pa.array([n], type=pa.int64())})
 
     return fn

@@ -103,3 +103,36 @@ def test_exact_mode_matches_filter_mode(ray_session):
     finally:
         a.shutdown()
         b.shutdown()
+
+
+def test_claim_flush_counter_and_idempotent_resend(ray_session):
+    """Non-blocking claim protocol: claims_received tracks round rows,
+    finish_round resets it, and a duplicate resend cannot change the
+    winner set (min packed per key)."""
+    import numpy as np
+    from icrawler_ray.state.seen import ShardedSeenSet
+
+    seen = ShardedSeenSet("flushtest", num_shards=2, capacity_per_shard=4096)
+    try:
+        keys = np.array([10, 20, 11, 30], dtype=np.uint64)
+        packed = np.array([5, 7, 3, 9], dtype=np.int64)
+        for s in range(2):
+            m = (keys % 2) == s
+            seen.shards[s].claim.remote(keys[m], packed[m])
+        # poll-style barrier: wait until all 4 rows are received
+        import time
+        deadline = time.time() + 5
+        while seen.claims_received() < 4 and time.time() < deadline:
+            time.sleep(0.01)
+        assert seen.claims_received() == 4
+        # duplicate resend (the fallback path) — counter grows, winners don't
+        for s in range(2):
+            m = (keys % 2) == s
+            seen.shards[s].claim.remote(keys[m], packed[m])
+        while seen.claims_received() < 8 and time.time() < deadline:
+            time.sleep(0.01)
+        wk, wp = seen.finish_round_winners()
+        assert dict(zip(wk.tolist(), wp.tolist())) == {10: 5, 20: 7, 11: 3, 30: 9}
+        assert seen.claims_received() == 0  # finish_round resets
+    finally:
+        seen.shutdown()
