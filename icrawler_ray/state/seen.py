@@ -25,6 +25,8 @@ restore rebuilds actors from payloads (state/checkpoint.py).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import ray
 
@@ -293,8 +295,16 @@ def get_shard_actor(name: str, shard: int):
     return a
 
 
+#: escape hatch / A-B knob: ICRAWLER_CLAIMS_BLOCK=1 restores the blocking
+#: submission (workers inherit the driver's environment)
+_CLAIMS_BLOCK_DEFAULT = os.environ.get("ICRAWLER_CLAIMS_BLOCK", "0") == "1"
+#: per-worker outstanding-claim window (see route_claims backpressure note)
+_CLAIMS_WINDOW = int(os.environ.get("ICRAWLER_CLAIMS_WINDOW", "64"))
+_PENDING: list = []
+
+
 def route_claims(t, pages_set: str, files_set: str, num_shards: int,
-                 max_depth: int, block: bool = False) -> int:
+                 max_depth: int, block: bool | None = None) -> int:
     """Push one Arrow block's candidate (url_hash, packed) pairs to their
     seen-set shard actors (link rows -> pages set, task rows -> files set).
     Depth-capped link rows claim too — eligible=False — so the min-order
@@ -332,8 +342,21 @@ def route_claims(t, pages_set: str, files_set: str, num_shards: int,
             futs.append(get_shard_actor(set_name, int(s)).claim.remote(
                 keys[sel], packed[sel], None if elig is None else elig[sel]))
             n_pushed += int(sel.sum())
+    if block is None:
+        block = _CLAIMS_BLOCK_DEFAULT
     if block and futs:
         return sum(ray.get(futs))
+    # bounded-window backpressure: fully unbounded submission lets fat
+    # rounds outrun the shard actors and the object store (measured: the
+    # old always-blocking call accidentally paced 1M-page rounds), while
+    # per-call blocking over-spawns workers. Keep up to _CLAIMS_WINDOW
+    # claim futures outstanding per worker process and drain half when
+    # the window fills — a short wait instead of a per-call round-trip.
+    _PENDING.extend(futs)
+    if len(_PENDING) > _CLAIMS_WINDOW:
+        done, rest = ray.wait(_PENDING, num_returns=len(_PENDING) // 2,
+                              fetch_local=False)
+        _PENDING[:] = rest
     return n_pushed
 
 
