@@ -136,3 +136,28 @@ def test_claim_flush_counter_and_idempotent_resend(ray_session):
         assert seen.claims_received() == 0  # finish_round resets
     finally:
         seen.shutdown()
+
+
+def test_claims_pending_window_is_bounded(ray_session):
+    """The per-worker outstanding-claims buffer drains at the window
+    bound instead of growing with round size."""
+    import numpy as np
+    import pyarrow as pa
+    from icrawler_ray.state import seen as seen_mod
+    from icrawler_ray.state.seen import ShardedSeenSet, route_claims
+
+    s = ShardedSeenSet("wintest", num_shards=2, capacity_per_shard=4096)
+    try:
+        seen_mod._PENDING.clear()
+        for i in range(200):
+            t = pa.table({
+                "row_kind": pa.array(["task", "link"]),
+                "url_hash": pa.array([i * 2, i * 2 + 1], type=pa.uint64()),
+                "packed": pa.array([i, i], type=pa.int64()),
+                "depth": pa.array([0, 0], type=pa.int32()),
+            })
+            route_claims(t, "wintest", "wintest", 2, max_depth=4)
+            assert len(seen_mod._PENDING) <= seen_mod._CLAIMS_WINDOW + 4
+    finally:
+        s.shutdown()
+        seen_mod._PENDING.clear()
