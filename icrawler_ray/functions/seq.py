@@ -43,7 +43,10 @@ def assign_global_seq(ds: ray.data.Dataset, sort_keys: list[str], col: str = "se
         offset += n
     if not out_refs:
         return ds  # zero-block dataset: nothing to index
-    return ray.data.from_arrow(ray.get(out_refs))
+    # from_arrow_refs keeps the indexed blocks in the object store; ray.get
+    # here would materialize every sorted block (incl. binary content in the
+    # dataset-mode crawl) in driver memory.
+    return ray.data.from_arrow_refs(out_refs)
 
 
 @ray.remote
@@ -90,7 +93,7 @@ def assign_global_cumsum(ds: ray.data.Dataset, sort_keys: list[str], weight_col:
         offset += s
     if not out_refs:
         return ds
-    return ray.data.from_arrow(ray.get(out_refs))
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def from_table_blocks(table: pa.Table, min_rows_per_block: int = 256,
