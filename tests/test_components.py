@@ -1018,3 +1018,139 @@ def test_assign_global_seq_stays_off_driver(ray_session):
     slim = slim.sort_values("k").reset_index(drop=True)
     np.testing.assert_array_equal(slim["seq"].to_numpy(),
                                   np.arange(n_blocks * rows_per_block))
+
+
+def test_paragraph_dedup_reassembly_stays_off_driver(ray_session):
+    """Scale contract (VERDICT r3 #2): _paragraph_dedup_ds returns a
+    Dataset and reassembles docs in per-block tasks + one boundary-stitch
+    task — full document text never materializes on the driver. Consumed
+    via a narrow (doc_id, n_tokens) projection."""
+    import resource
+
+    from icrawler_ray.queries import _paragraph_dedup_ds
+
+    n_blocks, docs_per_block, words = 32, 800, 900  # ~150 MiB of text
+
+    def gen(batch):
+        i = int(batch["id"][0].as_py())
+        base = i * docs_per_block
+        rng = np.random.default_rng(i + 1)
+        texts = [" ".join(f"w{rng.integers(0, 50_000):05d}" for _ in range(words))
+                 for _ in range(docs_per_block)]
+        return pa.table({"doc_id": pa.array(range(base, base + docs_per_block),
+                                            type=pa.int64()),
+                         "text": pa.array(texts)})
+
+    ds = ray.data.range(n_blocks, override_num_blocks=n_blocks) \
+        .map_batches(gen, batch_size=1, batch_format="pyarrow")
+    total_bytes = n_blocks * docs_per_block * words * 7
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+
+    out = _paragraph_dedup_ds(ds)
+    import pyarrow.compute as pc
+    slim = out.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "n_tokens": pc.add(pc.count_substring(t["text"], " "),
+                                               1).cast(pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert (rss1 - rss0) * 1024 < max(0.3 * total_bytes, 64 << 20), (
+        f"driver RSS grew {(rss1 - rss0) // 1024} MiB reassembling a "
+        f"{total_bytes >> 20} MiB corpus")
+    # random 5-digit-word texts are essentially dup-free at 8-token chunks:
+    # every doc survives with its full token count
+    assert len(slim) == n_blocks * docs_per_block
+    assert (slim["n_tokens"].to_numpy() == words).mean() > 0.99
+
+
+def test_ann_partials_are_topk_bounded(ray_session):
+    """Scale contract (VERDICT r3 #3): LSH/IVF per-batch partials emit at
+    most n_queries*(k+1) rows even when every corpus vector matches the
+    probe — candidates are truncated in the batch, not on the driver."""
+    from icrawler_ray.stages.similarity import (_make_ivf_partial,
+                                                _make_lsh_partial, _normalize)
+
+    n, dim, k, nq = 2000, 16, 5, 3
+    rng = np.random.default_rng(0)
+    base = np.abs(rng.standard_normal(dim)) + 0.5
+    # identical direction + tiny noise: every vector lands in one LSH bucket
+    vecs = base[None, :] * (1 + 1e-9 * rng.standard_normal((n, 1)))
+    batch = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                      "embedding": pa.array(vecs.tolist())})
+
+    planes = np.random.default_rng(0).standard_normal((8, dim))
+    qn = _normalize(vecs[:nq])
+    qb = (qn @ planes.T > 0) @ (1 << np.arange(8))
+    part = _make_lsh_partial(ray.put(planes), ray.put((qn, qb, np.arange(nq))),
+                             k, "vec_id", "embedding")(batch)
+    assert 0 < part.num_rows <= nq * (k + 1)
+
+    cent = _normalize(rng.standard_normal((4, dim)))
+    probe = np.tile(np.arange(4), (nq, 1))  # probe every list
+    part = _make_ivf_partial(ray.put((cent, qn, probe, np.arange(nq))),
+                             k, "vec_id", "embedding")(batch)
+    assert 0 < part.num_rows <= nq * (k + 1)
+
+
+def test_as_matrix_variants_match_pylist():
+    """_as_matrix fast paths (list, large_list, fixed_size_list, sliced)
+    must equal the to_pylist slow path bit-for-bit."""
+    from icrawler_ray.stages.similarity import _as_matrix
+
+    rng = np.random.default_rng(1)
+    m = rng.standard_normal((50, 8))
+    want = np.asarray(m, dtype=np.float64)
+    lst = pa.array(m.tolist(), type=pa.list_(pa.float64()))
+    big = pa.array(m.tolist(), type=pa.large_list(pa.float64()))
+    fsl = pa.array(m.tolist(), type=pa.list_(pa.float64(), 8))
+    np.testing.assert_array_equal(_as_matrix(lst), want)
+    np.testing.assert_array_equal(_as_matrix(big), want)
+    np.testing.assert_array_equal(_as_matrix(fsl), want)
+    np.testing.assert_array_equal(_as_matrix(lst.slice(10, 20)), want[10:30])
+    np.testing.assert_array_equal(_as_matrix(fsl.slice(10, 20)), want[10:30])
+    np.testing.assert_array_equal(
+        _as_matrix(pa.chunked_array([lst.slice(0, 25), lst.slice(25, 25)])), want)
+
+
+def test_embedding_near_dup_hot_group_routing_parity(ray_session):
+    """Scale contract (VERDICT r3 #4): forcing a label through the
+    LSH-bucket + exact-verify route returns the same pairs as the dense
+    per-group path on planted near-dups."""
+    from icrawler_ray.stages.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    dim, n = 24, 300
+    base = rng.standard_normal((n, dim))
+    # plant 6 near-dup pairs: vec i+n = vec i + tiny noise
+    planted = base[:6] + 1e-3 * rng.standard_normal((6, dim))
+    vecs = np.vstack([base, planted])
+    rows = [{"vec_id": i, "label": "hot", "embedding": vecs[i].tolist()}
+            for i in range(len(vecs))]
+    ds = ray.data.from_items(rows)
+
+    dense = embedding_near_dup_pairs(ds, threshold=0.98)  # all-cold path
+    routed = embedding_near_dup_pairs(ds, threshold=0.98, hot_group_threshold=50)
+    assert len(dense) >= 6
+    pd.testing.assert_frame_equal(dense.reset_index(drop=True),
+                                  routed.reset_index(drop=True))
+
+
+def test_semantic_dedup_hot_cluster_guard_parity(ray_session):
+    """Scale contract (VERDICT r3 #5): forcing clusters through the
+    distributed triangular chunk-pair sweep yields bit-identical kept
+    rows to the single-task dense kernel."""
+    from icrawler_ray.stages.clustering import semantic_dedup
+
+    rng = np.random.default_rng(9)
+    dim, n = 16, 400
+    vecs = rng.standard_normal((n, dim))
+    vecs[50:60] = vecs[40:50] + 1e-3 * rng.standard_normal((10, dim))  # planted dups
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)]
+    ds = ray.data.from_items(rows)
+
+    dense = semantic_dedup(ds, k=3, tau=0.95)
+    routed = semantic_dedup(ds, k=3, tau=0.95, hot_cluster_threshold=64)
+    assert len(dense) < n  # the planted dups actually dropped
+    pd.testing.assert_frame_equal(
+        dense.reset_index(drop=True),
+        routed.astype(dense.dtypes.to_dict()).reset_index(drop=True))
