@@ -373,7 +373,8 @@ class GreedyCrawl:
             return osp.join(self.ckpt.round_dir(round_idx), kind)
         return None
 
-    def _flush_claims(self, parsed, metrics: dict, expected: int) -> None:
+    def _flush_claims(self, parsed, metrics: dict, expected: int,
+                      round_idx: int | None = None) -> None:
         """Delivery barrier for the NON-BLOCKING fused claims: compare the
         shards' claims_received() totals against the claimable-row count
         of the materialized parse output (every task/link row claims
@@ -398,7 +399,8 @@ class GreedyCrawl:
 
         for ref in parsed.to_arrow_refs():
             route_claims(ray.get(ref), self.seen_pages.name, self.seen_files.name,
-                         self.seen_pages.num_shards, self.max_depth, block=True)
+                         self.seen_pages.num_shards, self.max_depth, block=True,
+                         round_idx=round_idx)
 
     def _persist(self, ds, round_idx: int, kind: str, parts: list) -> int:
         """Store one round's output without driver materialization.
@@ -499,6 +501,8 @@ class GreedyCrawl:
         # pool): an iterative crawl runs one Ray Data execution per round,
         # and actor pools respawn per execution — measured 13x slower
         # end-to-end at 200k pages before this change.
+        self.seen_pages.begin_round(round_idx)  # open the claim fence
+        self.seen_files.begin_round(round_idx)
         parsed = gated.map_batches(
             make_fetch_parse_fn(
                 self.url_map_ref, "greedy", {"domains": self.domains},
@@ -506,6 +510,7 @@ class GreedyCrawl:
                 claim=(self.seen_pages.name, self.seen_files.name,
                        self.seen_pages.num_shards, self.max_depth),
                 inflight=self.inflight_name,
+                claim_round=round_idx,
             ),
             batch_format="pyarrow",
             batch_size=None,
@@ -520,7 +525,7 @@ class GreedyCrawl:
             metrics["docs"] = 0
 
         expected_claims = parsed.count() - metrics["errors"] - metrics["docs"]
-        self._flush_claims(parsed, metrics, expected_claims)
+        self._flush_claims(parsed, metrics, expected_claims, round_idx=round_idx)
         _task_keys, task_packed = self.seen_files.finish_round_winners()
         _link_keys, link_packed = self.seen_pages.finish_round_winners()
 
@@ -658,6 +663,8 @@ class GreedyCrawl:
         gds = from_pandas_blocks(gated[["url", "depth", "seq"]].reset_index(drop=True),
                                  min_rows_per_block=64, tasks_per_cpu=4.0)
         _t0 = _time.time()
+        self.seen_pages.begin_round(round_idx)  # open the claim fence
+        self.seen_files.begin_round(round_idx)
         parsed_ds = gds.map_batches(
             make_fetch_parse_fn(
                 self.url_map_ref, "greedy", {"domains": self.domains},
@@ -665,6 +672,7 @@ class GreedyCrawl:
                 claim=(self.seen_pages.name, self.seen_files.name,
                        self.seen_pages.num_shards, self.max_depth),
                 inflight=self.inflight_name,
+                claim_round=round_idx,
             ),
             batch_format="pyarrow",
             batch_size=None,
@@ -688,7 +696,8 @@ class GreedyCrawl:
         # counts already taken (parsed.count() is block metadata, free).
         _t0 = _time.time()
         self._flush_claims(parsed_ds, metrics,
-                           parsed_ds.count() - metrics["errors"] - metrics["docs"])
+                           parsed_ds.count() - metrics["errors"] - metrics["docs"],
+                           round_idx=round_idx)
         _task_keys, task_packed = self.seen_files.finish_round_winners()
         _link_keys, link_packed = self.seen_pages.finish_round_winners()
         _t["claims"] = _time.time() - _t0

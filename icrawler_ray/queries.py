@@ -1341,12 +1341,52 @@ def q_paragraph_dedup(sf_dir: str):
     holds one tiny row per batch it appeared in, not one per
     occurrence; (2) groupby(doc_id) reassembly. Docs whose every chunk
     loses vanish (same rule in the SQL)."""
-    return _paragraph_dedup_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
+    out = _paragraph_dedup_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
+    # collect ONLY for the oracle comparison — the output is corpus-sized
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
-def _paragraph_dedup_ds(ds) -> pd.DataFrame:
+@ray.remote(num_returns=2)
+def _reassemble_block(block: pa.Table, id_type: pa.DataType):
+    """Merge one sorted (doc_id, idx, para) block into (doc_id, text) doc
+    rows. Docs whose rows may straddle a block boundary (the block's first
+    and last doc_id — sorted order makes a doc's rows contiguous across the
+    block sequence) are returned separately as fragments for the stitch
+    task; interior docs are final."""
+    empty_docs = pa.table({"doc_id": pa.array([], type=id_type),
+                           "text": pa.array([], type=pa.string())})
+    empty_edge = empty_docs.append_column("first_idx", pa.array([], type=pa.int64()))
+    # zero-row blocks out of the sort can carry an empty schema
+    if block.num_rows == 0:
+        return empty_docs, empty_edge
+    df = block.to_pandas()
+    g = (df.groupby("doc_id", sort=True)
+         .agg(first_idx=("idx", "min"), text=("para", " ".join)).reset_index())
+    edge = g["doc_id"].isin([g["doc_id"].iloc[0], g["doc_id"].iloc[-1]])
+    interior = pa.Table.from_pandas(g[~edge][["doc_id", "text"]], preserve_index=False)
+    edges = pa.Table.from_pandas(g[edge][["doc_id", "text", "first_idx"]],
+                                 preserve_index=False)
+    return (interior if interior.num_rows else empty_docs,
+            edges if edges.num_rows else empty_edge)
+
+
+@ray.remote
+def _stitch_edges(*tables: pa.Table) -> pa.Table:
+    """Merge block-boundary doc fragments (≤2 docs per block, in order)
+    into whole docs — O(n_blocks) rows, never corpus-sized."""
+    df = pa.concat_tables(tables, promote_options="default").to_pandas()
+    if not len(df):
+        return tables[0].select(["doc_id", "text"])
+    out = (df.sort_values(["doc_id", "first_idx"])
+           .groupby("doc_id", sort=True)["text"].agg(" ".join).reset_index())
+    return pa.Table.from_pandas(out[["doc_id", "text"]], preserve_index=False)
+
+
+def _paragraph_dedup_ds(ds) -> "ray.data.Dataset":
     """Core of q_paragraph_dedup over any (doc_id, text) Dataset — also
-    the dedup stage of q_training_tape."""
+    the dedup stage of q_training_tape. Returns a DATASET of
+    (doc_id, text): reassembly is per-sorted-block merge tasks plus one
+    small boundary-stitch exchange; no corpus text touches the driver."""
     # order-preserving string encoding of doc_id for the packed winner
     # key: 20-digit zero-pad for (non-negative) ints, raw for strings
     int_ids = pa.types.is_integer(ds.schema().base_schema.field("doc_id").type)
@@ -1378,21 +1418,23 @@ def _paragraph_dedup_ds(ds) -> pd.DataFrame:
         return pa.table({"doc_id": id_arr, "idx": pa.array(idxs, type=pa.int64()),
                          "para": batch["para"]})
 
-    def partial_join(df: pd.DataFrame) -> pd.DataFrame:
-        # rows arrive (doc_id, idx)-sorted; a doc may straddle blocks, so
-        # emit one fragment per doc per block and merge fragments below
-        g = (df.groupby("doc_id", sort=True)
-             .agg(first_idx=("idx", "min"), text=("para", " ".join)))
-        return g.reset_index()
-
     winners = (ds.map_batches(split_reduce, batch_format="pyarrow")
                .groupby("para").min("key")
                .map_batches(unpack, batch_format="pyarrow"))
-    parts = (winners.sort(["doc_id", "idx"])
-             .map_batches(partial_join, batch_format="pandas").to_pandas())
-    out = (parts.sort_values(["doc_id", "first_idx"])
-           .groupby("doc_id", sort=True)["text"].agg(" ".join).reset_index())
-    return out.sort_values("doc_id").reset_index(drop=True)
+    refs = winners.sort(["doc_id", "idx"]).to_arrow_refs()
+    if not refs:
+        return winners.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"],
+                                "text": pa.array([], type=pa.string())}),
+            batch_format="pyarrow")
+    id_type = pa.int64() if int_ids else pa.string()
+    interior_refs, edge_refs = [], []
+    for r in refs:
+        i_ref, e_ref = _reassemble_block.remote(r, id_type)
+        interior_refs.append(i_ref)
+        edge_refs.append(e_ref)
+    stitched = _stitch_edges.remote(*edge_refs)
+    return ray.data.from_arrow_refs(interior_refs + [stitched])
 
 
 SQL_PARAGRAPH_DEDUP = """
@@ -1421,8 +1463,7 @@ def q_training_tape(sf_dir: str):
     ordering shuffle — only (doc_id, hash, n_tokens) moves. Output:
     (doc_id, pos, n_tokens, tok_start, seq_id). Every stage reuses an
     oracle-proven operator; the SQL oracle is the same chain as CTEs."""
-    from icrawler_ray.functions.seq import (assign_global_cumsum,
-                                            assign_global_seq, from_pandas_blocks)
+    from icrawler_ray.functions.seq import assign_global_cumsum, assign_global_seq
     from icrawler_ray.stages.dedup import md5_pair
     from icrawler_ray.stages.textfns import quality_scores
 
@@ -1435,13 +1476,18 @@ def q_training_tape(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     deduped = _paragraph_dedup_ds(docs.map_batches(gate, batch_format="pyarrow"))
 
-    h = md5_pair([str(i) for i in deduped["doc_id"]])[:, 0]
-    narrow = pd.DataFrame({
-        "doc_id": deduped["doc_id"],
-        "n_tokens": deduped["text"].str.count(" ").to_numpy(dtype=np.int64) + 1,
-    })
-    narrow["h"] = pd.array(h, dtype="UInt64")
-    ds2 = from_pandas_blocks(narrow, min_rows_per_block=256)
+    def narrow(batch: pa.Table) -> pa.Table:
+        # only (doc_id, n_tokens, h) leaves this stage — the reassembled
+        # text never moves again (and never touches the driver)
+        import pyarrow.compute as pc
+        ids = batch["doc_id"].to_pylist()
+        h = md5_pair([str(i) for i in ids])[:, 0]
+        n_tok = pc.add(pc.count_substring(batch["text"], " "), 1)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": n_tok.cast(pa.int64()),
+                         "h": pa.array(h, type=pa.uint64())})
+
+    ds2 = deduped.map_batches(narrow, batch_format="pyarrow")
     pos = assign_global_seq(ds2, ["h", "doc_id"], col="pos")
     packed = assign_global_cumsum(pos, ["pos"], "n_tokens", col="tok_start")
 
@@ -2566,7 +2612,13 @@ def q_bigram_pmi(sf_dir: str):
         w2 = list(chain.from_iterable(t[1:] for t in lists))
         bc = pd.DataFrame({"w1": w1, "w2": w2}).groupby(
             ["w1", "w2"], sort=False).size()
+        # explicit 'kind' discriminator, NOT a w2=="" sentinel: an empty
+        # token (consecutive spaces in text) would produce a real bigram
+        # with w2=="" that a sentinel would fold into the unigram counts
+        # (ADVICE r3 #3)
         return pd.DataFrame({
+            "kind": np.concatenate([np.full(len(uni), "u", dtype=object),
+                                    np.full(len(bc), "b", dtype=object)]),
             "w1": np.concatenate([uni.index.to_numpy(dtype=object),
                                   bc.index.get_level_values(0).to_numpy(dtype=object)]),
             "w2": np.concatenate([np.full(len(uni), "", dtype=object),
@@ -2574,12 +2626,12 @@ def q_bigram_pmi(sf_dir: str):
             "c": np.concatenate([uni.to_numpy(), bc.to_numpy()]).astype(np.int64)})
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    agg = parts.groupby(["w1", "w2"], as_index=False)["c"].sum()
-    uni = agg[agg["w2"] == ""].set_index("w1")["c"]
-    big = agg[agg["w2"] != ""]
+    agg = parts.groupby(["kind", "w1", "w2"], as_index=False)["c"].sum()
+    uni = agg[agg["kind"] == "u"].set_index("w1")["c"]
+    big = agg[agg["kind"] == "b"]
     big = big[big["c"] >= PMI_MIN_COUNT]
     T = float(uni.sum())
-    B = float(agg.loc[agg["w2"] != "", "c"].sum())
+    B = float(agg.loc[agg["kind"] == "b", "c"].sum())
     pa_ = uni[big["w1"]].to_numpy(dtype=np.float64) / T
     pb_ = uni[big["w2"]].to_numpy(dtype=np.float64) / T
     pmi = np.round(np.log((big["c"].to_numpy(dtype=np.float64) / B) / (pa_ * pb_)), 6)
@@ -2673,9 +2725,11 @@ def q_heavy_hitters(sf_dir: str):
     out = out.sort_values(["n", "term"], ascending=[False, True],
                           kind="mergesort").head(HH_TOP_K).reset_index(drop=True)
     # MG containment guarantee check: the smallest reported exact count
-    # must clear the sketch's max undercount, else the candidate set
-    # could not be trusted (never fires at HH_SKETCH_K >> HH_TOP_K)
-    assert int(out["n"].min()) > n_tokens // HH_SKETCH_K, \
+    # must clear the TWO-LEVEL sketch's max undercount — per-batch
+    # truncation plus driver merge re-truncation each shed up to
+    # N/(K+1), so the bound is ~2N/(K+1), not N/K (ADVICE r3 #2). Never
+    # fires at HH_SKETCH_K >> HH_TOP_K.
+    assert int(out["n"].min()) > 2 * n_tokens // (HH_SKETCH_K + 1), \
         "MG sketch width too small for this corpus — raise HH_SKETCH_K"
     out["n"] = out["n"].astype(np.int64)
     return out

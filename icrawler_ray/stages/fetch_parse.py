@@ -278,7 +278,11 @@ class FetchParse:
         if self.claim is not None:
             from icrawler_ray.state.seen import route_claims
 
-            route_claims(out, *self.claim)
+            # claim_round is set per round by make_fetch_parse_fn on the
+            # cached instance (rounds run sequentially): the shard-side
+            # fence drops any straggler tagged with an older round
+            route_claims(out, *self.claim,
+                         round_idx=getattr(self, "claim_round", None))
         return out
 
 
@@ -288,7 +292,8 @@ _FP_CACHE: dict = {}
 def make_fetch_parse_fn(url_map_ref, rules: str, rules_kwargs: dict | None = None,
                         emit_docs: bool = True, with_keys: bool = False,
                         claim: tuple | None = None, slim: bool = False,
-                        inflight: str | None = None):
+                        inflight: str | None = None,
+                        claim_round: int | None = None):
     """Task-pool variant of FetchParse with a worker-process-level cache.
 
     An iterative crawl runs one Ray Data execution per round; an actor pool
@@ -314,6 +319,10 @@ def make_fetch_parse_fn(url_map_ref, rules: str, rules_kwargs: dict | None = Non
                             with_keys=with_keys, claim=claim, slim=slim,
                             inflight=inflight)
             _FP_CACHE[key] = fp
+        # round tag rides on the closure, NOT the cache key: the cached
+        # session/state survives across rounds while each round's claims
+        # carry its own fence tag (rounds execute sequentially)
+        fp.claim_round = claim_round
         return fp(batch)
 
     return fn

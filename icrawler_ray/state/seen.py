@@ -88,8 +88,21 @@ class SeenShard:           # a full-CPU reservation per shard would starve
     # returns them. Claims are commutative -> arrival order irrelevant ->
     # deterministic winners at any parallelism.
 
+    def begin_round(self, round_idx: int) -> None:
+        """Open the claim window for ``round_idx``. Tagged claims whose
+        round doesn't match the open window are dropped (counted in
+        stale_claims) — in-flight stragglers from a timed-out previous
+        round can neither inflate the next round's delivery counter nor
+        steal its min-packed winner slots (ADVICE r3 #1). Untagged claims
+        (round_idx=None at the call site) bypass the fence."""
+        self._round = round_idx
+
     def claim(self, keys: np.ndarray, packed: np.ndarray,
-              eligible: np.ndarray | None = None) -> int:
+              eligible: np.ndarray | None = None,
+              round_idx: int | None = None) -> int:
+        if round_idx is not None and round_idx != getattr(self, "_round", None):
+            self._stale_n = getattr(self, "_stale_n", 0) + len(keys)
+            return 0
         if not hasattr(self, "_claims") or self._claims is None:
             self._claims = []
         n = len(keys)
@@ -123,6 +136,7 @@ class SeenShard:           # a full-CPU reservation per shard would starve
         claims = getattr(self, "_claims", None)
         self._claims = []
         self._claimed_n = 0
+        self._round = None  # close the window: late tagged stragglers drop
         if not claims:
             return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
         keys = np.concatenate([c[0] for c in claims])
@@ -160,6 +174,7 @@ class SeenShard:           # a full-CPU reservation per shard would starve
             "num_items": self.num_items,
             "num_queries": self.num_queries,
             "num_hits": self.num_hits,
+            "stale_claims": getattr(self, "_stale_n", 0),
         }
 
     def serialize(self) -> dict:
@@ -203,6 +218,7 @@ class SeenShard:           # a full-CPU reservation per shard would starve
         # surviving shards alongside respawned ones)
         self._claims = []
         self._delta = []
+        self._round = None  # re-opened by the driver's next begin_round
         self.num_items = payload["num_items"]
         self.num_queries = payload["num_queries"]
         self.num_hits = payload["num_hits"]
@@ -255,6 +271,10 @@ class ShardedSeenSet:
         """Total claim rows the shards have received this round."""
         return int(sum(ray.get([s.claims_received.remote() for s in self.shards])))
 
+    def begin_round(self, round_idx: int) -> None:
+        """Open every shard's claim window for ``round_idx`` (round fence)."""
+        ray.get([s.begin_round.remote(round_idx) for s in self.shards])
+
     def stats(self) -> list[dict]:
         return ray.get([s.stats.remote() for s in self.shards])
 
@@ -304,7 +324,8 @@ _PENDING: list = []
 
 
 def route_claims(t, pages_set: str, files_set: str, num_shards: int,
-                 max_depth: int, block: bool | None = None) -> int:
+                 max_depth: int, block: bool | None = None,
+                 round_idx: int | None = None) -> int:
     """Push one Arrow block's candidate (url_hash, packed) pairs to their
     seen-set shard actors (link rows -> pages set, task rows -> files set).
     Depth-capped link rows claim too — eligible=False — so the min-order
@@ -340,7 +361,8 @@ def route_claims(t, pages_set: str, files_set: str, num_shards: int,
         for s in np.unique(shard):
             sel = shard == s
             futs.append(get_shard_actor(set_name, int(s)).claim.remote(
-                keys[sel], packed[sel], None if elig is None else elig[sel]))
+                keys[sel], packed[sel], None if elig is None else elig[sel],
+                round_idx))
             n_pushed += int(sel.sum())
     if block is None:
         block = _CLAIMS_BLOCK_DEFAULT

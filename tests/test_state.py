@@ -161,3 +161,43 @@ def test_claims_pending_window_is_bounded(ray_session):
     finally:
         s.shutdown()
         seen_mod._PENDING.clear()
+
+
+def test_claim_round_fence_drops_stragglers(ray_session):
+    """Cross-round fence (ADVICE r3 #1): a claim tagged with a stale
+    round neither lands in the next round's claim set nor inflates its
+    delivery counter; untagged claims bypass the fence."""
+    import numpy as np
+    import ray
+    from icrawler_ray.state.seen import ShardedSeenSet
+
+    seen = ShardedSeenSet("fencetest", num_shards=1, capacity_per_shard=4096)
+    try:
+        sh = seen.shards[0]
+        seen.begin_round(0)
+        ray.get(sh.claim.remote(np.array([7], dtype=np.uint64),
+                                np.array([5], dtype=np.int64), None, 0))
+        wk, wp = seen.finish_round_winners()
+        assert dict(zip(wk.tolist(), wp.tolist())) == {7: 5}
+
+        # straggler from round 0 arrives after finish_round: dropped
+        assert ray.get(sh.claim.remote(np.array([8], dtype=np.uint64),
+                                       np.array([1], dtype=np.int64), None, 0)) == 0
+        assert seen.claims_received() == 0
+
+        seen.begin_round(1)
+        # stale round-0 straggler mid-round-1: dropped, counter untouched
+        assert ray.get(sh.claim.remote(np.array([9], dtype=np.uint64),
+                                       np.array([1], dtype=np.int64), None, 0)) == 0
+        assert seen.claims_received() == 0
+        # round-1 claim and an untagged claim: both accepted
+        ray.get(sh.claim.remote(np.array([9], dtype=np.uint64),
+                                np.array([4], dtype=np.int64), None, 1))
+        ray.get(sh.claim.remote(np.array([12], dtype=np.uint64),
+                                np.array([6], dtype=np.int64)))
+        assert seen.claims_received() == 2
+        wk, wp = seen.finish_round_winners()
+        assert dict(zip(wk.tolist(), wp.tolist())) == {9: 4, 12: 6}
+        assert seen.stats()[0]["stale_claims"] == 2
+    finally:
+        seen.shutdown()
