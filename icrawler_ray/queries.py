@@ -1421,6 +1421,14 @@ def _paragraph_dedup_ds(ds) -> "ray.data.Dataset":
     winners = (ds.map_batches(split_reduce, batch_format="pyarrow")
                .groupby("para").min("key")
                .map_batches(unpack, batch_format="pyarrow"))
+    return _reassemble_docs(winners, int_ids)
+
+
+def _reassemble_docs(winners, int_ids: bool) -> "ray.data.Dataset":
+    """(doc_id, idx, para) winner rows -> (doc_id, text) docs, fully off
+    the driver: sort, per-block merge tasks, one boundary-stitch task
+    (O(n_blocks) rows), from_arrow_refs. Split out so the RSS pytest can
+    pin exactly this stage."""
     refs = winners.sort(["doc_id", "idx"]).to_arrow_refs()
     if not refs:
         return winners.map_batches(
