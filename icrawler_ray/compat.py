@@ -16,10 +16,14 @@ reference's filename sequence.
 
 Deviations, by design:
 - ``*_threads`` map to Ray actor-pool concurrency upper bounds.
-- component-class overrides (``feeder_cls``/``parser_cls``/
-  ``downloader_cls``) are the reference's extension surface; this engine's
-  equivalent is :class:`icrawler_ray.pipelines.plan.CrawlPlan` — passing a
-  non-default class here raises with that pointer.
+- component-class overrides run unmodified for feeders and parsers:
+  ``feeder_cls.feed`` executes at plan time (its out_queue becomes the
+  seed Dataset) and ``parser_cls.parse`` executes inside the fetch-parse
+  workers via ``parsers.RefParserRules`` (see :class:`Crawler`, the
+  docs/extend.rst §4 composition). ``downloader_cls`` accepts the two
+  builtin markers; CUSTOM download stages remain
+  :class:`icrawler_ray.pipelines.plan.CrawlPlan` surface (keep_file /
+  filename_fn hooks) — a custom class here raises with that pointer.
 - ``session_spec`` (extra kwarg): a ``make_session`` spec — defaults to
   the live-network adapter; hermetic tests pass a stub url-map ref.
 - ``max_idle_time`` maps to the bounded-round watchdog (greedy) and is a
@@ -56,6 +60,58 @@ def _write_files(ds, sink, overwrite: bool) -> int:
     return int(out or 0)
 
 
+class Feeder:
+    """Stand-in base for reference-style feeders (feeder.py:7-44): subclass
+    and override ``feed(self, **kwargs)``, pushing page URLs with
+    ``self.out_queue.put(url)``. Run at plan time by :class:`Crawler`."""
+
+    def feed(self, **kwargs):
+        raise NotImplementedError
+
+
+class Parser:
+    """Stand-in base for reference-style parsers (parser.py:7-41): subclass
+    and override ``parse(self, response, **kwargs)`` returning/yielding
+    task dicts (``file_url`` + metadata) and page-link strings. Executed
+    inside the fetch-parse workers via ``parsers.RefParserRules``."""
+
+    def parse(self, response, **kwargs):
+        raise NotImplementedError
+
+
+class Downloader:
+    """Marker for the plain reference downloader (no image gates)."""
+
+
+class ImageDownloader(Downloader):
+    """Marker for the reference image downloader (ext whitelist + PIL
+    size gates — downloader.py:233-277)."""
+
+
+class _ListQueue:
+    def __init__(self):
+        self.items = []
+
+    def put(self, item, block=True, timeout=None):
+        self.items.append(item)
+
+
+def _run_ref_feeder(feeder_cls, feed_kwargs: dict | None) -> list:
+    """Plan-time execution of a reference-style Feeder subclass: feed()
+    pushes page URLs into out_queue (feeder.py:38-41, 67-69); here
+    out_queue collects into a list (SURVEY S1: seed hook -> Dataset).
+    Instantiated without the ThreadPool wiring — only the attributes a
+    ``feed`` body can touch exist."""
+    import logging
+
+    f = feeder_cls.__new__(feeder_cls)
+    f.out_queue = _ListQueue()
+    f.logger = logging.getLogger(feeder_cls.__name__)
+    f.session = None
+    f.feed(**(feed_kwargs or {}))
+    return [u for u in f.out_queue.items if isinstance(u, str)]
+
+
 class _CompatCrawler:
     _ENGINE: str | None = None
 
@@ -64,11 +120,16 @@ class _CompatCrawler:
                  downloader_threads: int = 1, storage=None, log_level=None,
                  extra_feeder_args=None, extra_parser_args=None,
                  extra_downloader_args=None, session_spec=None):
-        if any(c is not None for c in (feeder_cls, parser_cls, downloader_cls)):
+        if downloader_cls is not None and not (
+                isinstance(downloader_cls, type)
+                and issubclass(downloader_cls, Downloader)):
             raise NotImplementedError(
-                "component-class overrides are the reference's extension "
+                "custom downloader classes are the reference's extension "
                 "surface; use icrawler_ray.pipelines.plan.CrawlPlan for "
-                "custom feeders/parsers/downloaders")
+                "custom download stages (keep_file/filename_fn hooks)")
+        self.feeder_cls = feeder_cls
+        self.parser_cls = parser_cls
+        self.downloader_cls = downloader_cls
         self.parse_concurrency = (1, max(1, parser_threads))
         self.fetch_concurrency = (1, max(1, downloader_threads))
         self.storage = resolve_sink(dict(storage or _DEFAULT_STORAGE))
@@ -98,6 +159,14 @@ class _SearchEngineCrawler(_CompatCrawler):
         kwargs = {}
         if self._ENGINE == "google":
             kwargs["language"] = language
+        if self.parser_cls is not None:
+            from icrawler_ray.stages.parsers import RefParserRules
+
+            kwargs["rules_override"] = RefParserRules
+            kwargs["rules_override_kwargs"] = {
+                "parser_cls": self.parser_cls,
+                "parse_kwargs": self.extra_parser_args,
+            }
         results = search_crawl(
             self.session_spec, self._ENGINE, keyword=keyword, max_num=max_num,
             offset=offset, filters=filters, min_size=min_size, max_size=max_size,
@@ -163,6 +232,48 @@ class GreedyImageCrawler(_CompatCrawler):
         if results is None:
             return 0
         return self._finish(results, overwrite)
+
+
+class Crawler(_CompatCrawler):
+    """Generic composed crawler (crawler.py:30-72; docs/extend.rst §4):
+
+        Crawler(feeder_cls=MyFeeder, parser_cls=MyParser,
+                downloader_cls=ImageDownloader).crawl(
+            feeder_kwargs={...}, parser_kwargs={...},
+            downloader_kwargs={"max_num": 50})
+
+    ``feeder_cls.feed(**feeder_kwargs)`` runs at plan time and its
+    out_queue URLs become the seed Dataset; ``parser_cls.parse`` runs
+    inside the fetch-parse workers via ``parsers.RefParserRules``;
+    ``downloader_cls`` selects the builtin download semantics (image
+    gates for :class:`ImageDownloader`). ``extra_parser_args`` merge
+    into ``parser_kwargs`` (constructor passthrough, crawler.py:63-70)."""
+
+    def crawl(self, feeder_kwargs=None, parser_kwargs=None,
+              downloader_kwargs=None):
+        from icrawler_ray.pipelines.search import crawl_from_seeds
+        from icrawler_ray.stages.parsers import RefParserRules
+
+        if self.feeder_cls is None or self.parser_cls is None:
+            raise TypeError("Crawler needs feeder_cls and parser_cls "
+                            "(reference crawler.py:30-42 defaults are "
+                            "abstract)")
+        dl = dict(downloader_kwargs or {})
+        seeds = _run_ref_feeder(self.feeder_cls,
+                                {**self.extra_feeder_args,
+                                 **(feeder_kwargs or {})})
+        results = crawl_from_seeds(
+            self.session_spec, seeds, RefParserRules,
+            {"parser_cls": self.parser_cls,
+             "parse_kwargs": {**self.extra_parser_args,
+                              **(parser_kwargs or {})}},
+            max_num=int(dl.get("max_num", 1000)),
+            min_size=dl.get("min_size"), max_size=dl.get("max_size"),
+            file_idx_offset=self._resolve_offset(dl.get("file_idx_offset", 0)),
+            parse_concurrency=self.parse_concurrency,
+            fetch_concurrency=self.fetch_concurrency, keep_content=True,
+        )
+        return self._finish(results, bool(dl.get("overwrite", False)))
 
 
 class UrlListCrawler(_CompatCrawler):

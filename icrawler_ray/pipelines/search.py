@@ -64,10 +64,36 @@ def search_crawl(url_map_ref, engine: str, keyword: str = "", max_num: int = 100
                  min_size=None, max_size=None, file_idx_offset: int = 0,
                  default_ext: str = DEFAULT_EXT, apikey: str = "stub-key",
                  flickr_kwargs: dict | None = None, parse_concurrency=(1, 4),
-                 fetch_concurrency=(1, 8), keep_content: bool = True) -> ray.data.Dataset:
+                 fetch_concurrency=(1, 8), keep_content: bool = True,
+                 rules_override=None,
+                 rules_override_kwargs: dict | None = None) -> ray.data.Dataset:
     urls, rules, rules_kwargs = expand_search(
         engine, keyword, offset, max_num, language, filters, apikey, flickr_kwargs
     )
+    if rules_override is not None:
+        # compat parser_cls path: engine URL expansion + the user's
+        # reference-style parser (wrapped by parsers.RefParserRules)
+        rules, rules_kwargs = rules_override, dict(rules_override_kwargs or {})
+    return crawl_from_seeds(
+        url_map_ref, urls, rules, rules_kwargs, max_num=max_num,
+        min_size=min_size, max_size=max_size, file_idx_offset=file_idx_offset,
+        default_ext=default_ext, parse_concurrency=parse_concurrency,
+        fetch_concurrency=fetch_concurrency, keep_content=keep_content,
+        flickr_sizes=(engine == "flickr"),
+    )
+
+
+def crawl_from_seeds(url_map_ref, urls: list, rules, rules_kwargs: dict | None = None,
+                     max_num: int = 100, min_size=None, max_size=None,
+                     file_idx_offset: int = 0, default_ext: str = DEFAULT_EXT,
+                     parse_concurrency=(1, 4), fetch_concurrency=(1, 8),
+                     keep_content: bool = True,
+                     flickr_sizes: bool = False) -> ray.data.Dataset:
+    """Seed URLs -> FetchParse (``rules``: registry name or a rules
+    class, e.g. parsers.RefParserRules for a reference-style parser
+    subclass) -> task dedup -> Fetcher -> ordered filenames. The shared
+    tail of the search pipelines and the compat facade's composed
+    ``Crawler``."""
     seeds = seed_dataset(urls)
     seeds = assign_global_seq(seeds, [], col="seq")  # feeder emission order
     parsed = seeds.map_batches(
@@ -83,7 +109,7 @@ def search_crawl(url_map_ref, engine: str, keyword: str = "", max_num: int = 100
         concurrency=parse_concurrency,
         num_cpus=0.5,
     )
-    if engine == "flickr":
+    if flickr_sizes:
         # second actor-pool stage: photo rows -> getSizes (one batched
         # round-trip per batch) -> task rows; other rows pass through
         from icrawler_ray.stages.parsers import FlickrSizes

@@ -48,12 +48,16 @@ FETCH_PARSE_SCHEMA = pa.schema(
 
 
 class FetchParse:
-    def __init__(self, url_map_ref, rules: str, rules_kwargs: dict | None = None,
+    def __init__(self, url_map_ref, rules, rules_kwargs: dict | None = None,
                  flaky: dict | None = None, emit_docs: bool = True,
                  with_keys: bool = False, claim: tuple | None = None,
                  slim: bool = False, inflight: str | None = None):
         self.session = make_session(url_map_ref, flaky=flaky)
-        self.rules = RULES_REGISTRY[rules](**(rules_kwargs or {}))
+        # rules: a RULES_REGISTRY name, or a rules CLASS shipped by value
+        # in the task closure (custom parsers need no worker-side registry
+        # registration — SURVEY §2.9 / compat parser_cls)
+        rules_cls = rules if isinstance(rules, type) else RULES_REGISTRY[rules]
+        self.rules = rules_cls(**(rules_kwargs or {}))
         self.emit_docs = emit_docs
         # inflight: name of a HostInflightLimiter actor — exact per-host
         # concurrent-request caps (politeness.py); one slot per (task,
@@ -308,8 +312,8 @@ def make_fetch_parse_fn(url_map_ref, rules: str, rules_kwargs: dict | None = Non
 
     key = (
         session_spec_key(url_map_ref),
-        rules, _json.dumps(rules_kwargs or {}, sort_keys=True), emit_docs, with_keys,
-        claim, slim, inflight,
+        rules, _json.dumps(rules_kwargs or {}, sort_keys=True, default=repr),
+        emit_docs, with_keys, claim, slim, inflight,
     )
 
     def fn(batch: pa.Table) -> pa.Table:

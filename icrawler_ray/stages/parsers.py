@@ -233,6 +233,43 @@ class FlickrRules:
         return [], emissions
 
 
+class RefParserRules:
+    """Engine-rules adapter for a reference-style ``Parser`` subclass
+    (/root/reference/icrawler/parser.py:31-41; docs/extend.rst §2): the
+    user's ``parse(self, response, **kwargs)`` returns/yields task dicts
+    (``file_url`` + arbitrary metadata) and page-link strings;
+    ``worker_exec`` routes dict -> downloader, str -> frontier
+    (parser.py:102-119). Those map 1:1 onto this engine's
+    ("task" | "link", url, meta_json) emissions. The user class is
+    instantiated without the reference ThreadPool/queue wiring — only
+    the attributes a ``parse`` body can touch (logger, session) exist."""
+
+    def __init__(self, parser_cls=None, parse_kwargs: dict | None = None):
+        import logging
+
+        if parser_cls is None:
+            raise TypeError("RefParserRules requires parser_cls")
+        p = parser_cls.__new__(parser_cls)  # skip ThreadPool __init__
+        p.logger = logging.getLogger(parser_cls.__name__)
+        p.session = None
+        self._p = p
+        self._kwargs = dict(parse_kwargs or {})
+
+    def parse(self, response, session=None):
+        self._p.session = session
+        tasks = self._p.parse(response, **self._kwargs)
+        emissions = []
+        for t in tasks or ():  # generator or list (parser.py:105-111)
+            if isinstance(t, dict):
+                meta = {k: v for k, v in t.items() if k != "file_url"}
+                emissions.append(
+                    ("task", t["file_url"],
+                     json.dumps(meta, sort_keys=True, default=str) if meta else ""))
+            elif isinstance(t, str):
+                emissions.append(("link", t, ""))
+        return [], emissions
+
+
 RULES_REGISTRY = {
     "greedy": GreedyRules,
     "google": GoogleRules,
