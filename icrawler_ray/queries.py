@@ -3087,6 +3087,41 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+
+
+def q_triangle_count(sf_dir: str):
+    """Per-node triangle participation over the derived link graph —
+    degree-ordered orientation bounds wedge fan-out (no O(deg^2) hub
+    blowup); see stages/linkgraph.py::triangle_counts scale notes.
+    A crawl-side use: triangle density separates organic link
+    neighborhoods from link-farm cliques when scoring hosts."""
+    from icrawler_ray.stages.linkgraph import derive_edges, triangle_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    return triangle_counts(derive_edges(docs, n), n)
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH {_SQL_EDGES_CTE},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tn AS (SELECT x AS node FROM tri UNION ALL
+       SELECT y FROM tri UNION ALL
+       SELECT z FROM tri),
+c AS (SELECT node, COUNT(*) AS tri FROM tn GROUP BY node)
+SELECT d.doc_id AS node, CAST(COALESCE(c.tri, 0) AS BIGINT) AS tri
+FROM documents d LEFT JOIN c ON c.node = d.doc_id
+ORDER BY node
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -3175,6 +3210,7 @@ QUERIES = {
     "length_quantiles_by_lang": q_length_quantiles_by_lang,
     "heavy_hitters": q_heavy_hitters,
     "cross_source_overlap": q_cross_source_overlap,
+    "triangle_count": q_triangle_count,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -3258,4 +3294,5 @@ ORACLE_SQL = {
     "bigram_pmi": SQL_BIGRAM_PMI,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "cross_source_overlap": SQL_CROSS_SOURCE_OVERLAP,
+    "triangle_count": SQL_TRIANGLE_COUNT,
 }

@@ -284,3 +284,43 @@ def test_pagerank_partitioned_matches_broadcast(graph):
                                 damping=0.85, num_partitions=5)
     assert part["node"].tolist() == list(range(n))
     np.testing.assert_allclose(part["rank"].to_numpy(), broad, rtol=1e-9)
+
+
+def test_triangle_counts_planted_cliques_and_chain():
+    """Planted graph with known triangle census: a K4 (every node in 3
+    triangles), a separate K3 (1 each), a chain (0), an isolated node,
+    plus duplicate/reversed/self-loop edge noise that canonicalization
+    must absorb."""
+    from icrawler_ray.stages.linkgraph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k3 = [(4, 5), (5, 6), (4, 6)]
+    chain = [(7, 8), (8, 9), (9, 10)]
+    noise = [(1, 0), (2, 0), (5, 4), (7, 7), (8, 7)]  # dups/reversals/self
+    edges = pd.DataFrame(k4 + k3 + chain + noise, columns=["src", "dst"])
+    n = 12  # node 11 isolated
+    out = triangle_counts(rd.from_pandas(edges).repartition(4), n)
+    assert out["node"].tolist() == list(range(n))
+    assert out["tri"].tolist() == [3, 3, 3, 3, 1, 1, 1, 0, 0, 0, 0, 0]
+
+
+def test_triangle_counts_matches_bruteforce_on_derived_graph(graph):
+    """Degree-ordered distributed count == O(n^3) brute force over the
+    canonical undirected derived graph."""
+    from icrawler_ray.stages.linkgraph import derive_edges, triangle_counts
+
+    n, docs, ref = graph
+    adj = np.zeros((n, n), dtype=bool)
+    adj[ref[:, 0], ref[:, 1]] = True
+    adj = adj | adj.T
+    np.fill_diagonal(adj, False)
+    expect = np.zeros(n, dtype=np.int64)
+    for a in range(n):
+        for b in range(a + 1, n):
+            if not adj[a, b]:
+                continue
+            for c in range(b + 1, n):
+                if adj[a, c] and adj[b, c]:
+                    expect[[a, b, c]] += 1
+    out = triangle_counts(derive_edges(docs, n), n)
+    np.testing.assert_array_equal(out["tri"].to_numpy(), expect)
