@@ -3122,6 +3122,57 @@ ORDER BY node
 """
 
 
+
+
+def q_join_salted(sf_dir: str):
+    """Big-big shuffle join with hot-key salting: lineitem x orders on
+    orderkey, revenue rollup by order priority.  Neither side is
+    broadcast — the exchange is one groupby(salted key), with keys past
+    ``hot_threshold`` probe-split / build-replicated across salt buckets
+    so no reducer inherits a whole hot key (stages/joins.py scale
+    notes).  The toy threshold here forces most keys down the salted
+    path, so the oracle check covers split + replicate + merge, not
+    just the cold-key fast path."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+
+    def agg(joined: pd.DataFrame) -> pd.DataFrame:
+        if not len(joined):
+            return pd.DataFrame({"o_orderpriority": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "revenue": pd.Series(dtype=np.float64)})
+        rev = joined["l_extendedprice"].to_numpy() * (
+            1.0 - joined["l_discount"].to_numpy())
+        g = pd.DataFrame({"o_orderpriority": joined["o_orderpriority"],
+                          "rev": rev}).groupby("o_orderpriority")["rev"]
+        return pd.DataFrame({"o_orderpriority": g.sum().index,
+                             "n": g.size().to_numpy(dtype=np.int64),
+                             "revenue": g.sum().to_numpy()})
+
+    parts = salted_hash_join(
+        li, orders, "l_orderkey", salt=4, hot_threshold=3,
+        probe_salt_col="l_linenumber", agg_fn=agg).to_pandas()
+    out = (parts.groupby("o_orderpriority", as_index=False)
+           .agg(n=("n", "sum"), revenue=("revenue", "sum")))
+    out["n"] = out["n"].astype("int64")
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_JOIN_SALTED = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -3211,6 +3262,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "cross_source_overlap": q_cross_source_overlap,
     "triangle_count": q_triangle_count,
+    "join_salted": q_join_salted,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -3295,4 +3347,5 @@ ORACLE_SQL = {
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "cross_source_overlap": SQL_CROSS_SOURCE_OVERLAP,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "join_salted": SQL_JOIN_SALTED,
 }

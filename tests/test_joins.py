@@ -1,0 +1,74 @@
+"""salted_hash_join (stages/joins.py) vs a pandas reference merge on a
+planted-skew dataset: one key holds half the probe rows."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from icrawler_ray.stages.joins import salted_hash_join
+
+
+def _planted():
+    rng = np.random.RandomState(7)
+    n = 4000
+    keys = np.where(rng.rand(n) < 0.5, 42, rng.randint(0, 500, n))
+    probe = pd.DataFrame({
+        "k": keys.astype(np.int64),
+        "rowid": np.arange(n, dtype=np.int64),
+        "val": rng.rand(n)})
+    build = pd.DataFrame({
+        "k": np.arange(0, 500, dtype=np.int64),
+        "tag": [f"t{i % 7}" for i in range(500)]})
+    return probe, build
+
+
+def test_salted_join_raw_rows_match_pandas_merge():
+    probe, build = _planted()
+    got = salted_hash_join(
+        rd.from_pandas(probe).repartition(6),
+        rd.from_pandas(build).repartition(3),
+        "k", salt=4, hot_threshold=100, num_partitions=8,
+        probe_salt_col="rowid").to_pandas()
+    expect = probe.merge(build, on="k")
+    got = got.sort_values("rowid").reset_index(drop=True)[expect.columns.tolist()]
+    expect = expect.sort_values("rowid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect)
+    # the planted key must actually have been salted
+    from icrawler_ray.stages.joins import _hot_keys
+    hot = _hot_keys(rd.from_pandas(probe).repartition(6), "k", 100, 64)
+    assert 42 in hot.tolist()
+
+
+def test_salted_join_agg_partials_match_pandas():
+    probe, build = _planted()
+
+    def agg(j: pd.DataFrame) -> pd.DataFrame:
+        g = j.groupby("tag")["val"]
+        return pd.DataFrame({"tag": g.sum().index, "n": g.size().to_numpy(),
+                             "s": g.sum().to_numpy()})
+
+    parts = salted_hash_join(
+        rd.from_pandas(probe).repartition(6),
+        rd.from_pandas(build).repartition(3),
+        "k", salt=4, hot_threshold=100, num_partitions=8,
+        probe_salt_col="rowid", agg_fn=agg).to_pandas()
+    got = parts.groupby("tag", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+    ref = probe.merge(build, on="k").groupby("tag", as_index=False).agg(
+        n=("val", "size"), s=("val", "sum"))
+    got = got.sort_values("tag").reset_index(drop=True)
+    ref = ref.sort_values("tag").reset_index(drop=True)
+    assert got["tag"].tolist() == ref["tag"].tolist()
+    assert got["n"].astype(int).tolist() == ref["n"].astype(int).tolist()
+    np.testing.assert_allclose(got["s"].to_numpy(), ref["s"].to_numpy())
+
+
+def test_salted_join_no_hot_keys_fast_path():
+    probe, build = _planted()
+    got = salted_hash_join(
+        rd.from_pandas(probe).repartition(6),
+        rd.from_pandas(build).repartition(3),
+        "k", salt=4, hot_threshold=10**9, num_partitions=8,
+        probe_salt_col="rowid").to_pandas()
+    expect = probe.merge(build, on="k")
+    assert len(got) == len(expect)
+    assert got["val"].sum() == expect["val"].sum()
