@@ -3173,6 +3173,178 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+
+
+#: DSIR feature-space size (hashed unigram buckets) and target source
+DSIR_BUCKETS = 1024
+DSIR_TARGET = "src0"
+
+
+def q_dsir_weights(sf_dir: str):
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023, arXiv:2302.03169 — public-paper operator): score every doc by
+    the log importance ratio of a TARGET source's hashed-unigram
+    distribution over the background's.  The at-scale recipe for
+    "select web data that looks like my curated set" without a model.
+
+    Two streaming passes, zero shuffles:
+      1. bucket-count COMBINER — each batch emits (is_target, bucket,
+         n) partials bounded by 2 x DSIR_BUCKETS, the driver reduces
+         them into two bucket vectors and broadcasts the add-1-smoothed
+         log-ratio vector via ``ray.put`` (8 KB);
+      2. per-doc score — one vectorized map_batches pass summing the
+         broadcast ratios over each doc's token buckets.
+
+    Tokens are space-split (the suite's standard), bucketed by DuckDB-
+    compatible md5-lower %% DSIR_BUCKETS so the SQL oracle replays the
+    identical featurization."""
+    from icrawler_ray.stages.dedup import md5_pair
+
+    B = DSIR_BUCKETS
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _token_buckets(df: pd.DataFrame):
+        ex = df["text"].str.split(" ").explode()
+        ex = ex[(ex != "") & ex.notna()]
+        if not len(ex):
+            return ex, np.array([], dtype=np.int64)
+        uniq, inv = np.unique(ex.to_numpy(), return_inverse=True)
+        bk = (md5_pair(uniq)[:, 0] % np.uint64(B)).astype(np.int64)
+        return ex, bk[inv]
+
+    def pass1(df: pd.DataFrame) -> pd.DataFrame:
+        ex, bk = _token_buckets(df)
+        if not len(bk):
+            return pd.DataFrame({"t": pd.Series(dtype=bool),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        tgt = df["source"].eq(DSIR_TARGET).reindex(ex.index).to_numpy()
+        g = pd.DataFrame({"t": tgt, "b": bk}).groupby(["t", "b"]).size()
+        gi = g.index.to_frame(index=False)
+        return pd.DataFrame({"t": gi["t"].to_numpy(), "b": gi["b"].to_numpy(),
+                             "n": g.to_numpy()})
+
+    parts = docs.map_batches(pass1, batch_format="pandas").to_pandas()
+    vec_t = np.zeros(B); vec_b = np.zeros(B)
+    for t, vec in ((True, vec_t), (False, vec_b)):
+        sub = parts[parts["t"] == t].groupby("b")["n"].sum()
+        vec[sub.index.to_numpy()] = sub.to_numpy()
+    lam = (np.log((vec_t + 1.0) / (vec_t.sum() + B))
+           - np.log((vec_b + 1.0) / (vec_b.sum() + B)))
+    lam_ref = ray.put(lam)
+
+    def pass2(df: pd.DataFrame) -> pd.DataFrame:
+        lam_v = ray.get(lam_ref)
+        ex, bk = _token_buckets(df)
+        score = pd.Series(0.0, index=df.index)
+        if len(bk):
+            ssum = pd.Series(lam_v[bk], index=ex.index).groupby(level=0).sum()
+            score.loc[ssum.index] = ssum
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "dsir_score": np.round(score.to_numpy(), 6)})
+
+    out = docs.map_batches(pass2, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+tk AS (SELECT doc_id, source,
+              CAST(md5_number_lower(w) % {DSIR_BUCKETS} AS BIGINT) AS b
+       FROM tok WHERE w <> ''),
+tc AS (SELECT b, COUNT(*) AS n FROM tk WHERE source = '{DSIR_TARGET}' GROUP BY b),
+bc AS (SELECT b, COUNT(*) AS n FROM tk WHERE source <> '{DSIR_TARGET}' GROUP BY b),
+tot AS (SELECT (SELECT COALESCE(SUM(n), 0) FROM tc) AS tn,
+               (SELECT COALESCE(SUM(n), 0) FROM bc) AS bn),
+grid AS (SELECT unnest(generate_series(0, {DSIR_BUCKETS} - 1)) AS b),
+lam AS (SELECT grid.b,
+               ln((COALESCE(tc.n, 0) + 1.0) / (tot.tn + {DSIR_BUCKETS}.0))
+             - ln((COALESCE(bc.n, 0) + 1.0) / (tot.bn + {DSIR_BUCKETS}.0)) AS l
+        FROM grid CROSS JOIN tot
+        LEFT JOIN tc ON tc.b = grid.b
+        LEFT JOIN bc ON bc.b = grid.b),
+sc AS (SELECT tk.doc_id, SUM(lam.l) AS s
+       FROM tk JOIN lam ON lam.b = tk.b GROUP BY tk.doc_id)
+SELECT d.doc_id, ROUND(COALESCE(sc.s, 0), 6) AS dsir_score
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+
+
+def q_source_kl(sf_dir: str):
+    """Per-source token-distribution drift: KL(source || corpus) over
+    the same md5-bucketed unigram space as q_dsir_weights — the mixture
+    QA check a training-data pipeline runs to spot a source whose
+    distribution diverged (scraper broke, language shifted, spam crept
+    in).  One combiner pass: each batch emits (source, bucket, n)
+    partials bounded by sources-in-batch x DSIR_BUCKETS; the driver
+    reduce is source-count x bucket sized.  Add-1 smoothing on both
+    distributions keeps the SQL oracle replay exact."""
+    from icrawler_ray.stages.dedup import md5_pair
+
+    B = DSIR_BUCKETS
+    docs = _read(sf_dir, "documents", ["text", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].str.split(" ").explode()
+        ex = ex[(ex != "") & ex.notna()]
+        if not len(ex):
+            return pd.DataFrame({"source": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        uniq, inv = np.unique(ex.to_numpy(), return_inverse=True)
+        bk = (md5_pair(uniq)[:, 0] % np.uint64(B)).astype(np.int64)[inv]
+        src = df["source"].reindex(ex.index).to_numpy()
+        g = pd.DataFrame({"source": src, "b": bk}).groupby(
+            ["source", "b"]).size()
+        gi = g.index.to_frame(index=False)
+        return pd.DataFrame({"source": gi["source"].to_numpy(),
+                             "b": gi["b"].to_numpy(), "n": g.to_numpy()})
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["source", "b"])["n"].sum().reset_index()
+    corpus = np.zeros(B)
+    csub = agg.groupby("b")["n"].sum()
+    corpus[csub.index.to_numpy()] = csub.to_numpy()
+    q = (corpus + 1.0) / (corpus.sum() + B)
+    rows = []
+    for src, g in agg.groupby("source"):
+        vec = np.zeros(B)
+        vec[g["b"].to_numpy()] = g["n"].to_numpy()
+        p = (vec + 1.0) / (vec.sum() + B)
+        rows.append((src, round(float(np.sum(p * np.log(p / q))), 6)))
+    return pd.DataFrame(rows, columns=["source", "kl"]).sort_values(
+        "source").reset_index(drop=True)
+
+
+SQL_SOURCE_KL = f"""
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+tk AS (SELECT source, CAST(md5_number_lower(w) % {{B}} AS BIGINT) AS b
+       FROM tok WHERE w <> ''),
+sb AS (SELECT source, b, COUNT(*) AS n FROM tk GROUP BY source, b),
+stot AS (SELECT source, SUM(n) AS tot FROM sb GROUP BY source),
+cb AS (SELECT b, SUM(n) AS n FROM sb GROUP BY b),
+ctot AS (SELECT SUM(n) AS tot FROM cb),
+grid AS (SELECT s.source, g.b, st.tot AS stot, ct.tot AS ctot
+         FROM (SELECT DISTINCT source FROM documents) s
+         CROSS JOIN (SELECT unnest(generate_series(0, {{B}} - 1)) AS b) g
+         JOIN stot st ON st.source = s.source
+         CROSS JOIN ctot ct),
+terms AS (SELECT grid.source,
+                 (COALESCE(sb.n, 0) + 1.0) / (grid.stot + {{B}}.0) AS p,
+                 (COALESCE(cb.n, 0) + 1.0) / (grid.ctot + {{B}}.0) AS q
+          FROM grid
+          LEFT JOIN sb ON sb.source = grid.source AND sb.b = grid.b
+          LEFT JOIN cb ON cb.b = grid.b)
+SELECT source, ROUND(SUM(p * ln(p / q)), 6) AS kl
+FROM terms GROUP BY source ORDER BY source
+""".replace("{B}", str(DSIR_BUCKETS))
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -3263,6 +3435,8 @@ QUERIES = {
     "cross_source_overlap": q_cross_source_overlap,
     "triangle_count": q_triangle_count,
     "join_salted": q_join_salted,
+    "dsir_weights": q_dsir_weights,
+    "source_kl": q_source_kl,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -3348,4 +3522,6 @@ ORACLE_SQL = {
     "cross_source_overlap": SQL_CROSS_SOURCE_OVERLAP,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "join_salted": SQL_JOIN_SALTED,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "source_kl": SQL_SOURCE_KL,
 }
