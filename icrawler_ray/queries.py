@@ -3345,6 +3345,94 @@ FROM terms GROUP BY source ORDER BY source
 """.replace("{B}", str(DSIR_BUCKETS))
 
 
+
+
+def q_cdc_chunk_dedup(sf_dir: str):
+    """Content-defined-chunking dedup (LBFS/FastCDC lineage): chunk
+    every doc at content-defined boundaries (gear hash over code-point
+    4-grams, stages/textfns.py::cdc_chunk_spans), then keep each
+    chunk's corpus-global FIRST occurrence (doc_id, start order) —
+    the shift-robust complement to q_paragraph_dedup: an inserted
+    sentence upstream shifts every fixed or paragraph boundary but
+    leaves CDC boundaries (and so dedup hits) intact downstream.
+
+    Scale shape: chunk TEXT never moves — tasks emit 16-byte md5 chunk
+    identities; the single exchange is a groupby over identity-hash
+    BUCKETS (not per-chunk groups), vectorized first-of-run inside each
+    bucket; per-doc rollups leave as combiner partials.  Returns
+    (doc_id, n_chunks, n_kept, kept_chars) per non-empty doc."""
+    from icrawler_ray.stages.textfns import cdc_chunk_rows
+
+    P = 32
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = docs.map_batches(cdc_chunk_rows, batch_format="pyarrow")
+    rows = rows.map_batches(
+        lambda df: df.assign(part=(df["h"].to_numpy(dtype=np.int64)
+                                   % np.int64(P) + P) % P),
+        batch_format="pandas")
+
+    def first_of_run(g: pd.DataFrame) -> pd.DataFrame:
+        rank = (g["doc_id"].to_numpy(dtype=np.uint64) << np.uint64(32)) \
+            | g["start"].to_numpy(dtype=np.uint64)
+        o = np.lexsort((rank, g["h"].to_numpy()))
+        h_sorted = g["h"].to_numpy()[o]
+        kept = np.ones(len(g), dtype=bool)
+        kept[1:] = h_sorted[1:] != h_sorted[:-1]
+        gg = pd.DataFrame({"doc_id": g["doc_id"].to_numpy()[o],
+                           "n_chars": g["n_chars"].to_numpy()[o],
+                           "kept": kept})
+        out = gg.groupby("doc_id").agg(
+            n_chunks=("kept", "size"), n_kept=("kept", "sum"))
+        kc = gg.loc[gg["kept"]].groupby("doc_id")["n_chars"].sum()
+        out["kept_chars"] = kc.reindex(out.index).fillna(0).astype(np.int64)
+        return out.reset_index()
+
+    parts = (rows.groupby("part")
+             .map_groups(first_of_run, batch_format="pandas")).to_pandas()
+    out = parts.groupby("doc_id", as_index=False).agg(
+        n_chunks=("n_chunks", "sum"), n_kept=("n_kept", "sum"),
+        kept_chars=("kept_chars", "sum"))
+    for c in ("n_chunks", "n_kept", "kept_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CDC_CHUNK_DEDUP = """
+WITH pos AS (
+  SELECT doc_id, text, length(text) AS n,
+         unnest(generate_series(4, length(text))) AS i
+  FROM documents WHERE length(text) >= 4),
+hh AS (
+  SELECT doc_id, i,
+         CAST((CAST((unicode(substr(text, i - 3, 1)) * 29791
+                   + unicode(substr(text, i - 2, 1)) * 961
+                   + unicode(substr(text, i - 1, 1)) * 31
+                   + unicode(substr(text, i, 1))) % 4294967296 AS HUGEINT)
+               * 2654435761) % 4294967296 AS BIGINT) AS h
+  FROM pos),
+bnd AS (
+  SELECT DISTINCT doc_id, e FROM (
+    SELECT doc_id, i AS e FROM hh WHERE h < 67108864
+    UNION ALL
+    SELECT doc_id, length(text) FROM documents WHERE length(text) > 0)),
+sp AS (SELECT doc_id, e,
+              LAG(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS p
+       FROM bnd),
+chunks AS (SELECT s.doc_id, s.p AS start, s.e - s.p AS n_chars,
+                  substr(d.text, s.p + 1, s.e - s.p) AS chunk
+           FROM sp s JOIN documents d USING (doc_id)),
+ranked AS (SELECT doc_id, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY chunk
+                                     ORDER BY doc_id, start) AS rn
+           FROM chunks)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -3437,6 +3525,7 @@ QUERIES = {
     "join_salted": q_join_salted,
     "dsir_weights": q_dsir_weights,
     "source_kl": q_source_kl,
+    "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -3524,4 +3613,5 @@ ORACLE_SQL = {
     "join_salted": SQL_JOIN_SALTED,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "source_kl": SQL_SOURCE_KL,
+    "cdc_chunk_dedup": SQL_CDC_CHUNK_DEDUP,
 }

@@ -158,3 +158,70 @@ def rolling_hashes(batch: pa.Table, window: int = 8, base: int = 257,
     return pa.table(
         {"doc_id": batch["doc_id"], "rolling_min_hash": pa.array(out, type=pa.int64())}
     )
+
+
+#: CDC gear parameters: boundary when the 4-gram code-point hash's
+#: Knuth-multiplied low 32 bits are 0 mod CDC_DIVISOR -> expected chunk
+#: length ~= CDC_DIVISOR chars.  Both steps are SQL-expressible
+#: (queries.py SQL_CDC_CHUNK_DEDUP replays them exactly).
+CDC_WINDOW = 4
+CDC_DIVISOR = 64
+_CDC_MULT = np.uint64(2654435761)
+_CDC_M32 = np.uint64(1 << 32)
+
+
+def cdc_chunk_spans(text: str):
+    """Content-defined chunk spans of ``text``: (starts, ends) arrays of
+    0-based code-point offsets, chunk j = text[starts[j]:ends[j]].
+
+    A position ``i`` (1-based end, i >= CDC_WINDOW) closes a chunk when
+    the polynomial code-point hash of the window ending at ``i`` — sum
+    of cp * 31^k reduced mod 2^32, Knuth-multiplied, mod 2^32 — falls
+    below 2^32 / CDC_DIVISOR (the HIGH bits of a multiplicative hash
+    are the mixed ones; a low-bits ``% divisor`` test degenerates to a
+    function of the window's low bits); the doc end always closes the
+    last chunk.
+    Content-defined boundaries survive insertions/deletions upstream of
+    them, which is why CDC dedup (LBFS, Muthitacharoen et al. SOSP'01;
+    FastCDC, Xia et al. ATC'16) catches shifted duplicate regions that
+    fixed-size or paragraph chunking miss."""
+    n = len(text)
+    if n == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    if n < CDC_WINDOW:
+        return (np.array([0], dtype=np.int64), np.array([n], dtype=np.int64))
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    s = (cp[:-3] * np.uint64(31 ** 3) + cp[1:-2] * np.uint64(31 ** 2)
+         + cp[2:-1] * np.uint64(31) + cp[3:]) % _CDC_M32
+    h = (s * _CDC_MULT) % _CDC_M32
+    ends = np.nonzero(h < _CDC_M32 // np.uint64(CDC_DIVISOR))[0] + CDC_WINDOW
+    ends = ends.astype(np.int64)
+    if not len(ends) or ends[-1] != n:
+        ends = np.append(ends, n)
+    starts = np.concatenate([[0], ends[:-1]])
+    return starts, ends
+
+
+def cdc_chunk_rows(batch: pa.Table) -> pa.Table:
+    """Per-doc CDC chunking -> NARROW chunk identity rows: (doc_id,
+    start, h = md5-lower of the chunk text, n_chars).  The chunk TEXT
+    never leaves the task — downstream first-occurrence dedup exchanges
+    16-byte identities only."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out_doc, out_start, out_h, out_len = [], [], [], []
+    for did, t in zip(doc_ids, texts):
+        starts, ends = cdc_chunk_spans(t)
+        for a, b in zip(starts.tolist(), ends.tolist()):
+            chunk = t[a:b]
+            out_doc.append(did)
+            out_start.append(a)
+            out_h.append(int.from_bytes(
+                hashlib.md5(chunk.encode()).digest()[8:16], "little"))
+            out_len.append(b - a)
+    return pa.table({
+        "doc_id": pa.array(out_doc, type=pa.int64()),
+        "start": pa.array(out_start, type=pa.int64()),
+        "h": pa.array(np.array(out_h, dtype=np.uint64).astype(np.int64),
+                      type=pa.int64()),
+        "n_chars": pa.array(out_len, type=pa.int64())})

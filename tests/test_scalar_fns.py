@@ -133,3 +133,42 @@ def test_retrying_gives_up_and_succeeds():
 
     with pytest.raises(RetryableError):
         always()
+
+
+# ------------------------------------------------------- CDC chunking
+
+def test_cdc_chunk_spans_cover_text_exactly():
+    from icrawler_ray.stages.textfns import cdc_chunk_spans
+
+    for t in ["", "ab", "abcd", "the quick brown fox " * 37,
+              "é中文 mixed unicode content " * 23]:
+        starts, ends = cdc_chunk_spans(t)
+        assert "".join(t[a:b] for a, b in zip(starts, ends)) == t
+        if t:
+            assert starts[0] == 0 and ends[-1] == len(t)
+            assert (ends > starts).all()
+
+
+def test_cdc_chunking_is_shift_robust():
+    """A shared region keeps its interior chunk identities when its
+    offset shifts — the property paragraph/fixed chunking lacks."""
+    from icrawler_ray.stages.textfns import cdc_chunk_spans
+
+    shared = ("common duplicated passage that appears in two documents "
+              "with different prefixes and should still dedup " * 8)
+    a = "short prefix. " + shared
+    b = "a much longer and entirely different prefix sentence here! " + shared
+
+    def chunks(t):
+        s, e = cdc_chunk_spans(t)
+        return [t[x:y] for x, y in zip(s, e)]
+
+    ca, cb = chunks(a), chunks(b)
+    # chunks of `a` lying fully inside the shared region (by offset)
+    sa, ea = cdc_chunk_spans(a)
+    interior = [a[x:y] for x, y in zip(sa, ea)
+                if x >= len("short prefix. ") + 60 and y < len(a) - 60]
+    assert len(interior) >= 3
+    # every interior chunk identity must reappear in the shifted doc
+    missing = [c for c in interior if c not in set(cb)]
+    assert not missing
