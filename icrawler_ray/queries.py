@@ -3433,6 +3433,57 @@ FROM ranked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+
+
+def _hits_auth_sql(hub: str, out: str) -> str:
+    return f"""
+{out}r AS (SELECT e.dst AS node, SUM(hh.h) AS s
+           FROM edges e JOIN {hub} hh ON hh.node = e.src GROUP BY e.dst),
+{out}n AS (SELECT sqrt(SUM(s * s)) AS nrm FROM {out}r),
+{out} AS (SELECT d.doc_id AS node,
+                 COALESCE(r.s, 0) / n.nrm AS a
+          FROM documents d CROSS JOIN {out}n n
+          LEFT JOIN {out}r r ON r.node = d.doc_id)"""
+
+
+def _hits_hub_sql(auth: str, out: str) -> str:
+    return f"""
+{out}r AS (SELECT e.src AS node, SUM(aa.a) AS s
+           FROM edges e JOIN {auth} aa ON aa.node = e.dst GROUP BY e.src),
+{out}n AS (SELECT sqrt(SUM(s * s)) AS nrm FROM {out}r),
+{out} AS (SELECT d.doc_id AS node,
+                 COALESCE(r.s, 0) / n.nrm AS h
+          FROM documents d CROSS JOIN {out}n n
+          LEFT JOIN {out}r r ON r.node = d.doc_id)"""
+
+
+def q_hits(sf_dir: str):
+    """2-iteration HITS hubs/authorities over the derived link graph
+    (broadcast-iterate, L2-normalized half-steps; fixed sweep count so
+    the SQL oracle unrolls the identical computation).  See
+    stages/linkgraph.py::hits."""
+    from icrawler_ray.stages.linkgraph import derive_edges, hits
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    out = hits(derive_edges(docs, n), n, iters=2)
+    out["hub"] = np.round(out["hub"], 6)
+    out["auth"] = np.round(out["auth"], 6)
+    return out
+
+
+SQL_HITS = f"""
+WITH {_SQL_EDGES_CTE},
+h0 AS (SELECT doc_id AS node, 1.0e0 AS h FROM documents),
+{_hits_auth_sql("h0", "a1")},
+{_hits_hub_sql("a1", "h1")},
+{_hits_auth_sql("h1", "a2")},
+{_hits_hub_sql("a2", "h2")}
+SELECT h2.node, ROUND(h2.h, 6) AS hub, ROUND(a2.a, 6) AS auth
+FROM h2 JOIN a2 ON a2.node = h2.node ORDER BY h2.node
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -3526,6 +3577,7 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "source_kl": q_source_kl,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
+    "hits_scores": q_hits,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -3614,4 +3666,5 @@ ORACLE_SQL = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "source_kl": SQL_SOURCE_KL,
     "cdc_chunk_dedup": SQL_CDC_CHUNK_DEDUP,
+    "hits_scores": SQL_HITS,
 }

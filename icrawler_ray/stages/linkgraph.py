@@ -39,7 +39,8 @@ import ray
 import ray.data as rd
 
 __all__ = ["derive_edges", "degree_table", "pagerank", "pagerank_partitioned",
-           "connected_components", "pairs_components", "triangle_counts"]
+           "connected_components", "pairs_components", "triangle_counts",
+           "hits"]
 
 #: Broadcast-iterate CC/PageRank hold a dense ``n_nodes`` vector on the
 #: driver and ship it per sweep — fine for the HOST-level graphs they
@@ -582,3 +583,51 @@ def triangle_counts(edges: rd.Dataset, n_nodes: int) -> pd.DataFrame:
         tri[cnt.index.to_numpy(dtype=np.int64)] = cnt.to_numpy(dtype=np.int64)
     return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
                          "tri": tri})
+
+
+def hits(edges: rd.Dataset, n_nodes: int, *, iters: int = 2) -> pd.DataFrame:
+    """HITS hubs/authorities (Kleinberg, JACM'99) over a (src, dst)
+    edge Dataset — the second classic link-quality signal next to
+    :func:`pagerank` (a page that LINKS to many good pages is a hub; a
+    page many hubs link to is an authority — crawl schedulers seed from
+    hubs).
+
+    Same broadcast-iterate exchange discipline as :func:`pagerank`:
+    the edge set is materialized once and re-scanned per sweep; each
+    sweep broadcasts the current score vector via ``ray.put`` and moves
+    only per-block partial dst-sums (auth step) / src-sums (hub step) —
+    output-sized, never edge-sized.  Fixed ``iters`` with L2
+    normalization after each half-step so the SQL oracle can unroll the
+    identical computation.  Subject to MAX_BROADCAST_NODES like every
+    dense-vector variant here."""
+    if n_nodes > MAX_BROADCAST_NODES:
+        raise ValueError(
+            f"hits broadcasts dense score vectors; n_nodes={n_nodes} "
+            f"exceeds MAX_BROADCAST_NODES={MAX_BROADCAST_NODES}")
+    edges = edges.materialize()
+    hub = np.ones(n_nodes, dtype=np.float64)
+    auth = np.ones(n_nodes, dtype=np.float64)
+
+    def _sweep(vec: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+        ref = ray.put(vec)
+
+        def part(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            v = ray.get(_ref)
+            s = pd.Series(v[df[from_col].to_numpy()]).groupby(
+                df[to_col].to_numpy()).sum()
+            return pd.DataFrame({"node": s.index.to_numpy(),
+                                 "s": s.to_numpy()})
+
+        partials = edges.map_batches(part, batch_format="pandas").to_pandas()
+        out = np.zeros(n_nodes, dtype=np.float64)
+        if len(partials):
+            agg = partials.groupby("node")["s"].sum()
+            out[agg.index.to_numpy()] = agg.to_numpy()
+        norm = np.sqrt(np.sum(out * out))
+        return out / norm if norm > 0 else out
+
+    for _ in range(iters):
+        auth = _sweep(hub, "src", "dst")
+        hub = _sweep(auth, "dst", "src")
+    return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
+                         "hub": hub, "auth": auth})

@@ -324,3 +324,20 @@ def test_triangle_counts_matches_bruteforce_on_derived_graph(graph):
                     expect[[a, b, c]] += 1
     out = triangle_counts(derive_edges(docs, n), n)
     np.testing.assert_array_equal(out["tri"].to_numpy(), expect)
+
+
+def test_hits_matches_numpy_reference(graph):
+    from icrawler_ray.stages.linkgraph import derive_edges, hits
+
+    n, docs, ref = graph
+    A = np.zeros((n, n))
+    np.add.at(A, (ref[:, 0], ref[:, 1]), 1.0)  # multigraph edge weights
+    hub = np.ones(n)
+    for _ in range(3):
+        auth = A.T @ hub
+        auth /= np.linalg.norm(auth)
+        hub = A @ auth
+        hub /= np.linalg.norm(hub)
+    out = hits(derive_edges(docs, n), n, iters=3)
+    np.testing.assert_allclose(out["hub"].to_numpy(), hub, rtol=1e-9)
+    np.testing.assert_allclose(out["auth"].to_numpy(), auth, rtol=1e-9)
