@@ -3484,6 +3484,99 @@ FROM h2 JOIN a2 ON a2.node = h2.node ORDER BY h2.node
 """
 
 
+
+
+def q_rate_anomaly(sf_dir: str):
+    """Event-rate anomaly detection: per (event_type, hour) counts
+    z-scored against the event_type's own hourly mean/std — the
+    monitoring rollup a crawl/ingest pipeline alarms on (a host whose
+    fetch rate spikes, an event type that goes quiet).  Combiner
+    pattern: batches emit (type, hour, n) partials; the stats reduce is
+    (types x hours)-sized, never event-sized.  Population std with a
+    zero-std sentinel of z = 0 keeps the SQL replay exact."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hour = (df["ts"].dt.floor("h").astype("int64") // 10**6).astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"], "hour_ts": hour}
+                         ).groupby(["event_type", "hour_ts"], sort=False).size()
+        gi = g.index.to_frame(index=False)
+        return pd.DataFrame({"event_type": gi["event_type"],
+                             "hour_ts": gi["hour_ts"],
+                             "n": g.to_numpy()})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cnt = parts.groupby(["event_type", "hour_ts"], as_index=False)["n"].sum()
+    st = cnt.groupby("event_type")["n"].agg(["mean", lambda v: v.std(ddof=0)])
+    st.columns = ["mu", "sd"]
+    cnt = cnt.merge(st, left_on="event_type", right_index=True)
+    z = np.where(cnt["sd"].to_numpy() > 0,
+                 (cnt["n"] - cnt["mu"]) / cnt["sd"], 0.0)
+    cnt["z"] = np.round(z, 6)
+    out = cnt.loc[np.abs(z) > 1.5,
+                  ["event_type", "hour_ts", "n", "z"]].copy()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "hour_ts"]).reset_index(drop=True)
+
+
+SQL_RATE_ANOMALY = """
+WITH c AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hour_ts),
+zz AS (
+  SELECT event_type, hour_ts, n,
+         CASE WHEN STDDEV_POP(n) OVER (PARTITION BY event_type) > 0
+              THEN (n - AVG(n) OVER (PARTITION BY event_type))
+                   / STDDEV_POP(n) OVER (PARTITION BY event_type)
+              ELSE 0 END AS z
+  FROM c)
+SELECT event_type, hour_ts, n, ROUND(z, 6) AS z
+FROM zz WHERE ABS(z) > 1.5
+ORDER BY event_type, hour_ts
+"""
+
+
+#: per-group deterministic sample size
+RESERVOIR_K = 10
+
+
+def q_reservoir_per_group(sf_dir: str):
+    """Deterministic per-group reservoir sample: RESERVOIR_K docs per
+    source, ranked by md5(doc_id) — the "show me K random-but-stable
+    examples of every slice" debugging query.  Per-batch top-K
+    COMBINER partials (each batch keeps at most K rows per group it
+    sees), so the final reduce is (groups x K x blocks)-bounded;
+    md5-rank makes the sample reproducible across runs and cluster
+    sizes, and lets the SQL oracle replay it exactly."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from icrawler_ray.stages.dedup import md5_pair
+        r = md5_pair([str(i) for i in df["doc_id"].to_numpy()])[:, 0]
+        d = df.assign(rk=r.astype(np.uint64))
+        return d.sort_values("rk").groupby("source", sort=False).head(
+            RESERVOIR_K)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (parts.sort_values("rk").groupby("source", sort=False)
+           .head(RESERVOIR_K))[["source", "doc_id"]]
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+SQL_RESERVOIR_PER_GROUP = f"""
+WITH r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)))
+           AS rn
+  FROM documents)
+SELECT source, doc_id FROM r WHERE rn <= {RESERVOIR_K}
+ORDER BY source, doc_id
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -3578,6 +3671,8 @@ QUERIES = {
     "source_kl": q_source_kl,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "hits_scores": q_hits,
+    "rate_anomaly": q_rate_anomaly,
+    "reservoir_per_group": q_reservoir_per_group,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -3667,4 +3762,6 @@ ORACLE_SQL = {
     "source_kl": SQL_SOURCE_KL,
     "cdc_chunk_dedup": SQL_CDC_CHUNK_DEDUP,
     "hits_scores": SQL_HITS,
+    "rate_anomaly": SQL_RATE_ANOMALY,
+    "reservoir_per_group": SQL_RESERVOIR_PER_GROUP,
 }
