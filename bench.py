@@ -219,7 +219,9 @@ def bench_queries() -> dict:
              "decontaminate", "repetition_stats", "hash_sample",
              "kmeans_assign", "semantic_dedup", "bloom_semi_join",
              "paragraph_dedup", "shuffle_positions", "quality_ntiles",
-             "approx_quantiles_sketch", "training_tape"]
+             "approx_quantiles_sketch", "training_tape",
+             "triangle_count", "join_salted", "dsir_weights",
+             "cdc_chunk_dedup", "hits_scores"]
     out = {}
     for name in names:
         t0 = time.time()

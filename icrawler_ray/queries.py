@@ -3577,6 +3577,188 @@ ORDER BY source, doc_id
 """
 
 
+
+
+def _pca_matvec_sql(vin: str, wout: str, nout: str, vout: str) -> str:
+    return f"""
+{wout} AS (SELECT p.i, SUM(p.c * {vin}.v) AS w
+           FROM pairs p JOIN {vin} ON {vin}.i = p.j GROUP BY p.i),
+{nout} AS (SELECT sqrt(SUM(w * w)) AS nrm FROM {wout}),
+{vout} AS (SELECT {wout}.i, {wout}.w / {nout}.nrm AS v
+           FROM {wout} CROSS JOIN {nout})"""
+
+
+def q_embedding_pca(sf_dir: str):
+    """Top principal direction of the (uncentered) embedding
+    second-moment matrix via 3 power-iteration sweeps, then the
+    per-doc projection — the embedding-quality / whitening primitive
+    (detects a collapsed or dominant direction across the corpus).
+
+    Scale shape: ONE combiner pass emits dim^2-sized M^T M partials
+    (4096 floats per block at dim=64 — independent of corpus size);
+    the driver does the 64x64 power iteration; one broadcast pass
+    projects.  Fixed sweeps from a fixed init so the SQL oracle
+    unrolls the identical computation (no eigensolver
+    nondeterminism)."""
+    from icrawler_ray.stages.similarity import _as_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def cov_partial(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch["embedding"])
+        c = m.T @ m
+        d = c.shape[0]
+        i, j = np.meshgrid(np.arange(d, dtype=np.int64),
+                           np.arange(d, dtype=np.int64), indexing="ij")
+        return pa.table({"i": pa.array(i.ravel()), "j": pa.array(j.ravel()),
+                         "c": pa.array(c.ravel())})
+
+    parts = ds.map_batches(cov_partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["i", "j"])["c"].sum()
+    d = int(g.index.get_level_values(0).max()) + 1
+    C = np.zeros((d, d))
+    C[g.index.get_level_values(0), g.index.get_level_values(1)] = g.to_numpy()
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(3):
+        v = C @ v
+        v /= np.sqrt(np.sum(v * v))
+    v_ref = ray.put(v)
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch["embedding"])
+        return pa.table({"vec_id": batch["vec_id"],
+                         "pc1": pa.array(np.round(m @ ray.get(v_ref), 6))})
+
+    out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_EMBEDDING_PCA = f"""
+WITH pairs AS (
+  SELECT a.i, b.j,
+         SUM(CAST(embedding[a.i] AS DOUBLE)
+             * CAST(embedding[b.j] AS DOUBLE)) AS c
+  FROM embeddings
+  CROSS JOIN range(1, 65) a(i) CROSS JOIN range(1, 65) b(j)
+  GROUP BY a.i, b.j),
+v0 AS (SELECT t.i, 1.0 / sqrt(64.0) AS v FROM range(1, 65) t(i)),
+{_pca_matvec_sql("v0", "w1", "n1", "v1")},
+{_pca_matvec_sql("v1", "w2", "n2", "v2")},
+{_pca_matvec_sql("v2", "w3", "n3", "v3")}
+SELECT vec_id,
+       ROUND(SUM(CAST(embedding[t.i] AS DOUBLE) * v3.v), 6) AS pc1
+FROM embeddings CROSS JOIN range(1, 65) t(i)
+JOIN v3 ON v3.i = t.i
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+
+
+#: ordered funnel steps for q_event_funnel
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_event_funnel(sf_dir: str):
+    """Ordered funnel: per step k, how many users reached steps
+    1..k in strict first-occurrence order (view -> click -> purchase).
+    Combiner shape: each batch emits per-user min-ts partials for the
+    step types it saw (3 rows/user/batch max); the reduce and the
+    strictly-increasing-prefix walk run over the user-sized table.
+    At 1e9 users that table is the one exchange — hash-partitioned by
+    user via the same bucketed-groupby pattern as sessionize; here the
+    driver finish mirrors the suite's other user-bounded reduces."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    steps = list(FUNNEL_STEPS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"].isin(steps)]
+        g = d.groupby(["user_id", "event_type"])["ts"].min()
+        gi = g.index.to_frame(index=False)
+        return pd.DataFrame({"user_id": gi["user_id"].to_numpy(),
+                             "event_type": gi["event_type"].to_numpy(),
+                             "ts": g.to_numpy()})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    m = parts.groupby(["user_id", "event_type"])["ts"].min().unstack()
+    counts = []
+    reached = pd.Series(True, index=m.index)
+    prev = None
+    for st in steps:
+        col = m[st] if st in m.columns else pd.Series(pd.NaT, index=m.index)
+        ok = reached & col.notna()
+        if prev is not None:
+            ok = ok & (col > prev)
+        reached = ok
+        counts.append(int(reached.sum()))
+        prev = col.where(reached)
+    return pd.DataFrame({"step": list(range(1, len(steps) + 1)),
+                         "event_type": steps,
+                         "n_users": np.array(counts, dtype=np.int64)})
+
+
+SQL_EVENT_FUNNEL = """
+WITH m AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+  FROM events GROUP BY user_id)
+SELECT * FROM (
+  SELECT 1 AS step, 'view' AS event_type,
+         CAST(COUNT(*) FILTER (t1 IS NOT NULL) AS BIGINT) AS n_users FROM m
+  UNION ALL
+  SELECT 2, 'click',
+         CAST(COUNT(*) FILTER (t1 IS NOT NULL AND t2 > t1) AS BIGINT) FROM m
+  UNION ALL
+  SELECT 3, 'purchase',
+         CAST(COUNT(*) FILTER (t1 IS NOT NULL AND t2 > t1 AND t3 > t2)
+              AS BIGINT) FROM m)
+ORDER BY step
+"""
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention: users grouped by first-seen day (cohort), and
+    for each (cohort, day-offset) the count of cohort users active that
+    day.  Two combiner passes over events — (user, day) distinct
+    partials, then a user-sized first-seen reduce broadcast back — the
+    exchange is bounded by distinct (user, day), never raw events."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # datetime64[us] -> epoch days
+        day = (df["ts"].dt.floor("D").astype("int64") // (86400 * 10**6)
+               ).astype(np.int64)
+        g = pd.DataFrame({"user_id": df["user_id"], "day": day}
+                         ).drop_duplicates()
+        return g
+
+    ud = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    ud = ud.drop_duplicates()
+    first = ud.groupby("user_id")["day"].min().rename("cohort")
+    ud = ud.merge(first, on="user_id")
+    ud["offset"] = (ud["day"] - ud["cohort"]).astype(np.int64)
+    out = (ud.groupby(["cohort", "offset"]).size().rename("n_users")
+           .reset_index())
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort", "offset"]).reset_index(drop=True)
+
+
+SQL_COHORT_RETENTION = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day
+  FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY user_id)
+SELECT f.cohort, ud.day - f.cohort AS "offset",
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ud JOIN f USING (user_id)
+GROUP BY f.cohort, "offset"
+ORDER BY f.cohort, "offset"
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -3673,6 +3855,9 @@ QUERIES = {
     "hits_scores": q_hits,
     "rate_anomaly": q_rate_anomaly,
     "reservoir_per_group": q_reservoir_per_group,
+    "embedding_pca": q_embedding_pca,
+    "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -3764,4 +3949,7 @@ ORACLE_SQL = {
     "hits_scores": SQL_HITS,
     "rate_anomaly": SQL_RATE_ANOMALY,
     "reservoir_per_group": SQL_RESERVOIR_PER_GROUP,
+    "embedding_pca": SQL_EMBEDDING_PCA,
+    "event_funnel": SQL_EVENT_FUNNEL,
+    "cohort_retention": SQL_COHORT_RETENTION,
 }

@@ -458,19 +458,23 @@ def triangle_counts(edges: rd.Dataset, n_nodes: int) -> pd.DataFrame:
     total wedge volume is O(m^1.5) worst case and near-linear on
     power-law web graphs, with no single fat group.
 
-    Stages (all exchanges are hash-partitioned groupbys, never a driver
-    collect of edge-scale data):
-      1. canonicalize + global-dedup undirected edges — one
-         ``groupby(packed key)`` exchange;
+    Stages (every exchange is a groupby over hash BUCKETS — key %% P,
+    never one Ray group per key, the many-tiny-groups map_groups
+    pitfall — with fully vectorized in-partition kernels):
+      1. canonicalize + global-dedup undirected edges (same packed key
+         -> same bucket, per-bucket ``np.unique``);
       2. degree vector via combiner partials (node-sized, broadcast via
          ``ray.put`` under the same MAX_BROADCAST_NODES contract as
          :func:`pagerank`; a 1e10-node graph would attach degrees with a
          hash-partitioned join instead — documented, not built);
-      3. orient + emit wedges per src group (``groupby(lo)`` exchange,
-         out-lists bounded by step 2's orientation);
+      3. orient + emit wedges (``groupby(lo %% P)``; per-src runs found
+         by sort inside the bucket, all later-neighbor pairs generated
+         by one repeat/offset expansion — no per-node Python loop;
+         out-run length bounded by step 2's orientation);
       4. closure: wedges keyed by their open pair (v, w) union the
-         oriented edges keyed by themselves, ``groupby(key)`` — a wedge
-         group containing an edge row is a triangle;
+         oriented edges keyed by themselves, ``groupby(key %% P)`` —
+         wedge keys matched against the bucket's sorted edge keys via
+         ``searchsorted``;
       5. per-node COUNT partials out of step 4 (output-sized), tiny
          final reduce.
 
@@ -485,6 +489,7 @@ def triangle_counts(edges: rd.Dataset, n_nodes: int) -> pd.DataFrame:
             f"join for doc-scale graphs")
 
     n = np.int64(n_nodes)
+    P = np.int64(64)
 
     def canon(df: pd.DataFrame) -> pd.DataFrame:
         s = df["src"].to_numpy(dtype=np.int64)
@@ -493,16 +498,15 @@ def triangle_counts(edges: rd.Dataset, n_nodes: int) -> pd.DataFrame:
         s, d = s[keep], d[keep]
         a = np.minimum(s, d)
         b = np.maximum(s, d)
-        key = a * n + b
-        key = np.unique(key)  # local dedup before the exchange
-        return pd.DataFrame({"key": key})
+        key = np.unique(a * n + b)  # local dedup before the exchange
+        return pd.DataFrame({"key": key, "part": key % P})
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(g["key"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"a": key // n, "b": key % n})
 
     und = (edges.map_batches(canon, batch_format="pandas")
-           .groupby("key")
-           .map_groups(lambda g: g.iloc[:1], batch_format="pandas")
-           .map_batches(lambda df: pd.DataFrame({
-               "a": df["key"].to_numpy() // n,
-               "b": df["key"].to_numpy() % n}), batch_format="pandas")
+           .groupby("part").map_groups(dedup_bucket, batch_format="pandas")
            .materialize())
 
     def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -528,25 +532,37 @@ def triangle_counts(edges: rd.Dataset, n_nodes: int) -> pd.DataFrame:
         flip = r[a] > r[b]
         lo = np.where(flip, b, a)
         hi = np.where(flip, a, b)
-        return pd.DataFrame({"lo": lo, "hi": hi})
+        return pd.DataFrame({"lo": lo, "hi": hi, "part": lo % P})
 
     oriented = und.map_batches(orient, batch_format="pandas").materialize()
 
-    def wedges(g: pd.DataFrame, _ref=rank_ref) -> pd.DataFrame:
+    def wedges_bucket(g: pd.DataFrame, _ref=rank_ref) -> pd.DataFrame:
         r = ray.get(_ref)
-        u = np.int64(g["lo"].iloc[0])
-        nb = g["hi"].to_numpy(dtype=np.int64)
-        nb = nb[np.argsort(r[nb], kind="stable")]
-        if len(nb) < 2:
+        lo = g["lo"].to_numpy(dtype=np.int64)
+        hi = g["hi"].to_numpy(dtype=np.int64)
+        # sort by (lo, rank(hi)): per-src runs, rank-ascending neighbors
+        o = np.lexsort((r[hi], lo))
+        lo, hi = lo[o], hi[o]
+        # k[t] = number of LATER same-run elements pairing with t
+        run_start = np.nonzero(np.concatenate(
+            [[True], lo[1:] != lo[:-1]]))[0]
+        run_len = np.diff(np.append(run_start, len(lo)))
+        run_end = np.repeat(run_start + run_len, run_len)
+        k = run_end - np.arange(len(lo)) - 1
+        total = int(k.sum())
+        if not total:
             return pd.DataFrame({"key": np.array([], dtype=np.int64),
                                  "u": np.array([], dtype=np.int64),
                                  "is_edge": np.array([], dtype=np.int64)})
-        iu, iv = np.triu_indices(len(nb), k=1)
-        v, w = nb[iu], nb[iv]  # rank(v) < rank(w) by the sort above
-        return pd.DataFrame({"key": v * n + w, "u": np.full(len(v), u),
-                             "is_edge": np.zeros(len(v), dtype=np.int64)})
+        idx_i = np.repeat(np.arange(len(lo)), k)
+        off = np.arange(total) - np.repeat(np.cumsum(k) - k, k) + 1
+        idx_j = idx_i + off
+        v, w = hi[idx_i], hi[idx_j]  # rank(v) < rank(w) by the sort
+        return pd.DataFrame({"key": v * n + w, "u": lo[idx_i],
+                             "is_edge": np.zeros(total, dtype=np.int64)})
 
-    wedge_ds = oriented.groupby("lo").map_groups(wedges, batch_format="pandas")
+    wedge_ds = oriented.groupby("part").map_groups(
+        wedges_bucket, batch_format="pandas")
     edge_keys = oriented.map_batches(
         lambda df: pd.DataFrame({
             "key": df["lo"].to_numpy(dtype=np.int64) * n
@@ -554,26 +570,34 @@ def triangle_counts(edges: rd.Dataset, n_nodes: int) -> pd.DataFrame:
             "u": np.full(len(df), -1, dtype=np.int64),
             "is_edge": np.ones(len(df), dtype=np.int64)}),
         batch_format="pandas")
+    tagged = (wedge_ds.union(edge_keys)).map_batches(
+        lambda df: df.assign(part=df["key"].to_numpy(dtype=np.int64) % P),
+        batch_format="pandas")
 
-    def close(g: pd.DataFrame) -> pd.DataFrame:
-        if int(g["is_edge"].max()) != 1:
+    def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["is_edge"].to_numpy(dtype=np.int64) == 1
+        ek = np.sort(g.loc[is_edge, "key"].to_numpy(dtype=np.int64))
+        wk = g.loc[~is_edge, "key"].to_numpy(dtype=np.int64)
+        wu = g.loc[~is_edge, "u"].to_numpy(dtype=np.int64)
+        if not len(ek) or not len(wk):
             return pd.DataFrame({"node": np.array([], dtype=np.int64),
                                  "c": np.array([], dtype=np.int64)})
-        wu = g.loc[g["is_edge"] == 0, "u"].to_numpy(dtype=np.int64)
-        if not len(wu):
+        pos = np.searchsorted(ek, wk)
+        pos[pos >= len(ek)] = len(ek) - 1
+        hit = ek[pos] == wk
+        if not hit.any():
             return pd.DataFrame({"node": np.array([], dtype=np.int64),
                                  "c": np.array([], dtype=np.int64)})
-        key = np.int64(g["key"].iloc[0])
-        v, w = key // n, key % n
-        # each closed wedge credits u once; v and w get len(wu) each
-        return pd.DataFrame({
-            "node": np.concatenate([wu, [v, w]]),
-            "c": np.concatenate([np.ones(len(wu), dtype=np.int64),
-                                 [len(wu), len(wu)]])})
+        wk, wu = wk[hit], wu[hit]
+        # each closed wedge credits its u, v, w once; compress per bucket
+        nodes = np.concatenate([wu, wk // n, wk % n])
+        s = pd.Series(1, index=nodes).groupby(level=0).sum()
+        return pd.DataFrame({"node": s.index.to_numpy(),
+                             "c": s.to_numpy()})
 
-    partials = (wedge_ds.union(edge_keys)
-                .groupby("key").map_groups(close, batch_format="pandas")
-                .to_pandas())  # output-sized: one row per (triangle, node)
+    partials = (tagged.groupby("part")
+                .map_groups(close_bucket, batch_format="pandas")
+                .to_pandas())  # output-sized partial counts per bucket
     if len(partials):
         cnt = partials.groupby("node")["c"].sum()
     else:
