@@ -1,0 +1,231 @@
+"""Scale probes for the round-4 operator additions: run each new
+operator on synthetic input 10-100x the sf0.1 bench scale and report
+wall time + output sanity.  Mirrors the round-3 probe protocol
+(BASELINE.md scale-trend evidence).
+
+Usage: python scripts/probe_r4_ops.py [probe ...]
+Probes: triangle join cdc dsir pca
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+
+def probe_triangle() -> dict:
+    """2M-edge power-law-ish multigraph over 200k nodes."""
+    from icrawler_ray.stages.linkgraph import triangle_counts
+
+    n = 200_000
+    rng = np.random.default_rng(11)
+    m = 2_000_000
+    # skewed endpoints: hub nodes get a large share of edges
+    src = (rng.zipf(1.3, m) - 1) % n
+    dst = (src + 1 + (rng.zipf(1.3, m) - 1)) % n
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": src.astype(np.int64), "dst": dst.astype(np.int64)})
+    ).repartition(64)
+    t0 = time.time()
+    out = triangle_counts(edges, n)
+    dt = time.time() - t0
+    return {"probe": "triangle", "nodes": n, "edges": m,
+            "sec": round(dt, 2), "total_triangles": int(out["tri"].sum()) // 3}
+
+
+def probe_join() -> dict:
+    """5M-row probe side with one key holding 20% of rows (planted hot
+    key) joined against a 1M-row build side."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    rng = np.random.default_rng(5)
+    n, nb = 5_000_000, 1_000_000
+    keys = rng.integers(0, nb, n)
+    hot_mask = rng.random(n) < 0.2
+    keys[hot_mask] = 777
+    probe = pd.DataFrame({"k": keys.astype(np.int64),
+                          "rowid": np.arange(n, dtype=np.int64),
+                          "val": rng.random(n)})
+    build = pd.DataFrame({"k": np.arange(nb, dtype=np.int64),
+                          "grp": (np.arange(nb) % 13).astype(np.int64)})
+
+    def agg(j: pd.DataFrame) -> pd.DataFrame:
+        g = j.groupby("grp")["val"]
+        return pd.DataFrame({"grp": g.sum().index, "n": g.size().to_numpy(),
+                             "s": g.sum().to_numpy()})
+
+    t0 = time.time()
+    parts = salted_hash_join(
+        rd.from_pandas(probe).repartition(64),
+        rd.from_pandas(build).repartition(32),
+        "k", salt=16, hot_threshold=100_000, num_partitions=64,
+        probe_salt_col="rowid", agg_fn=agg).to_pandas()
+    out = parts.groupby("grp").agg(n=("n", "sum"), s=("s", "sum"))
+    dt = time.time() - t0
+    assert int(out["n"].sum()) == n
+    return {"probe": "join", "probe_rows": n, "build_rows": nb,
+            "hot_share": 0.2, "sec": round(dt, 2)}
+
+
+def probe_cdc() -> dict:
+    """200k docs (~60 MB text) with planted cross-doc duplicate regions."""
+    from icrawler_ray.stages.textfns import cdc_chunk_rows
+
+    n = 200_000
+
+    def gen(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy()
+        rng = np.random.default_rng(int(ids[0]))
+        texts = []
+        shared = ("a shared boilerplate passage that recurs across the "
+                  "corpus with different surroundings " * 3)
+        for i in ids:
+            body = " ".join(rng.choice(
+                ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"],
+                40).tolist())
+            texts.append(body + " " + shared + " " + body[::-1])
+        return pd.DataFrame({"doc_id": ids, "text": texts})
+
+    docs = rd.range(n).map_batches(gen, batch_format="pandas")
+    P = 64
+    t0 = time.time()
+    rows = docs.map_batches(cdc_chunk_rows, batch_format="pyarrow")
+    rows = rows.map_batches(
+        lambda df: df.assign(part=(df["h"].to_numpy(dtype=np.int64)
+                                   % np.int64(P) + P) % P),
+        batch_format="pandas")
+
+    def first_of_run(g: pd.DataFrame) -> pd.DataFrame:
+        rank = (g["doc_id"].to_numpy(dtype=np.uint64) << np.uint64(32)) \
+            | g["start"].to_numpy(dtype=np.uint64)
+        o = np.lexsort((rank, g["h"].to_numpy()))
+        h_sorted = g["h"].to_numpy()[o]
+        kept = np.ones(len(g), dtype=bool)
+        kept[1:] = h_sorted[1:] != h_sorted[:-1]
+        return pd.DataFrame({"n": [len(g)], "k": [int(kept.sum())]})
+
+    parts = (rows.groupby("part")
+             .map_groups(first_of_run, batch_format="pandas")).to_pandas()
+    dt = time.time() - t0
+    return {"probe": "cdc", "docs": n, "chunks": int(parts["n"].sum()),
+            "kept": int(parts["k"].sum()), "sec": round(dt, 2)}
+
+
+def probe_dsir() -> dict:
+    """DSIR passes over 200k synthetic docs."""
+    from icrawler_ray.stages.dedup import md5_pair
+
+    n = 200_000
+    B = 1024
+
+    def gen(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy()
+        rng = np.random.default_rng(int(ids[0]))
+        vocab = np.array([f"tok{i}" for i in range(5000)])
+        texts = [" ".join(rng.choice(vocab, 60).tolist()) for _ in ids]
+        return pd.DataFrame({"doc_id": ids, "text": texts,
+                             "source": np.where(ids % 10 == 0, "tgt", "bg")})
+
+    docs = rd.range(n).map_batches(gen, batch_format="pandas").materialize()
+
+    def pass1(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].str.split(" ").explode()
+        uniq, inv = np.unique(ex.to_numpy(), return_inverse=True)
+        bk = (md5_pair(uniq)[:, 0] % np.uint64(B)).astype(np.int64)[inv]
+        tgt = df["source"].eq("tgt").reindex(ex.index).to_numpy()
+        g = pd.DataFrame({"t": tgt, "b": bk}).groupby(["t", "b"]).size()
+        gi = g.index.to_frame(index=False)
+        return pd.DataFrame({"t": gi["t"].to_numpy(),
+                             "b": gi["b"].to_numpy(), "n": g.to_numpy()})
+
+    t0 = time.time()
+    parts = docs.map_batches(pass1, batch_format="pandas").to_pandas()
+    vec_t = np.zeros(B)
+    vec_b = np.zeros(B)
+    for t, vec in ((True, vec_t), (False, vec_b)):
+        sub = parts[parts["t"] == t].groupby("b")["n"].sum()
+        vec[sub.index.to_numpy()] = sub.to_numpy()
+    lam = (np.log((vec_t + 1.0) / (vec_t.sum() + B))
+           - np.log((vec_b + 1.0) / (vec_b.sum() + B)))
+    lam_ref = ray.put(lam)
+
+    def pass2(df: pd.DataFrame) -> pd.DataFrame:
+        lam_v = ray.get(lam_ref)
+        ex = df["text"].str.split(" ").explode()
+        uniq, inv = np.unique(ex.to_numpy(), return_inverse=True)
+        bk = (md5_pair(uniq)[:, 0] % np.uint64(B)).astype(np.int64)[inv]
+        ssum = pd.Series(lam_v[bk], index=ex.index).groupby(level=0).sum()
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "score": ssum.reindex(df.index).to_numpy()})
+
+    out = docs.map_batches(pass2, batch_format="pandas")
+    n_out = out.count()
+    dt = time.time() - t0
+    return {"probe": "dsir", "docs": n, "scored": n_out, "sec": round(dt, 2)}
+
+
+def probe_pca() -> dict:
+    """PCA combiner over 1M x 64 synthetic embeddings."""
+    n, d = 1_000_000, 64
+
+    def gen(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy()
+        rng = np.random.default_rng(int(ids[0]))
+        m = rng.standard_normal((len(ids), d))
+        m[:, 3] *= 5.0  # dominant direction
+        return pd.DataFrame({"vec_id": ids,
+                             "embedding": [r.tolist() for r in m]})
+
+    ds = rd.range(n).map_batches(gen, batch_format="pandas").materialize()
+
+    def cov_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray(df["embedding"].tolist())
+        c = m.T @ m
+        i, j = np.meshgrid(np.arange(d, dtype=np.int64),
+                           np.arange(d, dtype=np.int64), indexing="ij")
+        return pd.DataFrame({"i": i.ravel(), "j": j.ravel(), "c": c.ravel()})
+
+    t0 = time.time()
+    parts = ds.map_batches(cov_partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["i", "j"])["c"].sum()
+    C = np.zeros((d, d))
+    C[g.index.get_level_values(0), g.index.get_level_values(1)] = g.to_numpy()
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(3):
+        v = C @ v
+        v /= np.sqrt(np.sum(v * v))
+    dt = time.time() - t0
+    top = int(np.argmax(np.abs(v)))
+    return {"probe": "pca", "rows": n, "dim": d, "sec": round(dt, 2),
+            "top_dim": top}
+
+
+PROBES = {"triangle": probe_triangle, "join": probe_join, "cdc": probe_cdc,
+          "dsir": probe_dsir, "pca": probe_pca}
+
+
+def main() -> None:
+    import json
+    import logging
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    rd.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    names = sys.argv[1:] or list(PROBES)
+    for name in names:
+        print(json.dumps(PROBES[name]()), flush=True)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
