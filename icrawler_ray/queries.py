@@ -3759,6 +3759,174 @@ ORDER BY f.cohort, "offset"
 """
 
 
+
+
+#: winnowing parameters: 6-char gram polynomial hash (base 31, M31),
+#: window of 4 grams, boilerplate guard, top-k pair report
+WINNOW_K = 6
+WINNOW_W = 4
+WINNOW_MAXPOST = 50
+WINNOW_TOP = 20
+_WIN_POWS = [31 ** (WINNOW_K - 1 - j) for j in range(WINNOW_K)]
+
+
+def q_winnow_pairs(sf_dir: str):
+    """Winnowing fingerprint pairs (Schleimer et al., SIGMOD'03 — the
+    MOSS local-similarity algorithm): each doc's fingerprints are the
+    window minima of its rolling 6-gram hashes; doc pairs ranked by
+    shared-fingerprint count.  Winnowing guarantees any shared run of
+    >= K + W - 1 chars yields a shared fingerprint — LOCAL similarity,
+    complementing the whole-doc minhash/simhash family.
+
+    Scale shape: per-doc fingerprinting is one vectorized pass (text
+    never leaves its task; fingerprints are 8-byte ints); the exchange
+    groups fingerprint postings by hash BUCKET; fingerprints posted by
+    more than WINNOW_MAXPOST docs are dropped inside their bucket (the
+    standard boilerplate guard — exactly replayed in SQL, so no
+    unbounded n² on a hot fingerprint); pair counts leave buckets as
+    output-sized partials."""
+    M31 = (1 << 31) - 1
+    P = 32
+    pows = np.array(_WIN_POWS, dtype=np.int64)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fingerprints(df: pd.DataFrame) -> pd.DataFrame:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        out_doc, out_fp = [], []
+        for did, t in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32
+                               ).astype(np.int64)
+            if len(cp) < WINNOW_K:
+                continue
+            g = (sliding_window_view(cp, WINNOW_K) @ pows) % M31
+            if len(g) < WINNOW_W:
+                fps = np.unique(g.min(keepdims=True))
+            else:
+                fps = np.unique(sliding_window_view(g, WINNOW_W).min(axis=1))
+            out_doc.append(np.full(len(fps), did, dtype=np.int64))
+            out_fp.append(fps)
+        if not out_doc:
+            return pd.DataFrame({"fp": pd.Series(dtype=np.int64),
+                                 "doc_id": pd.Series(dtype=np.int64)})
+        fp = np.concatenate(out_fp)
+        return pd.DataFrame({"fp": fp,
+                             "doc_id": np.concatenate(out_doc),
+                             "part": fp % np.int64(P)})
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        fp = g["fp"].to_numpy(dtype=np.int64)
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        o = np.lexsort((doc, fp))
+        fp, doc = fp[o], doc[o]
+        start = np.nonzero(np.concatenate([[True], fp[1:] != fp[:-1]]))[0]
+        size = np.diff(np.append(start, len(fp)))
+        # boilerplate guard: drop fingerprints with too many postings
+        live = size <= WINNOW_MAXPOST
+        keep = np.repeat(live, size)
+        fp, doc = fp[keep], doc[keep]
+        start = np.nonzero(np.concatenate([[True], fp[1:] != fp[:-1]]))[0]
+        size = np.diff(np.append(start, len(fp)))
+        run_end = np.repeat(start + size, size)
+        k = run_end - np.arange(len(fp)) - 1
+        total = int(k.sum())
+        if not total:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "c": pd.Series(dtype=np.int64)})
+        idx_i = np.repeat(np.arange(len(fp)), k)
+        off = np.arange(total) - np.repeat(np.cumsum(k) - k, k) + 1
+        idx_j = idx_i + off
+        a, b = doc[idx_i], doc[idx_j]  # doc asc within fp run -> a < b
+        gg = pd.DataFrame({"a": a, "b": b}).groupby(["a", "b"]).size()
+        gi = gg.index.to_frame(index=False)
+        return pd.DataFrame({"a": gi["a"].to_numpy(),
+                             "b": gi["b"].to_numpy(),
+                             "c": gg.to_numpy()})
+
+    parts = (docs.map_batches(fingerprints, batch_format="pandas")
+             .groupby("part").map_groups(pairs_bucket, batch_format="pandas")
+             ).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                             "doc_b": pd.Series(dtype=np.int64),
+                             "n_shared": pd.Series(dtype=np.int64)})
+    agg = parts.groupby(["a", "b"], as_index=False)["c"].sum()
+    agg = agg.sort_values(["c", "a", "b"],
+                          ascending=[False, True, True]).head(WINNOW_TOP)
+    return pd.DataFrame({"doc_a": agg["a"].to_numpy(),
+                         "doc_b": agg["b"].to_numpy(),
+                         "n_shared": agg["c"].to_numpy().astype(np.int64)})
+
+
+SQL_WINNOW_PAIRS = f"""
+WITH g AS (
+  SELECT doc_id, i,
+         ({" + ".join(f"CAST(ord(substr(text, i + {j}, 1)) AS BIGINT) * {p}"
+                      for j, p in enumerate(_WIN_POWS))}) % 2147483647 AS h
+  FROM (SELECT doc_id, text,
+               unnest(range(1, length(text) - {WINNOW_K - 2})) AS i
+        FROM documents WHERE length(text) >= {WINNOW_K})),
+w AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW
+                      AND {WINNOW_W - 1} FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS ng
+  FROM g),
+fps AS (SELECT DISTINCT doc_id, fp FROM w
+        WHERE i <= GREATEST(ng - {WINNOW_W - 1}, 1)),
+live AS (SELECT fp FROM fps GROUP BY fp
+         HAVING COUNT(*) <= {WINNOW_MAXPOST}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE a.fp IN (SELECT fp FROM live)
+  GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs ORDER BY n_shared DESC, doc_a, doc_b LIMIT {WINNOW_TOP}
+"""
+
+
+
+
+def _kcore_sweep_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (SELECT s.u AS node FROM sym s
+          JOIN {prev} x ON x.node = s.u
+          JOIN {prev} y ON y.node = s.v
+          GROUP BY s.u HAVING COUNT(*) >= 2)"""
+
+
+def q_kcore(sf_dir: str):
+    """2-core membership after 3 fixed peeling sweeps over the derived
+    link graph (stages/linkgraph.py::kcore_membership) — the
+    tightly-knit-community / spam-farm signal next to PageRank and
+    triangles; fixed sweeps so the SQL oracle unrolls identically."""
+    from icrawler_ray.stages.linkgraph import derive_edges, kcore_membership
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    return kcore_membership(derive_edges(docs, n), n, k=2, sweeps=3)
+
+
+SQL_KCORE = f"""
+WITH {_SQL_EDGES_CTE},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges),
+sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+a0 AS (SELECT doc_id AS node FROM documents),
+{_kcore_sweep_sql("a0", "a1")},
+{_kcore_sweep_sql("a1", "a2")},
+{_kcore_sweep_sql("a2", "a3")}
+SELECT d.doc_id AS node,
+       CAST(CASE WHEN a3.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS in_core
+FROM documents d LEFT JOIN a3 ON a3.node = d.doc_id
+ORDER BY node
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -3858,6 +4026,8 @@ QUERIES = {
     "embedding_pca": q_embedding_pca,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
+    "winnow_pairs": q_winnow_pairs,
+    "kcore": q_kcore,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -3952,4 +4122,6 @@ ORACLE_SQL = {
     "embedding_pca": SQL_EMBEDDING_PCA,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "winnow_pairs": SQL_WINNOW_PAIRS,
+    "kcore": SQL_KCORE,
 }

@@ -40,7 +40,7 @@ import ray.data as rd
 
 __all__ = ["derive_edges", "degree_table", "pagerank", "pagerank_partitioned",
            "connected_components", "pairs_components", "triangle_counts",
-           "hits"]
+           "hits", "kcore_membership"]
 
 #: Broadcast-iterate CC/PageRank hold a dense ``n_nodes`` vector on the
 #: driver and ship it per sweep — fine for the HOST-level graphs they
@@ -655,3 +655,66 @@ def hits(edges: rd.Dataset, n_nodes: int, *, iters: int = 2) -> pd.DataFrame:
         hub = _sweep(auth, "dst", "src")
     return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
                          "hub": hub, "auth": auth})
+
+
+def kcore_membership(edges: rd.Dataset, n_nodes: int, *, k: int = 2,
+                     sweeps: int = 4) -> pd.DataFrame:
+    """k-core membership after a FIXED number of peeling sweeps: each
+    sweep removes every node whose degree within the surviving induced
+    subgraph is < k.  The k-core (spam-farm / tightly-knit community
+    signal; Seidman 1983) is the fixpoint; a fixed sweep count keeps
+    the computation identical to the unrolled SQL oracle — pick
+    ``sweeps`` >= peel depth for the true core.
+
+    Same discipline as the other dense-vector variants: canonical edge
+    dedup via a bucketed groupby, then per sweep one broadcast of the
+    alive bitmap (``ray.put``) and per-block surviving-degree COUNT
+    partials (output-sized).  Subject to MAX_BROADCAST_NODES."""
+    if n_nodes > MAX_BROADCAST_NODES:
+        raise ValueError(
+            f"kcore_membership broadcasts an alive bitmap; n_nodes="
+            f"{n_nodes} exceeds MAX_BROADCAST_NODES={MAX_BROADCAST_NODES}")
+    n = np.int64(n_nodes)
+    P = np.int64(64)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src"].to_numpy(dtype=np.int64)
+        d = df["dst"].to_numpy(dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        key = np.unique(np.minimum(s, d) * n + np.maximum(s, d))
+        return pd.DataFrame({"key": key, "part": key % P})
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(g["key"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"a": key // n, "b": key % n})
+
+    und = (edges.map_batches(canon, batch_format="pandas")
+           .groupby("part").map_groups(dedup_bucket, batch_format="pandas")
+           .materialize())
+
+    alive = np.ones(n_nodes, dtype=bool)
+    for _ in range(sweeps):
+        ref = ray.put(alive)
+
+        def part(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            al = ray.get(_ref)
+            a = df["a"].to_numpy(dtype=np.int64)
+            b = df["b"].to_numpy(dtype=np.int64)
+            both = al[a] & al[b]
+            node = np.concatenate([a[both], b[both]])
+            if not len(node):
+                return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                     "c": pd.Series(dtype=np.int64)})
+            s = pd.Series(1, index=node).groupby(level=0).sum()
+            return pd.DataFrame({"node": s.index.to_numpy(),
+                                 "c": s.to_numpy()})
+
+        partials = und.map_batches(part, batch_format="pandas").to_pandas()
+        deg = np.zeros(n_nodes, dtype=np.int64)
+        if len(partials):
+            agg = partials.groupby("node")["c"].sum()
+            deg[agg.index.to_numpy()] = agg.to_numpy()
+        alive = alive & (deg >= k)
+    return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
+                         "in_core": alive.astype(np.int64)})

@@ -1155,3 +1155,32 @@ def test_semantic_dedup_hot_cluster_guard_parity(ray_session):
     pd.testing.assert_frame_equal(
         dense.reset_index(drop=True),
         routed.astype(dense.dtypes.to_dict()).reset_index(drop=True))
+
+
+def test_winnow_pairs_planted_local_overlap(ray_session, tmp_path):
+    """Winnowing guarantee: docs sharing a long region produce shared
+    fingerprints and rank first; unrelated docs share none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from icrawler_ray.queries import q_winnow_pairs
+
+    shared = ("the quick brown fox jumps over the lazy dog again and "
+              "again without stopping for breath at any point " * 3)
+    rows = [
+        {"doc_id": 0, "text": "prefix one. " + shared + " suffix alpha"},
+        {"doc_id": 1, "text": "a very different opening here! " + shared
+                              + " closing words beta"},
+        {"doc_id": 2, "text": "zxqv " * 80},
+        {"doc_id": 3, "text": "wmty " * 80},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    out = q_winnow_pairs(str(tmp_path))
+    assert len(out) >= 1
+    top = out.iloc[0]
+    assert (int(top.doc_a), int(top.doc_b)) == (0, 1)
+    assert int(top.n_shared) >= 5
+    # the unrelated pure-repetition docs never pair with the planted two
+    pairset = set(zip(out.doc_a.astype(int), out.doc_b.astype(int)))
+    assert not any((a in (2, 3)) ^ (b in (2, 3)) for a, b in pairset)

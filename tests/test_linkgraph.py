@@ -341,3 +341,29 @@ def test_hits_matches_numpy_reference(graph):
     out = hits(derive_edges(docs, n), n, iters=3)
     np.testing.assert_allclose(out["hub"].to_numpy(), hub, rtol=1e-9)
     np.testing.assert_allclose(out["auth"].to_numpy(), auth, rtol=1e-9)
+
+
+def test_kcore_planted_and_bruteforce(graph):
+    from icrawler_ray.stages.linkgraph import derive_edges, kcore_membership
+
+    # planted: K4 survives 2-core peeling, pendant chain dissolves
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    chain = [(3, 4), (4, 5), (5, 6)]
+    edges = pd.DataFrame(k4 + chain, columns=["src", "dst"])
+    out = kcore_membership(rd.from_pandas(edges).repartition(3), 8,
+                           k=2, sweeps=4)
+    assert out["in_core"].tolist() == [1, 1, 1, 1, 0, 0, 0, 0]
+
+    # fixed-sweep parity vs a numpy peeling reference on the fixture graph
+    n, docs, ref = graph
+    adj = np.zeros((n, n), dtype=bool)
+    adj[ref[:, 0], ref[:, 1]] = True
+    adj = adj | adj.T
+    np.fill_diagonal(adj, False)
+    alive = np.ones(n, dtype=bool)
+    for _ in range(3):
+        deg = (adj & alive[None, :] & alive[:, None]).sum(axis=1)
+        alive = alive & (deg >= 2)
+    got = kcore_membership(derive_edges(docs, n), n, k=2, sweeps=3)
+    np.testing.assert_array_equal(got["in_core"].to_numpy(),
+                                  alive.astype(np.int64))
