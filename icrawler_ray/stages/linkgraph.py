@@ -445,7 +445,8 @@ def pagerank_partitioned(edges: rd.Dataset, n_nodes: int, *, iters: int = 5,
     return out.sort_values("node").reset_index(drop=True)
 
 
-def triangle_counts(edges: rd.Dataset, n_nodes: int) -> pd.DataFrame:
+def triangle_counts(edges: rd.Dataset, n_nodes: int, *,
+                    deg_mode: str = "broadcast") -> pd.DataFrame:
     """Per-node triangle participation counts via degree-ordered edge
     orientation (the classic MapReduce triangle algorithm: Suri &
     Vassilvitskii, "Counting Triangles and the Curse of the Last
@@ -463,10 +464,13 @@ def triangle_counts(edges: rd.Dataset, n_nodes: int) -> pd.DataFrame:
     pitfall — with fully vectorized in-partition kernels):
       1. canonicalize + global-dedup undirected edges (same packed key
          -> same bucket, per-bucket ``np.unique``);
-      2. degree vector via combiner partials (node-sized, broadcast via
-         ``ray.put`` under the same MAX_BROADCAST_NODES contract as
-         :func:`pagerank`; a 1e10-node graph would attach degrees with a
-         hash-partitioned join instead — documented, not built);
+      2. degrees — ``deg_mode="broadcast"`` (default): node-sized
+         vector via combiner partials, ``ray.put`` once, under the
+         same MAX_BROADCAST_NODES contract as :func:`pagerank`;
+         ``deg_mode="partitioned"``: degrees stay hash-partitioned
+         (node %% P) rows and are attached to each edge endpoint by
+         two bucketed-groupby joins — NO dense vector anywhere, the
+         doc-scale path (1e-parity-tested against broadcast);
       3. orient + emit wedges (``groupby(lo %% P)``; per-src runs found
          by sort inside the bucket, all later-neighbor pairs generated
          by one repeat/offset expansion — no per-node Python loop;
@@ -481,12 +485,11 @@ def triangle_counts(edges: rd.Dataset, n_nodes: int) -> pd.DataFrame:
     Returns (node, tri) for all ``n_nodes`` nodes, sorted by node.
     Packed int64 keys require ``n_nodes < 3e9``; beyond that use a
     struct key (two-column groupby)."""
-    if n_nodes > MAX_BROADCAST_NODES:
+    if deg_mode == "broadcast" and n_nodes > MAX_BROADCAST_NODES:
         raise ValueError(
-            f"triangle_counts broadcasts a dense degree/rank vector; "
-            f"n_nodes={n_nodes} exceeds MAX_BROADCAST_NODES="
-            f"{MAX_BROADCAST_NODES} — attach degrees via a partitioned "
-            f"join for doc-scale graphs")
+            f"triangle_counts(deg_mode='broadcast') holds a dense degree "
+            f"vector; n_nodes={n_nodes} exceeds MAX_BROADCAST_NODES="
+            f"{MAX_BROADCAST_NODES} — use deg_mode='partitioned'")
 
     n = np.int64(n_nodes)
     P = np.int64(64)
@@ -514,34 +517,90 @@ def triangle_counts(edges: rd.Dataset, n_nodes: int) -> pd.DataFrame:
             [df["a"].to_numpy(), df["b"].to_numpy()])).groupby(level=0).sum()
         return pd.DataFrame({"node": s.index.to_numpy(), "c": s.to_numpy()})
 
-    deg_partials = und.map_batches(
-        _deg_partial, batch_format="pandas").to_pandas()
-    deg_small = deg_partials.groupby("node")["c"].sum()
-    deg = np.zeros(n_nodes, dtype=np.int64)
-    deg[deg_small.index.to_numpy()] = deg_small.to_numpy()
-    # total order: rank[v] = position of v sorted by (deg, id)
-    order = np.lexsort((np.arange(n_nodes), deg))
-    rank = np.empty(n_nodes, dtype=np.int64)
-    rank[order] = np.arange(n_nodes)
-    rank_ref = ray.put(rank)
+    # orientation order is LEXICOGRAPHIC (deg(v), v) — no dense rank
+    # positions needed, which is what makes the partitioned path possible
+    if deg_mode == "broadcast":
+        deg_partials = und.map_batches(
+            _deg_partial, batch_format="pandas").to_pandas()
+        deg_small = deg_partials.groupby("node")["c"].sum()
+        deg = np.zeros(n_nodes, dtype=np.int64)
+        deg[deg_small.index.to_numpy()] = deg_small.to_numpy()
+        deg_ref = ray.put(deg)
 
-    def orient(df: pd.DataFrame, _ref=rank_ref) -> pd.DataFrame:
-        r = ray.get(_ref)
-        a = df["a"].to_numpy(dtype=np.int64)
-        b = df["b"].to_numpy(dtype=np.int64)
-        flip = r[a] > r[b]
-        lo = np.where(flip, b, a)
-        hi = np.where(flip, a, b)
-        return pd.DataFrame({"lo": lo, "hi": hi, "part": lo % P})
+        def orient(df: pd.DataFrame, _ref=deg_ref) -> pd.DataFrame:
+            dv = ray.get(_ref)
+            a = df["a"].to_numpy(dtype=np.int64)
+            b = df["b"].to_numpy(dtype=np.int64)
+            flip = (dv[a] > dv[b]) | ((dv[a] == dv[b]) & (a > b))
+            lo = np.where(flip, b, a)
+            hi = np.where(flip, a, b)
+            dhi = np.where(flip, dv[a], dv[b])
+            return pd.DataFrame({"lo": lo, "hi": hi, "dhi": dhi,
+                                 "part": lo % P})
 
-    oriented = und.map_batches(orient, batch_format="pandas").materialize()
+        oriented = und.map_batches(orient, batch_format="pandas").materialize()
+    elif deg_mode == "partitioned":
+        deg_rows = (und.map_batches(
+            lambda df: _deg_partial(df).assign(
+                part=lambda d: d["node"].to_numpy() % P),
+            batch_format="pandas")
+            .groupby("part").map_groups(
+                lambda g: g.groupby("node", as_index=False)["c"].sum(),
+                batch_format="pandas"))
 
-    def wedges_bucket(g: pd.DataFrame, _ref=rank_ref) -> pd.DataFrame:
-        r = ray.get(_ref)
+        def _attach(ds: rd.Dataset, col: str, out_col: str) -> rd.Dataset:
+            """Bucketed-groupby join: attach deg(ds[col]) as ds[out_col]
+            without any dense vector (edges and (node, deg) rows meet in
+            their node's hash bucket)."""
+            e_cols = [c for c in ds.schema().names if c != "part"]
+            tag_e = ds.map_batches(
+                lambda df: df[e_cols].assign(
+                    part=df[col].to_numpy(dtype=np.int64) % P, kind=0,
+                    node=-1, c=0),
+                batch_format="pandas")
+            tag_d = deg_rows.map_batches(
+                lambda df: pd.DataFrame(
+                    {**{c: 0 for c in e_cols}, "part": df["node"] % P,
+                     "kind": 1, "node": df["node"], "c": df["c"]}),
+                batch_format="pandas")
+
+            def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+                e = g.loc[g["kind"] == 0, e_cols]
+                d = g.loc[g["kind"] == 1, ["node", "c"]]
+                out = e.merge(d, left_on=col, right_on="node") \
+                    .drop(columns="node").rename(columns={"c": out_col})
+                for c in e_cols + [out_col]:
+                    out[c] = out[c].astype(np.int64)
+                return out
+
+            return tag_e.union(tag_d).groupby("part").map_groups(
+                merge_bucket, batch_format="pandas")
+
+        withdeg = _attach(_attach(und, "a", "da"), "b", "db")
+
+        def orient_p(df: pd.DataFrame) -> pd.DataFrame:
+            a = df["a"].to_numpy(dtype=np.int64)
+            b = df["b"].to_numpy(dtype=np.int64)
+            da = df["da"].to_numpy(dtype=np.int64)
+            db = df["db"].to_numpy(dtype=np.int64)
+            flip = (da > db) | ((da == db) & (a > b))
+            lo = np.where(flip, b, a)
+            hi = np.where(flip, a, b)
+            dhi = np.where(flip, da, db)
+            return pd.DataFrame({"lo": lo, "hi": hi, "dhi": dhi,
+                                 "part": lo % P})
+
+        oriented = withdeg.map_batches(
+            orient_p, batch_format="pandas").materialize()
+    else:
+        raise ValueError(f"unknown deg_mode {deg_mode!r}")
+
+    def wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lo = g["lo"].to_numpy(dtype=np.int64)
         hi = g["hi"].to_numpy(dtype=np.int64)
-        # sort by (lo, rank(hi)): per-src runs, rank-ascending neighbors
-        o = np.lexsort((r[hi], lo))
+        dhi = g["dhi"].to_numpy(dtype=np.int64)
+        # sort by (lo, (deg(hi), hi)): per-src runs, order-ascending
+        o = np.lexsort((hi, dhi, lo))
         lo, hi = lo[o], hi[o]
         # k[t] = number of LATER same-run elements pairing with t
         run_start = np.nonzero(np.concatenate(

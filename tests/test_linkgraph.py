@@ -367,3 +367,14 @@ def test_kcore_planted_and_bruteforce(graph):
     got = kcore_membership(derive_edges(docs, n), n, k=2, sweeps=3)
     np.testing.assert_array_equal(got["in_core"].to_numpy(),
                                   alive.astype(np.int64))
+
+
+def test_triangle_counts_partitioned_matches_broadcast(graph):
+    """deg_mode='partitioned' (no dense degree vector, bucketed-join
+    degree attach) must equal the broadcast path exactly."""
+    from icrawler_ray.stages.linkgraph import derive_edges, triangle_counts
+
+    n, docs, ref = graph
+    broad = triangle_counts(derive_edges(docs, n), n)
+    part = triangle_counts(derive_edges(docs, n), n, deg_mode="partitioned")
+    pd.testing.assert_frame_equal(part, broad)
