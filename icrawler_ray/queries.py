@@ -3927,6 +3927,44 @@ ORDER BY node
 """
 
 
+
+
+def q_langid_confusion(sf_dir: str):
+    """Language-ID QA: confusion matrix of the stopword-profile
+    predictor against the labeled ``lang`` column — the calibration
+    check a corpus pipeline runs before trusting its language gates.
+    One pass: per-batch predictions (stages/textfns.py::langid_scores)
+    joined positionally to the batch's labels, (lang, pred) count
+    combiner partials, language²-sized reduce."""
+    from icrawler_ray.stages.textfns import langid_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = langid_scores(batch)
+        df = pd.DataFrame({"lang": batch["lang"].to_pylist(),
+                           "pred_lang": pred["pred_lang"].to_pylist()})
+        g = df.groupby(["lang", "pred_lang"]).size()
+        gi = g.index.to_frame(index=False)
+        return pa.table({"lang": pa.array(gi["lang"]),
+                         "pred_lang": pa.array(gi["pred_lang"]),
+                         "n": pa.array(g.to_numpy(), type=pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["lang", "pred_lang"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+
+
+SQL_LANGID_CONFUSION = f"""
+WITH pred AS ({{LANGID}})
+SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.pred_lang
+ORDER BY d.lang, p.pred_lang
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4028,6 +4066,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "winnow_pairs": q_winnow_pairs,
     "kcore": q_kcore,
+    "langid_confusion": q_langid_confusion,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -4124,4 +4163,5 @@ ORACLE_SQL = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "winnow_pairs": SQL_WINNOW_PAIRS,
     "kcore": SQL_KCORE,
+    "langid_confusion": SQL_LANGID_CONFUSION.replace("{LANGID}", SQL_LANGID),
 }
