@@ -40,7 +40,7 @@ import ray.data as rd
 
 __all__ = ["derive_edges", "degree_table", "pagerank", "pagerank_partitioned",
            "connected_components", "pairs_components", "triangle_counts",
-           "hits", "kcore_membership"]
+           "hits", "hits_partitioned", "kcore_membership"]
 
 #: Broadcast-iterate CC/PageRank hold a dense ``n_nodes`` vector on the
 #: driver and ship it per sweep — fine for the HOST-level graphs they
@@ -777,3 +777,119 @@ def kcore_membership(edges: rd.Dataset, n_nodes: int, *, k: int = 2,
         alive = alive & (deg >= k)
     return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
                          "in_core": alive.astype(np.int64)})
+
+
+def hits_partitioned(edges: rd.Dataset, n_nodes: int, *, iters: int = 2,
+                     num_partitions: int = 32) -> pd.DataFrame:
+    """Shuffle-variant HITS: scores live as hash-partitioned (node, s)
+    rows, never as a dense driver vector — the doc-scale path next to
+    :func:`hits`, exactly as :func:`pagerank_partitioned` is to
+    :func:`pagerank`.
+
+    Each half-step is two bucketed-groupby exchanges: (1) attach the
+    current score to each edge's contributing endpoint inside that
+    node's hash bucket and emit per-bucket partial sums keyed by the
+    receiving endpoint; (2) reduce the partials in the receiving
+    node's bucket.  The L2 norm is a scalar (per-bucket sum-of-squares
+    partials -> one driver float), so nothing node-sized ever sits on
+    the driver; only the FINAL result (output-sized by definition) is
+    collected.  Nodes with no edges score 0, as in the broadcast
+    variant."""
+    P = np.int64(num_partitions)
+    edges = edges.map_batches(
+        lambda df: pd.DataFrame({
+            "src": df["src"].to_numpy(dtype=np.int64),
+            "dst": df["dst"].to_numpy(dtype=np.int64)}),
+        batch_format="pandas").materialize()
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(np.concatenate(
+            [df["src"].to_numpy(dtype=np.int64),
+             df["dst"].to_numpy(dtype=np.int64)]))
+        return pd.DataFrame({"node": nodes, "part": nodes % P})
+
+    nodes_ds = (edges.map_batches(node_rows, batch_format="pandas")
+                .groupby("part").map_groups(
+                    lambda g: pd.DataFrame(
+                        {"node": np.unique(g["node"].to_numpy(dtype=np.int64))}),
+                    batch_format="pandas")
+                .map_batches(
+                    lambda df: df.assign(part=df["node"].to_numpy() % P),
+                    batch_format="pandas")
+                .materialize())
+
+    hub = nodes_ds.map_batches(
+        lambda df: df.assign(s=1.0), batch_format="pandas").materialize()
+
+    def _half_step(score: rd.Dataset, from_col: str,
+                   to_col: str) -> rd.Dataset:
+        """new_score(v) = sum over edges (from->to) of score[from],
+        L2-normalized; returns materialized (node, part, s) rows."""
+        e_tag = edges.map_batches(
+            lambda df: pd.DataFrame({
+                "part": df[from_col].to_numpy(dtype=np.int64) % P,
+                "kind": 0,
+                "f": df[from_col].to_numpy(dtype=np.int64),
+                "t": df[to_col].to_numpy(dtype=np.int64),
+                "s": np.zeros(len(df))}),
+            batch_format="pandas")
+        s_tag = score.map_batches(
+            lambda df: pd.DataFrame({
+                "part": df["node"].to_numpy(dtype=np.int64) % P,
+                "kind": 1,
+                "f": df["node"].to_numpy(dtype=np.int64),
+                "t": np.full(len(df), -1, dtype=np.int64),
+                "s": df["s"].to_numpy()}),
+            batch_format="pandas")
+
+        def contrib(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["kind"] == 0]
+            sc = g[g["kind"] == 1]
+            if not len(e) or not len(sc):
+                return pd.DataFrame({"part2": pd.Series(dtype=np.int64),
+                                     "t": pd.Series(dtype=np.int64),
+                                     "s": pd.Series(dtype=np.float64)})
+            m = e[["f", "t"]].merge(sc[["f", "s"]], on="f")
+            agg = m.groupby("t")["s"].sum()  # per-bucket combiner
+            t = agg.index.to_numpy(dtype=np.int64)
+            return pd.DataFrame({"part2": t % P, "t": t,
+                                 "s": agg.to_numpy()})
+
+        partials = (e_tag.union(s_tag).groupby("part")
+                    .map_groups(contrib, batch_format="pandas"))
+
+        raw = (partials.groupby("part2").map_groups(
+            lambda g: g.groupby("t", as_index=False)["s"].sum(),
+            batch_format="pandas")
+            .map_batches(
+                lambda df: pd.DataFrame({
+                    "node": df["t"].to_numpy(dtype=np.int64),
+                    "part": df["t"].to_numpy(dtype=np.int64) % P,
+                    "s": df["s"].to_numpy()}),
+                batch_format="pandas").materialize())
+
+        # scalar L2 norm: per-block sumsq partials -> one driver float
+        sq = raw.map_batches(
+            lambda df: pd.DataFrame({"ss": [float(np.sum(
+                df["s"].to_numpy() ** 2))]}),
+            batch_format="pandas").to_pandas()
+        nrm = float(np.sqrt(sq["ss"].sum())) if len(sq) else 0.0
+        if nrm <= 0:
+            return raw
+        return raw.map_batches(
+            lambda df: df.assign(s=df["s"].to_numpy() / nrm),
+            batch_format="pandas").materialize()
+
+    auth = hub
+    for _ in range(iters):
+        auth = _half_step(hub, "src", "dst")
+        hub = _half_step(auth, "dst", "src")
+
+    hub_df = hub.to_pandas().set_index("node")["s"]
+    auth_df = auth.to_pandas().set_index("node")["s"]
+    out_hub = np.zeros(n_nodes)
+    out_auth = np.zeros(n_nodes)
+    out_hub[hub_df.index.to_numpy()] = hub_df.to_numpy()
+    out_auth[auth_df.index.to_numpy()] = auth_df.to_numpy()
+    return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
+                         "hub": out_hub, "auth": out_auth})

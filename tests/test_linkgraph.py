@@ -378,3 +378,20 @@ def test_triangle_counts_partitioned_matches_broadcast(graph):
     broad = triangle_counts(derive_edges(docs, n), n)
     part = triangle_counts(derive_edges(docs, n), n, deg_mode="partitioned")
     pd.testing.assert_frame_equal(part, broad)
+
+
+def test_hits_partitioned_matches_broadcast(graph):
+    """The shuffle-variant HITS (scores as hash-partitioned rows, no
+    dense driver vector) must equal the broadcast variant
+    sweep-for-sweep — the doc-scale path vs the host-scale path."""
+    from icrawler_ray.stages.linkgraph import derive_edges, hits, hits_partitioned
+
+    n, docs, ref = graph
+    broad = hits(derive_edges(docs, n), n, iters=2)
+    part = hits_partitioned(derive_edges(docs, n), n, iters=2,
+                            num_partitions=5)
+    assert part["node"].tolist() == list(range(n))
+    np.testing.assert_allclose(part["hub"].to_numpy(),
+                               broad["hub"].to_numpy(), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(part["auth"].to_numpy(),
+                               broad["auth"].to_numpy(), rtol=1e-9, atol=1e-12)
