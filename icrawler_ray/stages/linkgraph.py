@@ -40,7 +40,8 @@ import ray.data as rd
 
 __all__ = ["derive_edges", "degree_table", "pagerank", "pagerank_partitioned",
            "connected_components", "pairs_components", "triangle_counts",
-           "hits", "hits_partitioned", "kcore_membership"]
+           "hits", "hits_partitioned", "kcore_membership",
+           "kcore_membership_partitioned"]
 
 #: Broadcast-iterate CC/PageRank hold a dense ``n_nodes`` vector on the
 #: driver and ship it per sweep — fine for the HOST-level graphs they
@@ -893,3 +894,103 @@ def hits_partitioned(edges: rd.Dataset, n_nodes: int, *, iters: int = 2,
     out_auth[auth_df.index.to_numpy()] = auth_df.to_numpy()
     return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
                          "hub": out_hub, "auth": out_auth})
+
+
+def kcore_membership_partitioned(edges: rd.Dataset, n_nodes: int, *,
+                                 k: int = 2, sweeps: int = 4,
+                                 num_partitions: int = 32) -> pd.DataFrame:
+    """Shuffle-variant k-core peeling: the alive set lives as
+    hash-partitioned (node,) rows and each sweep SEMI-JOINS the edge
+    set against it (once per endpoint, in that endpoint's hash bucket)
+    before recounting surviving degrees — no dense bitmap anywhere,
+    and the edge set only shrinks sweep over sweep (re-materialized,
+    so later sweeps scan less).  Doc-scale sibling of
+    :func:`kcore_membership`, exactly as :func:`pagerank_partitioned` /
+    :func:`hits_partitioned` are to their broadcast variants."""
+    n = np.int64(n_nodes)
+    P = np.int64(num_partitions)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src"].to_numpy(dtype=np.int64)
+        d = df["dst"].to_numpy(dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        key = np.unique(np.minimum(s, d) * n + np.maximum(s, d))
+        return pd.DataFrame({"key": key, "part": key % P})
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(g["key"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"a": key // n, "b": key % n})
+
+    live_edges = (edges.map_batches(canon, batch_format="pandas")
+                  .groupby("part").map_groups(dedup_bucket,
+                                              batch_format="pandas")
+                  .materialize())
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(np.concatenate(
+            [df["a"].to_numpy(dtype=np.int64),
+             df["b"].to_numpy(dtype=np.int64)]))
+        return pd.DataFrame({"node": nodes, "part": nodes % P})
+
+    alive = (live_edges.map_batches(node_rows, batch_format="pandas")
+             .groupby("part").map_groups(
+                 lambda g: pd.DataFrame(
+                     {"node": np.unique(g["node"].to_numpy(dtype=np.int64))}),
+                 batch_format="pandas").materialize())
+
+    def _semi_join(eds: rd.Dataset, al: rd.Dataset, col: str) -> rd.Dataset:
+        """Keep edges whose ``col`` endpoint is alive (bucketed)."""
+        e_tag = eds.map_batches(
+            lambda df: pd.DataFrame({
+                "part": df[col].to_numpy(dtype=np.int64) % P, "kind": 0,
+                "a": df["a"].to_numpy(dtype=np.int64),
+                "b": df["b"].to_numpy(dtype=np.int64)}),
+            batch_format="pandas")
+        a_tag = al.map_batches(
+            lambda df: pd.DataFrame({
+                "part": df["node"].to_numpy(dtype=np.int64) % P, "kind": 1,
+                "a": df["node"].to_numpy(dtype=np.int64),
+                "b": np.full(len(df), -1, dtype=np.int64)}),
+            batch_format="pandas")
+
+        def filt(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["kind"] == 0]
+            keep_set = np.sort(g.loc[g["kind"] == 1, "a"]
+                               .to_numpy(dtype=np.int64))
+            if not len(e) or not len(keep_set):
+                return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                     "b": pd.Series(dtype=np.int64)})
+            v = e[col].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(keep_set, v)
+            pos[pos >= len(keep_set)] = len(keep_set) - 1
+            hit = keep_set[pos] == v
+            return pd.DataFrame({"a": e["a"].to_numpy(dtype=np.int64)[hit],
+                                 "b": e["b"].to_numpy(dtype=np.int64)[hit]})
+
+        return e_tag.union(a_tag).groupby("part").map_groups(
+            filt, batch_format="pandas")
+
+    for _ in range(sweeps):
+        live_edges = _semi_join(
+            _semi_join(live_edges, alive, "a"), alive, "b").materialize()
+
+        deg_parts = live_edges.map_batches(
+            lambda df: (lambda s: pd.DataFrame(
+                {"node": s.index.to_numpy(), "c": s.to_numpy(),
+                 "part": s.index.to_numpy() % P}))(
+                pd.Series(1, index=np.concatenate(
+                    [df["a"].to_numpy(dtype=np.int64),
+                     df["b"].to_numpy(dtype=np.int64)])).groupby(level=0).sum()),
+            batch_format="pandas")
+        alive = (deg_parts.groupby("part").map_groups(
+            lambda g: (lambda agg: pd.DataFrame(
+                {"node": agg.index.to_numpy(dtype=np.int64)[
+                    agg.to_numpy() >= k]}))(g.groupby("node")["c"].sum()),
+            batch_format="pandas").materialize())
+
+    alive_nodes = alive.to_pandas()["node"].to_numpy(dtype=np.int64)
+    in_core = np.zeros(n_nodes, dtype=np.int64)
+    in_core[alive_nodes] = 1
+    return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
+                         "in_core": in_core})

@@ -395,3 +395,14 @@ def test_hits_partitioned_matches_broadcast(graph):
                                broad["hub"].to_numpy(), rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(part["auth"].to_numpy(),
                                broad["auth"].to_numpy(), rtol=1e-9, atol=1e-12)
+
+
+def test_kcore_partitioned_matches_broadcast(graph):
+    from icrawler_ray.stages.linkgraph import (derive_edges, kcore_membership,
+                                               kcore_membership_partitioned)
+
+    n, docs, ref = graph
+    broad = kcore_membership(derive_edges(docs, n), n, k=2, sweeps=3)
+    part = kcore_membership_partitioned(derive_edges(docs, n), n, k=2,
+                                        sweeps=3, num_partitions=5)
+    pd.testing.assert_frame_equal(part, broad)
