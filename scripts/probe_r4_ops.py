@@ -4,7 +4,7 @@ wall time + output sanity.  Mirrors the round-3 probe protocol
 (BASELINE.md scale-trend evidence).
 
 Usage: python scripts/probe_r4_ops.py [probe ...]
-Probes: triangle join cdc dsir pca
+Probes: triangle join cdc dsir pca triangle_part hits_part kcore_part
 """
 
 from __future__ import annotations
@@ -208,8 +208,57 @@ def probe_pca() -> dict:
             "top_dim": top}
 
 
+
+
+def _big_graph(n=200_000, m=2_000_000, seed=11):
+    rng = np.random.default_rng(seed)
+    src = (rng.zipf(1.3, m) - 1) % n
+    dst = (src + 1 + (rng.zipf(1.3, m) - 1)) % n
+    return n, rd.from_pandas(pd.DataFrame({
+        "src": src.astype(np.int64),
+        "dst": dst.astype(np.int64)})).repartition(64)
+
+
+def probe_triangle_part() -> dict:
+    """Same 2M-edge graph through the partitioned-degree path."""
+    from icrawler_ray.stages.linkgraph import triangle_counts
+
+    n, edges = _big_graph()
+    t0 = time.time()
+    out = triangle_counts(edges, n, deg_mode="partitioned")
+    dt = time.time() - t0
+    return {"probe": "triangle_part", "nodes": n, "edges": 2_000_000,
+            "sec": round(dt, 2), "total_triangles": int(out["tri"].sum()) // 3}
+
+
+def probe_hits_part() -> dict:
+    from icrawler_ray.stages.linkgraph import hits_partitioned
+
+    n, edges = _big_graph()
+    t0 = time.time()
+    out = hits_partitioned(edges, n, iters=2, num_partitions=64)
+    dt = time.time() - t0
+    return {"probe": "hits_part", "nodes": n, "edges": 2_000_000,
+            "sec": round(dt, 2),
+            "top_auth": int(out.sort_values("auth").iloc[-1]["node"])}
+
+
+def probe_kcore_part() -> dict:
+    from icrawler_ray.stages.linkgraph import kcore_membership_partitioned
+
+    n, edges = _big_graph()
+    t0 = time.time()
+    out = kcore_membership_partitioned(edges, n, k=3, sweeps=4,
+                                       num_partitions=64)
+    dt = time.time() - t0
+    return {"probe": "kcore_part", "nodes": n, "edges": 2_000_000,
+            "sec": round(dt, 2), "in_core": int(out["in_core"].sum())}
+
+
 PROBES = {"triangle": probe_triangle, "join": probe_join, "cdc": probe_cdc,
-          "dsir": probe_dsir, "pca": probe_pca}
+          "dsir": probe_dsir, "pca": probe_pca,
+          "triangle_part": probe_triangle_part, "hits_part": probe_hits_part,
+          "kcore_part": probe_kcore_part}
 
 
 def main() -> None:
