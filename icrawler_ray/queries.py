@@ -3151,9 +3151,10 @@ def q_join_salted(sf_dir: str):
             1.0 - joined["l_discount"].to_numpy())
         g = pd.DataFrame({"o_orderpriority": joined["o_orderpriority"],
                           "rev": rev}).groupby("o_orderpriority")["rev"]
-        return pd.DataFrame({"o_orderpriority": g.sum().index,
+        tot = g.sum()
+        return pd.DataFrame({"o_orderpriority": tot.index,
                              "n": g.size().to_numpy(dtype=np.int64),
-                             "revenue": g.sum().to_numpy()})
+                             "revenue": tot.to_numpy()})
 
     parts = salted_hash_join(
         li, orders, "l_orderkey", salt=4, hot_threshold=3,
@@ -3441,7 +3442,7 @@ def _hits_auth_sql(hub: str, out: str) -> str:
            FROM edges e JOIN {hub} hh ON hh.node = e.src GROUP BY e.dst),
 {out}n AS (SELECT sqrt(SUM(s * s)) AS nrm FROM {out}r),
 {out} AS (SELECT d.doc_id AS node,
-                 COALESCE(r.s, 0) / n.nrm AS a
+                 COALESCE(COALESCE(r.s, 0) / NULLIF(n.nrm, 0), 0) AS a
           FROM documents d CROSS JOIN {out}n n
           LEFT JOIN {out}r r ON r.node = d.doc_id)"""
 
@@ -3452,7 +3453,7 @@ def _hits_hub_sql(auth: str, out: str) -> str:
            FROM edges e JOIN {auth} aa ON aa.node = e.dst GROUP BY e.src),
 {out}n AS (SELECT sqrt(SUM(s * s)) AS nrm FROM {out}r),
 {out} AS (SELECT d.doc_id AS node,
-                 COALESCE(r.s, 0) / n.nrm AS h
+                 COALESCE(COALESCE(r.s, 0) / NULLIF(n.nrm, 0), 0) AS h
           FROM documents d CROSS JOIN {out}n n
           LEFT JOIN {out}r r ON r.node = d.doc_id)"""
 
@@ -3808,7 +3809,8 @@ def q_winnow_pairs(sf_dir: str):
             out_fp.append(fps)
         if not out_doc:
             return pd.DataFrame({"fp": pd.Series(dtype=np.int64),
-                                 "doc_id": pd.Series(dtype=np.int64)})
+                                 "doc_id": pd.Series(dtype=np.int64),
+                                 "part": pd.Series(dtype=np.int64)})
         fp = np.concatenate(out_fp)
         return pd.DataFrame({"fp": fp,
                              "doc_id": np.concatenate(out_doc),

@@ -70,6 +70,30 @@ def derive_edges(docs: rd.Dataset, n_docs: int) -> rd.Dataset:
     return docs.map_batches(expand, batch_format="pandas")
 
 
+def _canonical_undirected(edges: rd.Dataset, n: np.int64,
+                          P: np.int64) -> rd.Dataset:
+    """Canonicalize + globally dedup an undirected edge set: drop self
+    loops, order endpoints, pack (a, b) -> a*n + b, local np.unique per
+    batch, then one bucketed groupby (same key -> same bucket) with a
+    per-bucket unique.  Packed int64 keys require n < 3e9; beyond that
+    switch to a struct key (two-column groupby)."""
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src"].to_numpy(dtype=np.int64)
+        d = df["dst"].to_numpy(dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        key = np.unique(np.minimum(s, d) * n + np.maximum(s, d))
+        return pd.DataFrame({"key": key, "part": key % P})
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(g["key"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"a": key // n, "b": key % n})
+
+    return (edges.map_batches(canon, batch_format="pandas")
+            .groupby("part").map_groups(dedup_bucket, batch_format="pandas"))
+
+
 def degree_table(edges: rd.Dataset, docs: rd.Dataset) -> pd.DataFrame:
     """Per-node out/in-degree.  Combiner pattern: each edge batch emits
     one partial row per node it touches; the final reduce runs over
@@ -447,7 +471,8 @@ def pagerank_partitioned(edges: rd.Dataset, n_nodes: int, *, iters: int = 5,
 
 
 def triangle_counts(edges: rd.Dataset, n_nodes: int, *,
-                    deg_mode: str = "broadcast") -> pd.DataFrame:
+                    deg_mode: str = "broadcast",
+                    dense_output: bool = True) -> pd.DataFrame:
     """Per-node triangle participation counts via degree-ordered edge
     orientation (the classic MapReduce triangle algorithm: Suri &
     Vassilvitskii, "Counting Triangles and the Curse of the Last
@@ -494,24 +519,7 @@ def triangle_counts(edges: rd.Dataset, n_nodes: int, *,
 
     n = np.int64(n_nodes)
     P = np.int64(64)
-
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["src"].to_numpy(dtype=np.int64)
-        d = df["dst"].to_numpy(dtype=np.int64)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        a = np.minimum(s, d)
-        b = np.maximum(s, d)
-        key = np.unique(a * n + b)  # local dedup before the exchange
-        return pd.DataFrame({"key": key, "part": key % P})
-
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        key = np.unique(g["key"].to_numpy(dtype=np.int64))
-        return pd.DataFrame({"a": key // n, "b": key % n})
-
-    und = (edges.map_batches(canon, batch_format="pandas")
-           .groupby("part").map_groups(dedup_bucket, batch_format="pandas")
-           .materialize())
+    und = _canonical_undirected(edges, n, P).materialize()
 
     def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
         s = pd.Series(1, index=np.concatenate(
@@ -662,6 +670,18 @@ def triangle_counts(edges: rd.Dataset, n_nodes: int, *,
         cnt = partials.groupby("node")["c"].sum()
     else:
         cnt = pd.Series(dtype=np.int64)
+    if not dense_output:
+        # sparse finish: one row per node IN >= 1 triangle — the only
+        # output shape allowed past the dense-vector ceiling
+        return pd.DataFrame({
+            "node": cnt.index.to_numpy(dtype=np.int64),
+            "tri": cnt.to_numpy(dtype=np.int64)}).sort_values(
+                "node").reset_index(drop=True)
+    if n_nodes > MAX_BROADCAST_NODES:
+        raise ValueError(
+            f"dense_output=True allocates an n_nodes-sized array on the "
+            f"driver; n_nodes={n_nodes} exceeds MAX_BROADCAST_NODES="
+            f"{MAX_BROADCAST_NODES} — pass dense_output=False")
     tri = np.zeros(n_nodes, dtype=np.int64)
     if len(cnt):
         tri[cnt.index.to_numpy(dtype=np.int64)] = cnt.to_numpy(dtype=np.int64)
@@ -736,22 +756,7 @@ def kcore_membership(edges: rd.Dataset, n_nodes: int, *, k: int = 2,
             f"{n_nodes} exceeds MAX_BROADCAST_NODES={MAX_BROADCAST_NODES}")
     n = np.int64(n_nodes)
     P = np.int64(64)
-
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["src"].to_numpy(dtype=np.int64)
-        d = df["dst"].to_numpy(dtype=np.int64)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        key = np.unique(np.minimum(s, d) * n + np.maximum(s, d))
-        return pd.DataFrame({"key": key, "part": key % P})
-
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        key = np.unique(g["key"].to_numpy(dtype=np.int64))
-        return pd.DataFrame({"a": key // n, "b": key % n})
-
-    und = (edges.map_batches(canon, batch_format="pandas")
-           .groupby("part").map_groups(dedup_bucket, batch_format="pandas")
-           .materialize())
+    und = _canonical_undirected(edges, n, P).materialize()
 
     alive = np.ones(n_nodes, dtype=bool)
     for _ in range(sweeps):
@@ -781,7 +786,8 @@ def kcore_membership(edges: rd.Dataset, n_nodes: int, *, k: int = 2,
 
 
 def hits_partitioned(edges: rd.Dataset, n_nodes: int, *, iters: int = 2,
-                     num_partitions: int = 32) -> pd.DataFrame:
+                     num_partitions: int = 32,
+                     dense_output: bool = True) -> pd.DataFrame:
     """Shuffle-variant HITS: scores live as hash-partitioned (node, s)
     rows, never as a dense driver vector — the doc-scale path next to
     :func:`hits`, exactly as :func:`pagerank_partitioned` is to
@@ -886,19 +892,33 @@ def hits_partitioned(edges: rd.Dataset, n_nodes: int, *, iters: int = 2,
         auth = _half_step(hub, "src", "dst")
         hub = _half_step(auth, "dst", "src")
 
-    hub_df = hub.to_pandas().set_index("node")["s"]
-    auth_df = auth.to_pandas().set_index("node")["s"]
+    hub_df = hub.to_pandas()[["node", "s"]].rename(columns={"s": "hub"})
+    auth_df = auth.to_pandas()[["node", "s"]].rename(columns={"s": "auth"})
+    sparse = hub_df.merge(auth_df, on="node", how="outer").fillna(0.0)
+    if not dense_output:
+        # sparse finish: rows only for nodes touching >= 1 edge — the
+        # only shape allowed past the dense-vector ceiling (the body
+        # never holds anything node-sized; only this finish would)
+        sparse["node"] = sparse["node"].astype(np.int64)
+        return sparse.sort_values("node").reset_index(drop=True)
+    if n_nodes > MAX_BROADCAST_NODES:
+        raise ValueError(
+            f"dense_output=True allocates n_nodes-sized arrays on the "
+            f"driver; n_nodes={n_nodes} exceeds MAX_BROADCAST_NODES="
+            f"{MAX_BROADCAST_NODES} — pass dense_output=False")
     out_hub = np.zeros(n_nodes)
     out_auth = np.zeros(n_nodes)
-    out_hub[hub_df.index.to_numpy()] = hub_df.to_numpy()
-    out_auth[auth_df.index.to_numpy()] = auth_df.to_numpy()
+    idx = sparse["node"].to_numpy(dtype=np.int64)
+    out_hub[idx] = sparse["hub"].to_numpy()
+    out_auth[idx] = sparse["auth"].to_numpy()
     return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
                          "hub": out_hub, "auth": out_auth})
 
 
 def kcore_membership_partitioned(edges: rd.Dataset, n_nodes: int, *,
                                  k: int = 2, sweeps: int = 4,
-                                 num_partitions: int = 32) -> pd.DataFrame:
+                                 num_partitions: int = 32,
+                                 dense_output: bool = True) -> pd.DataFrame:
     """Shuffle-variant k-core peeling: the alive set lives as
     hash-partitioned (node,) rows and each sweep SEMI-JOINS the edge
     set against it (once per endpoint, in that endpoint's hash bucket)
@@ -909,23 +929,7 @@ def kcore_membership_partitioned(edges: rd.Dataset, n_nodes: int, *,
     :func:`hits_partitioned` are to their broadcast variants."""
     n = np.int64(n_nodes)
     P = np.int64(num_partitions)
-
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["src"].to_numpy(dtype=np.int64)
-        d = df["dst"].to_numpy(dtype=np.int64)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        key = np.unique(np.minimum(s, d) * n + np.maximum(s, d))
-        return pd.DataFrame({"key": key, "part": key % P})
-
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        key = np.unique(g["key"].to_numpy(dtype=np.int64))
-        return pd.DataFrame({"a": key // n, "b": key % n})
-
-    live_edges = (edges.map_batches(canon, batch_format="pandas")
-                  .groupby("part").map_groups(dedup_bucket,
-                                              batch_format="pandas")
-                  .materialize())
+    live_edges = _canonical_undirected(edges, n, P).materialize()
 
     def node_rows(df: pd.DataFrame) -> pd.DataFrame:
         nodes = np.unique(np.concatenate(
@@ -989,7 +993,18 @@ def kcore_membership_partitioned(edges: rd.Dataset, n_nodes: int, *,
                     agg.to_numpy() >= k]}))(g.groupby("node")["c"].sum()),
             batch_format="pandas").materialize())
 
-    alive_nodes = alive.to_pandas()["node"].to_numpy(dtype=np.int64)
+    alive_nodes = np.sort(
+        alive.to_pandas()["node"].to_numpy(dtype=np.int64))
+    if not dense_output:
+        # sparse finish: surviving-core rows only
+        return pd.DataFrame({"node": alive_nodes,
+                             "in_core": np.ones(len(alive_nodes),
+                                                dtype=np.int64)})
+    if n_nodes > MAX_BROADCAST_NODES:
+        raise ValueError(
+            f"dense_output=True allocates an n_nodes-sized array on the "
+            f"driver; n_nodes={n_nodes} exceeds MAX_BROADCAST_NODES="
+            f"{MAX_BROADCAST_NODES} — pass dense_output=False")
     in_core = np.zeros(n_nodes, dtype=np.int64)
     in_core[alive_nodes] = 1
     return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),

@@ -248,11 +248,13 @@ def probe_kcore_part() -> dict:
 
     n, edges = _big_graph()
     t0 = time.time()
-    out = kcore_membership_partitioned(edges, n, k=3, sweeps=4,
+    # sweeps=2 matches the committed BASELINE measurement (59.3 s)
+    out = kcore_membership_partitioned(edges, n, k=3, sweeps=2,
                                        num_partitions=64)
     dt = time.time() - t0
     return {"probe": "kcore_part", "nodes": n, "edges": 2_000_000,
-            "sec": round(dt, 2), "in_core": int(out["in_core"].sum())}
+            "sweeps": 2, "sec": round(dt, 2),
+            "in_core": int(out["in_core"].sum())}
 
 
 PROBES = {"triangle": probe_triangle, "join": probe_join, "cdc": probe_cdc,

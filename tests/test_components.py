@@ -1184,3 +1184,22 @@ def test_winnow_pairs_planted_local_overlap(ray_session, tmp_path):
     # the unrelated pure-repetition docs never pair with the planted two
     pairset = set(zip(out.doc_a.astype(int), out.doc_b.astype(int)))
     assert not any((a in (2, 3)) ^ (b in (2, 3)) for a, b in pairset)
+
+
+def test_winnow_pairs_short_doc_blocks(ray_session, tmp_path):
+    """Blocks holding only sub-gram-length docs must not break the
+    bucketed exchange (schema-consistent empty partials)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from icrawler_ray.queries import q_winnow_pairs
+
+    shared = "a repeated passage long enough to fingerprint " * 5
+    rows = [{"doc_id": i, "text": ""} for i in range(40)]      # empty block
+    rows += [{"doc_id": 40, "text": "abc"}, {"doc_id": 41, "text": "xy"}]
+    rows += [{"doc_id": 42, "text": "p1 " + shared},
+             {"doc_id": 43, "text": "p2! " + shared}]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    out = q_winnow_pairs(str(tmp_path))
+    assert (int(out.iloc[0].doc_a), int(out.iloc[0].doc_b)) == (42, 43)

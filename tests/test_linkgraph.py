@@ -406,3 +406,33 @@ def test_kcore_partitioned_matches_broadcast(graph):
     part = kcore_membership_partitioned(derive_edges(docs, n), n, k=2,
                                         sweeps=3, num_partitions=5)
     pd.testing.assert_frame_equal(part, broad)
+
+
+def test_partitioned_variants_sparse_output(graph):
+    """dense_output=False (the only shape allowed past the dense-vector
+    ceiling) must agree with the dense finish on its nonzero rows."""
+    from icrawler_ray.stages.linkgraph import (
+        derive_edges, hits_partitioned, kcore_membership_partitioned,
+        triangle_counts)
+
+    n, docs, ref = graph
+    dense = triangle_counts(derive_edges(docs, n), n)
+    sparse = triangle_counts(derive_edges(docs, n), n,
+                             deg_mode="partitioned", dense_output=False)
+    nz = dense[dense["tri"] > 0].reset_index(drop=True)
+    pd.testing.assert_frame_equal(sparse, nz)
+
+    hd = hits_partitioned(derive_edges(docs, n), n, iters=2,
+                          num_partitions=5)
+    hs = hits_partitioned(derive_edges(docs, n), n, iters=2,
+                          num_partitions=5, dense_output=False)
+    sub = hd[hd["node"].isin(hs["node"])].reset_index(drop=True)
+    pd.testing.assert_frame_equal(hs, sub)
+
+    kd = kcore_membership_partitioned(derive_edges(docs, n), n, k=2,
+                                      sweeps=3, num_partitions=5)
+    ks = kcore_membership_partitioned(derive_edges(docs, n), n, k=2,
+                                      sweeps=3, num_partitions=5,
+                                      dense_output=False)
+    nz = kd[kd["in_core"] == 1].reset_index(drop=True)
+    pd.testing.assert_frame_equal(ks, nz)
