@@ -3978,6 +3978,291 @@ ORDER BY d.lang, p.pred_lang
 # aggregate, extra media modalities) sit below the fold, where
 # scripts/check_queries.py still verifies them (committed per round as
 # CHECK_QUERIES_r{N}).
+# =====================================================================
+# K. round-4 widening: window-function rank, incremental-ingest dedup,
+#    char-LM quality scoring, event-transition (LAG) counts, hash split
+# =====================================================================
+
+def q_percent_rank(sf_dir: str):
+    """Distributed window function: PERCENT_RANK() OVER (PARTITION BY
+    lang ORDER BY n_chars) for every document — the rank-normalization
+    step that turns a raw quality score into a per-slice percentile
+    before thresholding/curriculum bucketing.
+
+    Scale shape: ONE combiner pass emits (lang, value, count) histogram
+    partials — bounded by value cardinality, not corpus size (integer
+    scores; for continuous scores swap in sort + assign_global_seq +
+    a tie-min groupby, functions/seq.py); the driver turns the histogram
+    into per-(lang, value) min-rank CDF rows and broadcasts them once;
+    a second pass attaches the percentile per batch. Two linear passes,
+    zero shuffles."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], sort=False).size()
+        gi = g.index.to_frame(index=False)
+        return pd.DataFrame({"lang": gi["lang"], "v": gi["n_chars"],
+                             "n": g.to_numpy()})
+
+    h = ds.map_batches(hist, batch_format="pandas").to_pandas()
+    h = h.groupby(["lang", "v"], as_index=False)["n"].sum() \
+        .sort_values(["lang", "v"], kind="mergesort").reset_index(drop=True)
+    h["below"] = h.groupby("lang")["n"].cumsum() - h["n"]  # strictly-less count
+    tot = h.groupby("lang")["n"].sum().rename("tot")
+    h = h.merge(tot, left_on="lang", right_index=True)
+    pr = np.where(h["tot"].to_numpy() > 1,
+                  h["below"].to_numpy() / (h["tot"].to_numpy() - 1.0), 0.0)
+    h["pr"] = np.round(pr, 6)
+    lut_ref = ray.put(h[["lang", "v", "pr"]])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(lut_ref)
+        m = df.merge(lut, left_on=["lang", "n_chars"], right_on=["lang", "v"],
+                     how="left")
+        return pd.DataFrame({"doc_id": m["doc_id"], "lang": m["lang"],
+                             "n_chars": m["n_chars"].astype("int64"),
+                             "pr": m["pr"]})
+
+    out = ds.map_batches(attach, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PERCENT_RANK = """
+SELECT doc_id, lang, n_chars,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS pr
+FROM documents ORDER BY doc_id
+"""
+
+
+#: the source treated as the newly-ingested shard (all others = corpus)
+INCR_DEDUP_NEW_SOURCE = "src18"
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Incremental-ingestion near-dup gate: every doc of the NEW shard
+    (source = src18) is flagged iff it shares any MinHash-LSH band with
+    any EXISTING-corpus doc — the every-ingest dedup run real pipelines
+    do against an already-indexed corpus (new-vs-new is NOT compared).
+    One narrow band-row exchange; the corpus band index is never
+    broadcast or driver-materialized. Band identity is the md5 double
+    hashing family, so the SQL oracle replays every verdict exactly."""
+    from icrawler_ray.stages.dedup import incremental_band_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return incremental_band_dedup(docs, new_source=INCR_DEDUP_NEW_SOURCE)
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+shl AS (SELECT doc_id,
+         CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         END AS sh FROM tok),
+sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shl),
+h AS (SELECT doc_id, md5_number_lower(s)::HUGEINT AS hl,
+             md5_number_upper(s)::HUGEINT AS hu FROM sh),
+sig AS (SELECT doc_id, perms.p,
+               MIN((hl + perms.p * hu) % 18446744073709551616::HUGEINT) AS m
+        FROM h CROSS JOIN (SELECT unnest(range(64)) AS p) perms
+        GROUP BY doc_id, perms.p),
+bs AS (SELECT doc_id, p // 4 AS band,
+              string_agg(m::VARCHAR, ',' ORDER BY p) AS bsig
+       FROM sig GROUP BY doc_id, p // 4),
+news AS (SELECT doc_id FROM documents WHERE source = '{INCR_DEDUP_NEW_SOURCE}'),
+dups AS (SELECT DISTINCT nb.doc_id
+         FROM bs nb JOIN news USING (doc_id)
+         JOIN bs cb ON cb.band = nb.band AND cb.bsig = nb.bsig
+         JOIN documents dc ON dc.doc_id = cb.doc_id
+                          AND dc.source <> '{INCR_DEDUP_NEW_SOURCE}')
+SELECT n.doc_id, (d.doc_id IS NOT NULL) AS is_dup
+FROM news n LEFT JOIN dups d ON d.doc_id = n.doc_id
+ORDER BY n.doc_id
+"""
+
+
+def q_charlm_quality(sf_dir: str):
+    """CCNet-style LM quality scoring with a character-bigram model: the
+    corpus trains a Laplace-smoothed char-bigram LM (pass 1), then every
+    doc is scored by its negative mean log-likelihood under that model
+    (pass 2) — the perplexity-filter primitive, with the n-gram LM small
+    enough to broadcast (a 64 K-entry float table at ASCII charset).
+
+    Scale shape: pass 1 is a combiner emitting charset^2-BOUNDED
+    (code, count) partials per block (np.bincount over a per-batch byte
+    blob, doc-boundary pairs masked out); the driver builds the logprob
+    table (~512 KB) and broadcasts it once; pass 2 scores each batch
+    with one gather + segmented reduceat. Zero shuffles, two linear
+    passes — corpus size never appears in any exchange."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        blob = "".join(texts).encode("ascii")
+        codes = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+        lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+        ch = np.bincount(codes, minlength=256)
+        keys = [np.flatnonzero(ch)]
+        vals = [ch[keys[0]]]
+        if len(codes) >= 2:
+            pairs = codes[:-1] * 256 + codes[1:]
+            ends = np.cumsum(lens)
+            bad = ends[:-1] - 1  # pair straddling a doc boundary
+            mask = np.ones(len(pairs), dtype=bool)
+            mask[bad[(bad >= 0) & (bad < len(pairs))]] = False
+            bc = np.bincount(pairs[mask], minlength=65536)
+            nz = np.flatnonzero(bc)
+            keys.append(nz)
+            vals.append(bc[nz])
+        return pa.table({"k": pa.array(np.concatenate(keys).astype(np.int64)),
+                         "n": pa.array(np.concatenate(vals).astype(np.int64))})
+
+    parts = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("k", as_index=False)["n"].sum()
+    kk = agg["k"].to_numpy()
+    nn = agg["n"].to_numpy()
+    vocab = int((kk < 256).sum())              # distinct chars in the corpus
+    bg_k, bg_n = kk[kk >= 256], nn[kk >= 256]  # bigram code = c1*256 + c2
+    tot = np.zeros(256, dtype=np.int64)        # t(c1) = sum_c2 n(c1, c2)
+    np.add.at(tot, bg_k // 256, bg_n)
+    lp = np.zeros(65536, dtype=np.float64)
+    lp[bg_k] = np.log((bg_n + 1.0) / (tot[bg_k // 256] + float(vocab)))
+    lp_ref = ray.put(lp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(lp_ref)
+        texts = batch["text"].to_pylist()
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        blob = "".join(texts).encode("ascii")
+        codes = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+        lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+        npairs = np.maximum(lens - 1, 0)
+        nll = np.zeros(len(ids), dtype=np.float64)
+        if len(codes) >= 2 and npairs.sum() > 0:
+            pairs = codes[:-1] * 256 + codes[1:]
+            ends = np.cumsum(lens)
+            bad = ends[:-1] - 1
+            mask = np.ones(len(pairs), dtype=bool)
+            mask[bad[(bad >= 0) & (bad < len(pairs))]] = False
+            vals = table[pairs[mask]]
+            nzd = np.flatnonzero(npairs)
+            starts = np.r_[0, np.cumsum(npairs[nzd])[:-1]]
+            nll[nzd] = -np.add.reduceat(vals, starts) / npairs[nzd]
+        return pa.table({"doc_id": pa.array(ids),
+                         "nll": pa.array(np.round(nll, 6))})
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CHARLM_QUALITY = r"""
+WITH allch AS (SELECT substring(d.text, CAST(u.i AS INTEGER), 1) AS c
+               FROM documents d, unnest(range(1, length(d.text) + 1)) AS u(i)),
+vocab AS (SELECT COUNT(DISTINCT c) AS v FROM allch),
+bg AS (SELECT d.doc_id,
+              substring(d.text, CAST(u.i AS INTEGER), 1) AS c1,
+              substring(d.text, CAST(u.i AS INTEGER) + 1, 1) AS c2
+       FROM documents d, unnest(range(1, length(d.text))) AS u(i)),
+cnt AS (SELECT c1, c2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+tot AS (SELECT c1, SUM(n) AS t FROM cnt GROUP BY 1),
+sc AS (SELECT bg.doc_id,
+              AVG(-ln((cnt.n + 1.0) / (tot.t + vocab.v))) AS s
+       FROM bg JOIN cnt ON cnt.c1 = bg.c1 AND cnt.c2 = bg.c2
+       JOIN tot ON tot.c1 = bg.c1 CROSS JOIN vocab
+       GROUP BY bg.doc_id)
+SELECT d.doc_id, ROUND(COALESCE(sc.s, 0.0), 6) AS nll
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type transition counts — the LAG()/LEAD() window
+    primitive (Markov transition matrix over user journeys), the model
+    behind next-event prediction and funnel-drop diagnostics.
+
+    Scale shape: users hash into a BOUNDED number of fat partitions
+    (the sessionize pattern — one pandas group per user is the
+    many-tiny-groups pitfall); each partition sorts once and counts
+    transitions vectorized (shift + mask); the final reduce is over
+    (type x type)-bounded partials."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    P = 32
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["part"] = (df["user_id"].to_numpy() % P).astype(np.int32)
+        return df
+
+    def trans_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        prev = g["event_type"].shift()
+        d = pd.DataFrame({"prev_type": prev[same], "next_type": g["event_type"][same]})
+        out = d.groupby(["prev_type", "next_type"], sort=False).size()
+        gi = out.index.to_frame(index=False)
+        return pd.DataFrame({"prev_type": gi["prev_type"],
+                             "next_type": gi["next_type"],
+                             "n": out.to_numpy()})
+
+    parts = (ds.map_batches(add_part, batch_format="pandas")
+             .groupby("part").map_groups(trans_part, batch_format="pandas")
+             ).to_pandas()  # (types^2 x partitions)-bounded
+    out = parts.groupby(["prev_type", "next_type"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH o AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+"""
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val/test split (md5(doc_id) mod 100 ->
+    80/10/10) with per-(source, split) row and char tallies — the
+    reproducible-split primitive: the assignment depends only on the
+    doc id, so it is stable across runs, cluster sizes and shard
+    orders, and any node can re-derive membership without coordination.
+    One combiner pass; the reduce is (sources x 3)-bounded."""
+    from icrawler_ray.stages.dedup import md5_pair
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = md5_pair([str(i) for i in df["doc_id"].to_numpy()])[:, 0] % 100
+        split = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+        g = df.assign(split=split).groupby(["source", "split"], sort=False).agg(
+            n=("doc_id", "size"), chars=("n_chars", "sum"))
+        return g.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["source", "split"], as_index=False).sum()
+    out["n"] = out["n"].astype("int64")
+    out["chars"] = out["chars"].astype("int64")
+    return out.sort_values(["source", "split"]).reset_index(drop=True)
+
+
+SQL_HASH_SPLIT = """
+WITH s AS (
+  SELECT source, n_chars,
+         CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80 THEN 'train'
+              WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT source, split, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM s GROUP BY source, split
+ORDER BY source, split
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -4069,6 +4354,11 @@ QUERIES = {
     "winnow_pairs": q_winnow_pairs,
     "kcore": q_kcore,
     "langid_confusion": q_langid_confusion,
+    "percent_rank_by_lang": q_percent_rank,
+    "incremental_dedup": q_incremental_dedup,
+    "charlm_quality": q_charlm_quality,
+    "event_transitions": q_event_transitions,
+    "hash_split": q_hash_split,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -4166,4 +4456,9 @@ ORACLE_SQL = {
     "winnow_pairs": SQL_WINNOW_PAIRS,
     "kcore": SQL_KCORE,
     "langid_confusion": SQL_LANGID_CONFUSION.replace("{LANGID}", SQL_LANGID),
+    "percent_rank_by_lang": SQL_PERCENT_RANK,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "charlm_quality": SQL_CHARLM_QUALITY,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "hash_split": SQL_HASH_SPLIT,
 }

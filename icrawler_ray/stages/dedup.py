@@ -493,3 +493,90 @@ def ngram_jaccard_pairs_grouped(
     else:
         pairs = ds.groupby(group_col).map_groups(stage, batch_format="pandas").to_pandas()
     return pairs.sort_values(["a", "b"]).reset_index(drop=True) if len(pairs) else pairs
+
+
+def incremental_band_dedup(
+    ds: ray.data.Dataset,
+    new_source: str,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Incremental-ingestion dedup: flag each NEW-shard doc (rows whose
+    ``source_col == new_source``) that shares any MinHash-LSH band with
+    any EXISTING-corpus doc (every other row). This is the shape real
+    pipelines run on every ingest: the corpus is already indexed, only
+    the new shard needs a verdict, and nothing is compared new-vs-new.
+
+    Scale shape: stage 1 emits NARROW (bucket, part, doc_id, is_new)
+    band rows from one vectorized map_batches pass over BOTH sides (the
+    corpus band index is never broadcast — at 100 TB it is itself huge);
+    stage 2 is one hash-partitioned bucket exchange (bounded fat groups,
+    not per-bucket tiny groups) whose per-partition walk emits the new
+    doc_ids that co-bucket with >= 1 corpus row; the driver sees only
+    the OUTPUT-sized dup-id set. Band identity is the same md5 double
+    hashing as :func:`minhash_lsh_pairs`, so a SQL oracle replays the
+    verdicts bit-exactly (the splitmix fold is an exchange key only;
+    a fold collision flipping a verdict has probability ~2^-63).
+    """
+    rows_per_band = num_perm // bands
+    P = max(1, num_partitions)
+
+    def stage_sig(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        is_new = np.asarray(
+            [s == new_source for s in batch[source_col].to_pylist()], dtype=bool)
+        n = len(ids)
+        sh = shingle_hashes(texts, shingle_k)
+        sigs = minhash_signatures(sh, num_perm).reshape(n, bands, rows_per_band)
+        with np.errstate(over="ignore"):
+            bh = _mix(sigs, 17).sum(axis=2, dtype=np.uint64)
+            bh += _mix(np.arange(1, bands + 1, dtype=np.uint64), 7)[None, :]
+        buckets = (bh % np.uint64(1 << 63)).astype(np.int64).ravel()
+        return pa.table(
+            {
+                "bucket": pa.array(buckets),
+                "part": pa.array((buckets % P).astype(np.int32)),
+                "doc_id": pa.array(np.repeat(np.asarray(ids), bands)),
+                "is_new": pa.array(np.repeat(is_new, bands)),
+            }
+        )
+
+    def dups_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """New doc_ids sharing a bucket with >= 1 corpus row, vectorized:
+        sort by bucket, mark buckets containing any corpus row, keep the
+        new-side rows inside those buckets."""
+        if not len(g):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        g = g.sort_values("bucket", kind="mergesort")
+        b = g["bucket"].to_numpy()
+        new = g["is_new"].to_numpy()
+        starts = np.r_[True, b[1:] != b[:-1]]
+        gidx = np.cumsum(starts) - 1  # dense bucket index
+        has_corpus = np.zeros(gidx[-1] + 1, dtype=bool)
+        np.logical_or.at(has_corpus, gidx, ~new)
+        hit = new & has_corpus[gidx]
+        out = np.unique(g["doc_id"].to_numpy()[hit])
+        return pd.DataFrame({"doc_id": out.astype(np.int64)})
+
+    dup_ids = (
+        ds.map_batches(stage_sig, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dups_in_partition, batch_format="pandas")
+    ).to_pandas()  # OUTPUT-sized: one row per flagged new doc (per partition)
+    dups = np.unique(dup_ids["doc_id"].to_numpy()) if len(dup_ids) else np.array([], np.int64)
+
+    import pyarrow.compute as pc
+
+    # new-shard id list — the op's own output size class, collected once
+    new_tbl = ds.map_batches(
+        lambda t: t.filter(pc.equal(t[source_col], new_source)).select([id_col]),
+        batch_format="pyarrow").to_pandas()
+    new_ids = np.sort(new_tbl[id_col].to_numpy())
+    flag = np.isin(new_ids, dups)
+    return pd.DataFrame({"doc_id": new_ids.astype(np.int64), "is_dup": flag})
