@@ -4263,6 +4263,125 @@ ORDER BY source, split
 """
 
 
+def q_json_props_stats(sf_dir: str):
+    """Schema-on-read over a semi-structured column: events.props is a
+    JSON string; extract the numeric field ``k`` and roll it up per
+    event_type — the log-ingestion primitive (parse at query time, never
+    re-materialize the table). The extraction is a vectorized regex fast
+    path for this flat shape (general nested shapes would orjson-parse
+    per batch inside the same kernel); the rollup is the standard
+    combiner: per-batch (type, n, sum, min, max) partials, a
+    type-cardinality-bounded reduce."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False) \
+            .astype("float64")  # NaN where the key is absent
+        d = pd.DataFrame({"event_type": df["event_type"], "k": k}).dropna()
+        g = d.groupby("event_type", sort=False)["k"].agg(
+            ["size", "sum", "min", "max"]).reset_index()
+        g.columns = ["event_type", "n", "s", "mn", "mx"]
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+    res = pd.DataFrame({
+        "event_type": out["event_type"],
+        "n": out["n"].astype("int64"),
+        "sum_k": out["s"].astype("int64"),
+        "avg_k": np.round(out["s"] / out["n"], 6),
+        "min_k": out["mn"].astype("int64"),
+        "max_k": out["mx"].astype("int64"),
+    })
+    return res.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_JSON_PROPS_STATS = """
+WITH e AS (
+  SELECT event_type, CAST(props ->> 'k' AS BIGINT) AS k
+  FROM events WHERE props ->> 'k' IS NOT NULL)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_rollup_counts(sf_dir: str):
+    """Multi-level rollup — GROUP BY ROLLUP(source, lang) in one pass:
+    each batch emits partials for ALL THREE aggregation levels
+    ((source, lang), (source), ()) so the exchange stays
+    levels x key-cardinality-bounded and the input is read once, not
+    once per level (the cube/rollup trick for hierarchical dashboards).
+    Rolled-up keys surface as '(all)' on both sides to keep the
+    value-hash comparison NULL-free."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lv2 = df.groupby(["source", "lang"], sort=False).agg(
+            n=("n_chars", "size"), chars=("n_chars", "sum")).reset_index()
+        lv1 = lv2.groupby("source", as_index=False)[["n", "chars"]].sum()
+        lv1["lang"] = "(all)"
+        lv0 = pd.DataFrame({"source": ["(all)"], "lang": ["(all)"],
+                            "n": [lv2["n"].sum()], "chars": [lv2["chars"].sum()]})
+        return pd.concat([lv2, lv1, lv0], ignore_index=True)[
+            ["source", "lang", "n", "chars"]]
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["source", "lang"], as_index=False).sum()
+    out["n"] = out["n"].astype("int64")
+    out["chars"] = out["chars"].astype("int64")
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+SQL_ROLLUP_COUNTS = """
+SELECT COALESCE(source, '(all)') AS source,
+       COALESCE(lang, '(all)') AS lang,
+       COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY ROLLUP(source, lang)
+ORDER BY source, lang
+"""
+
+
+def q_partitioned_write(sf_dir: str):
+    """Resumable partitioned output: write the documents table as
+    hive-partitioned parquet (one directory per lang — the layout that
+    lets a failed 100-TB run skip finished partitions), then read it
+    BACK and count rows per partition. The verdict is a round-trip
+    proof: written = readable = the source's per-lang counts. Output
+    goes under /tmp; file counts are execution-dependent and excluded."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="icrawler_ray_partwrite_")
+    try:
+        ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        ds.write_parquet(out_dir, partition_cols=["lang"])
+        back = rd.read_parquet(out_dir)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("lang", sort=False).agg(
+                n=("doc_id", "size"), chars=("n_chars", "sum")).reset_index()
+            return g
+
+        parts = back.map_batches(partial, batch_format="pandas").to_pandas()
+        out = parts.groupby("lang", as_index=False).sum()
+        out["lang"] = out["lang"].astype(str)
+        out["n"] = out["n"].astype("int64")
+        out["chars"] = out["chars"].astype("int64")
+        return out.sort_values("lang").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_PARTITIONED_WRITE = """
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -4359,6 +4478,9 @@ QUERIES = {
     "charlm_quality": q_charlm_quality,
     "event_transitions": q_event_transitions,
     "hash_split": q_hash_split,
+    "json_props_stats": q_json_props_stats,
+    "rollup_counts": q_rollup_counts,
+    "partitioned_write": q_partitioned_write,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -4461,4 +4583,7 @@ ORACLE_SQL = {
     "charlm_quality": SQL_CHARLM_QUALITY,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "hash_split": SQL_HASH_SPLIT,
+    "json_props_stats": SQL_JSON_PROPS_STATS,
+    "rollup_counts": SQL_ROLLUP_COUNTS,
+    "partitioned_write": SQL_PARTITIONED_WRITE,
 }
