@@ -221,7 +221,9 @@ def bench_queries() -> dict:
              "paragraph_dedup", "shuffle_positions", "quality_ntiles",
              "approx_quantiles_sketch", "training_tape",
              "triangle_count", "join_salted", "dsir_weights",
-             "cdc_chunk_dedup", "hits_scores"]
+             "cdc_chunk_dedup", "hits_scores",
+             "percent_rank_by_lang", "incremental_dedup", "charlm_quality",
+             "event_transitions", "json_props_stats"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -257,10 +257,125 @@ def probe_kcore_part() -> dict:
             "in_core": int(out["in_core"].sum())}
 
 
+
+
+def _tmp_table(name: str, df: pd.DataFrame) -> str:
+    """Write a single-table dir shaped like the driver's sf dirs."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="icrawler_ray_probe_")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), f"{d}/{name}.parquet")
+    return d
+
+
+def _fake_docs(n_docs: int, rng, n_words: int = 50) -> pd.DataFrame:
+    vocab = np.array(["key", "agg", "row", "scan", "slow", "fast", "table",
+                      "value", "part", "hash", "merge", "batch", "spark",
+                      "line", "sort", "window", "query", "stream", "group",
+                      "join", "order", "data", "column", "small", "big"])
+    words = vocab[rng.integers(0, len(vocab), (n_docs, n_words))]
+    texts = [" ".join(w) for w in words]
+    # plant near-dup tails: every 40th doc is a 2-word edit of its neighbor
+    for i in range(40, n_docs, 40):
+        texts[i] = texts[i - 1].replace(texts[i - 1].split()[0], "probe", 1)
+    return pd.DataFrame({
+        "doc_id": np.arange(n_docs, dtype=np.int64),
+        "text": texts,
+        "source": [f"src{i % 20}" for i in range(n_docs)],
+    })
+
+
+def probe_charlm() -> dict:
+    """200k docs (~60 MB text) through the char-bigram LM two-pass score."""
+    from icrawler_ray.queries import q_charlm_quality
+
+    rng = np.random.default_rng(3)
+    docs = _fake_docs(200_000, rng)[["doc_id", "text"]]
+    d = _tmp_table("documents", docs)
+    import shutil
+    try:
+        t0 = time.time()
+        out = q_charlm_quality(d)
+        dt = time.time() - t0
+        return {"probe": "charlm", "docs": 200_000, "sec": round(dt, 2),
+                "mean_nll": round(float(out["nll"].mean()), 4)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_incr() -> dict:
+    """200k docs (5% new shard) through the incremental band-dedup gate."""
+    from icrawler_ray.stages.dedup import incremental_band_dedup
+
+    rng = np.random.default_rng(7)
+    docs = _fake_docs(200_000, rng)
+    ds = rd.from_pandas(docs).repartition(64)
+    t0 = time.time()
+    out = incremental_band_dedup(ds, new_source="src18")
+    dt = time.time() - t0
+    return {"probe": "incr_dedup", "docs": 200_000,
+            "new_shard": int(len(out)), "dups": int(out["is_dup"].sum()),
+            "sec": round(dt, 2)}
+
+
+def probe_prank() -> dict:
+    """5M-row percent-rank (window function) over 5 partitions."""
+    from icrawler_ray.queries import q_percent_rank
+
+    rng = np.random.default_rng(13)
+    n = 5_000_000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": np.array(["en", "de", "fr", "es", "zh"])[rng.integers(0, 5, n)],
+        "n_chars": rng.integers(40, 600, n).astype(np.int64),
+    })
+    d = _tmp_table("documents", df)
+    import shutil
+    try:
+        t0 = time.time()
+        out = q_percent_rank(d)
+        dt = time.time() - t0
+        assert len(out) == n
+        return {"probe": "percent_rank", "rows": n, "sec": round(dt, 2)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_transitions() -> dict:
+    """5M events / 100k users through the LAG-transition counter."""
+    from icrawler_ray.queries import q_event_transitions
+
+    rng = np.random.default_rng(17)
+    n = 5_000_000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 100_000, n).astype(np.int64),
+        "ts": pd.to_datetime(1_700_000_000_000_000
+                             + rng.integers(0, 10**12, n), unit="us"),
+        "event_type": np.array(["view", "click", "buy", "share", "exit"]
+                               )[rng.integers(0, 5, n)],
+    })
+    d = _tmp_table("events", df)
+    import shutil
+    try:
+        t0 = time.time()
+        out = q_event_transitions(d)
+        dt = time.time() - t0
+        return {"probe": "transitions", "events": n,
+                "pairs": int(out["n"].sum()), "sec": round(dt, 2)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 PROBES = {"triangle": probe_triangle, "join": probe_join, "cdc": probe_cdc,
           "dsir": probe_dsir, "pca": probe_pca,
           "triangle_part": probe_triangle_part, "hits_part": probe_hits_part,
-          "kcore_part": probe_kcore_part}
+          "kcore_part": probe_kcore_part,
+          "charlm": probe_charlm, "incr": probe_incr,
+          "prank": probe_prank, "transitions": probe_transitions}
 
 
 def main() -> None:

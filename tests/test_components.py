@@ -1203,3 +1203,93 @@ def test_winnow_pairs_short_doc_blocks(ray_session, tmp_path):
                    str(tmp_path / "documents.parquet"))
     out = q_winnow_pairs(str(tmp_path))
     assert (int(out.iloc[0].doc_a), int(out.iloc[0].doc_b)) == (42, 43)
+
+
+# ---------------------------------------------------------------------
+# round-4 widening: charlm boundary masking, percent_rank ties,
+# incremental band-dedup parity
+# ---------------------------------------------------------------------
+
+def _docs_dir(tmp_path, rows: dict) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_charlm_masks_doc_boundaries_and_degenerate_docs(tmp_path):
+    """The char-bigram counts must NOT include pairs straddering two
+    docs concatenated in one batch, and 0/1-char docs score exactly 0.
+    Pinned against a direct per-doc numpy replay of the same model."""
+    import numpy as np
+
+    from icrawler_ray.queries import q_charlm_quality
+
+    texts = ["abcab", "za", "", "q", "bbbb"]
+    d = _docs_dir(tmp_path, {"doc_id": list(range(5)), "text": texts})
+    out = q_charlm_quality(d).set_index("doc_id")["nll"]
+
+    # reference model: bigram/char counts over PER-DOC pairs only
+    from collections import Counter
+    bg = Counter()
+    ch = Counter()
+    for t in texts:
+        ch.update(t)
+        bg.update(t[i:i + 2] for i in range(len(t) - 1))
+    V = len(ch)
+    tot = Counter()
+    for (p, n) in bg.items():
+        tot[p[0]] += n
+    for i, t in enumerate(texts):
+        if len(t) < 2:
+            assert out[i] == 0.0
+            continue
+        lps = [np.log((bg[t[j:j + 2]] + 1.0) / (tot[t[j]] + V))
+               for j in range(len(t) - 1)]
+        assert abs(out[i] - round(-float(np.mean(lps)), 6)) < 1e-9, i
+    # boundary corruption check: 'az' (docs 0->1) must not be a counted bigram
+    assert "az" not in bg
+
+
+def test_percent_rank_ties_and_single_row_partition(tmp_path):
+    """Tie groups share the min rank; a single-row partition is 0."""
+    from icrawler_ray.queries import q_percent_rank
+
+    d = _docs_dir(tmp_path, {
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "lang": ["en", "en", "en", "en", "en", "zh"],
+        "n_chars": [10, 20, 20, 20, 30, 99],
+    })
+    out = q_percent_rank(d).set_index("doc_id")["pr"]
+    assert out[1] == 0.0
+    assert out[2] == out[3] == out[4] == 0.25  # rank 2 of 5 -> 1/4
+    assert out[5] == 1.0
+    assert out[6] == 0.0  # single-row partition
+
+
+def test_incremental_band_dedup_planted_pair(ray_session):
+    """A new-shard doc that is a near-copy of a corpus doc is flagged;
+    an unrelated new doc is kept; new-vs-new copies are NOT compared."""
+    import pandas as pd
+    import ray.data as rd
+
+    from icrawler_ray.stages.dedup import incremental_band_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different content about ray data pipelines and arrow"
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [base,                      # corpus
+                 other + " one",            # corpus
+                 base + " extra",           # NEW: near-copy of corpus doc 1
+                 "unique new shard text nothing like anything else at all",  # NEW
+                 "unique new shard text nothing like anything else at all"],  # NEW dup of 4 only
+        "source": ["c", "c", "n", "n", "n"],
+    })
+    out = incremental_band_dedup(rd.from_pandas(df).repartition(3),
+                                 new_source="n").set_index("doc_id")
+    assert bool(out.loc[3, "is_dup"]) is True      # matches corpus
+    assert bool(out.loc[4, "is_dup"]) is False     # new-vs-new not compared
+    assert bool(out.loc[5, "is_dup"]) is False
+    assert sorted(out.index) == [3, 4, 5]
