@@ -267,7 +267,8 @@ def _tmp_table(name: str, df: pd.DataFrame) -> str:
     import pyarrow.parquet as pq
 
     d = tempfile.mkdtemp(prefix="icrawler_ray_probe_")
-    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), f"{d}/{name}.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{d}/{name}.parquet", row_group_size=262_144)
     return d
 
 
