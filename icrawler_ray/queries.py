@@ -3989,42 +3989,22 @@ def q_percent_rank(sf_dir: str):
     step that turns a raw quality score into a per-slice percentile
     before thresholding/curriculum bucketing.
 
-    Scale shape: ONE combiner pass emits (lang, value, count) histogram
-    partials — bounded by value cardinality, not corpus size (integer
-    scores; for continuous scores swap in sort + assign_global_seq +
-    a tie-min groupby, functions/seq.py); the driver turns the histogram
-    into per-(lang, value) min-rank CDF rows and broadcasts them once;
-    a second pass attaches the percentile per batch. Two linear passes,
-    zero shuffles."""
+    Scale shape (stages/window.py::percent_rank_over): histogram mode —
+    ONE combiner pass emits (lang, value, count) partials, bounded by
+    value cardinality, not corpus size; the driver turns the histogram
+    into a min-rank CDF and broadcasts it once; a second pass attaches
+    the percentile. Two linear passes, zero shuffles. For continuous
+    scores the same function's mode="sort" path (one global sort +
+    metadata-only boundary stitch) returns identical values
+    (parity-pinned in tests/test_joins.py)."""
+    from icrawler_ray.stages.window import percent_rank_over
+
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-
-    def hist(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["lang", "n_chars"], sort=False).size()
-        gi = g.index.to_frame(index=False)
-        return pd.DataFrame({"lang": gi["lang"], "v": gi["n_chars"],
-                             "n": g.to_numpy()})
-
-    h = ds.map_batches(hist, batch_format="pandas").to_pandas()
-    h = h.groupby(["lang", "v"], as_index=False)["n"].sum() \
-        .sort_values(["lang", "v"], kind="mergesort").reset_index(drop=True)
-    h["below"] = h.groupby("lang")["n"].cumsum() - h["n"]  # strictly-less count
-    tot = h.groupby("lang")["n"].sum().rename("tot")
-    h = h.merge(tot, left_on="lang", right_index=True)
-    pr = np.where(h["tot"].to_numpy() > 1,
-                  h["below"].to_numpy() / (h["tot"].to_numpy() - 1.0), 0.0)
-    h["pr"] = np.round(pr, 6)
-    lut_ref = ray.put(h[["lang", "v", "pr"]])
-
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(lut_ref)
-        m = df.merge(lut, left_on=["lang", "n_chars"], right_on=["lang", "v"],
-                     how="left")
-        return pd.DataFrame({"doc_id": m["doc_id"], "lang": m["lang"],
-                             "n_chars": m["n_chars"].astype("int64"),
-                             "pr": m["pr"]})
-
-    out = ds.map_batches(attach, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out = percent_rank_over(ds, "lang", "n_chars", mode="histogram") \
+        .to_pandas()
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out[["doc_id", "lang", "n_chars", "pr"]] \
+        .sort_values("doc_id").reset_index(drop=True)
 
 
 SQL_PERCENT_RANK = """

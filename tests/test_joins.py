@@ -72,3 +72,40 @@ def test_salted_join_no_hot_keys_fast_path():
     expect = probe.merge(build, on="k")
     assert len(got) == len(expect)
     assert got["val"].sum() == expect["val"].sum()
+
+
+def test_percent_rank_sort_mode_matches_histogram_and_pandas(ray_session):
+    """The continuous-score sort path (global sort + metadata-only
+    boundary stitch) must equal the histogram path and pandas
+    rank(method='min') exactly — including tie runs that straddle
+    block boundaries and single-row partitions."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from icrawler_ray.stages.window import percent_rank_over
+
+    rng = np.random.default_rng(42)
+    n = 20_000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": np.array(["en", "de", "fr", "zh"])[rng.integers(0, 4, n)],
+        # coarse values -> long tie runs guaranteed to straddle blocks
+        "score": rng.integers(0, 25, n).astype("float64"),
+    })
+    # a single-row partition
+    df.loc[n - 1, "lang"] = "solo"
+    ds = rd.from_pandas(df).repartition(13)  # odd split vs tie runs
+
+    a = percent_rank_over(ds, "lang", "score", mode="histogram") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = percent_rank_over(ds, "lang", "score", mode="sort") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    sizes = df.groupby("lang")["score"].transform("size")
+    ref = np.where(sizes > 1,
+                   (df.groupby("lang")["score"].rank(method="min") - 1)
+                   / np.maximum(sizes - 1, 1), 0.0)
+    ref = np.round(ref, 6)
+    assert np.array_equal(a["pr"].to_numpy(), ref)
+    assert np.array_equal(b["pr"].to_numpy(), ref)
+    assert a.loc[a["lang"] == "solo", "pr"].iloc[0] == 0.0
