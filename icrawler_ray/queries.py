@@ -4381,6 +4381,101 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+#: Count-Min sketch geometry (depth x width) and the point-query set size
+CMS_DEPTH, CMS_WIDTH, CMS_QUERY_TERMS = 4, 2048, 30
+
+
+def q_countmin_freq(sf_dir: str):
+    """Count-Min sketch point queries: build a (4 x 2048) CMS over the
+    corpus term stream in ONE combiner pass (each batch emits the
+    nonzero cells of its local sketch — a mergeable, fixed-size
+    exchange), then answer est(term) = min over rows of the term's cell
+    — the classic streaming frequency estimator (Cormode & Muthukrishnan
+    '05), the sketch to reach for when even Misra-Gries' candidate list
+    is too large. The hash rows are Kirsch-Mitzenmacher md5 double
+    hashing, so the SQL oracle reproduces the sketch — including its
+    collision overcounts — bit-exactly. Output: the corpus's 30
+    lexicographically-first terms with (est, exact); est >= exact
+    always (CMS one-sided error).
+    """
+    from icrawler_ray.stages.dedup import md5_pair
+
+    ds = _read(sf_dir, "documents", ["text"])
+    D, W, Q = CMS_DEPTH, CMS_WIDTH, CMS_QUERY_TERMS
+
+    def cells_for(terms: list[str]) -> np.ndarray:
+        """(n_terms, D) flat cell indices via (hl + i*hu) mod 2^64 mod W."""
+        hp = md5_pair(terms)
+        hl, hu = hp[:, 0], hp[:, 1]
+        i = np.arange(D, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            cell = (hl[:, None] + i[None, :] * hu[:, None]) % np.uint64(W)
+        return (i[None, :] * np.uint64(W) + cell).astype(np.int64)
+
+    def sketch_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        terms = vc.index.tolist()
+        flat = cells_for(terms)                      # (n_terms, D)
+        sk = np.bincount(flat.ravel(),
+                         weights=np.repeat(vc.to_numpy(), D),
+                         minlength=D * W).astype(np.int64)
+        nz = np.flatnonzero(sk)
+        # plus the batch's lexicographic head as query candidates
+        head = sorted(terms)[:Q]
+        return pd.DataFrame({
+            "kind": ["c"] * len(nz) + ["t"] * len(head),
+            "k": nz.astype(np.int64).tolist() + [0] * len(head),
+            "n": sk[nz].tolist() + [0] * len(head),
+            "term": [""] * len(nz) + head,
+        })
+
+    parts = ds.map_batches(sketch_partial, batch_format="pandas").to_pandas()
+    cellrows = parts[parts["kind"] == "c"]
+    sk = np.zeros(D * W, dtype=np.int64)
+    np.add.at(sk, cellrows["k"].to_numpy(), cellrows["n"].to_numpy())
+    qterms = sorted(set(parts.loc[parts["kind"] == "t", "term"]))[:Q]
+
+    # exact recount of the query terms: broadcast probe, combiner partials
+    q_ref = ray.put(np.asarray(qterms))
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        qt = ray.get(q_ref)
+        tk = df["text"].str.split(" ").explode()
+        c = tk[tk.isin(qt)].value_counts()
+        return pd.DataFrame({"term": c.index, "n": c.to_numpy()})
+
+    ex = ds.map_batches(recount, batch_format="pandas").to_pandas()
+    ex = ex.groupby("term")["n"].sum()
+    est = sk[cells_for(qterms)].min(axis=1)
+    out = pd.DataFrame({
+        "term": qterms,
+        "est": est.astype(np.int64),
+        "exact": ex.reindex(qterms).fillna(0).astype(np.int64).to_numpy(),
+    })
+    assert (out["est"] >= out["exact"]).all()  # CMS one-sided guarantee
+    return out.sort_values("term").reset_index(drop=True)
+
+
+SQL_COUNTMIN_FREQ = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+cnt AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+qs AS (SELECT term, n FROM cnt ORDER BY term LIMIT {CMS_QUERY_TERMS}),
+cells AS (SELECT c.term, r.i,
+                 ((md5_number_lower(c.term)::HUGEINT
+                   + r.i * md5_number_upper(c.term)::HUGEINT)
+                  % 18446744073709551616::HUGEINT) % {CMS_WIDTH} AS cell,
+                 c.n
+          FROM cnt c CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS i) r),
+cellsum AS (SELECT i, cell, SUM(n) AS s FROM cells GROUP BY i, cell),
+est AS (SELECT q.term, MIN(cs.s) AS e
+        FROM qs q JOIN cells ce ON ce.term = q.term
+        JOIN cellsum cs ON cs.i = ce.i AND cs.cell = ce.cell
+        GROUP BY q.term)
+SELECT q.term, CAST(e.e AS BIGINT) AS est, CAST(q.n AS BIGINT) AS exact
+FROM qs q JOIN est e USING (term) ORDER BY q.term
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -4480,6 +4575,7 @@ QUERIES = {
     "json_props_stats": q_json_props_stats,
     "rollup_counts": q_rollup_counts,
     "partitioned_write": q_partitioned_write,
+    "countmin_freq": q_countmin_freq,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -4585,4 +4681,5 @@ ORACLE_SQL = {
     "json_props_stats": SQL_JSON_PROPS_STATS,
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "partitioned_write": SQL_PARTITIONED_WRITE,
+    "countmin_freq": SQL_COUNTMIN_FREQ,
 }
