@@ -4456,6 +4456,123 @@ def q_countmin_freq(sf_dir: str):
     return out.sort_values("term").reset_index(drop=True)
 
 
+#: JL projection target dimensionality
+JL_K = 16
+
+
+def q_random_projection(sf_dir: str):
+    """Johnson-Lindenstrauss random projection: every embedding is
+    mapped from its native dim to JL_K dims with a deterministic
+    Rademacher sign matrix (s[j,k] = ±1 from the parity of
+    md5(j '_' k)) scaled by 1/sqrt(K) — the dimensionality-reduction
+    step before ANN indexing / clustering at scale, with distances
+    preserved in expectation (JL lemma; Achlioptas '03 for the ±1
+    construction).
+
+    Scale shape: the (dim x K) sign matrix is built once on the driver
+    (1 KB) and broadcast; one linear map_batches pass does a flat
+    child-values reshape + matmul per batch. Zero shuffles, output
+    K/dim of the input. The md5-parity construction lets the SQL
+    oracle reproduce every projected coordinate."""
+    from icrawler_ray.stages.dedup import md5_pair
+    from icrawler_ray.stages.similarity import _as_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    K = JL_K
+    bits = md5_pair([f"{j}_{k}" for j in range(dim) for k in range(K)])[:, 0] % 2
+    S = np.where(bits.reshape(dim, K) == 0, 1.0, -1.0) / np.sqrt(float(K))
+    s_ref = ray.put(S)
+
+    def project(batch: pa.Table) -> pa.Table:
+        s = ray.get(s_ref)
+        X = _as_matrix(batch["embedding"])
+        Y = X @ s  # (n, K)
+        n = len(X)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, K)),
+            "k": pa.array(np.tile(np.arange(K, dtype=np.int64), n)),
+            "y": pa.array(np.round(Y.ravel(), 6)),
+        })
+
+    out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["vec_id", "k"]).reset_index(drop=True)
+
+
+#: length-bucket boundaries for the padding-waste rollup
+PAD_BUCKETS = [32, 64, 96]
+
+
+def q_bucket_padding_waste(sf_dir: str):
+    """Padding-waste audit for length-bucketed batching: every doc is
+    assigned the smallest bucket >= its token count (longer docs
+    truncate to the largest bucket at zero waste); per bucket, report
+    doc count, real tokens and padding tokens — the measurement that
+    decides batch-shape policy for training (how much compute
+    padding burns at each boundary). One combiner pass; the reduce is
+    bucket-cardinality-bounded. Token counts are whitespace-split to
+    match the suite's tokenizer."""
+    ds = _read(sf_dir, "documents", ["text"])
+    bounds = np.asarray(PAD_BUCKETS, dtype=np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ntok = df["text"].str.split(" ").str.len().to_numpy(dtype=np.int64)
+        bi = np.searchsorted(bounds, ntok, side="left")
+        over = bi >= len(bounds)
+        bucket = bounds[np.minimum(bi, len(bounds) - 1)]
+        tokens = np.where(over, bounds[-1], ntok)  # truncated to last bucket
+        pad = bucket - tokens
+        g = pd.DataFrame({"bucket": bucket, "tokens": tokens, "pad": pad}) \
+            .groupby("bucket", sort=False).agg(
+                n=("tokens", "size"), tokens=("tokens", "sum"),
+                pad=("pad", "sum")).reset_index()
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("bucket", as_index=False).sum()
+    for c in ("n", "tokens", "pad"):
+        out[c] = out[c].astype("int64")
+    out["waste_pct"] = np.round(
+        out["pad"] / (out["pad"] + out["tokens"]) * 100.0, 6)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+SQL_BUCKET_PADDING_WASTE = f"""
+WITH d AS (SELECT len(string_split(text, ' ')) AS ntok FROM documents),
+b AS (SELECT ntok,
+             CASE {' '.join(f"WHEN ntok <= {b} THEN {b}" for b in PAD_BUCKETS)}
+                  ELSE {PAD_BUCKETS[-1]} END AS bucket,
+             CASE WHEN ntok > {PAD_BUCKETS[-1]} THEN {PAD_BUCKETS[-1]}
+                  ELSE ntok END AS tokens
+      FROM d)
+SELECT bucket, COUNT(*) AS n,
+       CAST(SUM(tokens) AS BIGINT) AS tokens,
+       CAST(SUM(bucket - tokens) AS BIGINT) AS pad,
+       ROUND(SUM(bucket - tokens) * 100.0
+             / (SUM(bucket - tokens) + SUM(tokens)), 6) AS waste_pct
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+SQL_RANDOM_PROJECTION = f"""
+WITH dims AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+sgn AS (SELECT j.j, k.k,
+               CASE WHEN md5_number_lower(CAST(j.j AS VARCHAR) || '_'
+                                          || CAST(k.k AS VARCHAR)) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM (SELECT unnest(range((SELECT d FROM dims))) AS j) j
+        CROSS JOIN (SELECT unnest(range({JL_K})) AS k) k),
+e AS (SELECT vec_id, t.i AS j, embedding[CAST(t.i AS INTEGER) + 1] AS x
+      FROM embeddings, unnest(range(len(embedding))) AS t(i))
+SELECT e.vec_id, sgn.k,
+       ROUND(SUM(e.x * sgn.s) / sqrt({JL_K}.0), 6) AS y
+FROM e JOIN sgn ON sgn.j = e.j
+GROUP BY e.vec_id, sgn.k
+ORDER BY e.vec_id, sgn.k
+"""
+
+
 SQL_COUNTMIN_FREQ = f"""
 WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
 cnt AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
@@ -4576,6 +4693,8 @@ QUERIES = {
     "rollup_counts": q_rollup_counts,
     "partitioned_write": q_partitioned_write,
     "countmin_freq": q_countmin_freq,
+    "random_projection": q_random_projection,
+    "bucket_padding_waste": q_bucket_padding_waste,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -4682,4 +4801,6 @@ ORACLE_SQL = {
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "partitioned_write": SQL_PARTITIONED_WRITE,
     "countmin_freq": SQL_COUNTMIN_FREQ,
+    "random_projection": SQL_RANDOM_PROJECTION,
+    "bucket_padding_waste": SQL_BUCKET_PADDING_WASTE,
 }
