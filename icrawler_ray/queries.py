@@ -4066,65 +4066,66 @@ def q_charlm_quality(sf_dir: str):
     corpus trains a Laplace-smoothed char-bigram LM (pass 1), then every
     doc is scored by its negative mean log-likelihood under that model
     (pass 2) — the perplexity-filter primitive, with the n-gram LM small
-    enough to broadcast (a 64 K-entry float table at ASCII charset).
+    enough to broadcast (sorted (bigram-key, logp) arrays, bounded by
+    the OBSERVED bigram vocabulary, not the codepoint space).
 
     Scale shape: pass 1 is a combiner emitting charset^2-BOUNDED
-    (code, count) partials per block (np.bincount over a per-batch byte
-    blob, doc-boundary pairs masked out); the driver builds the logprob
-    table (~512 KB) and broadcasts it once; pass 2 scores each batch
-    with one gather + segmented reduceat. Zero shuffles, two linear
-    passes — corpus size never appears in any exchange."""
+    (code, count) partials per block (codepoint decode + np.unique over
+    a per-batch blob, doc-boundary pairs masked out); the driver builds
+    the sorted-key logprob table and broadcasts it once; pass 2 scores
+    each batch with one searchsorted gather + segmented reduceat. Zero
+    shuffles, two linear passes — corpus size never appears in any
+    exchange. Full Unicode: chars are UTF-32 codepoints (what DuckDB's
+    substring counts), bigram key c1*0x110000+c2, unigram keys stored
+    negative so the spaces cannot collide."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    M = 0x110000  # codepoint space
 
-    def counts(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        blob = "".join(texts).encode("ascii")
-        codes = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+    def char_pairs(texts):
+        """(codepoints, boundary-masked pair keys in doc order,
+        per-doc pair counts) for one batch blob."""
+        blob = "".join(texts)
+        codes = np.frombuffer(blob.encode("utf-32-le"),
+                              dtype=np.uint32).astype(np.int64)
         lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
-        ch = np.bincount(codes, minlength=256)
-        keys = [np.flatnonzero(ch)]
-        vals = [ch[keys[0]]]
+        npairs = np.maximum(lens - 1, 0)
         if len(codes) >= 2:
-            pairs = codes[:-1] * 256 + codes[1:]
+            pairs = codes[:-1] * M + codes[1:]
             ends = np.cumsum(lens)
             bad = ends[:-1] - 1  # pair straddling a doc boundary
             mask = np.ones(len(pairs), dtype=bool)
             mask[bad[(bad >= 0) & (bad < len(pairs))]] = False
-            bc = np.bincount(pairs[mask], minlength=65536)
-            nz = np.flatnonzero(bc)
-            keys.append(nz)
-            vals.append(bc[nz])
-        return pa.table({"k": pa.array(np.concatenate(keys).astype(np.int64)),
-                         "n": pa.array(np.concatenate(vals).astype(np.int64))})
+            pairs = pairs[mask]
+        else:
+            pairs = np.empty(0, dtype=np.int64)
+        return codes, pairs, npairs
+
+    def counts(batch: pa.Table) -> pa.Table:
+        codes, pairs, _ = char_pairs(batch["text"].to_pylist())
+        ck, cn = np.unique(codes, return_counts=True)
+        pk, pn = np.unique(pairs, return_counts=True)
+        return pa.table({"k": pa.array(np.r_[-(ck + 1), pk]),
+                         "n": pa.array(np.r_[cn, pn].astype(np.int64))})
 
     parts = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
     agg = parts.groupby("k", as_index=False)["n"].sum()
-    kk = agg["k"].to_numpy()
-    nn = agg["n"].to_numpy()
-    vocab = int((kk < 256).sum())              # distinct chars in the corpus
-    bg_k, bg_n = kk[kk >= 256], nn[kk >= 256]  # bigram code = c1*256 + c2
-    tot = np.zeros(256, dtype=np.int64)        # t(c1) = sum_c2 n(c1, c2)
-    np.add.at(tot, bg_k // 256, bg_n)
-    lp = np.zeros(65536, dtype=np.float64)
-    lp[bg_k] = np.log((bg_n + 1.0) / (tot[bg_k // 256] + float(vocab)))
-    lp_ref = ray.put(lp)
+    vocab = int((agg["k"] < 0).sum())        # distinct codepoints in corpus
+    bg = agg[agg["k"] >= 0]
+    bg_k = bg["k"].to_numpy()                # sorted (groupby key order)
+    bg_n = bg["n"].to_numpy()
+    tot = bg.groupby(bg_k // M)["n"].sum()   # t(c1) = sum_c2 n(c1, c2)
+    lp_vals = np.log((bg_n + 1.0) /
+                     (tot.reindex(bg_k // M).to_numpy() + float(vocab)))
+    lp_ref = ray.put((bg_k, lp_vals))
 
     def score(batch: pa.Table) -> pa.Table:
-        table = ray.get(lp_ref)
-        texts = batch["text"].to_pylist()
+        keys, vals_tbl = ray.get(lp_ref)
         ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
-        blob = "".join(texts).encode("ascii")
-        codes = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
-        lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
-        npairs = np.maximum(lens - 1, 0)
+        _, pairs, npairs = char_pairs(batch["text"].to_pylist())
         nll = np.zeros(len(ids), dtype=np.float64)
-        if len(codes) >= 2 and npairs.sum() > 0:
-            pairs = codes[:-1] * 256 + codes[1:]
-            ends = np.cumsum(lens)
-            bad = ends[:-1] - 1
-            mask = np.ones(len(pairs), dtype=bool)
-            mask[bad[(bad >= 0) & (bad < len(pairs))]] = False
-            vals = table[pairs[mask]]
+        if len(pairs):
+            # every observed pair was counted in pass 1 -> exact hit
+            vals = vals_tbl[np.searchsorted(keys, pairs)]
             nzd = np.flatnonzero(npairs)
             starts = np.r_[0, np.cumsum(npairs[nzd])[:-1]]
             nll[nzd] = -np.add.reduceat(vals, starts) / npairs[nzd]
@@ -4276,6 +4277,12 @@ def q_json_props_stats(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False) \
             .astype("float64")  # NaN where the key is absent
+        # fail LOUDLY if the flat-bare-int assumption breaks (a quoted
+        # or float k would silently diverge from the SQL ->> semantics)
+        has_key = df["props"].str.contains('"k"', regex=False)
+        if bool((has_key & k.isna()).any()):
+            raise ValueError("json_props_stats: non-bare-integer 'k' value; "
+                             "switch the kernel to a real JSON parse")
         d = pd.DataFrame({"event_type": df["event_type"], "k": k}).dropna()
         g = d.groupby("event_type", sort=False)["k"].agg(
             ["size", "sum", "min", "max"]).reset_index()

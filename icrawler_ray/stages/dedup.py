@@ -88,6 +88,19 @@ def minhash_signatures(pairs: list[np.ndarray], num_perm: int = 64) -> np.ndarra
     return out
 
 
+def _band_buckets(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """Band-bucket fold shared by every LSH path: mixed-sum of each
+    band's signature rows with the band index folded in so equal hashes
+    in different bands never collide into one bucket. ``sigs`` is
+    (n_docs, bands, rows_per_band) uint64; returns (n_docs, bands)
+    uint64. ONE definition — the pairwise, in-group and incremental
+    dedup paths must agree on band identity or verdicts diverge."""
+    with np.errstate(over="ignore"):
+        bh = _mix(sigs, 17).sum(axis=2, dtype=np.uint64)
+        bh += _mix(np.arange(1, bands + 1, dtype=np.uint64), 7)[None, :]
+    return bh
+
+
 def minhash_lsh_pairs(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -126,13 +139,8 @@ def minhash_lsh_pairs(
         sh = shingle_hashes(texts, shingle_k)
         n = len(ids)
         sigs = minhash_signatures(sh, num_perm).reshape(n, bands, rows_per_band)
-        # bucket = mixed-sum of the band's signature values, with the band
-        # index folded in so equal hashes in different bands never collide
-        # into one bucket; fully vectorized over (docs, bands)
-        with np.errstate(over="ignore"):
-            bh = _mix(sigs, 17).sum(axis=2, dtype=np.uint64)
-            bh += _mix(np.arange(1, bands + 1, dtype=np.uint64), 7)[None, :]
-        buckets = (bh % np.uint64(1 << 63)).astype(np.int64).ravel()
+        buckets = (_band_buckets(sigs, bands)
+                   % np.uint64(1 << 63)).astype(np.int64).ravel()
         return pa.table(
             {
                 "bucket": pa.array(buckets),
@@ -369,10 +377,7 @@ def _local_lsh_wordset_pairs(ids: np.ndarray, sets: list, threshold: float,
     hashes = [md5_pair(sorted(s)) for s in sets]
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(hashes, num_perm).reshape(n, bands, rows_per_band)
-    with np.errstate(over="ignore"):
-        bh = _mix(sigs, 17).sum(axis=2, dtype=np.uint64)
-        bh += _mix(np.arange(1, bands + 1, dtype=np.uint64), 7)[None, :]
-    buckets = bh.ravel()
+    buckets = _band_buckets(sigs, bands).ravel()
     doc_idx = np.repeat(np.arange(n), bands)
     order = np.argsort(buckets, kind="mergesort")
     b_sorted, d_sorted = buckets[order], doc_idx[order]
@@ -534,10 +539,8 @@ def incremental_band_dedup(
         n = len(ids)
         sh = shingle_hashes(texts, shingle_k)
         sigs = minhash_signatures(sh, num_perm).reshape(n, bands, rows_per_band)
-        with np.errstate(over="ignore"):
-            bh = _mix(sigs, 17).sum(axis=2, dtype=np.uint64)
-            bh += _mix(np.arange(1, bands + 1, dtype=np.uint64), 7)[None, :]
-        buckets = (bh % np.uint64(1 << 63)).astype(np.int64).ravel()
+        buckets = (_band_buckets(sigs, bands)
+                   % np.uint64(1 << 63)).astype(np.int64).ravel()
         return pa.table(
             {
                 "bucket": pa.array(buckets),

@@ -55,21 +55,47 @@ def _round(arr: np.ndarray, round_to: int | None) -> np.ndarray:
     return np.round(arr, round_to) if round_to is not None else arr
 
 
+def _empty_with_pr(ds, out_col):
+    """Schema-correct empty result: the input columns plus out_col —
+    empty Ray blocks can arrive columnless, so build from ds.schema()."""
+    # only reached when ds has ZERO rows; Ray drops the columns from an
+    # empty to_pandas(), but schema() still carries names (+ numpy or
+    # arrow types depending on the block format)
+    sch = ds.schema(fetch_if_missing=True)
+    cols = {}
+    if sch is not None and getattr(sch, "names", None):
+        for n, t in zip(sch.names, sch.types):
+            if not isinstance(t, pa.DataType):
+                try:
+                    t = pa.from_numpy_dtype(np.dtype(t))
+                except (TypeError, pa.ArrowNotImplementedError):
+                    t = pa.string()  # pandas object column
+            cols[n] = pa.array([], type=t)
+    tbl = pa.table(cols) if cols else pa.table({})
+    return ray.data.from_arrow(
+        tbl.append_column(out_col, pa.array([], type=pa.float64())))
+
+
 def _pr_histogram(ds, part_col, val_col, out_col, round_to):
     def hist(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # columnless empty block
+            return pd.DataFrame({part_col: [], val_col: [], "n": []})
         g = df.groupby([part_col, val_col], sort=False).size()
         gi = g.index.to_frame(index=False)
         return pd.DataFrame({part_col: gi[part_col], val_col: gi[val_col],
                              "n": g.to_numpy()})
 
     h = ds.map_batches(hist, batch_format="pandas").to_pandas()
+    if not len(h):
+        return _empty_with_pr(ds, out_col)
     h = h.groupby([part_col, val_col], as_index=False)["n"].sum() \
         .sort_values([part_col, val_col], kind="mergesort").reset_index(drop=True)
     h["below"] = h.groupby(part_col)["n"].cumsum() - h["n"]
     tot = h.groupby(part_col)["n"].sum().rename("tot")
     h = h.merge(tot, left_on=part_col, right_index=True)
-    pr = np.where(h["tot"].to_numpy() > 1,
-                  h["below"].to_numpy() / (h["tot"].to_numpy() - 1.0), 0.0)
+    below = h["below"].to_numpy().astype(np.float64)
+    tot = h["tot"].to_numpy().astype(np.float64)
+    pr = np.divide(below, tot - 1.0, out=np.zeros_like(below), where=tot > 1)
     h[out_col] = _round(pr, round_to)
     lut_ref = ray.put(h[[part_col, val_col, out_col]])
 
@@ -124,11 +150,15 @@ def _block_rank(block: pa.Table, part_col: str, val_col: str, out_col: str,
 
 
 def _pr_sort(ds, part_col, val_col, out_col, round_to):
+    orig = ds  # an empty Ray sort strips block schemas; keep the input
     ds = ds.sort([part_col, val_col])
     refs = ds.to_arrow_refs()
-    if not refs:
-        return ds
-    metas = ray.get([_block_meta.remote(r, part_col, val_col) for r in refs])
+    metas = ray.get([_block_meta.remote(r, part_col, val_col) for r in refs]) \
+        if refs else []
+    if not any(n for (n, *_rest) in metas):
+        # zero rows: the histogram path (over the UNsorted input, whose
+        # schema survives) returns the correctly-schema'd empty dataset
+        return _pr_histogram(orig, part_col, val_col, out_col, round_to)
 
     # driver walk over BLOCK METADATA only: global offsets, the carry of
     # the run open at each block boundary, and per-part (lo, n) extents
@@ -148,8 +178,8 @@ def _pr_sort(ds, part_col, val_col, out_col, round_to):
     carry_key, carry_start = None, 0
     for r, (n, first_key, last_key, trail_start, _) in zip(refs, metas):
         if n == 0:
-            out_refs.append(_block_rank.remote(
-                r, part_col, val_col, out_col, offset, offset, ext_ref, round_to))
+            # empty sort blocks can come back schema-less; ranking them
+            # would emit a pr-only block and mix schemas in the output
             continue
         leading = carry_start if first_key == carry_key else offset
         out_refs.append(_block_rank.remote(

@@ -109,3 +109,33 @@ def test_percent_rank_sort_mode_matches_histogram_and_pandas(ray_session):
     assert np.array_equal(a["pr"].to_numpy(), ref)
     assert np.array_equal(b["pr"].to_numpy(), ref)
     assert a.loc[a["lang"] == "solo", "pr"].iloc[0] == 0.0
+
+
+def test_percent_rank_empty_blocks_and_empty_input_keep_schema(ray_session):
+    """Few distinct sort keys + many blocks makes Ray's sort emit EMPTY
+    blocks (which come back schema-less); the sort path must not mix a
+    pr-only block into the output. A zero-row input must still produce
+    blocks carrying the input columns + pr in BOTH modes."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from icrawler_ray.stages.window import percent_rank_over
+
+    df = pd.DataFrame({"doc_id": np.arange(200),
+                       "lang": ["en"] * 100 + ["de"] * 100,
+                       "score": ([1.0] * 50 + [2.0] * 50) * 2})
+    out = percent_rank_over(rd.from_pandas(df).repartition(9),
+                            "lang", "score", mode="sort")
+    schemas = {str(ray.get(r).schema) for r in out.to_arrow_refs()}
+    assert len(schemas) == 1, schemas  # no mixed-schema RefBundles
+    assert len(out.to_pandas()) == 200
+
+    for mode in ("sort", "histogram"):
+        eds = percent_rank_over(rd.from_pandas(df.iloc[:0]),
+                                "lang", "score", mode=mode)
+        blks = [ray.get(r) for r in eds.to_arrow_refs()]
+        names = {n for b in blks for n in b.schema.names}
+        assert names == {"doc_id", "lang", "score", "pr"}, (mode, names)
+        assert sum(b.num_rows for b in blks) == 0
