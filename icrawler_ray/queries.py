@@ -4463,6 +4463,52 @@ def q_countmin_freq(sf_dir: str):
     return out.sort_values("term").reset_index(drop=True)
 
 
+def q_precedence_dedup(sf_dir: str):
+    """Source-precedence dedup — the multi-source ingestion union:
+    when the same content key arrives from several sources, keep the
+    copy from the MOST TRUSTED source (lexicographically smallest
+    source name, doc_id as the final tiebreak) — the "curated beats
+    crawled" merge every multi-corpus pipeline runs. The content key
+    here is the md5 of the opening 3-token prefix (the boilerplate
+    template identity; 27 collision groups at test scale, so the
+    winner rule is genuinely exercised by the oracle).
+
+    Scale shape: per-batch combiner keeps ONE winner candidate per key
+    seen in the batch, so the reduce moves distinct-key-sized partials,
+    never the corpus; same shape as dedup_exact with an ordered winner
+    rule instead of first-seen."""
+    from icrawler_ray.stages.dedup import md5_pair
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [" ".join(t.split(" ")[:3]) for t in df["text"]]
+        h = md5_pair(keys)[:, 0].astype(np.uint64)
+        d = pd.DataFrame({"h": h, "source": df["source"],
+                          "doc_id": df["doc_id"]})
+        d = d.sort_values(["h", "source", "doc_id"], kind="mergesort")
+        return d.groupby("h", sort=False).head(1)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(["h", "source", "doc_id"], kind="mergesort")
+    win = parts.groupby("h", sort=False).head(1)
+    out = win[["doc_id", "source"]].copy()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PRECEDENCE_DEDUP = """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(array_to_string(
+             list_slice(string_split(text, ' '), 1, 3), ' '))
+           ORDER BY source, doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 #: JL projection target dimensionality
 JL_K = 16
 
@@ -4702,6 +4748,7 @@ QUERIES = {
     "countmin_freq": q_countmin_freq,
     "random_projection": q_random_projection,
     "bucket_padding_waste": q_bucket_padding_waste,
+    "precedence_dedup": q_precedence_dedup,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -4810,4 +4857,5 @@ ORACLE_SQL = {
     "countmin_freq": SQL_COUNTMIN_FREQ,
     "random_projection": SQL_RANDOM_PROJECTION,
     "bucket_padding_waste": SQL_BUCKET_PADDING_WASTE,
+    "precedence_dedup": SQL_PRECEDENCE_DEDUP,
 }
