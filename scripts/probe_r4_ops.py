@@ -371,12 +371,60 @@ def probe_transitions() -> dict:
         shutil.rmtree(d, ignore_errors=True)
 
 
+
+
+def probe_countmin() -> dict:
+    """200k docs (~10M token stream) through the CMS build + queries."""
+    from icrawler_ray.queries import q_countmin_freq
+
+    rng = np.random.default_rng(23)
+    docs = _fake_docs(200_000, rng)[["text"]].assign(
+        doc_id=np.arange(200_000, dtype=np.int64))
+    d = _tmp_table("documents", docs)
+    import shutil
+    try:
+        t0 = time.time()
+        out = q_countmin_freq(d)
+        dt = time.time() - t0
+        return {"probe": "countmin", "docs": 200_000,
+                "max_overcount": int((out["est"] - out["exact"]).max()),
+                "sec": round(dt, 2)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_precedence() -> dict:
+    """1M docs with heavy opening-prefix collisions through the
+    source-precedence winner combiner."""
+    from icrawler_ray.queries import q_precedence_dedup
+
+    rng = np.random.default_rng(29)
+    n = 1_000_000
+    prefixes = [f"tpl{i} head word" for i in range(5_000)]
+    texts = [prefixes[i % 5_000] + f" body {i}" for i in range(n)]
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts,
+                         "source": [f"src{i % 20}" for i in range(n)]})
+    d = _tmp_table("documents", docs)
+    import shutil
+    try:
+        t0 = time.time()
+        out = q_precedence_dedup(d)
+        dt = time.time() - t0
+        assert len(out) == 5_000
+        return {"probe": "precedence", "docs": n, "keys": 5_000,
+                "sec": round(dt, 2)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 PROBES = {"triangle": probe_triangle, "join": probe_join, "cdc": probe_cdc,
           "dsir": probe_dsir, "pca": probe_pca,
           "triangle_part": probe_triangle_part, "hits_part": probe_hits_part,
           "kcore_part": probe_kcore_part,
           "charlm": probe_charlm, "incr": probe_incr,
-          "prank": probe_prank, "transitions": probe_transitions}
+          "prank": probe_prank, "transitions": probe_transitions,
+          "countmin": probe_countmin, "precedence": probe_precedence}
 
 
 def main() -> None:
