@@ -4463,6 +4463,49 @@ def q_countmin_freq(sf_dir: str):
     return out.sort_values("term").reset_index(drop=True)
 
 
+#: sorted-neighborhood window size and similarity threshold
+SNM_WINDOW, SNM_THRESHOLD = 4, 0.5
+
+
+def q_snm_pairs(sf_dir: str):
+    """Sorted-Neighborhood near-dup pairs: sort by (n_chars, doc_id),
+    compare each doc to its 3 predecessors in sort order, keep pairs
+    with token-set Jaccard >= 0.5 — the entity-resolution alternative
+    to LSH when a meaningful blocking sort key exists. One sort, a
+    fixed (window-1)-row overlap handed between adjacent block tasks
+    (no driver rows), pair-sized output."""
+    from icrawler_ray.stages.dedup import sorted_neighborhood_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    return sorted_neighborhood_pairs(ds, ["n_chars"], window=SNM_WINDOW,
+                                     threshold=SNM_THRESHOLD)
+
+
+SQL_SNM_PAIRS = f"""
+WITH r AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk
+           FROM documents),
+cand AS (SELECT x.doc_id AS a0, y.doc_id AS b0
+         FROM r x JOIN r y ON y.rk > x.rk AND y.rk - x.rk < {SNM_WINDOW}),
+tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS s
+        FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (SELECT c.a0, c.b0, COUNT(*) AS i
+          FROM cand c
+          JOIN tok ta ON ta.doc_id = c.a0
+          JOIN tok tb ON tb.doc_id = c.b0 AND tb.s = ta.s
+          GROUP BY c.a0, c.b0),
+j AS (SELECT LEAST(c.a0, c.b0) AS a, GREATEST(c.a0, c.b0) AS b,
+             CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jac
+      FROM cand c
+      JOIN inter i ON i.a0 = c.a0 AND i.b0 = c.b0
+      JOIN sizes na ON na.doc_id = c.a0
+      JOIN sizes nb ON nb.doc_id = c.b0)
+SELECT a, b, ROUND(jac, 6) AS jaccard FROM j
+WHERE jac >= {SNM_THRESHOLD} ORDER BY a, b
+"""
+
+
 def q_precedence_dedup(sf_dir: str):
     """Source-precedence dedup — the multi-source ingestion union:
     when the same content key arrives from several sources, keep the
@@ -4749,6 +4792,7 @@ QUERIES = {
     "random_projection": q_random_projection,
     "bucket_padding_waste": q_bucket_padding_waste,
     "precedence_dedup": q_precedence_dedup,
+    "snm_pairs": q_snm_pairs,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -4858,4 +4902,5 @@ ORACLE_SQL = {
     "random_projection": SQL_RANDOM_PROJECTION,
     "bucket_padding_waste": SQL_BUCKET_PADDING_WASTE,
     "precedence_dedup": SQL_PRECEDENCE_DEDUP,
+    "snm_pairs": SQL_SNM_PAIRS,
 }

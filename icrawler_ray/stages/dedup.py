@@ -583,3 +583,95 @@ def incremental_band_dedup(
     new_ids = np.sort(new_tbl[id_col].to_numpy())
     flag = np.isin(new_ids, dups)
     return pd.DataFrame({"doc_id": new_ids.astype(np.int64), "is_dup": flag})
+
+
+@ray.remote
+def _snm_tail(block: pa.Table, w: int) -> pa.Table:
+    """Last w-1 rows of a block — the overlap a sorted-neighborhood
+    window needs across a block boundary."""
+    n = block.num_rows
+    return block.slice(max(0, n - (w - 1)))
+
+
+@ray.remote
+def _snm_block_pairs(block: pa.Table, prev_tail, w: int,
+                     id_col: str, text_col: str,
+                     threshold: float) -> pa.Table:
+    """Window pairs whose SECOND element lives in this block: compare
+    each row to its w-1 predecessors in global sort order (previous
+    block's tail prepended), exact token-set Jaccard."""
+    tables = [t for t in (prev_tail, block) if t is not None and t.num_rows]
+    if not tables or sum(t.num_rows for t in tables) < 2:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    merged = pa.concat_tables(tables, promote_options="default")
+    ids = merged[id_col].to_pylist()
+    sets = [set(t.split(" ")) for t in merged[text_col].to_pylist()]
+    n_prev = prev_tail.num_rows if prev_tail is not None else 0
+    aa, bb, jj = [], [], []
+    for j in range(max(1, n_prev), len(ids)):  # rows of THIS block only
+        for i in range(max(0, j - (w - 1)), j):
+            inter = len(sets[i] & sets[j])
+            if not inter:
+                continue
+            jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+            if jac >= threshold:
+                a, b = ids[i], ids[j]
+                if a > b:
+                    a, b = b, a
+                aa.append(a)
+                bb.append(b)
+                jj.append(round(jac, 6))
+    return pa.table({"a": pa.array(aa, type=pa.int64()),
+                     "b": pa.array(bb, type=pa.int64()),
+                     "jaccard": pa.array(jj, type=pa.float64())})
+
+
+def sorted_neighborhood_pairs(
+    ds: ray.data.Dataset,
+    sort_keys: list[str],
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> pd.DataFrame:
+    """Sorted-Neighborhood Method (SNM) near-dup pairs (Hernandez &
+    Stolfo SIGMOD'95): ONE global sort by a blocking key, then every
+    record is compared only to its ``window - 1`` predecessors in sort
+    order — O(n x window) comparisons instead of LSH's hash blocking;
+    the classic entity-resolution alternative when a meaningful sort
+    key exists (length, normalized title, opening prefix).
+
+    Scale shape: the sort is the only shuffle. Window pairs are
+    computed per block in parallel; pairs that straddle a block
+    boundary are covered by handing each block task the PREVIOUS
+    block's (window-1)-row tail — a small fixed overlap exchange in
+    the object store (the block-overlap sibling of functions/seq.py's
+    metadata stitch; rows never transit the driver). Output is
+    pair-sized. Assumes window <= the smallest nonempty block + 1
+    (blocks at scale are millions of rows; asserted below).
+    """
+    ds = ds.sort(sort_keys + [id_col])
+    refs = [r for r in ds.to_arrow_refs()]
+    counts = ray.get([_block_count_dedup.remote(r) for r in refs])
+    nonempty = [r for r, n in zip(refs, counts) if n]
+    ne_counts = [n for n in counts if n]
+    if len(nonempty) > 1:
+        assert min(ne_counts[:-1]) >= window - 1, \
+            "window spans more than one block boundary; repartition coarser"
+    out_refs = []
+    prev_tail = None
+    for r in nonempty:
+        out_refs.append(_snm_block_pairs.remote(
+            r, prev_tail, window, id_col, text_col, threshold))
+        prev_tail = _snm_tail.remote(r, window)
+    if not out_refs:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    pairs = pa.concat_tables(ray.get(out_refs)).to_pandas()  # pair-sized
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+@ray.remote
+def _block_count_dedup(block: pa.Table) -> int:
+    return block.num_rows

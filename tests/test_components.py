@@ -1293,3 +1293,29 @@ def test_incremental_band_dedup_planted_pair(ray_session):
     assert bool(out.loc[4, "is_dup"]) is False     # new-vs-new not compared
     assert bool(out.loc[5, "is_dup"]) is False
     assert sorted(out.index) == [3, 4, 5]
+
+
+def test_snm_pairs_block_boundaries_match_single_block(ray_session):
+    """Sorted-neighborhood pairs must be identical whether the sorted
+    data lands in 1 block or many (window pairs straddling boundaries
+    are covered by the prev-block tail handoff)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from icrawler_ray.stages.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(3)
+    vocab = np.array(list("abcdefghij"))
+    texts = [" ".join(vocab[rng.integers(0, 10, 8)]) for _ in range(400)]
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64),
+                       "text": texts,
+                       "n_chars": rng.integers(10, 30, 400).astype(np.int64)})
+
+    outs = {}
+    for nblocks in (1, 7):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        outs[nblocks] = sorted_neighborhood_pairs(
+            ds, ["n_chars"], window=4, threshold=0.3).reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs[1], outs[7])
+    assert len(outs[1]) > 0  # the fixture must actually produce pairs
