@@ -4079,29 +4079,43 @@ def q_charlm_quality(sf_dir: str):
     substring counts), bigram key c1*0x110000+c2, unigram keys stored
     negative so the spaces cannot collide."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    M = 0x110000  # codepoint space
+    lp_ref = _charlm_fit(ds)
+    out = ds.map_batches(_charlm_score_fn(lp_ref),
+                         batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
-    def char_pairs(texts):
-        """(codepoints, boundary-masked pair keys in doc order,
-        per-doc pair counts) for one batch blob."""
-        blob = "".join(texts)
-        codes = np.frombuffer(blob.encode("utf-32-le"),
-                              dtype=np.uint32).astype(np.int64)
-        lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
-        npairs = np.maximum(lens - 1, 0)
-        if len(codes) >= 2:
-            pairs = codes[:-1] * M + codes[1:]
-            ends = np.cumsum(lens)
-            bad = ends[:-1] - 1  # pair straddling a doc boundary
-            mask = np.ones(len(pairs), dtype=bool)
-            mask[bad[(bad >= 0) & (bad < len(pairs))]] = False
-            pairs = pairs[mask]
-        else:
-            pairs = np.empty(0, dtype=np.int64)
-        return codes, pairs, npairs
 
+#: codepoint space for char-bigram keys (bigram = c1 * CHARLM_M + c2)
+CHARLM_M = 0x110000
+
+
+def _char_pairs(texts):
+    """(codepoints, boundary-masked bigram keys in doc order, per-doc
+    pair counts) for one batch blob — shared by the char-LM fit and
+    score passes so their masks can never drift apart."""
+    M = CHARLM_M
+    blob = "".join(texts)
+    codes = np.frombuffer(blob.encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.int64)
+    lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+    npairs = np.maximum(lens - 1, 0)
+    if len(codes) >= 2:
+        pairs = codes[:-1] * M + codes[1:]
+        ends = np.cumsum(lens)
+        bad = ends[:-1] - 1  # pair straddling a doc boundary
+        mask = np.ones(len(pairs), dtype=bool)
+        mask[bad[(bad >= 0) & (bad < len(pairs))]] = False
+        pairs = pairs[mask]
+    else:
+        pairs = np.empty(0, dtype=np.int64)
+    return codes, pairs, npairs
+
+
+def _charlm_fit(ds: rd.Dataset):
+    """One combiner pass over ``ds.text`` -> broadcast ref of the
+    Laplace char-bigram model as sorted (bigram-key, logp) arrays."""
     def counts(batch: pa.Table) -> pa.Table:
-        codes, pairs, _ = char_pairs(batch["text"].to_pylist())
+        codes, pairs, _ = _char_pairs(batch["text"].to_pylist())
         ck, cn = np.unique(codes, return_counts=True)
         pk, pn = np.unique(pairs, return_counts=True)
         return pa.table({"k": pa.array(np.r_[-(ck + 1), pk]),
@@ -4113,27 +4127,32 @@ def q_charlm_quality(sf_dir: str):
     bg = agg[agg["k"] >= 0]
     bg_k = bg["k"].to_numpy()                # sorted (groupby key order)
     bg_n = bg["n"].to_numpy()
-    tot = bg.groupby(bg_k // M)["n"].sum()   # t(c1) = sum_c2 n(c1, c2)
+    tot = bg.groupby(bg_k // CHARLM_M)["n"].sum()  # t(c1) = sum_c2 n(c1,c2)
     lp_vals = np.log((bg_n + 1.0) /
-                     (tot.reindex(bg_k // M).to_numpy() + float(vocab)))
-    lp_ref = ray.put((bg_k, lp_vals))
+                     (tot.reindex(bg_k // CHARLM_M).to_numpy() + float(vocab)))
+    return ray.put((bg_k, lp_vals))
 
+
+def _charlm_nll(texts, keys, vals_tbl) -> np.ndarray:
+    """Per-doc negative mean log-likelihood under the broadcast model
+    (every observed bigram was counted at fit time -> exact gather)."""
+    _, pairs, npairs = _char_pairs(texts)
+    nll = np.zeros(len(texts), dtype=np.float64)
+    if len(pairs):
+        vals = vals_tbl[np.searchsorted(keys, pairs)]
+        nzd = np.flatnonzero(npairs)
+        starts = np.r_[0, np.cumsum(npairs[nzd])[:-1]]
+        nll[nzd] = -np.add.reduceat(vals, starts) / npairs[nzd]
+    return np.round(nll, 6)
+
+
+def _charlm_score_fn(lp_ref):
     def score(batch: pa.Table) -> pa.Table:
         keys, vals_tbl = ray.get(lp_ref)
         ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
-        _, pairs, npairs = char_pairs(batch["text"].to_pylist())
-        nll = np.zeros(len(ids), dtype=np.float64)
-        if len(pairs):
-            # every observed pair was counted in pass 1 -> exact hit
-            vals = vals_tbl[np.searchsorted(keys, pairs)]
-            nzd = np.flatnonzero(npairs)
-            starts = np.r_[0, np.cumsum(npairs[nzd])[:-1]]
-            nll[nzd] = -np.add.reduceat(vals, starts) / npairs[nzd]
-        return pa.table({"doc_id": pa.array(ids),
-                         "nll": pa.array(np.round(nll, 6))})
-
-    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+        nll = _charlm_nll(batch["text"].to_pylist(), keys, vals_tbl)
+        return pa.table({"doc_id": pa.array(ids), "nll": pa.array(nll)})
+    return score
 
 
 SQL_CHARLM_QUALITY = r"""
@@ -4461,6 +4480,146 @@ def q_countmin_freq(sf_dir: str):
     })
     assert (out["est"] >= out["exact"]).all()  # CMS one-sided guarantee
     return out.sort_values("term").reset_index(drop=True)
+
+
+#: refinery perplexity gate: drop docs whose char-LM nll exceeds this
+REFINERY_NLL_MAX = 1.72
+
+
+def q_corpus_refinery(sf_dir: str):
+    """Flagship composition #2 — the CCNet-shaped corpus refinery, five
+    canonical stages chained as ONE lazy Dataset pipeline with no
+    corpus-sized driver state: (1) composite quality gate, (2)
+    language-ID confirmation (predicted == labeled), (3) char-bigram LM
+    perplexity filter (model fit on the FULL corpus in one combiner
+    pass, broadcast once), (4) opening-prefix exact dedup keeping the
+    min doc_id (winner ids broadcast as a sorted array — distinct-key-
+    sized), (5) per-lang PERCENT_RANK curriculum percentile + md5
+    train/val/test split. Stages 1-3 fuse into a single map_batches
+    pass over each batch; the only exchanges are the LM-fit combiner
+    and the percentile histogram combiner. The SQL oracle replays the
+    ENTIRE composition end-to-end."""
+    from icrawler_ray.stages.dedup import md5_pair
+    from icrawler_ray.stages.textfns import langid_scores, quality_scores
+    from icrawler_ray.stages.window import percent_rank_over
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    lp_ref = _charlm_fit(docs)  # LM over the full corpus
+
+    def gate(batch: pa.Table) -> pa.Table:
+        q = quality_scores(batch)              # row-aligned kernels
+        l = langid_scores(batch)
+        keys, vals_tbl = ray.get(lp_ref)
+        nll = _charlm_nll(batch["text"].to_pylist(), keys, vals_tbl)
+        lang = np.asarray(batch["lang"].to_pylist())
+        pred = np.asarray(l["pred_lang"].to_pylist())
+        keep = (q["keep"].to_numpy(zero_copy_only=False)
+                & (pred == lang) & (nll <= REFINERY_NLL_MAX))
+        return batch.append_column("nll", pa.array(nll)) \
+                    .filter(pa.array(keep))
+
+    gated = docs.map_batches(gate, batch_format="pyarrow")
+
+    # stage 4: min-doc_id winner per opening-prefix key among survivors
+    def win_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [" ".join(t.split(" ")[:3]) for t in df["text"]]
+        d = pd.DataFrame({"h": md5_pair(keys)[:, 0].astype(np.uint64),
+                          "doc_id": df["doc_id"]})
+        d = d.sort_values(["h", "doc_id"], kind="mergesort")
+        return d.groupby("h", sort=False).head(1)
+
+    wp = gated.map_batches(win_partial, batch_format="pandas").to_pandas()
+    wp = wp.sort_values(["h", "doc_id"], kind="mergesort")
+    winners = np.sort(wp.groupby("h", sort=False).head(1)["doc_id"].to_numpy())
+    win_ref = ray.put(winners)
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        w = ray.get(win_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if not len(w) or not len(ids):
+            return batch.slice(0, 0).drop_columns(["text"])
+        i = np.minimum(np.searchsorted(w, ids), len(w) - 1)
+        return batch.filter(pa.array(w[i] == ids)).drop_columns(["text"])
+
+    surv = gated.map_batches(keep_winners, batch_format="pyarrow")
+    ranked = percent_rank_over(surv, "lang", "n_chars", mode="histogram")
+
+    def attach_split(df: pd.DataFrame) -> pd.DataFrame:
+        b = md5_pair([str(i) for i in df["doc_id"].to_numpy()])[:, 0] % 100
+        df = df.copy()
+        df["split"] = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+        return df
+
+    out = ranked.map_batches(attach_split, batch_format="pandas").to_pandas()
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out[["doc_id", "lang", "n_chars", "nll", "pr", "split"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CORPUS_REFINERY = f"""
+WITH qual AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+           length(text) AS n_chars,
+           len(list_filter(string_split(lower(text), ' '),
+               x -> list_contains(['the','a'], x))) AS n_stop
+    FROM documents)
+  WHERE n_tokens >= 10
+    AND CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0
+    AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.6),
+lid AS (
+  SELECT doc_id, lang AS pred_lang FROM (
+    SELECT t.doc_id, l.lang,
+           CAST(len(list_filter(t.toks, x -> list_contains(l.words, x)))
+                AS DOUBLE) / greatest(1, len(t.toks)) AS score
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM documents) t,
+         (VALUES {{LANGVALS}}) AS l(lang, words))
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, lang ASC) = 1),
+allch AS (SELECT substring(d.text, CAST(u.i AS INTEGER), 1) AS c
+          FROM documents d, unnest(range(1, length(d.text) + 1)) AS u(i)),
+vocab AS (SELECT COUNT(DISTINCT c) AS v FROM allch),
+bg AS (SELECT d.doc_id,
+              substring(d.text, CAST(u.i AS INTEGER), 1) AS c1,
+              substring(d.text, CAST(u.i AS INTEGER) + 1, 1) AS c2
+       FROM documents d, unnest(range(1, length(d.text))) AS u(i)),
+cnt AS (SELECT c1, c2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+tot AS (SELECT c1, SUM(n) AS t FROM cnt GROUP BY 1),
+sc AS (SELECT bg.doc_id,
+              AVG(-ln((cnt.n + 1.0) / (tot.t + vocab.v))) AS s
+       FROM bg JOIN cnt ON cnt.c1 = bg.c1 AND cnt.c2 = bg.c2
+       JOIN tot ON tot.c1 = bg.c1 CROSS JOIN vocab
+       GROUP BY bg.doc_id),
+surv1 AS (
+  SELECT d.doc_id, d.lang, d.n_chars, d.text,
+         ROUND(COALESCE(sc.s, 0.0), 6) AS nll
+  FROM documents d
+  JOIN qual USING (doc_id)
+  JOIN lid ON lid.doc_id = d.doc_id AND lid.pred_lang = d.lang
+  LEFT JOIN sc ON sc.doc_id = d.doc_id
+  WHERE ROUND(COALESCE(sc.s, 0.0), 6) <= {REFINERY_NLL_MAX}),
+ded AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(array_to_string(
+               list_slice(string_split(text, ' '), 1, 3), ' '))
+             ORDER BY doc_id) AS rn
+    FROM surv1)
+  WHERE rn = 1)
+SELECT s.doc_id, s.lang, s.n_chars, s.nll,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY s.lang ORDER BY s.n_chars),
+             6) AS pr,
+       CASE WHEN md5_number_lower(CAST(s.doc_id AS VARCHAR)) % 100 < 80
+              THEN 'train'
+            WHEN md5_number_lower(CAST(s.doc_id AS VARCHAR)) % 100 < 90
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM surv1 s JOIN ded USING (doc_id)
+ORDER BY s.doc_id
+"""
 
 
 #: sorted-neighborhood window size and similarity threshold
@@ -4793,6 +4952,7 @@ QUERIES = {
     "bucket_padding_waste": q_bucket_padding_waste,
     "precedence_dedup": q_precedence_dedup,
     "snm_pairs": q_snm_pairs,
+    "corpus_refinery": q_corpus_refinery,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -4903,4 +5063,5 @@ ORACLE_SQL = {
     "bucket_padding_waste": SQL_BUCKET_PADDING_WASTE,
     "precedence_dedup": SQL_PRECEDENCE_DEDUP,
     "snm_pairs": SQL_SNM_PAIRS,
+    "corpus_refinery": SQL_CORPUS_REFINERY.replace("{LANGVALS}", _sql_lang_values()),
 }
