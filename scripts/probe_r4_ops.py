@@ -418,13 +418,52 @@ def probe_precedence() -> dict:
         shutil.rmtree(d, ignore_errors=True)
 
 
+
+
+def probe_refinery() -> dict:
+    """200k docs through the full five-stage refinery composition."""
+    from icrawler_ray.queries import q_corpus_refinery
+
+    rng = np.random.default_rng(31)
+    docs = _fake_docs(200_000, rng)
+    docs["lang"] = np.array(["en", "de", "fr", "es", "zh"])[
+        rng.integers(0, 5, len(docs))]
+    docs["n_chars"] = docs["text"].str.len().astype(np.int64)
+    d = _tmp_table("documents", docs[["doc_id", "text", "lang", "n_chars"]])
+    import shutil
+    try:
+        t0 = time.time()
+        out = q_corpus_refinery(d)
+        dt = time.time() - t0
+        return {"probe": "refinery", "docs": 200_000,
+                "survivors": int(len(out)), "sec": round(dt, 2)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_snm() -> dict:
+    """200k docs through sorted-neighborhood window pairs."""
+    from icrawler_ray.stages.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(37)
+    docs = _fake_docs(200_000, rng)
+    docs["n_chars"] = docs["text"].str.len().astype(np.int64)
+    ds = rd.from_pandas(docs).repartition(64)
+    t0 = time.time()
+    out = sorted_neighborhood_pairs(ds, ["n_chars"], window=4, threshold=0.9)
+    dt = time.time() - t0
+    return {"probe": "snm", "docs": 200_000, "pairs": int(len(out)),
+            "sec": round(dt, 2)}
+
+
 PROBES = {"triangle": probe_triangle, "join": probe_join, "cdc": probe_cdc,
           "dsir": probe_dsir, "pca": probe_pca,
           "triangle_part": probe_triangle_part, "hits_part": probe_hits_part,
           "kcore_part": probe_kcore_part,
           "charlm": probe_charlm, "incr": probe_incr,
           "prank": probe_prank, "transitions": probe_transitions,
-          "countmin": probe_countmin, "precedence": probe_precedence}
+          "countmin": probe_countmin, "precedence": probe_precedence,
+          "refinery": probe_refinery, "snm": probe_snm}
 
 
 def main() -> None:
