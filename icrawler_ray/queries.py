@@ -4711,6 +4711,60 @@ SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id
 """
 
 
+#: exact-substring-dedup window length in tokens (Lee et al. 2021 use 50
+#: BPE tokens; 10 word tokens keeps the oracle exercised at test scale —
+#: 2007 duplicated occurrences across 969 distinct grams at sf0.01)
+SUBSTR_K = 10
+
+
+def q_substring_dedup(sf_dir: str):
+    """Exact duplicated-substring removal (ExactSubstr, Lee et al. 2021):
+    every SUBSTR_K-token window whose exact text occurs >= 2 times
+    corpus-wide is scrubbed from every document containing it; output is
+    (doc_id, clean_text, n_removed) for EVERY doc. Unlike doc-level dedup
+    this removes the boilerplate spans and keeps the unique remainder —
+    the strongest-dedup step in the Lee et al. ablation.
+
+    Scale shape: gram counting moves (hash, count) combiner partials;
+    below the measured SUBSTR_DUP_BROADCAST_MAX the dup set broadcasts
+    once and the scrub pass is shuffle-free; above it (or forced) the
+    partitioned path counts in gram-hash partitions and rebuilds via a
+    tag-and-group doc exchange (see stages/dedup.duplicate_span_scrub)."""
+    from icrawler_ray.stages.dedup import duplicate_span_scrub
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = duplicate_span_scrub(ds, k=SUBSTR_K).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_removed"] = out["n_removed"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT doc_id, u.i AS off,
+                 array_to_string(list_slice(t, u.i, u.i+{SUBSTR_K}-1), ' ') AS g
+          FROM toks, UNNEST(range(1, len(t)-{SUBSTR_K}+2)) AS u(i)),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+cover AS (SELECT DISTINCT gr.doc_id, v.j AS pos
+          FROM grams gr JOIN dupg d ON d.g = gr.g,
+               UNNEST(range(gr.off, gr.off + {SUBSTR_K})) AS v(j)),
+tokpos AS (SELECT doc_id, u.i AS pos, t[u.i] AS tok
+           FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)),
+kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+         FROM tokpos tp LEFT JOIN cover c
+           ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+         WHERE c.pos IS NULL),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id),
+rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cover GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
+FROM documents d
+LEFT JOIN agg a USING (doc_id) LEFT JOIN rem r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 #: JL projection target dimensionality
 JL_K = 16
 
@@ -4952,6 +5006,7 @@ QUERIES = {
     "bucket_padding_waste": q_bucket_padding_waste,
     "precedence_dedup": q_precedence_dedup,
     "snm_pairs": q_snm_pairs,
+    "substring_dedup": q_substring_dedup,
     "corpus_refinery": q_corpus_refinery,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
@@ -5063,5 +5118,6 @@ ORACLE_SQL = {
     "bucket_padding_waste": SQL_BUCKET_PADDING_WASTE,
     "precedence_dedup": SQL_PRECEDENCE_DEDUP,
     "snm_pairs": SQL_SNM_PAIRS,
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
     "corpus_refinery": SQL_CORPUS_REFINERY.replace("{LANGVALS}", _sql_lang_values()),
 }

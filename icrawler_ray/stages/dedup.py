@@ -675,3 +675,205 @@ def sorted_neighborhood_pairs(
 @ray.remote
 def _block_count_dedup(block: pa.Table) -> int:
     return block.num_rows
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring removal (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better", arXiv:2107.06499 — the
+# ExactSubstr variant, approximated at token-k-gram granularity instead of
+# a suffix array: every k-token window that occurs >= min_count times
+# ANYWHERE in the corpus is scrubbed from every document that contains it).
+# ---------------------------------------------------------------------------
+
+#: dup-gram broadcast bound: above this many duplicated gram hashes the
+#: scrub auto-routes to the fully partitioned path (2M uint64 = 16 MB,
+#: the same order as the decontaminate/bloom broadcast budgets).
+SUBSTR_DUP_BROADCAST_MAX = 2_000_000
+
+
+def _gram_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flat md5-lower hashes of every k-token window across the batch,
+    plus the per-doc window count (len-k+1, floored at 0). One md5_pair
+    call per batch, no per-gram Python hashing."""
+    grams: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        n = max(0, len(toks) - k + 1)
+        counts[i] = n
+        grams.extend(" ".join(toks[j:j + k]) for j in range(n))
+    return md5_pair(grams)[:, 0], counts
+
+
+def _cover_mask(n_toks: int, offs: np.ndarray, k: int) -> np.ndarray:
+    """Boolean token-position mask covered by windows starting at offs."""
+    delta = np.zeros(n_toks + 1, dtype=np.int32)
+    np.add.at(delta, offs, 1)
+    np.add.at(delta, np.minimum(offs + k, n_toks), -1)
+    return np.cumsum(delta[:n_toks]) > 0
+
+
+def duplicate_span_scrub(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_count: int = 2,
+    num_partitions: int = 32,
+    dup_broadcast_max: int = SUBSTR_DUP_BROADCAST_MAX,
+    force_partitioned: bool = False,
+) -> ray.data.Dataset:
+    """Scrub every token position covered by a k-token window whose exact
+    text occurs >= min_count times corpus-wide. Returns a Dataset of
+    (id_col, clean_text, n_removed) — one row per input doc, streaming.
+
+    Two executions, auto-routed on the MEASURED duplicated-gram count:
+
+    broadcast (dup set <= dup_broadcast_max): pass 1 counts gram md5s with
+    per-batch ``np.unique`` combiner partials (the exchange moves
+    (hash, count) partials, never gram text); the >=min_count survivors
+    are broadcast once via ``ray.put`` as a sorted uint64 array; pass 2
+    rescans each doc, marks covered positions with a searchsorted probe +
+    difference-array expansion, zero further shuffles.
+
+    partitioned (huge dup sets / force_partitioned): one exchange on
+    gram-hash partitions counts occurrences IN PLACE (all occurrences of a
+    gram land in one partition, so no separate count pass) and emits
+    covered (doc_id, off) rows; a second tag-and-group exchange on
+    hash(doc_id) joins coverage back to doc text and rebuilds — the same
+    two-exchange shape as minhash_lsh_pairs' verify join. No driver rows
+    in either path.
+    """
+    P = max(1, num_partitions)
+
+    def scrub_docs(dup_sorted: np.ndarray):
+        def scrub(batch: pa.Table) -> pa.Table:
+            texts = batch[text_col].to_pylist()
+            h, counts = _gram_hashes(texts, k)
+            idx = np.searchsorted(dup_sorted, h)
+            idx[idx >= len(dup_sorted)] = 0
+            isdup = (dup_sorted[idx] == h) if len(dup_sorted) else \
+                np.zeros(len(h), dtype=bool)
+            clean, removed = [], np.empty(len(texts), dtype=np.int64)
+            pos = 0
+            for i, t in enumerate(texts):
+                toks = t.split(" ")
+                n = int(counts[i])
+                offs = np.flatnonzero(isdup[pos:pos + n])
+                pos += n
+                if not len(offs):
+                    clean.append(t)
+                    removed[i] = 0
+                    continue
+                m = _cover_mask(len(toks), offs, k)
+                clean.append(" ".join(np.asarray(toks, dtype=object)[~m]))
+                removed[i] = int(m.sum())
+            return pa.table({id_col: batch[id_col],
+                             "clean_text": pa.array(clean, type=pa.string()),
+                             "n_removed": pa.array(removed)})
+        return scrub
+
+    if not force_partitioned:
+        # ---- pass 1: count gram hashes (combiner partials, narrow rows)
+        def gram_counts(batch: pa.Table) -> pa.Table:
+            h, _ = _gram_hashes(batch[text_col].to_pylist(), k)
+            uniq, cnt = np.unique(h, return_counts=True)
+            return pa.table({"h": pa.array(uniq.view(np.int64)),
+                             "c": pa.array(cnt.astype(np.int64))})
+
+        dup_ds = (
+            ds.map_batches(gram_counts, batch_format="pyarrow")
+            .groupby("h").sum("c")
+            .map_batches(lambda t: t.filter(
+                pa.compute.greater_equal(t["sum(c)"], min_count))
+                .select(["h"]), batch_format="pyarrow")
+        )
+        n_dup = dup_ds.count()
+        if n_dup <= dup_broadcast_max:
+            dup = np.sort(dup_ds.to_pandas()["h"].to_numpy()
+                          .view(np.uint64)) if n_dup else \
+                np.empty(0, dtype=np.uint64)
+            dup_ref = ray.put(dup)
+
+            def scrub_bc(batch: pa.Table) -> pa.Table:
+                return scrub_docs(ray.get(dup_ref))(batch)
+
+            return ds.map_batches(scrub_bc, batch_format="pyarrow")
+
+    # ---- partitioned path: count in the gram-hash partition, then a
+    # tag-and-group doc rebuild (2 exchanges, both narrow except doc text
+    # which rides the SECOND exchange exactly once per doc).
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h, counts = _gram_hashes(texts, k)
+        doc = np.repeat(ids, counts)
+        off = np.concatenate([np.arange(c, dtype=np.int64)
+                              for c in counts]) if len(h) else \
+            np.empty(0, dtype=np.int64)
+        return pa.table({
+            "part": pa.array((h % np.uint64(P)).astype(np.int32)),
+            "h": pa.array(h.view(np.int64)),
+            "doc_id": pa.array(doc),
+            "off": pa.array(off),
+        })
+
+    def covered_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """Sorted run-walk: emit (doc_id, off) of every occurrence of a
+        gram whose partition-local (== global) count >= min_count."""
+        g = g.sort_values("h", kind="mergesort")
+        hv = g["h"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, hv[1:] != hv[:-1]])
+        runlen = np.diff(np.r_[starts, len(hv)])
+        keep = np.repeat(runlen >= min_count, runlen)
+        return pd.DataFrame({
+            "dkey": (pd.util.hash_array(
+                g["doc_id"].to_numpy()[keep]) % P).astype(np.int64),
+            "doc_id": g["doc_id"].to_numpy()[keep],
+            "off": g["off"].to_numpy()[keep],
+        })
+
+    cover = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(covered_in_partition, batch_format="pandas")
+    )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "dkey": pa.array((pd.util.hash_array(ids) % P).astype(np.int64)),
+            "doc_id": pa.array(ids),
+            "off": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "text": batch[text_col],
+        })
+
+    def cover_tagged(t: pa.Table) -> pa.Table:
+        return t.append_column("text", pa.array([None] * len(t),
+                                                type=pa.string()))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        is_doc = g["off"].to_numpy() == -1
+        docs = g[is_doc]
+        cov = g[~is_doc]
+        off_by_doc = {d: grp["off"].to_numpy()
+                      for d, grp in cov.groupby("doc_id", sort=False)}
+        clean, removed = [], []
+        for d, t in zip(docs["doc_id"], docs["text"]):
+            offs = off_by_doc.get(d)
+            if offs is None:
+                clean.append(t)
+                removed.append(0)
+                continue
+            toks = t.split(" ")
+            m = _cover_mask(len(toks), offs.astype(np.int64), k)
+            clean.append(" ".join(np.asarray(toks, dtype=object)[~m]))
+            removed.append(int(m.sum()))
+        return pd.DataFrame({id_col: docs["doc_id"].to_numpy(),
+                             "clean_text": clean,
+                             "n_removed": np.asarray(removed,
+                                                     dtype=np.int64)})
+
+    union = ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        cover.map_batches(cover_tagged, batch_format="pyarrow"))
+    return union.groupby("dkey").map_groups(rebuild, batch_format="pandas")

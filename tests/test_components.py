@@ -1319,3 +1319,62 @@ def test_snm_pairs_block_boundaries_match_single_block(ray_session):
             ds, ["n_chars"], window=4, threshold=0.3).reset_index(drop=True)
     pd.testing.assert_frame_equal(outs[1], outs[7])
     assert len(outs[1]) > 0  # the fixture must actually produce pairs
+
+
+def test_substring_dedup_forced_partitioned_matches_broadcast(ray_session):
+    """duplicate_span_scrub must produce identical output on the broadcast
+    and the partitioned path (auto-routing is a measured-size dispatch, so
+    both must be exact)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from icrawler_ray.stages.dedup import duplicate_span_scrub
+
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"w{i}" for i in range(12)])
+    boiler = " ".join(vocab[rng.integers(0, 12, 6)])
+    texts = []
+    for i in range(300):
+        body = " ".join(vocab[rng.integers(0, 12, 20)])
+        # plant the boilerplate span into every third doc
+        texts.append(f"{body} {boiler}" if i % 3 == 0 else body)
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                       "text": texts})
+
+    outs = {}
+    for forced in (False, True):
+        ds = rd.from_pandas(df).repartition(5)
+        out = duplicate_span_scrub(ds, k=4, force_partitioned=forced
+                                   ).to_pandas()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_removed"] = out["n_removed"].astype("int64")
+        outs[forced] = out.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs[False], outs[True])
+    assert outs[False]["n_removed"].sum() > 0
+
+
+def test_substring_dedup_scrubs_planted_span_only(ray_session):
+    """A span planted in two docs is removed from BOTH; unique text and
+    short (< k tokens) docs pass through untouched."""
+    import pandas as pd
+    import ray.data as rd
+
+    from icrawler_ray.stages.dedup import duplicate_span_scrub
+
+    span = "p1 p2 p3 p4"
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [f"u1 u2 {span} u3",
+                 f"v1 {span} v2 v3",
+                 "unique only here tokens",
+                 "tiny doc"],  # shorter than k -> no grams
+    })
+    out = duplicate_span_scrub(rd.from_pandas(df), k=4).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "clean_text"] == "u1 u2 u3"
+    assert out.loc[0, "n_removed"] == 4
+    assert out.loc[1, "clean_text"] == "v1 v2 v3"
+    assert out.loc[2, "clean_text"] == "unique only here tokens"
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[3, "clean_text"] == "tiny doc"
