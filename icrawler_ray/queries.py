@@ -4765,6 +4765,78 @@ ORDER BY d.doc_id
 """
 
 
+#: Naive-Bayes quality classifier: curated-source positive class (the
+#: GPT-3 recipe: curated corpora positive, raw crawl negative). The
+#: single-digit sources are "curated" here purely as a deterministic
+#: label rule the SQL oracle can replicate (length(source) = 4).
+NB_CURATED_PREFIX_LEN = 4
+
+
+def q_nb_quality(sf_dir: str):
+    """Model-based quality filter (GPT-3 appendix A / CCNet fastText
+    shape): train a hashed-token Naive-Bayes classifier with curated
+    sources as the positive class, then score EVERY doc with the fitted
+    log-odds and emit (doc_id, nb_score, pred_good) — the distillation of
+    a corpus-membership signal into a scorer the gate stage can apply at
+    read time.
+
+    Scale shape: training is one exchange of <= NB_V-row (feature, count)
+    combiner partials reduced on the driver into a 32 KB weight vector
+    (model size is VOCAB-bounded, never corpus-bounded); the vector is
+    broadcast once via ray.put and scoring is a single shuffle-free
+    map_batches pass (np.add.reduceat per batch)."""
+    from icrawler_ray.stages.textfns import (nb_fit, nb_score_batch,
+                                             nb_train_partial)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def train_partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["source"].to_pylist())
+        good = np.char.str_len(src.astype(str)) == NB_CURATED_PREFIX_LEN
+        return nb_train_partial(batch, "text", good)
+
+    parts = (ds.map_batches(train_partial, batch_format="pyarrow")
+             .groupby("f").sum(["cg", "cb"]).to_pandas())
+    parts = parts.rename(columns={"sum(cg)": "cg", "sum(cb)": "cb"})
+    w, prior = nb_fit(parts)
+    w_ref = ray.put(w)
+
+    def score(batch: pa.Table) -> pa.Table:
+        return nb_score_batch(batch, "text", "doc_id", ray.get(w_ref),
+                              prior)
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_NB_QUALITY = f"""
+WITH lab AS (SELECT doc_id, text,
+                    length(source) = {NB_CURATED_PREFIX_LEN} AS good
+             FROM documents),
+tok AS (SELECT doc_id, good,
+               CAST(md5_number_lower(u.t) % 4096 AS BIGINT) AS f
+        FROM lab, UNNEST(string_split(text, ' ')) AS u(t)),
+cnt AS (SELECT f,
+               SUM(CASE WHEN good THEN 1 ELSE 0 END) AS cg,
+               SUM(CASE WHEN NOT good THEN 1 ELSE 0 END) AS cb
+        FROM tok GROUP BY f),
+tot AS (SELECT SUM(cg) AS ng, SUM(cb) AS nb FROM cnt),
+prior AS (SELECT ln(SUM(CASE WHEN good THEN 1 ELSE 0 END)::DOUBLE /
+                    SUM(CASE WHEN NOT good THEN 1 ELSE 0 END)) AS lp
+          FROM lab),
+w AS (SELECT c.f,
+             ln((c.cg + 1.0) / (t.ng + 4096))
+           - ln((c.cb + 1.0) / (t.nb + 4096)) AS wt
+      FROM cnt c CROSS JOIN tot t),
+score AS (SELECT tk.doc_id, SUM(w.wt) + ANY_VALUE(p.lp) AS s
+          FROM tok tk JOIN w ON w.f = tk.f CROSS JOIN prior p
+          GROUP BY tk.doc_id)
+SELECT doc_id, ROUND(s, 6) AS nb_score, s > 0 AS pred_good
+FROM score ORDER BY doc_id
+"""
+
+
 #: JL projection target dimensionality
 JL_K = 16
 
@@ -5007,6 +5079,7 @@ QUERIES = {
     "precedence_dedup": q_precedence_dedup,
     "snm_pairs": q_snm_pairs,
     "substring_dedup": q_substring_dedup,
+    "nb_quality": q_nb_quality,
     "corpus_refinery": q_corpus_refinery,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
@@ -5119,5 +5192,6 @@ ORACLE_SQL = {
     "precedence_dedup": SQL_PRECEDENCE_DEDUP,
     "snm_pairs": SQL_SNM_PAIRS,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "nb_quality": SQL_NB_QUALITY,
     "corpus_refinery": SQL_CORPUS_REFINERY.replace("{LANGVALS}", _sql_lang_values()),
 }

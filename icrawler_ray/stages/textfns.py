@@ -225,3 +225,84 @@ def cdc_chunk_rows(batch: pa.Table) -> pa.Table:
         "h": pa.array(np.array(out_h, dtype=np.uint64).astype(np.int64),
                       type=pa.int64()),
         "n_chars": pa.array(out_len, type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Hashed-token Naive-Bayes quality classifier (the GPT-3 / CCNet
+# "model-based quality filter" shape: train a cheap linear classifier with
+# curated sources as the positive class, score every doc, gate on the
+# score). Training is ONE narrow exchange of (feature, count) combiner
+# partials; the fitted model is a V-sized weight vector (32 KB at V=4096)
+# broadcast via ray.put; scoring is a shuffle-free map_batches pass.
+# ---------------------------------------------------------------------------
+
+#: hashed-feature vocabulary size (md5 % NB_V, oracle-reproducible)
+NB_V = 4096
+
+
+def _nb_features(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Flat md5-lower % NB_V feature ids across the batch + per-doc token
+    counts. One md5_pair call per batch."""
+    from icrawler_ray.stages.dedup import md5_pair
+
+    toks: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        parts = t.split(" ")
+        counts[i] = len(parts)
+        toks.extend(parts)
+    f = (md5_pair(toks)[:, 0] % np.uint64(NB_V)).astype(np.int64)
+    return f, counts
+
+
+def nb_train_partial(batch: pa.Table, text_col: str,
+                     good_mask: np.ndarray) -> pa.Table:
+    """Per-batch combiner: (f, cg, cb) token-occurrence counts per hashed
+    feature, plus one f=-1 row carrying the batch's doc-label counts (for
+    the class prior). The exchange moves at most NB_V+1 rows per batch."""
+    texts = batch[text_col].to_pylist()
+    f, counts = _nb_features(texts)
+    doc_good = np.repeat(good_mask, counts)
+    cg = np.bincount(f[doc_good], minlength=NB_V)
+    cb = np.bincount(f[~doc_good], minlength=NB_V)
+    nz = np.flatnonzero(cg | cb)
+    return pa.table({
+        "f": pa.array(np.r_[nz, -1].astype(np.int64)),
+        "cg": pa.array(np.r_[cg[nz], int(good_mask.sum())].astype(np.int64)),
+        "cb": pa.array(np.r_[cb[nz],
+                             int((~good_mask).sum())].astype(np.int64)),
+    })
+
+
+def nb_fit(parts: "pd.DataFrame") -> tuple[np.ndarray, float]:
+    """Reduce summed (f, cg, cb) rows into the per-feature log-odds weight
+    vector w[NB_V] (Laplace alpha=1) and the log prior-odds scalar."""
+    doc_row = parts[parts["f"] == -1]
+    n_good_docs = int(doc_row["cg"].sum())
+    n_bad_docs = int(doc_row["cb"].sum())
+    feat = parts[parts["f"] >= 0]
+    cg = np.zeros(NB_V, dtype=np.float64)
+    cb = np.zeros(NB_V, dtype=np.float64)
+    cg[feat["f"].to_numpy()] = feat["cg"].to_numpy()
+    cb[feat["f"].to_numpy()] = feat["cb"].to_numpy()
+    ng, nb = cg.sum(), cb.sum()
+    w = (np.log((cg + 1.0) / (ng + NB_V))
+         - np.log((cb + 1.0) / (nb + NB_V)))
+    prior = float(np.log(n_good_docs / n_bad_docs))
+    return w, prior
+
+
+def nb_score_batch(batch: pa.Table, text_col: str, id_col: str,
+                   w: np.ndarray, prior: float) -> pa.Table:
+    """Shuffle-free scoring pass: per-doc sum of broadcast feature weights
+    (np.add.reduceat over the flat feature array) + the prior."""
+    texts = batch[text_col].to_pylist()
+    f, counts = _nb_features(texts)
+    starts = np.r_[0, np.cumsum(counts)[:-1]]
+    s = np.add.reduceat(w[f], starts) + prior if len(f) else \
+        np.empty(0, dtype=np.float64)
+    return pa.table({
+        id_col: batch[id_col],
+        "nb_score": pa.array(np.round(s, 6)),
+        "pred_good": pa.array(s > 0.0),
+    })

@@ -1378,3 +1378,46 @@ def test_substring_dedup_scrubs_planted_span_only(ray_session):
     assert out.loc[2, "clean_text"] == "unique only here tokens"
     assert out.loc[2, "n_removed"] == 0
     assert out.loc[3, "clean_text"] == "tiny doc"
+
+
+def test_nb_classifier_separates_planted_vocabularies(ray_session):
+    """NB classifier trained on class-disjoint vocabularies must score
+    every good doc positive and every bad doc negative, and the training
+    exchange must stay vocab-bounded (<= NB_V+1 rows per partial)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from icrawler_ray.stages.textfns import (NB_V, nb_fit, nb_score_batch,
+                                             nb_train_partial)
+
+    rng = np.random.default_rng(11)
+    gv = [f"good{i}" for i in range(20)]
+    bv = [f"bad{i}" for i in range(20)]
+    texts, good = [], []
+    for i in range(200):
+        v = gv if i % 2 == 0 else bv
+        texts.append(" ".join(rng.choice(v, 15)))
+        good.append(i % 2 == 0)
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "text": texts, "good": good})
+
+    ds = rd.from_pandas(df).repartition(4)
+
+    def train_partial(batch: pa.Table) -> pa.Table:
+        out = nb_train_partial(
+            batch, "text", np.asarray(batch["good"].to_pylist()))
+        assert len(out) <= NB_V + 1
+        return out
+
+    parts = (ds.map_batches(train_partial, batch_format="pyarrow")
+             .groupby("f").sum(["cg", "cb"]).to_pandas()
+             .rename(columns={"sum(cg)": "cg", "sum(cb)": "cb"}))
+    w, prior = nb_fit(parts)
+
+    scored = ds.map_batches(
+        lambda b: nb_score_batch(b, "text", "doc_id", w, prior),
+        batch_format="pyarrow").to_pandas().sort_values("doc_id")
+    assert (scored["pred_good"].to_numpy() == np.asarray(good)).all()
