@@ -4837,6 +4837,85 @@ FROM score ORDER BY doc_id
 """
 
 
+def q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011): 64 dims split into
+    4 subspaces, each k-means'd (1 Lloyd iteration, squared-L2, init =
+    8 lowest-id subvectors) into 8 codes; queries rank every vector by
+    the ADC lookup-table distance. THE memory-scale ANN path: 256-byte
+    vectors become 4 code bytes, and scoring is table lookups, not
+    matmuls. Codebook training is one combiner-partial exchange per
+    iteration, scoring is shuffle-free with per-batch top-k truncation
+    (output-sized driver merge). The oracle unrolls the subspace k-means
+    AND the ADC ranking in SQL with the same xx+cc-2xc distance form."""
+    from icrawler_ray.stages.similarity import pq_topk
+
+    head = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .sort("vec_id").limit(3).to_pandas()
+    queries = np.asarray(head["embedding"].tolist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = pq_topk(ds, queries, k=5, m=4, k_codes=8, n_iter=1,
+                  query_ids=head["vec_id"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "vec_id", "adist", "rank"]]
+
+
+def _sql_knn_pq(m: int = 4, k_codes: int = 8, dim: int = 64,
+                n_q: int = 3, k: int = 5) -> str:
+    """Iteration-unrolled PQ oracle: per-subspace c0 (k_codes lowest-id
+    subvectors) -> one Lloyd update -> encode -> per-query LUT join.
+    Distances use the same xx + cc - 2xc inner-product expansion as the
+    engine so float rounding agrees."""
+    sub = dim // m
+    parts = [f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
+     ORDER BY vec_id LIMIT {n_q})"""]
+    dist = ("list_inner_product({a}, {a}) + list_inner_product({b}, {b})"
+            " - 2 * list_inner_product({a}, {b})")
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        d_ec = dist.format(a="es.v", b="c.v")
+        parts.append(f"""
+e{s} AS MATERIALIZED (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM e),
+c0_{s} AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+       AS INTEGER) AS cid, v FROM e{s} ORDER BY vec_id LIMIT {k_codes}),
+a0_{s} AS MATERIALIZED (SELECT vec_id, cid FROM (
+  SELECT es.vec_id, c.cid,
+         row_number() OVER (PARTITION BY es.vec_id
+             ORDER BY {d_ec} ASC, c.cid) AS rn
+  FROM e{s} es CROSS JOIN c0_{s} c) WHERE rn = 1),
+c1_{s} AS MATERIALIZED (SELECT cid, list(mv ORDER BY idx) AS v FROM (
+  SELECT a.cid, t.i AS idx, AVG(es.v[t.i]) AS mv
+  FROM a0_{s} a JOIN e{s} es USING (vec_id)
+  CROSS JOIN range(1, {sub + 1}) t(i)
+  GROUP BY a.cid, t.i) GROUP BY cid),
+enc_{s} AS MATERIALIZED (SELECT vec_id, cid FROM (
+  SELECT es.vec_id, c.cid,
+         row_number() OVER (PARTITION BY es.vec_id
+             ORDER BY {d_ec} ASC, c.cid) AS rn
+  FROM e{s} es CROSS JOIN c1_{s} c) WHERE rn = 1),
+qd_{s} AS MATERIALIZED (SELECT q.query_id, c.cid,
+       {dist.format(a=f"list_slice(q.qv, {lo}, {hi})", b="c.v")} AS d
+  FROM q CROSS JOIN c1_{s} c)""")
+    enc_joins = " ".join(
+        f"JOIN enc_{s} ON enc_{s}.vec_id = x.vec_id "
+        f"JOIN qd_{s} ON qd_{s}.query_id = q.query_id "
+        f"AND qd_{s}.cid = enc_{s}.cid" for s in range(m))
+    d_sum = " + ".join(f"qd_{s}.d" for s in range(m))
+    parts.append(f"""
+ad AS (SELECT q.query_id, x.vec_id, {d_sum} AS adist
+       FROM e x CROSS JOIN q {enc_joins}
+       WHERE x.vec_id <> q.query_id)""")
+    return (",".join(parts) + f"""
+SELECT query_id, vec_id, ROUND(adist, 6) AS adist,
+       row_number() OVER (PARTITION BY query_id
+           ORDER BY adist ASC, vec_id) AS rank
+FROM ad QUALIFY rank <= {k} ORDER BY query_id, rank""")
+
+
+SQL_KNN_PQ = _sql_knn_pq()
+
+
 #: JL projection target dimensionality
 JL_K = 16
 
@@ -5080,6 +5159,7 @@ QUERIES = {
     "snm_pairs": q_snm_pairs,
     "substring_dedup": q_substring_dedup,
     "nb_quality": q_nb_quality,
+    "knn_pq": q_knn_pq,
     "corpus_refinery": q_corpus_refinery,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
@@ -5193,5 +5273,6 @@ ORACLE_SQL = {
     "snm_pairs": SQL_SNM_PAIRS,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "nb_quality": SQL_NB_QUALITY,
+    "knn_pq": SQL_KNN_PQ,
     "corpus_refinery": SQL_CORPUS_REFINERY.replace("{LANGVALS}", _sql_lang_values()),
 }

@@ -368,3 +368,141 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 5,
     out = partials[partials["rank"] <= k].sort_values(["query_id", "rank"]).reset_index(drop=True)
     out["sim"] = np.round(out["sim"], 6)
     return out[["query_id", "vec_id", "sim", "rank"]]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search", IEEE TPAMI): split the vector into M
+# subspaces, k-means each subspace into 2^b codes, store M bytes per
+# vector, answer queries by Asymmetric Distance Computation (one M x k'
+# lookup table per query, adist = sum of per-subspace squared L2 to the
+# assigned code's centroid). THE memory-scale path for 1e10-vector
+# corpora: 64 float32 dims (256 B) compress to M=4 code bytes.
+# ---------------------------------------------------------------------------
+
+
+def _sq_l2(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(n, k) squared L2 via the xx + cc - 2xc expansion — the SAME
+    algebraic form the SQL oracle uses (three list_inner_products), so
+    both sides agree to float rounding."""
+    xx = np.einsum("ij,ij->i", x, x)[:, None]
+    cc = np.einsum("ij,ij->i", c, c)[None, :]
+    return xx + cc - 2.0 * (x @ c.T)
+
+
+def pq_fit(ds: ray.data.Dataset, m: int = 4, k_codes: int = 8,
+           n_iter: int = 1, id_col: str = "vec_id",
+           vec_col: str = "embedding") -> list[tuple[np.ndarray, np.ndarray]]:
+    """Train per-subspace codebooks: init = the k_codes lowest-id
+    vectors' subvectors, then ``n_iter`` Lloyd updates with squared-L2
+    assignment (ties to the lowest code id, empty codes drop). Each
+    iteration is ONE map_batches pass emitting (subspace, code, count,
+    sum) combiner partials for ALL subspaces at once — the exchange is
+    M x k' x subdim-bounded, never corpus-bounded. Returns
+    [(code_ids, centroids)] per subspace."""
+    from icrawler_ray.stages.clustering import _k_smallest_vectors
+
+    init = _k_smallest_vectors(ds, k_codes, id_col, vec_col)
+    dim = init.shape[1]
+    assert dim % m == 0, (dim, m)
+    sub = dim // m
+    books = [(np.arange(len(init)), init[:, s * sub:(s + 1) * sub].copy())
+             for s in range(m)]
+
+    for _ in range(n_iter):
+        ref = ray.put([c for _, c in books])
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            cents = ray.get(_ref)
+            x = _as_matrix(batch[vec_col])
+            out_s, out_c, out_n, out_sum = [], [], [], []
+            for s, c in enumerate(cents):
+                xs = x[:, s * sub:(s + 1) * sub]
+                assign = np.argmin(_sq_l2(xs, c), axis=1)
+                for j in np.unique(assign):
+                    sel = assign == j
+                    out_s.append(s)
+                    out_c.append(int(j))
+                    out_n.append(int(sel.sum()))
+                    out_sum.append(xs[sel].sum(axis=0).tolist())
+            return pa.table({
+                "s": pa.array(out_s, type=pa.int32()),
+                "cid": pa.array(out_c, type=pa.int32()),
+                "n": pa.array(out_n, type=pa.int64()),
+                "vsum": pa.array(out_sum, type=pa.list_(pa.float64())),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=8192).to_pandas()
+        nxt = []
+        for s in range(m):
+            ids_prev, _ = books[s]
+            grp_s = parts[parts["s"] == s]
+            cids, cent = [], []
+            for j, grp in grp_s.groupby("cid", sort=True):
+                vsum = np.asarray(grp["vsum"].tolist(),
+                                  dtype=np.float64).sum(axis=0)
+                cids.append(int(ids_prev[j]))
+                cent.append(vsum / grp["n"].sum())
+            nxt.append((np.asarray(cids), np.asarray(cent)))
+        books = nxt
+    return books
+
+
+def pq_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 5,
+            m: int = 4, k_codes: int = 8, n_iter: int = 1,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_ids: np.ndarray | None = None,
+            exclude_self: bool = True) -> pd.DataFrame:
+    """ADC top-k: encode each vector into its per-subspace codes and rank
+    candidates by the summed lookup-table distance. The scoring pass is
+    shuffle-free (codebooks + per-query LUTs broadcast once, 4 KB) and
+    emits AT MOST k+1 rows per query per batch (the brute_force_topk
+    truncation rule), so the driver merge stays output-sized."""
+    books = pq_fit(ds, m, k_codes, n_iter, id_col, vec_col)
+    q = np.asarray(queries, dtype=np.float64)
+    qids = np.asarray(query_ids) if query_ids is not None \
+        else np.arange(len(q))
+    dim = q.shape[1]
+    sub = dim // m
+    # per-query, per-subspace LUT: luts[qi][s][j] = ||q_s - c_sj||^2
+    luts = [[_sq_l2(q[qi:qi + 1, s * sub:(s + 1) * sub], c)[0]
+             for s, (_, c) in enumerate(books)] for qi in range(len(q))]
+    ref = ray.put(([c for _, c in books], luts))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents, lut = ray.get(ref)
+        x = _as_matrix(batch[vec_col])
+        ids = np.asarray(batch[id_col].to_pylist())
+        codes = np.stack([np.argmin(_sq_l2(x[:, s * sub:(s + 1) * sub], c),
+                                    axis=1)
+                          for s, c in enumerate(cents)], axis=1)  # (n, m)
+        out = {"query_id": [], "vec_id": [], "adist": []}
+        kk = k + (1 if exclude_self else 0)
+        for qi in range(len(lut)):
+            adist = np.zeros(len(x), dtype=np.float64)
+            for s in range(m):
+                adist += lut[qi][s][codes[:, s]]
+            top = _topk_per_query(-adist, ids, kk)
+            out["query_id"].extend([int(qids[qi])] * len(top))
+            out["vec_id"].extend(ids[top].tolist())
+            out["adist"].extend(adist[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+            "adist": pa.array(out["adist"], type=pa.float64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=4096).to_pandas()
+    if exclude_self:
+        partials = partials[partials.query_id != partials.vec_id]
+    partials["rank"] = (
+        partials.sort_values(["query_id", "adist", "vec_id"],
+                             ascending=[True, True, True])
+        .groupby("query_id").cumcount() + 1
+    )
+    out = partials[partials["rank"] <= k] \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    out["adist"] = np.round(out["adist"], 6)
+    return out[["query_id", "vec_id", "adist", "rank"]]

@@ -1421,3 +1421,33 @@ def test_nb_classifier_separates_planted_vocabularies(ray_session):
         lambda b: nb_score_batch(b, "text", "doc_id", w, prior),
         batch_format="pyarrow").to_pandas().sort_values("doc_id")
     assert (scored["pred_good"].to_numpy() == np.asarray(good)).all()
+
+
+def test_pq_topk_recovers_planted_groups_and_bounds_partials(ray_session):
+    """On well-separated planted groups PQ's ADC top-k must stay inside
+    the query's group (codes quantize each group to its own centroid),
+    and every scoring batch ships at most nq*(k+1) partial rows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from icrawler_ray.stages import similarity as sim
+
+    rng = np.random.default_rng(5)
+    groups = []
+    for g in range(3):
+        base = np.zeros(64)
+        base[g * 20:(g + 1) * 20] = 50.0 * (g + 1)
+        groups.append(base + rng.normal(0, 0.01, (30, 64)))
+    X = np.vstack(groups)
+    df = pd.DataFrame({"vec_id": np.arange(90, dtype=np.int64),
+                       "embedding": [r.tolist() for r in X]})
+    ds = rd.from_pandas(df).repartition(4)
+
+    queries = X[[0, 30, 60]]
+    out = sim.pq_topk(ds, queries, k=5, m=4, k_codes=8, n_iter=1,
+                      query_ids=np.array([0, 30, 60]))
+    for qid, grp_lo in ((0, 0), (30, 30), (60, 60)):
+        nb = out[out["query_id"] == qid]["vec_id"].to_numpy()
+        assert len(nb) == 5
+        assert ((nb >= grp_lo) & (nb < grp_lo + 30)).all(), (qid, nb)
