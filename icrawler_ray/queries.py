@@ -5053,6 +5053,241 @@ FROM qs q JOIN est e USING (term) ORDER BY q.term
 """
 
 
+#: BPE merge steps learned / applied by the tokenizer-training queries
+BPE_MERGES = 3
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich 2016): learn the
+    first BPE_MERGES merges over the corpus.  The corpus-sized step is
+    the word-count extraction (per-batch combiner partials, exchange =
+    distinct-words-per-block); merge learning runs vectorized on the
+    VOCABULARY — the standard BPE formulation.  The oracle unrolls every
+    merge in SQL with the same boundary-delimited nested-replace, so
+    both sides agree by construction; a pytest additionally pins the
+    nested-replace semantics against a classic reference BPE."""
+    from icrawler_ray.stages import bpe
+
+    ds = _read(sf_dir, "documents", ["text"])
+    merges, _ = bpe.fit(bpe.word_counts(ds), BPE_MERGES)
+    return merges[["step", "l", "r", "n"]]
+
+
+def q_bpe_encode(sf_dir: str):
+    """Apply the learned BPE merges back to the corpus: per-doc word and
+    symbol counts after BPE_MERGES merges.  The fitted word->n_syms map
+    is broadcast once (ray.put) and each batch scores its docs locally —
+    no shuffle; output is one row per doc, streamed."""
+    from icrawler_ray.stages import bpe
+
+    ds = _read(sf_dir, "documents", ["text"])
+    _, vocab = bpe.fit(bpe.word_counts(ds), BPE_MERGES)
+    ref = ray.put(bpe.sym_counts(vocab))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        smap = ray.get(ref)
+        e = df[["doc_id"]].join(df["text"].str.split(" ").rename("w")).explode("w")
+        e = e[e["w"] != ""]
+        e["k"] = e["w"].map(smap)
+        g = e.groupby("doc_id", sort=False).agg(
+            n_words=("w", "size"), n_syms=("k", "sum"))
+        g["n_syms"] = g["n_syms"].astype("int64")
+        g["n_words"] = g["n_words"].astype("int64")
+        return g.reset_index()
+
+    return docs.map_batches(score, batch_format="pandas").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_bpe(n_merges: int, final: str, n_rep: int = 6) -> str:
+    """Iteration-unrolled BPE oracle: word counts -> '|'-delimited char
+    sequences -> per merge step (pair counts via list_zip with the
+    shifted list, top pair by count DESC / l / r, nested boundary
+    replace — the same REP_PASSES semantics as stages/bpe.py)."""
+    parts = ["""
+WITH words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w),
+v0 AS MATERIALIZED (
+  SELECT w, '|' || array_to_string(string_split(w, ''), '|') || '|' AS s, n
+  FROM words)"""]
+    for step in range(1, n_merges + 1):
+        prev = f"v{step - 1}"
+        parts.append(f"""
+p{step} AS MATERIALIZED (
+  SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(n) AS BIGINT) AS n FROM (
+    SELECT unnest(list_zip(syms, syms[2:])) AS pr, n FROM (
+      SELECT list_filter(string_split(s, '|'), x -> x <> '') AS syms, n
+      FROM {prev}))
+  WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+m{step} AS MATERIALIZED (
+  SELECT l, r, n FROM p{step} ORDER BY n DESC, l, r LIMIT 1)""")
+        rep = f"{prev}.s"
+        for _ in range(n_rep):
+            rep = (f"replace({rep}, '|' || m{step}.l || '|' || m{step}.r || '|',"
+                   f" '|' || m{step}.l || m{step}.r || '|')")
+        parts.append(f"""
+v{step} AS MATERIALIZED (
+  SELECT {prev}.w AS w, {rep} AS s, {prev}.n AS n
+  FROM {prev} CROSS JOIN m{step})""")
+    return ",".join(parts) + final
+
+
+SQL_BPE_MERGES = _sql_bpe(BPE_MERGES, f"""
+SELECT * FROM ({" UNION ALL ".join(
+    f"SELECT {s} AS step, l, r, n FROM m{s}" for s in range(1, BPE_MERGES + 1))})
+ORDER BY step""")
+
+SQL_BPE_ENCODE = _sql_bpe(BPE_MERGES, f"""
+, wmap AS (SELECT w, len(list_filter(string_split(s, '|'), x -> x <> '')) AS k
+           FROM v{BPE_MERGES}),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(SUM(m.k) AS BIGINT) AS n_syms
+FROM tok t JOIN wmap m USING (w) WHERE t.w <> ''
+GROUP BY t.doc_id ORDER BY t.doc_id""")
+
+
+#: rank cutoff for the Zipf power-law fit
+ZIPF_TOP_N = 100
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf power-law fit of the term-frequency distribution: OLS slope
+    and intercept of ln(freq) ~ ln(rank) over the top ZIPF_TOP_N terms —
+    the corpus-health diagnostic (natural text sits near slope -1; a
+    heavily duplicated or templated corpus deviates).  Term counts come
+    from the same combiner-partial exchange as top_terms; the fit itself
+    is O(top_n) driver numpy using exactly regr_slope's closed form."""
+    from icrawler_ray.stages.bpe import word_counts
+
+    ds = _read(sf_dir, "documents", ["text"])
+    tf = word_counts(ds).rename(columns={"w": "term"})
+    tf = tf.sort_values(["n", "term"], ascending=[False, True],
+                        kind="mergesort").head(ZIPF_TOP_N)
+    x = np.log(np.arange(1, len(tf) + 1, dtype=np.float64))
+    y = np.log(tf["n"].to_numpy(dtype=np.float64))
+    xc, yc = x - x.mean(), y - y.mean()
+    slope = float((xc * yc).sum() / (xc * xc).sum())
+    intercept = float(y.mean() - slope * x.mean())
+    return pd.DataFrame({"slope": [round(slope, 6)],
+                         "intercept": [round(intercept, 6)],
+                         "n_terms": np.asarray([len(tf)], dtype=np.int64)})
+
+
+SQL_ZIPF_SLOPE = f"""
+WITH tf AS (SELECT w AS term, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w),
+ranked AS (SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS r
+           FROM tf QUALIFY r <= {ZIPF_TOP_N})
+SELECT ROUND(regr_slope(ln(n), ln(r)), 6) AS slope,
+       ROUND(regr_intercept(ln(n), ln(r)), 6) AS intercept,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM ranked
+"""
+
+
+def q_intra_doc_dedup(sf_dir: str):
+    """Within-document repetition removal (the Dolma/C4 per-doc line
+    dedup, at word granularity for this corpus): keep each doc's FIRST
+    occurrence of every token, preserving order.  Embarrassingly
+    parallel — each doc lives inside one batch, so the whole op is one
+    map_batches pass of vectorized explode / duplicated / join kernels
+    with no shuffle at all."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["doc_id"]].join(df["text"].str.split(" ").rename("w")).explode("w")
+        e = e[e["w"] != ""]
+        n_words = e.groupby("doc_id", sort=False).size()
+        kept = e[~e.duplicated(["doc_id", "w"])]
+        g = kept.groupby("doc_id", sort=False)["w"].agg(" ".join).rename("dedup_text")
+        n_kept = kept.groupby("doc_id", sort=False).size()
+        out = pd.DataFrame({"dedup_text": g,
+                            "n_kept": n_kept.astype("int64"),
+                            "n_removed": (n_words - n_kept).astype("int64")})
+        return out.reset_index()
+
+    return ds.map_batches(dedup, batch_format="pandas").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_INTRA_DOC_DEDUP = """
+WITH tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+firsts AS (SELECT doc_id, w, i,
+                  row_number() OVER (PARTITION BY doc_id, w ORDER BY i) AS rn,
+                  count(*) OVER (PARTITION BY doc_id) AS n_words
+           FROM tok WHERE w <> '')
+SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS dedup_text,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(any_value(n_words) - count(*) AS BIGINT) AS n_removed
+FROM firsts WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+#: PII patterns (applied in this order on both sides; RE2 and Python re
+#: agree on these constructs over ASCII text)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d{1,2}[-. ]\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction — the privacy-scrub stage of a curation pipeline
+    (emails / phone numbers / IPv4 addresses masked with typed
+    placeholders).  The synthetic corpus carries no PII, so both sides
+    first append a DETERMINISTIC doc_id-derived contact line (same
+    expression in pandas and SQL), then redact: count+replace emails,
+    then IPs, then count+replace phones on the already-masked text —
+    identical order both sides.  Pure per-row vectorized regex kernels;
+    no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def redact(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"]
+        t = (df["text"] + " contact u" + d.astype(str) + "@mail"
+             + (d % 7).astype(str) + ".com or call +1-415-555-"
+             + (d % 10000).astype(str).str.zfill(4) + " from 10."
+             + (d % 256).astype(str) + ".0." + ((d * 7) % 256).astype(str))
+        n_emails = t.str.count(PII_EMAIL).astype("int64")
+        n_ips = t.str.count(PII_IPV4).astype("int64")
+        t = t.str.replace(PII_EMAIL, "<EMAIL>", regex=True)
+        t = t.str.replace(PII_IPV4, "<IP>", regex=True)
+        n_phones = t.str.count(PII_PHONE).astype("int64")
+        t = t.str.replace(PII_PHONE, "<PHONE>", regex=True)
+        return pd.DataFrame({"doc_id": d, "red_text": t, "n_emails": n_emails,
+                             "n_phones": n_phones, "n_ips": n_ips})
+
+    return ds.map_batches(redact, batch_format="pandas").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PII_REDACT = rf"""
+WITH aug AS (SELECT doc_id,
+    text || ' contact u' || doc_id || '@mail' || (doc_id % 7) ||
+    '.com or call +1-415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+    ' from 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) AS t
+  FROM documents),
+cnt AS (SELECT doc_id, t,
+    CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+    CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS BIGINT) AS n_ips
+  FROM aug),
+r1 AS (SELECT doc_id, n_emails, n_ips,
+    regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') AS t FROM cnt),
+r2 AS (SELECT doc_id, n_emails, n_ips,
+    regexp_replace(t, '{PII_IPV4}', '<IP>', 'g') AS t FROM r1),
+r3 AS (SELECT doc_id, n_emails, n_ips,
+    CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+    regexp_replace(t, '{PII_PHONE}', '<PHONE>', 'g') AS t FROM r2)
+SELECT doc_id, t AS red_text, n_emails, n_phones, n_ips FROM r3 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -5160,6 +5395,11 @@ QUERIES = {
     "substring_dedup": q_substring_dedup,
     "nb_quality": q_nb_quality,
     "knn_pq": q_knn_pq,
+    "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
+    "zipf_slope": q_zipf_slope,
+    "intra_doc_dedup": q_intra_doc_dedup,
+    "pii_redact": q_pii_redact,
     "corpus_refinery": q_corpus_refinery,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
@@ -5274,5 +5514,10 @@ ORACLE_SQL = {
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "nb_quality": SQL_NB_QUALITY,
     "knn_pq": SQL_KNN_PQ,
+    "bpe_merges": SQL_BPE_MERGES,
+    "bpe_encode": SQL_BPE_ENCODE,
+    "zipf_slope": SQL_ZIPF_SLOPE,
+    "intra_doc_dedup": SQL_INTRA_DOC_DEDUP,
+    "pii_redact": SQL_PII_REDACT,
     "corpus_refinery": SQL_CORPUS_REFINERY.replace("{LANGVALS}", _sql_lang_values()),
 }

@@ -1451,3 +1451,69 @@ def test_pq_topk_recovers_planted_groups_and_bounds_partials(ray_session):
         nb = out[out["query_id"] == qid]["vec_id"].to_numpy()
         assert len(nb) == 5
         assert ((nb >= grp_lo) & (nb < grp_lo + 30)).all(), (qid, nb)
+
+
+def _classic_bpe(word_counts: dict, n_merges: int):
+    """Reference left-to-right BPE (Sennrich 2016) on a count dict:
+    returns (merges, final symbol-sequence map)."""
+    import collections
+
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += word_counts[w]
+        (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_nested_replace_equals_classic_merge_on_boundary_chains():
+    """The '|'-delimited nested-replace merge (shared verbatim with the
+    SQL oracle) must equal classic left-to-right BPE EXACTLY, including
+    on boundary-sharing chains ('aaaa' under merge (a,a)) that a single
+    non-rescanning replace pass would miss."""
+    import pandas as pd
+
+    from icrawler_ray.stages import bpe
+
+    wc = {"aaaa": 40, "aaa": 30, "abab": 25, "ababab": 20, "xaby": 15,
+          "aabb": 10, "banana": 9, "bananana": 8, "aa": 7, "ab": 6}
+    vocab = pd.DataFrame({"w": list(wc), "n": list(wc.values())})
+    merges, fitted = bpe.fit(vocab, 4)
+    ref_merges, ref_vocab = _classic_bpe(wc, 4)
+
+    got = list(merges.itertuples(index=False, name=None))
+    assert got == ref_merges, (got, ref_merges)
+    got_seqs = {w: s.strip("|").split("|")
+                for w, s in zip(fitted["w"], fitted["s"])}
+    assert got_seqs == ref_vocab, (got_seqs, ref_vocab)
+    # and the per-word symbol counts used by bpe_encode agree
+    assert bpe.sym_counts(fitted) == {w: len(s) for w, s in ref_vocab.items()}
+
+
+def test_bpe_word_counts_is_distributed_and_exact(ray_session):
+    import collections
+
+    import pandas as pd
+    import ray.data as rd
+
+    from icrawler_ray.stages import bpe
+
+    texts = ["a a b", "b c  c", " a", "d d d d", ""]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts * 7})).repartition(4)
+    got = dict(zip(*(bpe.word_counts(ds)[c] for c in ("w", "n"))))
+    want = collections.Counter(w for t in texts * 7 for w in t.split(" ") if w)
+    assert got == dict(want)
