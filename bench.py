@@ -223,7 +223,11 @@ def bench_queries() -> dict:
              "triangle_count", "join_salted", "dsir_weights",
              "cdc_chunk_dedup", "hits_scores",
              "percent_rank_by_lang", "incremental_dedup", "charlm_quality",
-             "event_transitions", "json_props_stats"]
+             "event_transitions", "json_props_stats",
+             "knn_pq", "bpe_merges", "bpe_encode", "zipf_slope",
+             "intra_doc_dedup", "pii_redact", "snm_pairs", "substring_dedup",
+             "nb_quality", "corpus_refinery", "precedence_dedup",
+             "countmin_freq"]
     out = {}
     for name in names:
         t0 = time.time()

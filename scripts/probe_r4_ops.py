@@ -456,7 +456,70 @@ def probe_snm() -> dict:
             "sec": round(dt, 2)}
 
 
+def probe_bpe() -> dict:
+    """200k docs (~60 MB text) through BPE training (3 merges) and
+    corpus encoding."""
+    from icrawler_ray.queries import q_bpe_encode, q_bpe_merges
+
+    rng = np.random.default_rng(21)
+    docs = _fake_docs(200_000, rng)[["doc_id", "text"]]
+    d = _tmp_table("documents", docs)
+    import shutil
+    try:
+        t0 = time.time()
+        merges = q_bpe_merges(d)
+        t_fit = time.time() - t0
+        t0 = time.time()
+        enc = q_bpe_encode(d)
+        t_enc = time.time() - t0
+        return {"probe": "bpe", "docs": 200_000,
+                "fit_sec": round(t_fit, 2), "encode_sec": round(t_enc, 2),
+                "top_merge": f"{merges.iloc[0]['l']}+{merges.iloc[0]['r']}",
+                "mean_syms": round(float(enc["n_syms"].mean()), 1)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_pii() -> dict:
+    """200k docs through the three-pattern PII redaction pass."""
+    from icrawler_ray.queries import q_pii_redact
+
+    rng = np.random.default_rng(22)
+    docs = _fake_docs(200_000, rng)[["doc_id", "text"]]
+    d = _tmp_table("documents", docs)
+    import shutil
+    try:
+        t0 = time.time()
+        out = q_pii_redact(d)
+        dt = time.time() - t0
+        return {"probe": "pii", "docs": 200_000, "sec": round(dt, 2),
+                "redacted": int(out[["n_emails", "n_phones", "n_ips"]].sum().sum())}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_pq() -> dict:
+    """200k x 64-dim vectors through PQ codebook training + ADC top-k
+    for 16 queries."""
+    from icrawler_ray.stages.similarity import pq_topk
+
+    rng = np.random.default_rng(23)
+    n, dim = 200_000, 64
+    x = rng.normal(0, 1, (n, dim))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [r.tolist() for r in x]})
+    ds = rd.from_pandas(df).repartition(64)
+    queries = x[:16]
+    t0 = time.time()
+    out = pq_topk(ds, queries, k=5, m=8, k_codes=16, n_iter=2,
+                  query_ids=np.arange(16))
+    dt = time.time() - t0
+    return {"probe": "pq", "vectors": n, "dim": dim, "sec": round(dt, 2),
+            "rows": int(len(out))}
+
+
 PROBES = {"triangle": probe_triangle, "join": probe_join, "cdc": probe_cdc,
+          "bpe": probe_bpe, "pii": probe_pii, "pq": probe_pq,
           "dsir": probe_dsir, "pca": probe_pca,
           "triangle_part": probe_triangle_part, "hits_part": probe_hits_part,
           "kcore_part": probe_kcore_part,
