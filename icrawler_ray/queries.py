@@ -5288,6 +5288,180 @@ SELECT doc_id, t AS red_text, n_emails, n_phones, n_ips FROM r3 ORDER BY doc_id
 """
 
 
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the link graph (Newman 2002): Pearson
+    correlation of (out_deg(src), in_deg(dst)) over directed edges — the
+    one-number crawl-graph shape diagnostic (hub-to-hub vs hub-to-leaf
+    linking).  Two shuffle-free passes over the edge stream: degree
+    combiner partials -> dense degree vectors broadcast once (ray.put;
+    same node-count boundary as broadcast PageRank — the partitioned
+    path would attach degrees with two bucketed joins), then per-batch
+    moment partials (n, Sx, Sy, Sxx, Syy, Sxy) — ONE row per batch —
+    reduced on the driver in closed form."""
+    from icrawler_ray.stages.linkgraph import derive_edges
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    edges = derive_edges(docs, n)
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        o = df["src"].value_counts()
+        i = df["dst"].value_counts()
+        return pd.DataFrame({
+            "node": np.concatenate([o.index.to_numpy(), i.index.to_numpy()]),
+            "kind": np.repeat(["o", "i"], [len(o), len(i)]),
+            "c": np.concatenate([o.to_numpy(), i.to_numpy()]),
+        })
+
+    parts = edges.map_batches(deg_partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["kind", "node"])["c"].sum()
+    out_deg = np.zeros(n, dtype=np.float64)
+    in_deg = np.zeros(n, dtype=np.float64)
+    if "o" in g.index.get_level_values(0):
+        out_deg[g.loc["o"].index.to_numpy()] = g.loc["o"].to_numpy()
+    if "i" in g.index.get_level_values(0):
+        in_deg[g.loc["i"].index.to_numpy()] = g.loc["i"].to_numpy()
+    ref = ray.put((out_deg, in_deg))
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        od, idg = ray.get(ref)
+        x = od[df["src"].to_numpy()]
+        y = idg[df["dst"].to_numpy()]
+        return pd.DataFrame({"n": [len(x)], "sx": [x.sum()], "sy": [y.sum()],
+                             "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+                             "sxy": [(x * y).sum()]})
+
+    m = edges.map_batches(moments, batch_format="pandas").to_pandas().sum()
+    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    den = np.sqrt((m["n"] * m["sxx"] - m["sx"] ** 2)
+                  * (m["n"] * m["syy"] - m["sy"] ** 2))
+    return pd.DataFrame({"assortativity": [round(float(num / den), 6)],
+                         "n_edges": np.asarray([int(m["n"])], dtype=np.int64)})
+
+
+SQL_ASSORTATIVITY = f"""
+WITH {_SQL_EDGES_CTE},
+o AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS c FROM edges GROUP BY src),
+i AS (SELECT dst AS node, CAST(COUNT(*) AS DOUBLE) AS c FROM edges GROUP BY dst)
+SELECT ROUND(corr(o.c, i.c), 6) AS assortativity,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM edges e JOIN o ON o.node = e.src JOIN i ON i.node = e.dst
+"""
+
+
+#: bootstrap replicas / Poisson(1) CDF thresholds shared with the SQL
+#: oracle (identical literals -> identical float comparisons)
+BOOT_B = 32
+POISSON1_CDF = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+                0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+                0.9999167588507119)
+
+
+def q_bootstrap_ci(sf_dir: str):
+    """Deterministic Poisson bootstrap of the mean document length —
+    uncertainty quantification over a corpus statistic WITHOUT
+    resampling rows: each of BOOT_B replicas weights every doc by a
+    Poisson(1) draw derived from md5(doc_id:b) (content-stable, so the
+    replica set is identical across runs/resharding and
+    SQL-reproducible via the shared inverse-CDF thresholds).  One
+    map_batches pass emits B-row (b, sum_w, sum_wx) partials per batch;
+    the driver reduce is O(B)."""
+    from icrawler_ray.stages.dedup import md5_pair
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    cdf = np.asarray(POISSON1_CDF)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        x = np.asarray(batch["n_chars"].to_pylist(), dtype=np.float64)
+        rows = {"b": [], "sw": [], "swx": []}
+        for b in range(BOOT_B):
+            h = md5_pair([f"{i}:{b}" for i in ids])[:, 0]
+            u = ((h % np.uint64(4294967296)).astype(np.float64) + 1.0) / 4294967297.0
+            k = np.searchsorted(cdf, u, side="right").astype(np.float64)
+            rows["b"].append(b)
+            rows["sw"].append(k.sum())
+            rows["swx"].append((k * x).sum())
+        return pa.table({"b": pa.array(rows["b"], type=pa.int64()),
+                         "sw": pa.array(rows["sw"], type=pa.float64()),
+                         "swx": pa.array(rows["swx"], type=pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("b", as_index=False).sum()
+    g["boot_mean"] = (g["swx"] / g["sw"]).round(6)
+    g["b"] = g["b"].astype(np.int64)
+    return g[["b", "boot_mean"]].sort_values("b").reset_index(drop=True)
+
+
+SQL_BOOTSTRAP_CI = f"""
+WITH reps AS (SELECT unnest(range({BOOT_B})) AS b),
+w AS (SELECT d.n_chars, r.b,
+        ((md5_number_lower(d.doc_id || ':' || r.b) % 4294967296) + 1.0)
+        / 4294967297.0 AS u
+      FROM documents d CROSS JOIN reps r),
+k AS (SELECT b, n_chars,
+        CASE {" ".join(f"WHEN u < {t!r} THEN {j}"
+                       for j, t in enumerate(POISSON1_CDF))}
+             ELSE {len(POISSON1_CDF)} END AS k
+      FROM w)
+SELECT CAST(b AS BIGINT) AS b,
+       ROUND(SUM(k * n_chars) / CAST(SUM(k) AS DOUBLE), 6) AS boot_mean
+FROM k GROUP BY b ORDER BY b
+"""
+
+
+#: taxonomy for the keyword-tagging operator (terms from the corpus
+#: vocabulary; the broadcast-dictionary shape generalizes to any list)
+TOPIC_TERMS = {
+    "storage": ("table", "column", "row", "part"),
+    "exec": ("scan", "merge", "join", "sort", "hash"),
+    "streaming": ("stream", "window", "batch"),
+    "perf": ("slow", "fast", "big", "small"),
+}
+
+
+def q_keyword_tag(sf_dir: str):
+    """Taxonomy keyword tagging (the FlashText/dictionary-tagger shape
+    used for topic routing in curation pipelines): per doc, which topics
+    have at least one term present, with the count of DISTINCT matching
+    terms.  One explode pass per batch, then per-topic isin masks +
+    groupby nunique — the topic dictionary is a per-worker constant, no
+    shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["doc_id"]].join(df["text"].str.split(" ").rename("w")).explode("w")
+        outs = []
+        for topic, terms in TOPIC_TERMS.items():
+            hit = e[e["w"].isin(terms)]
+            g = hit.groupby("doc_id", sort=False)["w"].nunique().rename("n_terms")
+            t = g.reset_index()
+            t["topic"] = topic
+            outs.append(t)
+        out = pd.concat(outs, ignore_index=True)
+        out["n_terms"] = out["n_terms"].astype("int64")
+        return out[["doc_id", "topic", "n_terms"]]
+
+    return ds.map_batches(tag, batch_format="pandas").to_pandas() \
+        .sort_values(["doc_id", "topic"]).reset_index(drop=True)
+
+
+def _sql_topic_select(topic: str, terms: tuple) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+SELECT doc_id, '{topic}' AS topic,
+       CAST(len(list_distinct(list_filter(string_split(text, ' '),
+            w -> w IN ({tlist})))) AS BIGINT) AS n_terms
+FROM documents"""
+
+
+SQL_KEYWORD_TAG = f"""
+SELECT doc_id, topic, n_terms FROM ({
+    " UNION ALL ".join(_sql_topic_select(t, ts) for t, ts in TOPIC_TERMS.items())
+}) WHERE n_terms > 0 ORDER BY doc_id, topic
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -5400,6 +5574,9 @@ QUERIES = {
     "zipf_slope": q_zipf_slope,
     "intra_doc_dedup": q_intra_doc_dedup,
     "pii_redact": q_pii_redact,
+    "assortativity": q_assortativity,
+    "bootstrap_ci": q_bootstrap_ci,
+    "keyword_tag": q_keyword_tag,
     "corpus_refinery": q_corpus_refinery,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
@@ -5519,5 +5696,8 @@ ORACLE_SQL = {
     "zipf_slope": SQL_ZIPF_SLOPE,
     "intra_doc_dedup": SQL_INTRA_DOC_DEDUP,
     "pii_redact": SQL_PII_REDACT,
+    "assortativity": SQL_ASSORTATIVITY,
+    "bootstrap_ci": SQL_BOOTSTRAP_CI,
+    "keyword_tag": SQL_KEYWORD_TAG,
     "corpus_refinery": SQL_CORPUS_REFINERY.replace("{LANGVALS}", _sql_lang_values()),
 }

@@ -1517,3 +1517,47 @@ def test_bpe_word_counts_is_distributed_and_exact(ray_session):
     got = dict(zip(*(bpe.word_counts(ds)[c] for c in ("w", "n"))))
     want = collections.Counter(w for t in texts * 7 for w in t.split(" ") if w)
     assert got == dict(want)
+
+
+def test_assortativity_matches_numpy_corrcoef(ray_session):
+    """Engine moment-partial reduce == np.corrcoef of (out_deg(src),
+    in_deg(dst)) over the same derived edge list."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from icrawler_ray.queries import q_assortativity
+
+    sf = "/root/testdata/sf0.001"
+    out = q_assortativity(sf)
+    docs = duckdb.sql(f"SELECT doc_id FROM '{sf}/documents.parquet'").df()
+    n = len(docs)
+    ids = docs["doc_id"].to_numpy(np.int64)
+    fan = 1 + (ids % 4)
+    src = np.repeat(ids, fan)
+    j = np.arange(len(src)) - np.repeat(np.cumsum(fan) - fan, fan) + 1
+    dst = (src * 131 + j * 97) % n
+    keep = dst != src
+    src, dst = src[keep], dst[keep]
+    od = np.bincount(src, minlength=n).astype(float)
+    idg = np.bincount(dst, minlength=n).astype(float)
+    want = np.corrcoef(od[src], idg[dst])[0, 1]
+    assert abs(out["assortativity"].iloc[0] - want) < 1e-6
+    assert int(out["n_edges"].iloc[0]) == len(src)
+
+
+def test_bootstrap_ci_deterministic_and_brackets_truth(ray_session):
+    """Same input twice -> identical replica means (content-stable md5
+    weights); the replica distribution brackets the true mean."""
+    import duckdb
+
+    from icrawler_ray.queries import q_bootstrap_ci
+
+    sf = "/root/testdata/sf0.001"
+    a = q_bootstrap_ci(sf)
+    b = q_bootstrap_ci(sf)
+    assert a.equals(b)
+    truth = duckdb.sql(
+        f"SELECT AVG(n_chars) FROM '{sf}/documents.parquet'").fetchone()[0]
+    assert a["boot_mean"].min() < truth < a["boot_mean"].max()
+    assert len(a) == 32 and a["b"].tolist() == list(range(32))
