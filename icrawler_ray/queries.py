@@ -5462,6 +5462,72 @@ SELECT doc_id, topic, n_terms FROM ({
 """
 
 
+def q_nb_calibration(sf_dir: str):
+    """Reliability diagram for the Naive-Bayes quality classifier: docs
+    bucketed by predicted probability (sigmoid of the log-odds, 10
+    equal-width bins) vs the observed curated-source rate per bin — the
+    calibration audit run before trusting a model-based gate's
+    threshold.  Training reuses the NB combiner exchange; the
+    calibration pass emits bin-bounded (bin, n, sum_p, n_good) partials
+    per batch, so nothing corpus-sized moves.  Scores are rounded to
+    1e-6 BEFORE the sigmoid on both sides so engine and oracle bin
+    identically."""
+    from icrawler_ray.stages.textfns import (nb_fit, nb_score_batch,
+                                             nb_train_partial)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def train_partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["source"].to_pylist())
+        good = np.char.str_len(src.astype(str)) == NB_CURATED_PREFIX_LEN
+        return nb_train_partial(batch, "text", good)
+
+    parts = (ds.map_batches(train_partial, batch_format="pyarrow")
+             .groupby("f").sum(["cg", "cb"]).to_pandas())
+    parts = parts.rename(columns={"sum(cg)": "cg", "sum(cb)": "cb"})
+    w, prior = nb_fit(parts)
+    w_ref = ray.put(w)
+
+    def calib_partial(batch: pa.Table) -> pa.Table:
+        scored = nb_score_batch(batch, "text", "doc_id", ray.get(w_ref),
+                                prior)
+        s = np.round(np.asarray(scored["nb_score"]), 6)
+        p = 1.0 / (1.0 + np.exp(-s))
+        b = np.minimum(np.floor(p * 10.0), 9.0).astype(np.int64)
+        src = np.asarray(batch["source"].to_pylist())
+        good = np.char.str_len(src.astype(str)) == NB_CURATED_PREFIX_LEN
+        df = pd.DataFrame({"bin": b, "p": p, "good": good})
+        g = df.groupby("bin").agg(n=("p", "size"), sum_p=("p", "sum"),
+                                  n_good=("good", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = ds.map_batches(calib_partial,
+                           batch_format="pyarrow").to_pandas()
+    g = parts.groupby("bin", as_index=False).sum()
+    out = pd.DataFrame({
+        "bin": g["bin"].astype(np.int64),
+        "n": g["n"].astype(np.int64),
+        "mean_p": (g["sum_p"] / g["n"]).round(6),
+        "frac_good": (g["n_good"] / g["n"]).round(6),
+    })
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+SQL_NB_CALIBRATION = f"""
+WITH nbq AS ({SQL_NB_QUALITY}),
+pb AS (SELECT nbq.doc_id,
+              1.0 / (1.0 + exp(-nb_score)) AS p,
+              length(d.source) = {NB_CURATED_PREFIX_LEN} AS good
+       FROM nbq JOIN documents d USING (doc_id)),
+bins AS (SELECT CAST(LEAST(FLOOR(p * 10.0), 9.0) AS BIGINT) AS bin, p, good
+         FROM pb)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(p), 6) AS mean_p,
+       ROUND(AVG(CASE WHEN good THEN 1.0 ELSE 0.0 END), 6) AS frac_good
+FROM bins GROUP BY bin ORDER BY bin
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -5577,6 +5643,7 @@ QUERIES = {
     "assortativity": q_assortativity,
     "bootstrap_ci": q_bootstrap_ci,
     "keyword_tag": q_keyword_tag,
+    "nb_calibration": q_nb_calibration,
     "corpus_refinery": q_corpus_refinery,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
@@ -5699,5 +5766,6 @@ ORACLE_SQL = {
     "assortativity": SQL_ASSORTATIVITY,
     "bootstrap_ci": SQL_BOOTSTRAP_CI,
     "keyword_tag": SQL_KEYWORD_TAG,
+    "nb_calibration": SQL_NB_CALIBRATION,
     "corpus_refinery": SQL_CORPUS_REFINERY.replace("{LANGVALS}", _sql_lang_values()),
 }

@@ -267,8 +267,10 @@ def _tmp_table(name: str, df: pd.DataFrame) -> str:
     import pyarrow.parquet as pq
 
     d = tempfile.mkdtemp(prefix="icrawler_ray_probe_")
+    # small row groups so Ray's parquet read fans out: a single-row-group
+    # file reads as ONE block and serializes every downstream stage
     pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
-                   f"{d}/{name}.parquet", row_group_size=262_144)
+                   f"{d}/{name}.parquet", row_group_size=16_384)
     return d
 
 
@@ -518,8 +520,76 @@ def probe_pq() -> dict:
             "rows": int(len(out))}
 
 
+def probe_substring() -> dict:
+    """200k docs through exact duplicated-substring removal."""
+    from icrawler_ray.queries import q_substring_dedup
+
+    rng = np.random.default_rng(41)
+    docs = _fake_docs(200_000, rng)[["doc_id", "text"]]
+    d = _tmp_table("documents", docs)
+    import shutil
+    try:
+        t0 = time.time()
+        out = q_substring_dedup(d)
+        dt = time.time() - t0
+        return {"probe": "substring", "docs": 200_000, "sec": round(dt, 2),
+                "rows": int(len(out))}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_nb() -> dict:
+    """200k docs through NB train + score + the calibration rollup."""
+    from icrawler_ray.queries import q_nb_calibration
+
+    rng = np.random.default_rng(43)
+    docs = _fake_docs(200_000, rng)
+    docs["source"] = np.where(np.arange(len(docs)) % 5 == 0, "cur0",
+                              docs["source"])
+    d = _tmp_table("documents", docs[["doc_id", "text", "source"]])
+    import shutil
+    try:
+        t0 = time.time()
+        out = q_nb_calibration(d)
+        dt = time.time() - t0
+        return {"probe": "nb_calibration", "docs": 200_000,
+                "sec": round(dt, 2), "bins": int(len(out))}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_refinery_paired() -> dict:
+    """Scale-trend evidence: the five-stage refinery at 200k THEN 1M
+    docs in the SAME process (identical host state), reporting per-doc
+    wall time at both scales."""
+    from icrawler_ray.queries import q_corpus_refinery
+
+    import shutil
+
+    out = {"probe": "refinery_paired"}
+    for n in (200_000, 1_000_000):
+        rng = np.random.default_rng(31)
+        docs = _fake_docs(n, rng)
+        docs["lang"] = np.array(["en", "de", "fr", "es", "zh"])[
+            rng.integers(0, 5, len(docs))]
+        docs["n_chars"] = docs["text"].str.len().astype(np.int64)
+        d = _tmp_table("documents", docs[["doc_id", "text", "lang", "n_chars"]])
+        try:
+            t0 = time.time()
+            res = q_corpus_refinery(d)
+            dt = time.time() - t0
+            out[f"sec_{n}"] = round(dt, 2)
+            out[f"us_per_doc_{n}"] = round(dt / n * 1e6, 2)
+            out[f"survivors_{n}"] = int(len(res))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 PROBES = {"triangle": probe_triangle, "join": probe_join, "cdc": probe_cdc,
           "bpe": probe_bpe, "pii": probe_pii, "pq": probe_pq,
+          "substring": probe_substring, "nb": probe_nb,
+          "refinery_paired": probe_refinery_paired,
           "dsir": probe_dsir, "pca": probe_pca,
           "triangle_part": probe_triangle_part, "hits_part": probe_hits_part,
           "kcore_part": probe_kcore_part,

@@ -1423,10 +1423,9 @@ def test_nb_classifier_separates_planted_vocabularies(ray_session):
     assert (scored["pred_good"].to_numpy() == np.asarray(good)).all()
 
 
-def test_pq_topk_recovers_planted_groups_and_bounds_partials(ray_session):
+def test_pq_topk_recovers_planted_groups(ray_session):
     """On well-separated planted groups PQ's ADC top-k must stay inside
-    the query's group (codes quantize each group to its own centroid),
-    and every scoring batch ships at most nq*(k+1) partial rows."""
+    the query's group (codes quantize each group to its own centroid)."""
     import numpy as np
     import pandas as pd
     import ray.data as rd
