@@ -774,19 +774,37 @@ def duplicate_span_scrub(
         return scrub
 
     if not force_partitioned:
-        # ---- pass 1: count gram hashes (combiner partials, narrow rows)
+        # ---- pass 1: count gram hashes (combiner partials, narrow rows).
+        # The exchange is a COARSE P-way partition + in-group reduceat, not
+        # groupby(h).sum: a per-key Ray aggregation over millions of
+        # distinct gram hashes measured 12x slower (36.2 s vs 2.9 s at
+        # 4M partial rows / 32 CPUs) than sorting 32 coarse keys and
+        # run-summing inside each partition.
         def gram_counts(batch: pa.Table) -> pa.Table:
             h, _ = _gram_hashes(batch[text_col].to_pylist(), k)
             uniq, cnt = np.unique(h, return_counts=True)
-            return pa.table({"h": pa.array(uniq.view(np.int64)),
-                             "c": pa.array(cnt.astype(np.int64))})
+            return pa.table({
+                "part": pa.array((uniq % np.uint64(P)).astype(np.int32)),
+                "h": pa.array(uniq.view(np.int64)),
+                "c": pa.array(cnt.astype(np.int64))})
 
+        def dups_in_part(g: pd.DataFrame) -> pd.DataFrame:
+            hv = g["h"].to_numpy()
+            order = np.argsort(hv, kind="mergesort")
+            hv = hv[order]
+            cv = g["c"].to_numpy()[order]
+            starts = np.flatnonzero(np.r_[True, hv[1:] != hv[:-1]])
+            sums = np.add.reduceat(cv, starts) if len(hv) else \
+                np.empty(0, dtype=np.int64)
+            return pd.DataFrame({"h": hv[starts][sums >= min_count]})
+
+        # materialize the (small, dup-set-sized) result once: count() and
+        # the to_pandas collect below would otherwise each re-execute the
+        # whole read + hash + exchange plan
         dup_ds = (
             ds.map_batches(gram_counts, batch_format="pyarrow")
-            .groupby("h").sum("c")
-            .map_batches(lambda t: t.filter(
-                pa.compute.greater_equal(t["sum(c)"], min_count))
-                .select(["h"]), batch_format="pyarrow")
+            .groupby("part").map_groups(dups_in_part, batch_format="pandas")
+            .materialize()
         )
         n_dup = dup_ds.count()
         if n_dup <= dup_broadcast_max:
