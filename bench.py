@@ -227,7 +227,8 @@ def bench_queries() -> dict:
              "knn_pq", "bpe_merges", "bpe_encode", "zipf_slope",
              "intra_doc_dedup", "pii_redact", "snm_pairs", "substring_dedup",
              "nb_quality", "corpus_refinery", "precedence_dedup",
-             "countmin_freq"]
+             "countmin_freq", "multimodal_pack", "left_outer_orders",
+             "skew_audit", "late_events"]
     out = {}
     for name in names:
         t0 = time.time()

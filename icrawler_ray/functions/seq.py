@@ -96,6 +96,63 @@ def assign_global_cumsum(ds: ray.data.Dataset, sort_keys: list[str], weight_col:
     return ray.data.from_arrow_refs(out_refs)
 
 
+@ray.remote
+def _block_max(block: pa.Table, col: str) -> int:
+    import pyarrow.compute as pc
+
+    if block.num_rows == 0:
+        return None
+    v = pc.max(block[col]).as_py()
+    return None if v is None else int(v)
+
+
+@ray.remote
+def _add_runmax_block(block: pa.Table, val_col: str, col: str, prior: int) -> pa.Table:
+    """Append the EXCLUSIVE running max (max over all earlier rows,
+    ``prior`` seeding the block): per-block `np.maximum.accumulate`
+    shifted by one, in parallel across blocks."""
+    import numpy as np
+
+    v = block[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(v):
+        run = np.maximum.accumulate(v)
+        before = np.concatenate([[prior], np.maximum(run[:-1], prior)])
+    else:
+        before = np.empty(0, np.int64)
+    return block.append_column(col, pa.array(before.astype("int64"), type=pa.int64()))
+
+
+#: exclusive-running-max seed for the globally first row ("no prior row")
+RUNMAX_SENTINEL = -(2**62)
+
+
+def assign_global_running_max(ds: ray.data.Dataset, sort_keys: list[str], val_col: str,
+                              col: str = "run_max_before") -> ray.data.Dataset:
+    """Sort ``ds`` and append the EXCLUSIVE global running maximum of
+    ``val_col`` (each row sees the max over all earlier rows; the first
+    row sees :data:`RUNMAX_SENTINEL`).
+
+    Same split-sizes pattern as :func:`assign_global_seq`: the sort is
+    the only shuffle, the driver sees ONE integer per block (the block
+    max), the prefix-max over those block maxes is driver arithmetic on
+    metadata, and the per-block accumulate+append is embarrassingly
+    parallel with blocks staying in the object store.  This is the
+    watermark primitive for late-data audits (streaming-ingest QA)."""
+    if sort_keys:
+        ds = ds.sort(sort_keys)
+    refs = ds.to_arrow_refs()
+    maxes = ray.get([_block_max.remote(r, val_col) for r in refs])
+    out_refs = []
+    prior = RUNMAX_SENTINEL
+    for r, m in zip(refs, maxes):
+        out_refs.append(_add_runmax_block.remote(r, val_col, col, prior))
+        if m is not None:
+            prior = max(prior, m)
+    if not out_refs:
+        return ds
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def from_table_blocks(table: pa.Table, min_rows_per_block: int = 256,
                       tasks_per_cpu: float = 1.0) -> ray.data.Dataset:
     """Dataset from an in-memory Arrow table, SPLIT into row-range blocks.

@@ -5528,6 +5528,301 @@ FROM bins GROUP BY bin ORDER BY bin
 """
 
 
+# =====================================================================
+# K. round-4 closing widening: multimodal packing, outer join, skew
+#    audit, late-data watermark, CSV source round-trip
+# =====================================================================
+
+#: fixed token budget a media span occupies on the multimodal tape
+#: (the vision-token placeholder convention)
+MM_MEDIA_TOKENS = 64
+#: multimodal training-sequence length
+MM_SEQ_LEN = 512
+
+
+def q_multimodal_pack(sf_dir: str):
+    """Multimodal sequence packing over the interleaved span substrate
+    (the input_hint shape, cf. q_interleaved_spans): each doc's cost on
+    the training tape is its text tokens plus MM_MEDIA_TOKENS per media
+    span.  Tape offsets come from the same distributed exclusive prefix
+    sum as q_sequence_pack (sort is the only shuffle; the driver sees one
+    integer per block); the per-sequence composition manifest (docs,
+    text-vs-media token shares) is built with per-block partials and a
+    seq_id-partitioned exact reduce — no stage holds more than the
+    manifest itself."""
+    from icrawler_ray.functions.seq import assign_global_cumsum
+
+    P = 32
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def cost(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].str.count(" ").to_numpy(dtype=np.int64) + 1
+        n_media = -(-n_tok // 5) // 2  # media span after every 2nd 5-token chunk
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "text_tokens": n_tok,
+            "media_tokens": n_media * MM_MEDIA_TOKENS,
+            "cost": n_tok + n_media * MM_MEDIA_TOKENS,
+        })
+
+    counted = ds.map_batches(cost, batch_format="pandas")
+    packed = assign_global_cumsum(counted, ["doc_id"], "cost", col="tape_start")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["seq_id"] = df["tape_start"].to_numpy() // MM_SEQ_LEN
+        g = df.groupby("seq_id", as_index=False).agg(
+            n_docs=("doc_id", "size"), text_tokens=("text_tokens", "sum"),
+            media_tokens=("media_tokens", "sum"))
+        g["part"] = (g["seq_id"] % P).astype(np.int32)
+        return g
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("seq_id", as_index=False).agg(
+            n_docs=("n_docs", "sum"), text_tokens=("text_tokens", "sum"),
+            media_tokens=("media_tokens", "sum"))
+        for c in ("seq_id", "n_docs", "text_tokens", "media_tokens"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (packed.map_batches(partial, batch_format="pandas")
+            .groupby("part").map_groups(reduce_part, batch_format="pandas"))
+
+
+SQL_MULTIMODAL_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
+  FROM documents),
+k AS (
+  SELECT doc_id, n_tok AS text_tokens,
+         (CAST(ceil(n_tok / 5.0) AS BIGINT) // 2) * {MM_MEDIA_TOKENS} AS media_tokens
+  FROM t),
+p AS (
+  SELECT doc_id, text_tokens, media_tokens,
+         COALESCE(SUM(text_tokens + media_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tape_start
+  FROM k)
+SELECT CAST(tape_start // {MM_SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(text_tokens) AS BIGINT) AS text_tokens,
+       CAST(SUM(media_tokens) AS BIGINT) AS media_tokens
+FROM p GROUP BY seq_id
+"""
+
+
+def q_left_outer_orders(sf_dir: str):
+    """Customer-preserving LEFT OUTER join: per-customer order count and
+    revenue INCLUDING zero-order customers.  The fact side is pre-reduced
+    to per-batch (custkey, n, rev) combiner partials; both sides then
+    hash-partition on custkey and the outer merge runs vectorized within
+    each partition — no broadcast (the preserved side is customer-sized,
+    too big to broadcast at scale), and the only exchanges are
+    key-partitioned."""
+    P = 32
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def fact_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), revenue=("o_totalprice", "sum"))
+        return pd.DataFrame({
+            "part": (g["o_custkey"].to_numpy() % P).astype(np.int32),
+            "key": g["o_custkey"].astype("int64"),
+            "side": np.zeros(len(g), np.int8),
+            "n_orders": g["n_orders"].astype("int64"),
+            "revenue": g["revenue"].astype("float64"),
+            "acctbal": np.zeros(len(g), np.float64),
+        })
+
+    def cust_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part": (df["c_custkey"].to_numpy() % P).astype(np.int32),
+            "key": df["c_custkey"].astype("int64"),
+            "side": np.ones(len(df), np.int8),
+            "n_orders": np.zeros(len(df), np.int64),
+            "revenue": np.zeros(len(df), np.float64),
+            "acctbal": df["c_acctbal"].astype("float64"),
+        })
+
+    u = orders.map_batches(fact_partial, batch_format="pandas").union(
+        cust.map_batches(cust_rows, batch_format="pandas"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 1]
+        right = g[g["side"] == 0].groupby("key", as_index=False).agg(
+            n_orders=("n_orders", "sum"), revenue=("revenue", "sum"))
+        out = left[["key", "acctbal"]].merge(right, on="key", how="left")
+        return pd.DataFrame({
+            "c_custkey": out["key"].astype("int64"),
+            "acctbal": out["acctbal"].round(2),
+            "n_orders": out["n_orders"].fillna(0).astype("int64"),
+            "revenue": out["revenue"].fillna(0.0).round(2),
+        })
+
+    return u.groupby("part").map_groups(merge, batch_format="pandas")
+
+
+SQL_LEFT_OUTER_ORDERS = """
+SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+       CAST(COUNT(o_custkey) AS BIGINT) AS n_orders,
+       ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS revenue
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_acctbal
+"""
+
+
+def q_skew_audit(sf_dir: str):
+    """Shuffle-planning skew diagnostics over a join/groupby key (the
+    audit a planner runs before choosing salting factors): exact per-key
+    frequencies via combiner partials + a key-partitioned exchange, then
+    the Gini coefficient over the frequency distribution via the
+    distributed rank primitive (functions/seq.py::assign_global_seq over
+    the frequency sort — the ranked table is key-cardinality-sized, never
+    input-sized) plus top-1/top-10 share.  Output is ONE row; per-block
+    moment partials are the only thing the driver reduces."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).size().rename(columns={"size": "n"})
+        g["part"] = (g["user_id"].to_numpy() % P).astype(np.int32)
+        return g
+
+    def exact(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False).agg(n=("n", "sum"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = (ds.map_batches(partial, batch_format="pandas")
+              .groupby("part").map_groups(exact, batch_format="pandas"))
+    ranked = assign_global_seq(counts, ["n", "user_id"], col="rank")  # ascending
+
+    def moments(t: pd.DataFrame) -> pd.DataFrame:
+        n = t["n"].to_numpy(dtype=np.float64)
+        r = t["rank"].to_numpy(dtype=np.float64) + 1.0
+        top = np.sort(n)[-10:]  # per-block top-10 partial (output-sized)
+        return pd.DataFrame({
+            "k": [float(len(n))], "tot": [n.sum()], "srn": [(r * n).sum()],
+            "top_partial": [",".join(str(int(x)) for x in top)],
+        })
+
+    parts = ranked.map_batches(moments, batch_format="pandas").to_pandas()
+    k, tot, srn = parts["k"].sum(), parts["tot"].sum(), parts["srn"].sum()
+    tops = np.sort(np.concatenate([
+        np.array([int(x) for x in s.split(",")], dtype=np.int64) if s else np.empty(0, np.int64)
+        for s in parts["top_partial"]]))[-10:]
+    gini = 2.0 * srn / (k * tot) - (k + 1.0) / k
+    return pd.DataFrame({
+        "n_keys": [int(k)],
+        "gini": [round(gini, 6)],
+        "top1_share": [round(float(tops[-1]) / tot, 6)],
+        "top10_share": [round(float(tops.sum()) / tot, 6)],
+    })
+
+
+SQL_SKEW_AUDIT = """
+WITH f AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS rnk FROM f),
+s AS (SELECT COUNT(*) AS k, SUM(n) AS tot, SUM(rnk * n) AS srn FROM r),
+t AS (SELECT SUM(n) AS top10 FROM (SELECT n FROM f ORDER BY n DESC LIMIT 10)),
+m AS (SELECT MAX(n) AS mx FROM f)
+SELECT CAST(k AS BIGINT) AS n_keys,
+       ROUND(2.0 * srn / (k * tot) - (k + 1.0) / k, 6) AS gini,
+       ROUND(mx * 1.0 / tot, 6) AS top1_share,
+       ROUND(top10 * 1.0 / tot, 6) AS top10_share
+FROM s, t, m
+"""
+
+
+#: allowed out-of-orderness before an event counts as late (watermark lag)
+LATE_ALLOW_US = 1_800_000_000  # 30 minutes
+
+
+def q_late_events(sf_dir: str):
+    """Streaming-ingest late-data audit: treating event_id as arrival
+    order, the watermark at each arrival is the max event-time over all
+    EARLIER arrivals minus a 30-minute allowance; an event is late if its
+    own timestamp is below that.  The running max is the distributed
+    prefix-max scan (functions/seq.py::assign_global_running_max — sort
+    is the only shuffle, the driver sees one integer per block); the
+    per-type late counts reduce from tiny per-block partials."""
+    from icrawler_ray.functions.seq import assign_global_running_max
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "event_type": df["event_type"],
+            "ts_us": df["ts"].astype("int64"),
+        })
+
+    marked = assign_global_running_max(
+        ds.map_batches(to_us, batch_format="pandas"), ["event_id"], "ts_us", col="wm_before")
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        late = (df["wm_before"].to_numpy() - df["ts_us"].to_numpy()) > LATE_ALLOW_US
+        g = pd.DataFrame({"event_type": df["event_type"], "late": late})
+        out = g.groupby("event_type", as_index=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum"))
+        return out
+
+    parts = marked.map_batches(flag, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False).sum()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_late"] = out["n_late"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_LATE_EVENTS = f"""
+WITH o AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+w AS (SELECT event_type, ts_us,
+             MAX(ts_us) OVER (ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+      FROM o)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN wm - ts_us > {LATE_ALLOW_US} THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV source/sink parity: write the narrow documents projection as
+    CSV shards (one file per block — the resumable layout), read it back
+    with rd.read_csv, and roll up per-language counts from the re-read
+    dataset.  Exercises the non-parquet ingest path end to end; the
+    oracle aggregates the original table directly."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="csvrt_", dir="/tmp")
+    try:
+        ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        ds.write_csv(out_dir)
+        back = rd.read_csv(out_dir)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("lang", as_index=False).agg(
+                n=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+
+        parts = back.map_batches(partial, batch_format="pandas").to_pandas()
+        outp = parts.groupby("lang", as_index=False).sum()
+        outp["n"] = outp["n"].astype("int64")
+        outp["sum_chars"] = outp["sum_chars"].astype("int64")
+        return outp.sort_values("lang").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -5645,6 +5940,11 @@ QUERIES = {
     "keyword_tag": q_keyword_tag,
     "nb_calibration": q_nb_calibration,
     "corpus_refinery": q_corpus_refinery,
+    "multimodal_pack": q_multimodal_pack,
+    "left_outer_orders": q_left_outer_orders,
+    "skew_audit": q_skew_audit,
+    "late_events": q_late_events,
+    "csv_roundtrip": q_csv_roundtrip,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -5768,4 +6068,9 @@ ORACLE_SQL = {
     "keyword_tag": SQL_KEYWORD_TAG,
     "nb_calibration": SQL_NB_CALIBRATION,
     "corpus_refinery": SQL_CORPUS_REFINERY.replace("{LANGVALS}", _sql_lang_values()),
+    "multimodal_pack": SQL_MULTIMODAL_PACK,
+    "left_outer_orders": SQL_LEFT_OUTER_ORDERS,
+    "skew_audit": SQL_SKEW_AUDIT,
+    "late_events": SQL_LATE_EVENTS,
+    "csv_roundtrip": SQL_CSV_ROUNDTRIP,
 }

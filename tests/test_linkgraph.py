@@ -124,6 +124,28 @@ def test_cumsum_property_random_splits_and_weights():
         np.testing.assert_array_equal(out["start"].to_numpy(), expect)
 
 
+def test_running_max_property_random_splits():
+    """assign_global_running_max == numpy exclusive running max at random
+    block splits; the globally first row sees the sentinel."""
+    from icrawler_ray.functions.seq import (
+        RUNMAX_SENTINEL, assign_global_running_max, from_table_blocks)
+    import pyarrow as pa
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n = int(rng.integers(1, 400))
+        v = rng.integers(-10**6, 10**6, n).astype(np.int64)
+        ids = rng.permutation(n).astype(np.int64)
+        t = pa.table({"k": ids, "v": v})
+        ds = from_table_blocks(t, min_rows_per_block=int(rng.integers(1, 50)))
+        out = assign_global_running_max(ds, ["k"], "v", col="wm").to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        order = np.argsort(ids, kind="stable")
+        run = np.maximum.accumulate(v[order])
+        expect = np.concatenate([[RUNMAX_SENTINEL], run[:-1]])
+        np.testing.assert_array_equal(out["wm"].to_numpy(), expect)
+
+
 def test_connected_components_random_graphs_vs_union_find():
     """CC on random sparse graphs equals union-find (iters high enough to
     converge on these sizes)."""
