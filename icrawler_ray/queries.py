@@ -5823,6 +5823,88 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+#: label-propagation sweeps (unrolled identically in the SQL oracle)
+LPA_ITERS = 3
+
+
+def q_lpa_communities(sf_dir: str):
+    """Community detection by synchronous label propagation over the
+    derived link graph (Raghavan et al. 2007): LPA_ITERS sweeps, each
+    node adopting the most frequent neighbor label (ties -> smallest).
+    Broadcast-iterate shape shared with pagerank/cc_labels; the oracle
+    unrolls the identical sweeps."""
+    from icrawler_ray.stages.linkgraph import derive_edges, label_propagation
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    labels = label_propagation(derive_edges(docs, n), n, iters=LPA_ITERS)
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "community": labels})
+
+
+def _lpa_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+c_{cur} AS (
+  SELECT u.dst AS node, lp.l AS lab, COUNT(*) AS c
+  FROM und u JOIN {prev} lp ON lp.node = u.src
+  GROUP BY u.dst, lp.l),
+b_{cur} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM c_{cur}) WHERE rn = 1),
+{cur} AS (
+  SELECT {prev}.node, COALESCE(b_{cur}.lab, {prev}.l) AS l
+  FROM {prev} LEFT JOIN b_{cur} ON b_{cur}.node = {prev}.node
+)"""
+
+
+SQL_LPA_COMMUNITIES = f"""
+WITH {_SQL_EDGES_CTE},
+und AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+l0 AS (SELECT d.doc_id AS node, d.doc_id AS l FROM documents d),
+{",".join(_lpa_iter_sql(f"l{i}", f"l{i + 1}") for i in range(LPA_ITERS))}
+SELECT node AS doc_id, CAST(l AS BIGINT) AS community
+FROM l{LPA_ITERS} ORDER BY doc_id
+"""
+
+
+#: edit-verify prefix key length / max accepted distance
+EDIT_PREFIX_LEN = 24
+EDIT_MAX_DIST = 14
+
+
+def q_edit_verify_pairs(sf_dir: str):
+    """Typo-tolerant entity-resolution verify join: SNM candidate pairs
+    (one sort by (n_chars, doc_id), window-3 predecessors, block-overlap
+    tail handoff) verified by Levenshtein distance of the opening-24-char
+    key — the verify rule when matches are typographic rather than
+    token-set.  The DP kernel is vectorized across all pairs of a block
+    (the scalar loop runs over the 24x24 grid, never over pairs)."""
+    from icrawler_ray.stages.dedup import snm_edit_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    return snm_edit_pairs(ds, ["n_chars"], window=SNM_WINDOW,
+                          prefix_len=EDIT_PREFIX_LEN, max_dist=EDIT_MAX_DIST)
+
+
+SQL_EDIT_VERIFY_PAIRS = f"""
+WITH r AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk
+           FROM documents),
+cand AS (SELECT x.doc_id AS a0, y.doc_id AS b0
+         FROM r x JOIN r y ON y.rk > x.rk AND y.rk - x.rk < {SNM_WINDOW}),
+d AS (SELECT LEAST(c.a0, c.b0) AS a, GREATEST(c.a0, c.b0) AS b,
+             levenshtein(substr(da.text, 1, {EDIT_PREFIX_LEN}),
+                         substr(db.text, 1, {EDIT_PREFIX_LEN})) AS dist
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.a0
+      JOIN documents db ON db.doc_id = c.b0)
+SELECT a, b, CAST(dist AS BIGINT) AS dist FROM d
+WHERE dist <= {EDIT_MAX_DIST} ORDER BY a, b
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -5945,6 +6027,8 @@ QUERIES = {
     "skew_audit": q_skew_audit,
     "late_events": q_late_events,
     "csv_roundtrip": q_csv_roundtrip,
+    "lpa_communities": q_lpa_communities,
+    "edit_verify_pairs": q_edit_verify_pairs,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -6073,4 +6157,6 @@ ORACLE_SQL = {
     "skew_audit": SQL_SKEW_AUDIT,
     "late_events": SQL_LATE_EVENTS,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
+    "lpa_communities": SQL_LPA_COMMUNITIES,
+    "edit_verify_pairs": SQL_EDIT_VERIFY_PAIRS,
 }

@@ -677,6 +677,109 @@ def _block_count_dedup(block: pa.Table) -> int:
     return block.num_rows
 
 
+def batch_levenshtein(a_list: list, b_list: list) -> np.ndarray:
+    """Unit-cost Levenshtein distance for N string pairs at once:
+    row-by-row DP where each DP row is one (N x Lb) numpy sweep — the
+    scalar loop runs over the La x Lb GRID, never over pairs.  Each
+    pair's distance is captured at its true (len_a, len_b) cell, so
+    padding never leaks into results.  Matches DuckDB ``levenshtein``."""
+    N = len(a_list)
+    if not N:
+        return np.empty(0, np.int64)
+    la = np.array([len(s) for s in a_list], np.int64)
+    lb = np.array([len(s) for s in b_list], np.int64)
+    La, Lb = int(la.max()), int(lb.max())
+    A = np.full((N, max(La, 1)), -1, np.int64)
+    B = np.full((N, max(Lb, 1)), -2, np.int64)   # distinct pads: never equal
+    for i, s in enumerate(a_list):
+        if s:
+            A[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+    for i, s in enumerate(b_list):
+        if s:
+            B[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+    prev = np.tile(np.arange(Lb + 1, dtype=np.int64), (N, 1))
+    out = np.where(la == 0, lb, 0)
+    for i in range(1, La + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, Lb + 1):
+            sub = prev[:, j - 1] + (A[:, i - 1] != B[:, j - 1])
+            cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), sub)
+        done = la == i
+        if done.any():
+            out[done] = cur[done, lb[done]]
+        prev = cur
+    return out.astype(np.int64)
+
+
+@ray.remote
+def _edit_block_pairs(block: pa.Table, prev_tail, w: int, id_col: str,
+                      text_col: str, prefix_len: int, max_dist: int) -> pa.Table:
+    """SNM window pairs scored by Levenshtein distance of the opening
+    ``prefix_len`` chars (the entity-resolution verify step when the
+    match rule is typo-tolerant rather than token-set)."""
+    tables = [t for t in (prev_tail, block) if t is not None and t.num_rows]
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "dist": pa.array([], type=pa.int64())})
+    if not tables or sum(t.num_rows for t in tables) < 2:
+        return empty
+    merged = pa.concat_tables(tables, promote_options="default")
+    ids = merged[id_col].to_pylist()
+    txt = [t[:prefix_len] for t in merged[text_col].to_pylist()]
+    n_prev = prev_tail.num_rows if prev_tail is not None else 0
+    ii, jj = [], []
+    for j in range(max(1, n_prev), len(ids)):   # rows of THIS block only
+        for i in range(max(0, j - (w - 1)), j):
+            ii.append(i)
+            jj.append(j)
+    if not ii:
+        return empty
+    d = batch_levenshtein([txt[i] for i in ii], [txt[j] for j in jj])
+    keep = d <= max_dist
+    a = np.array([ids[i] for i in ii], np.int64)[keep]
+    b = np.array([ids[j] for j in jj], np.int64)[keep]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table({"a": pa.array(lo, type=pa.int64()),
+                     "b": pa.array(hi, type=pa.int64()),
+                     "dist": pa.array(d[keep], type=pa.int64())})
+
+
+def snm_edit_pairs(
+    ds: ray.data.Dataset,
+    sort_keys: list[str],
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 24,
+    max_dist: int = 6,
+) -> pd.DataFrame:
+    """Edit-distance verify join: the SNM candidate generation of
+    :func:`sorted_neighborhood_pairs` (one sort, block-overlap tail
+    handoff, O(n x window) comparisons) with a typo-tolerant Levenshtein
+    verify on the opening-``prefix_len``-char key instead of token-set
+    Jaccard.  Same scale shape: sort is the only shuffle, pair-sized
+    output, vectorized DP kernel per block."""
+    ds = ds.sort(sort_keys + [id_col])
+    refs = [r for r in ds.to_arrow_refs()]
+    counts = ray.get([_block_count_dedup.remote(r) for r in refs])
+    nonempty = [r for r, n in zip(refs, counts) if n]
+    ne_counts = [n for n in counts if n]
+    if len(nonempty) > 1:
+        assert min(ne_counts[:-1]) >= window - 1, \
+            "window spans more than one block boundary; repartition coarser"
+    out_refs = []
+    prev_tail = None
+    for r in nonempty:
+        out_refs.append(_edit_block_pairs.remote(
+            r, prev_tail, window, id_col, text_col, prefix_len, max_dist))
+        prev_tail = _snm_tail.remote(r, window)
+    if not out_refs:
+        return pd.DataFrame({"a": [], "b": [], "dist": []})
+    pairs = pa.concat_tables(ray.get(out_refs)).to_pandas()  # pair-sized
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Exact duplicated-substring removal (Lee et al. 2021, "Deduplicating
 # Training Data Makes Language Models Better", arXiv:2107.06499 — the

@@ -203,6 +203,56 @@ def connected_components(edges: rd.Dataset, n_nodes: int, *,
     return labels
 
 
+def label_propagation(edges: rd.Dataset, n_nodes: int, *,
+                      iters: int = 3) -> np.ndarray:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007): each sweep, every node adopts the MOST FREQUENT label among its
+    undirected neighbors (ties -> smallest label; isolated nodes keep
+    theirs).  Fixed ``iters`` sweeps computed from the PREVIOUS sweep's
+    labels so the unrolled SQL oracle (queries.py::SQL_LPA_COMMUNITIES)
+    replays the identical computation.
+
+    Scale shape: same broadcast-iterate exchange as :func:`pagerank` /
+    :func:`connected_components` — labels broadcast once per sweep via
+    ray.put, each edge block emits (node, label, count) partials bounded
+    by its own edge count, the driver reduce is edge-set-bounded.  Same
+    host-scale boundary as the other broadcast variants (the partitioned
+    siblings show the 1e10-node shape)."""
+    if n_nodes > MAX_BROADCAST_NODES:
+        raise ValueError(
+            f"label_propagation is the broadcast (host-scale) variant; "
+            f"n_nodes={n_nodes} exceeds MAX_BROADCAST_NODES="
+            f"{MAX_BROADCAST_NODES}")
+    edges = edges.materialize()
+    labels = np.arange(n_nodes, dtype=np.int64)
+    for _ in range(iters):
+        ref = ray.put(labels)
+
+        def part(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            lab = ray.get(_ref)
+            src = df["src"].to_numpy()
+            dst = df["dst"].to_numpy()
+            node = np.concatenate([dst, src])           # undirected
+            nb = np.concatenate([lab[src], lab[dst]])
+            g = pd.DataFrame({"node": node, "lab": nb})
+            c = g.groupby(["node", "lab"], sort=False).size()
+            out = c.reset_index(name="c")
+            return out
+
+        partials = edges.map_batches(part, batch_format="pandas").to_pandas()
+        agg = partials.groupby(["node", "lab"], as_index=False)["c"].sum()
+        # most frequent, ties -> smallest label (mergesort keeps it stable)
+        agg = agg.sort_values(["node", "c", "lab"],
+                              ascending=[True, False, True], kind="mergesort")
+        best = agg.groupby("node", sort=False).head(1)
+        new = labels.copy()
+        new[best["node"].to_numpy()] = best["lab"].to_numpy()
+        if np.array_equal(new, labels):
+            break  # fixed point: every further sweep is identity in SQL too
+        labels = new
+    return labels
+
+
 def _contract_block(df: pd.DataFrame) -> pd.DataFrame:
     """Union-find over ONE edge block -> star edges (root, member) with
     root = min node id of each within-block set.  Output is bounded by

@@ -1560,3 +1560,96 @@ def test_bootstrap_ci_deterministic_and_brackets_truth(ray_session):
         f"SELECT AVG(n_chars) FROM '{sf}/documents.parquet'").fetchone()[0]
     assert a["boot_mean"].min() < truth < a["boot_mean"].max()
     assert len(a) == 32 and a["b"].tolist() == list(range(32))
+
+
+def test_batch_levenshtein_matches_classic_dp():
+    """Vectorized pairwise Levenshtein == the textbook scalar DP on random
+    strings incl. empty / equal / disjoint edge cases."""
+    import numpy as np
+
+    from icrawler_ray.stages.dedup import batch_levenshtein
+
+    def classic(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(5)
+    alpha = "abcde"
+    pairs = [("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+             ("kitten", "sitting"), ("abcdef", "ghijkl")]
+    for _ in range(60):
+        a = "".join(rng.choice(list(alpha), rng.integers(0, 12)))
+        b = "".join(rng.choice(list(alpha), rng.integers(0, 12)))
+        pairs.append((a, b))
+    got = batch_levenshtein([p[0] for p in pairs], [p[1] for p in pairs])
+    want = np.array([classic(a, b) for a, b in pairs], np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_snm_edit_pairs_block_boundaries_match_single_block(ray_session):
+    """Edit-verify SNM pairs identical at 1 block vs 7 blocks (same
+    tail-handoff contract as the Jaccard variant)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from icrawler_ray.stages.dedup import snm_edit_pairs
+
+    rng = np.random.default_rng(9)
+    vocab = np.array(list("abcdefghij"))
+    texts = ["".join(vocab[rng.integers(0, 10, 30)]) for _ in range(400)]
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64),
+                       "text": texts,
+                       "n_chars": rng.integers(10, 30, 400).astype(np.int64)})
+    outs = {}
+    for nblocks in (1, 7):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        outs[nblocks] = snm_edit_pairs(
+            ds, ["n_chars"], window=4, prefix_len=16,
+            max_dist=12).reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs[1], outs[7])
+    assert len(outs[1]) > 0
+
+
+def test_label_propagation_planted_communities(ray_session):
+    """LPA on two planted cliques bridged by one edge: every member of a
+    clique ends with the clique's min id; the bridge does not merge them
+    (a clique's internal majority outweighs one cross edge). Also checked
+    against a direct numpy replay of the synchronous sweeps."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from icrawler_ray.stages.linkgraph import label_propagation
+
+    n = 12
+    edges = []
+    for grp in (range(0, 6), range(6, 12)):
+        g = list(grp)
+        edges += [(a, b) for i, a in enumerate(g) for b in g[i + 1:]]
+    edges.append((0, 6))  # bridge
+    df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+
+    labels = label_propagation(rd.from_pandas(df).repartition(3), n, iters=4)
+
+    # numpy replay of the same synchronous most-frequent/min-tie sweeps
+    ref = np.arange(n, dtype=np.int64)
+    und = np.concatenate([df.to_numpy(), df.to_numpy()[:, ::-1]])
+    for _ in range(4):
+        new = ref.copy()
+        for v in range(n):
+            nb = ref[und[und[:, 0] == v][:, 1]]
+            if len(nb):
+                vals, cnt = np.unique(nb, return_counts=True)
+                new[v] = vals[cnt == cnt.max()].min()
+        if np.array_equal(new, ref):
+            break
+        ref = new
+    np.testing.assert_array_equal(labels, ref)
+    assert set(labels[:6]) == {0} and set(labels[6:]) == {6}
