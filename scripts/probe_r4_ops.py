@@ -586,6 +586,140 @@ def probe_refinery_paired() -> dict:
     return out
 
 
+def _fake_events(n: int, rng, n_users: int = 100_000) -> pd.DataFrame:
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + np.cumsum(rng.integers(0, 2_000_000, n))  # arrival-ordered
+    # 2% of events arrive very late (event time far behind the watermark)
+    late = rng.random(n) < 0.02
+    ts = np.where(late, ts - rng.integers(3_600, 86_400, n) * 1_000_000, ts)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(ts, unit="us"),
+        "user_id": (rng.zipf(1.4, n) - 1) % n_users,  # skewed key
+        "event_type": [f"t{i % 5}" for i in range(n)],
+    })
+
+
+def probe_mmpack() -> dict:
+    """2M docs through the multimodal tape pack (prefix sum + seq reduce)."""
+    from icrawler_ray.queries import q_multimodal_pack
+
+    import shutil
+    rng = np.random.default_rng(21)
+    d = _tmp_table("documents", _fake_docs(2_000_000, rng)[["doc_id", "text"]])
+    try:
+        t0 = time.time()
+        out = q_multimodal_pack(d).to_pandas()
+        dt = time.time() - t0
+        return {"probe": "mmpack", "docs": 2_000_000, "seqs": int(len(out)),
+                "sec": round(dt, 2)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_late() -> dict:
+    """10M-event watermark lateness audit (prefix-max scan)."""
+    from icrawler_ray.queries import q_late_events
+
+    import shutil
+    rng = np.random.default_rng(22)
+    d = _tmp_table("events", _fake_events(10_000_000, rng))
+    try:
+        t0 = time.time()
+        out = q_late_events(d)
+        dt = time.time() - t0
+        return {"probe": "late_events", "events": 10_000_000,
+                "late": int(out["n_late"].sum()), "sec": round(dt, 2)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_skew() -> dict:
+    """10M-event key-skew audit (zipf user key, ~n_users distinct)."""
+    from icrawler_ray.queries import q_skew_audit
+
+    import shutil
+    rng = np.random.default_rng(23)
+    d = _tmp_table("events", _fake_events(10_000_000, rng))
+    try:
+        t0 = time.time()
+        out = q_skew_audit(d)
+        dt = time.time() - t0
+        return {"probe": "skew_audit", "events": 10_000_000,
+                "n_keys": int(out["n_keys"][0]), "gini": float(out["gini"][0]),
+                "top1": float(out["top1_share"][0]), "sec": round(dt, 2)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_lpa() -> dict:
+    """2M-edge zipf graph over 200k nodes, 3 LPA sweeps."""
+    from icrawler_ray.stages.linkgraph import label_propagation
+
+    n = 200_000
+    rng = np.random.default_rng(24)
+    m = 2_000_000
+    src = (rng.zipf(1.3, m) - 1) % n
+    dst = (src + 1 + (rng.zipf(1.3, m) - 1)) % n
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": src.astype(np.int64), "dst": dst.astype(np.int64)})
+    ).repartition(64)
+    t0 = time.time()
+    labels = label_propagation(edges, n, iters=3)
+    dt = time.time() - t0
+    import collections
+    ncomm = len(collections.Counter(labels.tolist()))
+    return {"probe": "lpa", "nodes": n, "edges": m, "communities": ncomm,
+            "sec": round(dt, 2)}
+
+
+def probe_editverify() -> dict:
+    """500k docs through the SNM + vectorized-Levenshtein verify join."""
+    from icrawler_ray.stages.dedup import snm_edit_pairs
+
+    rng = np.random.default_rng(25)
+    docs = _fake_docs(500_000, rng)
+    docs["n_chars"] = docs["text"].str.len().astype(np.int64)
+    ds = rd.from_pandas(docs).repartition(64)
+    t0 = time.time()
+    out = snm_edit_pairs(ds, ["n_chars"], window=4, prefix_len=24, max_dist=14)
+    dt = time.time() - t0
+    return {"probe": "edit_verify", "docs": 500_000, "pairs": int(len(out)),
+            "sec": round(dt, 2)}
+
+
+def probe_outer() -> dict:
+    """5M-order x 1M-customer LEFT OUTER rollup (partitioned merge)."""
+    from icrawler_ray.queries import q_left_outer_orders
+
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(26)
+    n, nc = 5_000_000, 1_000_000
+    d = tempfile.mkdtemp(prefix="icrawler_ray_probe_")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "o_custkey": rng.integers(0, nc, n).astype(np.int64),
+        "o_totalprice": rng.random(n) * 1000.0}), preserve_index=False),
+        f"{d}/orders.parquet", row_group_size=262_144)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "c_custkey": np.arange(nc, dtype=np.int64),
+        "c_acctbal": rng.random(nc) * 100.0}), preserve_index=False),
+        f"{d}/customer.parquet", row_group_size=262_144)
+    try:
+        t0 = time.time()
+        out = q_left_outer_orders(d).to_pandas()
+        dt = time.time() - t0
+        return {"probe": "left_outer", "orders": n, "customers": nc,
+                "zero_order_customers": int((out["n_orders"] == 0).sum()),
+                "sec": round(dt, 2)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 PROBES = {"triangle": probe_triangle, "join": probe_join, "cdc": probe_cdc,
           "bpe": probe_bpe, "pii": probe_pii, "pq": probe_pq,
           "substring": probe_substring, "nb": probe_nb,
@@ -596,7 +730,10 @@ PROBES = {"triangle": probe_triangle, "join": probe_join, "cdc": probe_cdc,
           "charlm": probe_charlm, "incr": probe_incr,
           "prank": probe_prank, "transitions": probe_transitions,
           "countmin": probe_countmin, "precedence": probe_precedence,
-          "refinery": probe_refinery, "snm": probe_snm}
+          "refinery": probe_refinery, "snm": probe_snm,
+          "mmpack": probe_mmpack, "late": probe_late, "skew": probe_skew,
+          "lpa": probe_lpa, "editverify": probe_editverify,
+          "outer": probe_outer}
 
 
 def main() -> None:
