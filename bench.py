@@ -228,7 +228,8 @@ def bench_queries() -> dict:
              "intra_doc_dedup", "pii_redact", "snm_pairs", "substring_dedup",
              "nb_quality", "corpus_refinery", "precedence_dedup",
              "countmin_freq", "multimodal_pack", "left_outer_orders",
-             "skew_audit", "late_events", "lpa_communities", "edit_verify_pairs"]
+             "skew_audit", "late_events", "lpa_communities", "edit_verify_pairs",
+             "quantile_blend", "cumulative_users"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -5905,6 +5905,106 @@ WHERE dist <= {EDIT_MAX_DIST} ORDER BY a, b
 """
 
 
+def q_quantile_blend(sf_dir: str):
+    """Ensemble quality blending: two raw signals (doc length; average
+    token length) are each rank-normalized to a global percentile, then
+    averaged — the FineWeb-style filter-blend step that makes signals on
+    different scales commensurable before thresholding.  Signal 1 is
+    value-bounded (histogram-mode percent_rank: combiner + broadcast
+    CDF, zero shuffles); signal 2 is continuous (sort-mode: one global
+    sort + metadata-only boundary stitch) — one query exercising both
+    scale envelopes of stages/window.py, chained so no join is needed."""
+    from icrawler_ray.stages.window import percent_rank_over
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def signals(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].str.count(" ").to_numpy(dtype=np.int64) + 1
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "g": np.zeros(len(df), np.int8),     # global window
+            "n_chars": df["n_chars"].astype("int64"),
+            "avg_tok": np.round(df["n_chars"].to_numpy(np.float64) / n_tok, 6),
+        })
+
+    sig = ds.map_batches(signals, batch_format="pandas")
+    r1 = percent_rank_over(sig, "g", "n_chars", out_col="pr_len", mode="histogram")
+    r2 = percent_rank_over(r1, "g", "avg_tok", out_col="pr_tok", mode="sort")
+
+    def blend(df: pd.DataFrame) -> pd.DataFrame:
+        # rank-SUM blend (same ordering as the mean, but the sum of two
+        # 6-decimal values is exactly 6 decimals — no half-ulp re-round
+        # to diverge between numpy half-even and SQL half-away rounding)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "pr_len": df["pr_len"],
+            "pr_tok": df["pr_tok"],
+            "blend": df["pr_len"].to_numpy() + df["pr_tok"].to_numpy(),
+        })
+
+    return r2.map_batches(blend, batch_format="pandas").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_QUANTILE_BLEND = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         ROUND(n_chars * 1.0 /
+               (length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_tok
+  FROM documents),
+p AS (
+  SELECT doc_id,
+         ROUND(PERCENT_RANK() OVER (ORDER BY n_chars), 6) AS pr_len,
+         ROUND(PERCENT_RANK() OVER (ORDER BY avg_tok), 6) AS pr_tok
+  FROM s)
+SELECT doc_id, pr_len, pr_tok,
+       pr_len + pr_tok AS blend
+FROM p ORDER BY doc_id
+"""
+
+
+def q_cumulative_users(sf_dir: str):
+    """Running distinct-user growth curve (cumulative DAU): COUNT(DISTINCT
+    user) up to each day, computed WITHOUT a distinct-over-window scan —
+    each user contributes only at their MIN day (per-batch (user, min_day)
+    combiner partials, user-partitioned exact min), then per-day new-user
+    counts cumsum over the day-cardinality table (hundreds of rows).  The
+    classic trick that turns a quadratic running-distinct into two linear
+    passes."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"user_id": df["user_id"],
+                          "day": df["ts"].dt.strftime("%Y-%m-%d")})
+        out = g.groupby("user_id", as_index=False)["day"].min()
+        out["part"] = (out["user_id"].to_numpy() % P).astype(np.int32)
+        return out
+
+    def day_counts(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("user_id", as_index=False)["day"].min()
+        c = first.groupby("day", as_index=False).size().rename(columns={"size": "n"})
+        return c
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(day_counts, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("day", as_index=False)["n"].sum().sort_values("day")
+    out["new_users"] = out["n"].astype("int64")
+    out["cum_users"] = out["n"].cumsum().astype("int64")
+    return out[["day", "new_users", "cum_users"]].reset_index(drop=True)
+
+
+SQL_CUMULATIVE_USERS = """
+WITH m AS (SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+           FROM events GROUP BY user_id),
+d AS (SELECT day, COUNT(*) AS new_users FROM m GROUP BY day)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d ORDER BY day
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -6029,6 +6129,8 @@ QUERIES = {
     "csv_roundtrip": q_csv_roundtrip,
     "lpa_communities": q_lpa_communities,
     "edit_verify_pairs": q_edit_verify_pairs,
+    "quantile_blend": q_quantile_blend,
+    "cumulative_users": q_cumulative_users,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -6159,4 +6261,6 @@ ORACLE_SQL = {
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     "lpa_communities": SQL_LPA_COMMUNITIES,
     "edit_verify_pairs": SQL_EDIT_VERIFY_PAIRS,
+    "quantile_blend": SQL_QUANTILE_BLEND,
+    "cumulative_users": SQL_CUMULATIVE_USERS,
 }

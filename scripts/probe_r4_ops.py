@@ -688,6 +688,44 @@ def probe_editverify() -> dict:
             "sec": round(dt, 2)}
 
 
+def probe_cumusers() -> dict:
+    """10M events / 100k zipf users through the running-distinct curve."""
+    from icrawler_ray.queries import q_cumulative_users
+
+    import shutil
+    rng = np.random.default_rng(27)
+    d = _tmp_table("events", _fake_events(10_000_000, rng))
+    try:
+        t0 = time.time()
+        out = q_cumulative_users(d)
+        dt = time.time() - t0
+        return {"probe": "cumulative_users", "events": 10_000_000,
+                "days": int(len(out)), "users": int(out["cum_users"].iloc[-1]),
+                "sec": round(dt, 2)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_qblend() -> dict:
+    """2M docs through the two-mode percent-rank ensemble blend."""
+    from icrawler_ray.queries import q_quantile_blend
+
+    import shutil
+    rng = np.random.default_rng(28)
+    docs = _fake_docs(2_000_000, rng)[["doc_id", "text"]]
+    docs["n_chars"] = docs["text"].str.len().astype(np.int64)
+    d = _tmp_table("documents", docs)
+    try:
+        t0 = time.time()
+        out = q_quantile_blend(d)
+        dt = time.time() - t0
+        return {"probe": "quantile_blend", "docs": 2_000_000,
+                "sec": round(dt, 2),
+                "blend_max": round(float(out["blend"].max()), 4)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def probe_outer() -> dict:
     """5M-order x 1M-customer LEFT OUTER rollup (partitioned merge)."""
     from icrawler_ray.queries import q_left_outer_orders
@@ -733,6 +771,7 @@ PROBES = {"triangle": probe_triangle, "join": probe_join, "cdc": probe_cdc,
           "refinery": probe_refinery, "snm": probe_snm,
           "mmpack": probe_mmpack, "late": probe_late, "skew": probe_skew,
           "lpa": probe_lpa, "editverify": probe_editverify,
+          "cumusers": probe_cumusers, "qblend": probe_qblend,
           "outer": probe_outer}
 
 
