@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 import os.path as osp
 import shutil
+import time
 import uuid
 
 import numpy as np
@@ -386,14 +387,13 @@ class GreedyCrawl:
         submission-queue flush (claims are idempotent within a round:
         finish_round keeps the min packed per key, so duplicates from a
         resend cannot change the winners)."""
-        import time as _time
-        deadline = _time.time() + 10.0
-        while _time.time() < deadline:
+        deadline = time.time() + 10.0
+        while time.time() < deadline:
             received = (self.seen_files.claims_received()
                         + self.seen_pages.claims_received())
             if received >= expected:
                 return
-            _time.sleep(0.02)
+            time.sleep(0.02)
         metrics["claims_resent"] = True
         from icrawler_ray.state.seen import route_claims
 
@@ -440,11 +440,9 @@ class GreedyCrawl:
         return ray.data.from_arrow_refs(parts)
 
     def run(self):
-        import time as _time
-
         self._init_frontier()
         round_idx = self.start_round
-        last_progress = _time.time()
+        last_progress = time.time()
         while round_idx < self.max_rounds:
             if self._frontier is None or self._frontier_rows() == 0:
                 break
@@ -466,14 +464,15 @@ class GreedyCrawl:
             self.metrics.append(m)
             round_idx += 1
             if any(m.get(k) for k in ("docs", "downloads", "new_links")):
-                last_progress = _time.time()
+                last_progress = time.time()
             elif (self.max_idle_time is not None
-                  and _time.time() - last_progress >= self.max_idle_time):
+                  and time.time() - last_progress >= self.max_idle_time):
                 m["idle_stop"] = True
                 break
         return self._assemble(self._doc_parts), self._assemble(self._result_parts), self.metrics
 
     def _run_round(self, round_idx: int) -> dict:
+        _tm = {"gate": time.time()}
         frontier = self._frontier_as_dataset().map_batches(
             lambda t: t.rename_columns(
                 ["url", "url_canon", "url_hash", "host", "depth", "priority", "seq", "parent_doc_id"]
@@ -482,6 +481,7 @@ class GreedyCrawl:
         )
         gated, deferred = politeness_gate(frontier, self.policy_ref)
         n_gated = gated.count()
+        _tm["gate"] = time.time() - _tm["gate"]
         metrics = {"round": round_idx, "gated": n_gated}
         if n_gated == 0:
             # everything robots-dropped: frontier drains
@@ -501,6 +501,23 @@ class GreedyCrawl:
         # pool): an iterative crawl runs one Ray Data execution per round,
         # and actor pools respawn per execution — measured 13x slower
         # end-to-end at 200k pages before this change.
+        _t0 = time.time()
+        # ~4 tasks/core straggler split (the driver mode's
+        # from_pandas_blocks contract): gated leaves the politeness
+        # groupby HOST-CLUSTERED — each host's whole budget sits in one
+        # reduce block (16 hosts -> <=16 nonempty blocks, the rest
+        # empty), so without a re-block ONE parse task fetches the
+        # biggest host's entire round (measured: a 46.9 s straggler task
+        # inside a 69.6 s parse phase on a 156k-row round at 32 CPUs;
+        # ds.stats() showed 906k of 4.9M emission rows from one block).
+        # The repartition input is the narrow gated metadata, a few MB —
+        # always rebalance, block COUNT alone says nothing about skew.
+        try:
+            _cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # noqa: BLE001
+            _cpus = 8
+        _nblk = min(max(1, n_gated // 64), _cpus * 4)
+        gated = gated.repartition(_nblk)
         self.seen_pages.begin_round(round_idx)  # open the claim fence
         self.seen_files.begin_round(round_idx)
         parsed = gated.map_batches(
@@ -516,6 +533,11 @@ class GreedyCrawl:
             batch_size=None,
             num_cpus=1,
         ).materialize()  # round + claim-delivery barrier
+        _tm["parse"] = time.time() - _t0
+
+        if os.environ.get("ICRAWLER_RAY_STATS"):
+            print(f"--- round {round_idx} parse stats ---")
+            print(parsed.stats())
 
         metrics["errors"] = parsed.filter(expr="row_kind == 'error'").count()
         if self.emit_docs:
@@ -524,12 +546,15 @@ class GreedyCrawl:
         else:
             metrics["docs"] = 0
 
+        _t0 = time.time()
         expected_claims = parsed.count() - metrics["errors"] - metrics["docs"]
         self._flush_claims(parsed, metrics, expected_claims, round_idx=round_idx)
         _task_keys, task_packed = self.seen_files.finish_round_winners()
         _link_keys, link_packed = self.seen_pages.finish_round_winners()
+        _tm["claims"] = time.time() - _t0
 
         # ---- downloads (task path): min-order winners only
+        _t0 = time.time()
         tasks = _admitted_rows(parsed, "task", task_packed)
         n_kept = 0
         remaining = (self.max_num - self.dl_count) if self.max_num else 0
@@ -551,12 +576,14 @@ class GreedyCrawl:
                 max_num=remaining, seq_col="dl_seq",
             )
             n_kept = self._persist(results, round_idx, "results", self._result_parts)
+        _tm["download"] = time.time() - _t0
         self.dl_count += n_kept
         metrics["downloads"] = n_kept
 
         # ---- frontier expansion (link path): winners are already
         # depth-eligible (capped winners were dropped, unmarked, in
         # finish_round — oracle claimed-before-depth-check semantics)
+        _t0 = time.time()
         links = _admitted_rows(parsed, "link", link_packed)
 
         def to_frontier(t: pa.Table) -> pa.Table:
@@ -608,6 +635,8 @@ class GreedyCrawl:
                 new_md = new_md.map_batches(set_pr, batch_format="pyarrow").materialize()
         else:
             new_md = ray.data.from_arrow(FRONTIER.empty_table()).materialize()
+        _tm["links"] = time.time() - _t0
+        _t0 = time.time()
         deferred_md = deferred.map_batches(
             lambda t: t.rename_columns(
                 ["url", "url_canon", "url_hash", "host", "depth", "priority",
@@ -616,8 +645,10 @@ class GreedyCrawl:
             batch_format="pyarrow",
         ).materialize()
         n_new, n_def = new_md.count(), deferred_md.count()
+        _tm["deferred"] = time.time() - _t0
         metrics["new_links"] = n_new
         metrics["deferred"] = n_def
+        metrics["timings"] = {k: round(v, 3) for k, v in _tm.items()}
         self.next_seq += n_new
         self._set_frontier(deferred_md.union(new_md), count=n_def + n_new)
         self._checkpoint(round_idx, metrics)
@@ -632,15 +663,13 @@ class GreedyCrawl:
 
         from icrawler_ray.stages.politeness import _topk_per_host, robots_filter
 
-        import time as _time
-
-        _t = {"gate": _time.time()}
+        _t = {"gate": time.time()}
         fdf = self._frontier_as_table().to_pandas().rename(columns={"discovered_seq": "seq"})
         live = robots_filter(fdf, self.policy)
         gated = _topk_per_host(live, self.policy)
         deferred = live.loc[~live.index.isin(gated.index)]
         metrics = {"round": round_idx, "gated": len(gated)}
-        _t["gate"] = _time.time() - _t["gate"]
+        _t["gate"] = time.time() - _t["gate"]
         if not len(gated):
             self._set_frontier(None)
             self._checkpoint(round_idx, metrics)
@@ -662,7 +691,7 @@ class GreedyCrawl:
         # blocks amortize stragglers at negligible scheduling cost.
         gds = from_pandas_blocks(gated[["url", "depth", "seq"]].reset_index(drop=True),
                                  min_rows_per_block=64, tasks_per_cpu=4.0)
-        _t0 = _time.time()
+        _t0 = time.time()
         self.seen_pages.begin_round(round_idx)  # open the claim fence
         self.seen_files.begin_round(round_idx)
         parsed_ds = gds.map_batches(
@@ -678,7 +707,7 @@ class GreedyCrawl:
             batch_size=None,
             num_cpus=1,
         ).materialize()
-        _t["parse"] = _time.time() - _t0
+        _t["parse"] = time.time() - _t0
 
         metrics["errors"] = parsed_ds.filter(expr="row_kind == 'error'").count()
         if self.emit_docs:
@@ -694,13 +723,13 @@ class GreedyCrawl:
         # _flush_claims is the delivery barrier. Expected = every
         # task/link row claims exactly once; derived by subtraction from
         # counts already taken (parsed.count() is block metadata, free).
-        _t0 = _time.time()
+        _t0 = time.time()
         self._flush_claims(parsed_ds, metrics,
                            parsed_ds.count() - metrics["errors"] - metrics["docs"],
                            round_idx=round_idx)
         _task_keys, task_packed = self.seen_files.finish_round_winners()
         _link_keys, link_packed = self.seen_pages.finish_round_winners()
-        _t["claims"] = _time.time() - _t0
+        _t["claims"] = time.time() - _t0
 
         # ---- downloads. The fetched blocks (binary content) stay in the
         # object store; the driver sees only the narrow (parent_seq,
@@ -713,7 +742,7 @@ class GreedyCrawl:
         if tasks_ds is not None:
             task_cols = [c for c in ("file_url", "meta_json", "parent_seq", "emit_ord")
                          if c in tasks_ds.schema().names]
-            _t0 = _time.time()
+            _t0 = time.time()
             fetched_ds = tasks_ds.select_columns(task_cols).map_batches(
                 make_fetcher_fn(
                     self.url_map_ref, min_size=self.min_size, max_size=self.max_size,
@@ -723,11 +752,11 @@ class GreedyCrawl:
                 batch_size=None,
                 num_cpus=1,
             ).filter(expr="success == True").materialize()
-            _t["download"] = _time.time() - _t0
-            _t0 = _time.time()
+            _t["download"] = time.time() - _t0
+            _t0 = time.time()
             ctrl = (_collect(fetched_ds.select_columns(["parent_seq", "emit_ord"]), None)
                     if fetched_ds.count() else None)
-            _t["dl_ctrl"] = _time.time() - _t0
+            _t["dl_ctrl"] = time.time() - _t0
             if ctrl is None:
                 ctrl = pa.table({"parent_seq": pa.array([], type=pa.int64()),
                                  "emit_ord": pa.array([], type=pa.int64())})
@@ -763,23 +792,23 @@ class GreedyCrawl:
                     t = t.append_column("dl_seq", pa.array(seq))
                     return t.append_column("filename", pa.array(names, type=pa.string()))
 
-                _t0 = _time.time()
+                _t0 = time.time()
                 results_ds = fetched_ds.map_batches(finalize, batch_format="pyarrow")
                 n_kept = self._persist(results_ds, round_idx, "results", self._result_parts)
-                _t["dl_persist"] = _time.time() - _t0
+                _t["dl_persist"] = time.time() - _t0
         self.dl_count += n_kept
         metrics["downloads"] = n_kept
 
         # ---- frontier expansion
-        _t0 = _time.time()
+        _t0 = time.time()
         links_ds = _admitted_rows(parsed_ds, "link", link_packed)
-        _t["links"] = _time.time() - _t0
+        _t["links"] = time.time() - _t0
         if links_ds is not None:
             link_cols = [c for c in ("link_url", "page_url", "depth", "parent_seq",
                                      "emit_ord", "url_hash") if c in links_ds.schema().names]
-            _t0 = _time.time()
+            _t0 = time.time()
             links_t = _collect(links_ds.select_columns(link_cols), None)
-            _t["links_collect"] = _time.time() - _t0
+            _t["links_collect"] = time.time() - _t0
         else:
             links_t = None
         if links_t is not None and links_t.num_rows:

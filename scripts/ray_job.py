@@ -63,7 +63,7 @@ def cmd_crawl(args) -> dict:
     docs, results, metrics = greedy_crawl(
         ("procedural", web.spec()), web.domains,
         seeds=web.seed_urls(max(64, args.pages // 100)), policy=policy,
-        max_num=0, max_depth=4, keep_content=False, mode="auto",
+        max_num=0, max_depth=4, keep_content=False, mode=args.mode,
         driver_threshold=2_000_000, emit_docs=args.emit_docs,
         out_dir=args.out, checkpoint_dir=args.checkpoint,
     )
@@ -90,6 +90,8 @@ def main() -> None:
     pc.add_argument("--out", default=None)
     pc.add_argument("--checkpoint", default=None)
     pc.add_argument("--emit-docs", action="store_true")
+    pc.add_argument("--mode", default="auto",
+                    choices=["auto", "driver", "dataset"])
     pc.add_argument("--smoke", action="store_true")
     pb = sub.add_parser("bench")
     pb.add_argument("--smoke", action="store_true")
