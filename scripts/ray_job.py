@@ -70,8 +70,13 @@ def cmd_crawl(args) -> dict:
     dt = time.time() - t0
     pages = int(sum(m.get("gated", 0) for m in metrics))
     files = 0 if results is None else results.count()
-    return {"job": "crawl", "sec": round(dt, 2), "pages": pages, "files": files,
-            "urls_per_sec": round((pages + files) / dt, 1), "rounds": len(metrics)}
+    out = {"job": "crawl", "sec": round(dt, 2), "pages": pages, "files": files,
+           "urls_per_sec": round((pages + files) / dt, 1), "rounds": len(metrics)}
+    if args.timings:
+        out["round_timings"] = [
+            {"gated": m.get("gated"), **m.get("timings", {})} for m in metrics
+        ]
+    return out
 
 
 def cmd_bench(args) -> dict:  # pragma: no cover — thin wrapper
@@ -92,6 +97,8 @@ def main() -> None:
     pc.add_argument("--emit-docs", action="store_true")
     pc.add_argument("--mode", default="auto",
                     choices=["auto", "driver", "dataset"])
+    pc.add_argument("--timings", action="store_true",
+                    help="include per-round phase timings in the output")
     pc.add_argument("--smoke", action="store_true")
     pb = sub.add_parser("bench")
     pb.add_argument("--smoke", action="store_true")
