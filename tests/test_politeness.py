@@ -102,6 +102,88 @@ def test_politeness_gate_hot_host_skew(ray_session):
     assert deferred.count() == n - len(g)
 
 
+def test_politeness_gate_bloom_path_parity(ray_session, monkeypatch):
+    """VERDICT r4 #2: past EXACT_GATED_BROADCAST_MAX the gate broadcasts a
+    size-capped bloom of gated keys instead of the exact key array.  With
+    the threshold forced to 0 and the bloom squeezed to 1024 bits (massive
+    FP rate), the distributed FP-correction anti-join must still keep
+    ``deferred`` EXACTLY equal to the exact-broadcast path's."""
+    import icrawler_ray.stages.politeness as pol_mod
+    from icrawler_ray.functions.seq import from_pandas_blocks
+
+    n_hot, n_cold_hosts = 5_000, 20
+    rng = np.random.default_rng(9)
+    rows = {
+        "url": [f"http://hot.com/p/{i}.html" for i in range(n_hot)]
+               + [f"http://c{j}.com/p/{i}.html" for j in range(n_cold_hosts) for i in range(40)],
+        "host": ["hot.com"] * n_hot
+                + [f"c{j}.com" for j in range(n_cold_hosts) for _ in range(40)],
+    }
+    n = len(rows["url"])
+    df = pd.DataFrame({**rows, "priority": rng.random(n).round(3),
+                       "seq": np.arange(n, dtype=np.int64),
+                       "url_hash": np.arange(n).astype(np.uint64)})
+    policy = HostPolicy(
+        {"hot.com": {"crawl_delay_ms": 100, "max_inflight": 64, "robots_disallow": []},
+         **{f"c{j}.com": {"crawl_delay_ms": 250, "max_inflight": 64,
+                          "robots_disallow": []} for j in range(n_cold_hosts)}},
+        round_ms=1000)
+    ds = from_pandas_blocks(df, min_rows_per_block=500)
+
+    g_exact, d_exact = politeness_gate(ds, ray.put(policy))
+    ge, de = g_exact.to_pandas(), d_exact.to_pandas()
+
+    monkeypatch.setattr(pol_mod, "EXACT_GATED_BROADCAST_MAX", 0)
+    monkeypatch.setattr(pol_mod, "MAX_GATED_BLOOM_BITS", 1024)
+    g_bloom, d_bloom = politeness_gate(ds, ray.put(policy))
+    gb, db = g_bloom.to_pandas(), d_bloom.to_pandas()
+
+    key = lambda f: sorted(f["seq"].tolist())
+    assert key(gb) == key(ge)
+    assert key(db) == key(de)
+    assert len(db) == n - len(ge)  # nothing lost to bloom false positives
+
+
+def test_politeness_gate_bloom_driver_rss_independent(ray_session, monkeypatch):
+    """The bloom path must keep driver memory independent of the gated-set
+    size: a ~2M-key gated set (exact path: ~16 MB key array + a full
+    gated.to_pandas() of hundreds of MB) is gated with the frontier built
+    OFF-driver, and driver peak RSS may grow far less than the exact
+    array would cost."""
+    import resource
+
+    import icrawler_ray.stages.politeness as pol_mod
+
+    monkeypatch.setattr(pol_mod, "EXACT_GATED_BROADCAST_MAX", 0)
+    n = 2_000_000
+
+    def make_rows(t):
+        import pyarrow as _pa
+        ids = t["id"].to_numpy()
+        return _pa.table({
+            "url": _pa.array([f"http://h{i % 997}.com/p/{i}" for i in ids]),
+            "host": _pa.array([f"h{i % 997}.com" for i in ids]),
+            "priority": _pa.array(np.ones(len(ids))),
+            "seq": _pa.array(ids.astype(np.int64)),
+            "url_hash": _pa.array(ids.astype(np.uint64)),
+        })
+
+    policy = HostPolicy({}, round_ms=1000)  # unknown hosts: unbounded budget
+    # warm-up run pays Ray Data's one-time driver machinery (~100 MiB of
+    # scheduler/metadata allocations); the measured run then isolates
+    # per-gated-key driver state, which must be ~zero on the bloom path
+    for measured in (False, True):
+        frontier = ray.data.range(n).map_batches(make_rows, batch_format="pyarrow")
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB on linux
+        gated, deferred = politeness_gate(frontier, ray.put(policy))
+        n_gated = gated.count()
+        n_def = deferred.count()
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        assert n_gated == n and n_def == 0
+    assert (rss1 - rss0) * 1024 < 32 << 20, (
+        f"driver RSS grew {(rss1 - rss0) // 1024} MiB on the bloom path")
+
+
 @pytest.mark.parametrize("delay,expected", [(0, 10), (500, 2), (2000, 1)])
 def test_budget_scaling(delay, expected):
     pol = HostPolicy({"h.com": {"crawl_delay_ms": delay, "max_inflight": 1,
