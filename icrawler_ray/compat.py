@@ -16,14 +16,15 @@ reference's filename sequence.
 
 Deviations, by design:
 - ``*_threads`` map to Ray actor-pool concurrency upper bounds.
-- component-class overrides run unmodified for feeders and parsers:
+- component-class overrides run unmodified for all three roles:
   ``feeder_cls.feed`` executes at plan time (its out_queue becomes the
-  seed Dataset) and ``parser_cls.parse`` executes inside the fetch-parse
-  workers via ``parsers.RefParserRules`` (see :class:`Crawler`, the
-  docs/extend.rst §4 composition). ``downloader_cls`` accepts the two
-  builtin markers; CUSTOM download stages remain
-  :class:`icrawler_ray.pipelines.plan.CrawlPlan` surface (keep_file /
-  filename_fn hooks) — a custom class here raises with that pointer.
+  seed Dataset); ``parser_cls.parse`` executes inside the fetch-parse
+  workers via ``parsers.RefParserRules``; a custom ``downloader_cls``
+  subclass's ``get_filename``/``keep_file``/``process_meta`` execute
+  inside the fetch / naming / results stages via
+  ``stages.download.RefDownloaderHooks`` (see :class:`Crawler`, the
+  docs/extend.rst §3-4 surface). The two builtin bases select the
+  builtin download semantics (image gates for ImageDownloader).
 - ``session_spec`` (extra kwarg): a ``make_session`` spec — defaults to
   the live-network adapter; hermetic tests pass a stub url-map ref.
 - ``max_idle_time`` maps to the bounded-round watchdog (greedy) and is a
@@ -80,12 +81,70 @@ class Parser:
 
 
 class Downloader:
-    """Marker for the plain reference downloader (no image gates)."""
+    """Stand-in base for reference-style downloaders (downloader.py:22-167):
+    subclass and override ``get_filename(task, default_ext)``,
+    ``keep_file(task, response, **kwargs)`` and/or ``process_meta(task)``;
+    the methods run inside the engine's fetch / naming / results stages via
+    ``stages.download.RefDownloaderHooks`` (docs/extend.rst §3).  Used
+    bare, it selects the plain builtin download semantics (no image
+    gates)."""
+
+    def get_filename(self, task, default_ext):
+        """Reference default naming (downloader.py:60-77): 6-digit global
+        index; URL-path extension if present, else ``default_ext``."""
+        from urllib.parse import urlparse
+
+        url_path = urlparse(task["file_url"])[2]
+        extension = url_path.split(".")[-1] if "." in url_path else default_ext
+        file_idx = self.fetched_num + self.file_idx_offset
+        return f"{file_idx:06d}.{extension}"
+
+    def keep_file(self, task, response, **kwargs):
+        """downloader.py:92-93: keep everything."""
+        return True
+
+    def process_meta(self, task):
+        """downloader.py:157-167: no-op hook."""
 
 
 class ImageDownloader(Downloader):
-    """Marker for the reference image downloader (ext whitelist + PIL
-    size gates — downloader.py:233-277)."""
+    """Stand-in base for the reference image downloader
+    (downloader.py:233-277): extension whitelist in ``get_filename``,
+    decode + size gates in ``keep_file``.  Deviation, documented: image
+    decoding uses the engine's ``synthweb.fakeimg.decode_size`` (no PIL
+    in this environment); the gate semantics (_size_gt/_size_lt via
+    max/min of both dims, ``task["img_size"]`` recorded) are the
+    reference's."""
+
+    def keep_file(self, task, response, min_size=None, max_size=None,
+                  **kwargs):
+        from icrawler_ray.stages.download import size_gt, size_lt
+        from icrawler_ray.synthweb import fakeimg
+
+        size = fakeimg.decode_size(response.content)
+        if size is None:
+            return False
+        task["img_size"] = tuple(size)
+        if min_size and not size_gt(size, min_size):
+            return False
+        if max_size and not size_lt(size, max_size):
+            return False
+        return True
+
+    def get_filename(self, task, default_ext):
+        """downloader.py:265-274: whitelist the URL-path extension."""
+        from urllib.parse import urlparse
+
+        url_path = urlparse(task["file_url"])[2]
+        if "." in url_path:
+            extension = url_path.split(".")[-1]
+            if extension.lower() not in ["jpg", "jpeg", "png", "bmp",
+                                         "tiff", "gif", "ppm", "pgm"]:
+                extension = default_ext
+        else:
+            extension = default_ext
+        file_idx = self.fetched_num + self.file_idx_offset
+        return f"{file_idx:06d}.{extension}"
 
 
 class _ListQueue:
@@ -123,10 +182,11 @@ class _CompatCrawler:
         if downloader_cls is not None and not (
                 isinstance(downloader_cls, type)
                 and issubclass(downloader_cls, Downloader)):
-            raise NotImplementedError(
-                "custom downloader classes are the reference's extension "
-                "surface; use icrawler_ray.pipelines.plan.CrawlPlan for "
-                "custom download stages (keep_file/filename_fn hooks)")
+            raise TypeError(
+                "downloader_cls must subclass icrawler_ray.compat.Downloader "
+                "(the reference-style override surface, docs/extend.rst §3); "
+                "arbitrary classes can't run — their hook methods are "
+                "executed inside the engine's fetch/naming/results stages")
         self.feeder_cls = feeder_cls
         self.parser_cls = parser_cls
         self.downloader_cls = downloader_cls
@@ -137,6 +197,12 @@ class _CompatCrawler:
         self.extra_parser_args = extra_parser_args or {}
         self.extra_downloader_args = extra_downloader_args or {}
         self.session_spec = session_spec if session_spec is not None else ("live", {})
+        # a CUSTOM subclass (not the two builtin bases themselves) runs its
+        # get_filename/keep_file/process_meta inside the engine stages (X3)
+        self.downloader_hooks = None
+        if downloader_cls is not None and downloader_cls not in (
+                Downloader, ImageDownloader):
+            self.downloader_hooks = (downloader_cls, self.extra_downloader_args)
 
     # -- shared crawl tail -------------------------------------------------
     def _resolve_offset(self, file_idx_offset):
@@ -173,6 +239,7 @@ class _SearchEngineCrawler(_CompatCrawler):
             file_idx_offset=self._resolve_offset(file_idx_offset),
             parse_concurrency=self.parse_concurrency,
             fetch_concurrency=self.fetch_concurrency, keep_content=True,
+            downloader_hooks=self.downloader_hooks,
             **kwargs,
         )
         return self._finish(results, overwrite)
@@ -212,6 +279,7 @@ class FlickrImageCrawler(_CompatCrawler):
             apikey=self.apikey, flickr_kwargs=kwargs,
             parse_concurrency=self.parse_concurrency,
             fetch_concurrency=self.fetch_concurrency, keep_content=True,
+            downloader_hooks=self.downloader_hooks,
         )
         return self._finish(results, overwrite)
 
@@ -228,6 +296,7 @@ class GreedyImageCrawler(_CompatCrawler):
             fetch_concurrency=self.fetch_concurrency,
             max_idle_time=max_idle_time,
             file_idx_offset=self._resolve_offset(file_idx_offset),
+            downloader_hooks=self.downloader_hooks,
         )
         if results is None:
             return 0
@@ -272,6 +341,7 @@ class Crawler(_CompatCrawler):
             file_idx_offset=self._resolve_offset(dl.get("file_idx_offset", 0)),
             parse_concurrency=self.parse_concurrency,
             fetch_concurrency=self.fetch_concurrency, keep_content=True,
+            downloader_hooks=self.downloader_hooks,
         )
         return self._finish(results, bool(dl.get("overwrite", False)))
 
@@ -287,6 +357,7 @@ class UrlListCrawler(_CompatCrawler):
             self.session_spec, urls, max_num=max_num,
             file_idx_offset=self._resolve_offset(file_idx_offset),
             concurrency=self.fetch_concurrency, keep_content=True,
+            downloader_hooks=self.downloader_hooks,
         )
         return self._finish(results, overwrite)
 

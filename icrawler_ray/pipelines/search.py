@@ -66,7 +66,8 @@ def search_crawl(url_map_ref, engine: str, keyword: str = "", max_num: int = 100
                  flickr_kwargs: dict | None = None, parse_concurrency=(1, 4),
                  fetch_concurrency=(1, 8), keep_content: bool = True,
                  rules_override=None,
-                 rules_override_kwargs: dict | None = None) -> ray.data.Dataset:
+                 rules_override_kwargs: dict | None = None,
+                 downloader_hooks=None) -> ray.data.Dataset:
     urls, rules, rules_kwargs = expand_search(
         engine, keyword, offset, max_num, language, filters, apikey, flickr_kwargs
     )
@@ -79,7 +80,7 @@ def search_crawl(url_map_ref, engine: str, keyword: str = "", max_num: int = 100
         min_size=min_size, max_size=max_size, file_idx_offset=file_idx_offset,
         default_ext=default_ext, parse_concurrency=parse_concurrency,
         fetch_concurrency=fetch_concurrency, keep_content=keep_content,
-        flickr_sizes=(engine == "flickr"),
+        flickr_sizes=(engine == "flickr"), downloader_hooks=downloader_hooks,
     )
 
 
@@ -88,7 +89,8 @@ def crawl_from_seeds(url_map_ref, urls: list, rules, rules_kwargs: dict | None =
                      file_idx_offset: int = 0, default_ext: str = DEFAULT_EXT,
                      parse_concurrency=(1, 4), fetch_concurrency=(1, 8),
                      keep_content: bool = True,
-                     flickr_sizes: bool = False) -> ray.data.Dataset:
+                     flickr_sizes: bool = False,
+                     downloader_hooks=None) -> ray.data.Dataset:
     """Seed URLs -> FetchParse (``rules``: registry name or a rules
     class, e.g. parsers.RefParserRules for a reference-style parser
     subclass) -> task dedup -> Fetcher -> ordered filenames. The shared
@@ -132,13 +134,21 @@ def crawl_from_seeds(url_map_ref, urls: list, rules, rules_kwargs: dict | None =
             "min_size": min_size,
             "max_size": max_size,
             "keep_content": keep_content,
+            "user_downloader": downloader_hooks,
         },
         batch_format="pyarrow",
         batch_size=FETCH_BATCH_SIZE,
         concurrency=fetch_concurrency,
         num_cpus=0.5,
     )
-    return assign_filenames(
+    named = assign_filenames(
         fetched, ["seq"], default_ext=default_ext,
         file_idx_offset=file_idx_offset, max_num=max_num,
+        downloader_hooks=downloader_hooks,
     )
+    if downloader_hooks is not None:  # user process_meta (X3)
+        from icrawler_ray.stages.download import make_process_meta_fn
+
+        named = named.map_batches(make_process_meta_fn(*downloader_hooks),
+                                  batch_format="pyarrow")
+    return named

@@ -51,7 +51,8 @@ def dedup_first(ds: ray.data.Dataset, key: str = "url_canon",
 def urllist_crawl(url_map_ref, urls: list[str], max_num: int = 1000,
                   min_size=None, max_size=None, file_idx_offset: int = 0,
                   default_ext: str = DEFAULT_EXT, concurrency=(1, 8),
-                  keep_content: bool = True) -> ray.data.Dataset:
+                  keep_content: bool = True,
+                  downloader_hooks=None) -> ray.data.Dataset:
     """Returns the results dataset (file_url, filename, success, status,
     img_w, img_h, content, dl_seq ...) for a seed URL list."""
     seeds = seed_dataset(urls)
@@ -67,13 +68,21 @@ def urllist_crawl(url_map_ref, urls: list[str], max_num: int = 1000,
             "min_size": min_size,
             "max_size": max_size,
             "keep_content": keep_content,
+            "user_downloader": downloader_hooks,
         },
         batch_format="pyarrow",
         batch_size=FETCH_BATCH_SIZE,
         concurrency=concurrency,
         num_cpus=0.5,  # I/O-bound stage: don't starve CPU stages
     )
-    return assign_filenames(
+    named = assign_filenames(
         fetched, ["seq"], default_ext=default_ext,
         file_idx_offset=file_idx_offset, max_num=max_num,
+        downloader_hooks=downloader_hooks,
     )
+    if downloader_hooks is not None:  # user process_meta (X3)
+        from icrawler_ray.stages.download import make_process_meta_fn
+
+        named = named.map_batches(make_process_meta_fn(*downloader_hooks),
+                                  batch_format="pyarrow")
+    return named

@@ -20,6 +20,8 @@ Reimplements Downloader/ImageDownloader semantics
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -42,17 +44,83 @@ def size_lt(sz, bound) -> bool:
     return max(sz) <= max(bound) and min(sz) <= min(bound)
 
 
+class RefDownloaderHooks:
+    """Worker-side adapter for a reference-style ``Downloader`` subclass
+    (the docs/extend.rst §3 surface: override ``get_filename`` /
+    ``keep_file`` / ``process_meta``, downloader.py:60,92,157).  Mirrors
+    parsers.RefParserRules: the user class is instantiated without the
+    reference ThreadPool/queue wiring — only the attributes a hook body
+    can touch (logger, fetched_num, file_idx_offset, session) exist.
+
+    The reference invariant ``fetched_num + file_idx_offset == 1-based
+    global file index`` is reproduced from the engine's deterministic
+    sequence before each ``get_filename`` call."""
+
+    def __init__(self, downloader_cls, downloader_kwargs: dict | None = None,
+                 min_size=None, max_size=None):
+        import logging
+
+        d = downloader_cls.__new__(downloader_cls)  # skip thread wiring
+        d.logger = logging.getLogger(downloader_cls.__name__)
+        d.fetched_num = 0
+        d.file_idx_offset = 0
+        d.session = None
+        self._d = d
+        self._kw = dict(downloader_kwargs or {})
+        if min_size is not None:
+            self._kw.setdefault("min_size", tuple(min_size))
+        if max_size is not None:
+            self._kw.setdefault("max_size", tuple(max_size))
+
+    def keep(self, task: dict, response) -> bool:
+        """keep_file(task, response, **kwargs) — downloader.py:92,242."""
+        return bool(self._d.keep_file(task, response, **self._kw))
+
+    def filename(self, task: dict, default_ext: str, file_idx: int,
+                 offset: int) -> str:
+        """get_filename(task, default_ext) — downloader.py:60-77."""
+        self._d.file_idx_offset = offset
+        self._d.fetched_num = file_idx - offset
+        return str(self._d.get_filename(task, default_ext))
+
+    def meta(self, task: dict) -> None:
+        """process_meta(task) — downloader.py:157-167 (side effects)."""
+        self._d.process_meta(task)
+
+
+def _task_from_row(file_url: str, meta_json) -> dict:
+    task = {"file_url": file_url}
+    if meta_json:
+        try:
+            task.update(json.loads(meta_json))
+        except (TypeError, ValueError):
+            pass
+    return task
+
+
 class Fetcher:
     """Actor-pool file downloader. One session per actor; batches are
     binary-heavy so callers should use a small ``batch_size``
-    (defaults.FETCH_BATCH_SIZE) to bound per-actor heap."""
+    (defaults.FETCH_BATCH_SIZE) to bound per-actor heap.
+
+    ``user_downloader=(cls, kwargs)`` runs a reference-style Downloader
+    subclass's ``keep_file`` in place of the builtin gates (X3); task-dict
+    mutations made by the hook (e.g. ImageDownloader's ``img_size``,
+    downloader.py:258) are serialized into a ``task_meta`` column so the
+    later get_filename / process_meta hooks see them."""
 
     def __init__(self, url_map_ref, min_size=None, max_size=None, flaky=None,
-                 keep_content: bool = True, inflight: str | None = None):
+                 keep_content: bool = True, inflight: str | None = None,
+                 user_downloader=None):
         self.session = make_session(url_map_ref, flaky=flaky)
         self.min_size = tuple(min_size) if min_size else None
         self.max_size = tuple(max_size) if max_size else None
         self.keep_content = keep_content
+        self.user_hooks = None
+        if user_downloader is not None:
+            cls, kw = user_downloader
+            self.user_hooks = RefDownloaderHooks(
+                cls, kw, min_size=min_size, max_size=max_size)
         # exact per-host inflight caps via the named HostInflightLimiter
         # actor (stages/politeness.py); one slot per (task, host run)
         if inflight:
@@ -84,6 +152,11 @@ class Fetcher:
         img_h = np.full(n, -1, dtype=np.int32)
         contents: list[bytes | None] = [None] * n
         errors = [""] * n
+        tasks = None
+        if self.user_hooks is not None:
+            metas = (batch["meta_json"].to_pylist()
+                     if "meta_json" in batch.column_names else [None] * n)
+            tasks = [_task_from_row(urls[i], metas[i]) for i in range(n)]
         if self.guard is not None:
             from icrawler_ray.functions.urlnorm import host_of_one
 
@@ -101,20 +174,27 @@ class Fetcher:
                     self.guard.acquire(hosts[i])
                     held = hosts[i]
                 self._fetch_one(i, urls[i], status, success, img_w, img_h,
-                                contents, errors)
+                                contents, errors,
+                                task=tasks[i] if tasks is not None else None)
         finally:
             if held is not None:
                 self.guard.release(held)
-        out = batch.drop_columns([c for c in ("status", "success", "img_w", "img_h", "content", "error") if c in batch.column_names])
+        out = batch.drop_columns([c for c in ("status", "success", "img_w", "img_h", "content", "error", "task_meta") if c in batch.column_names])
         out = out.append_column("status", pa.array(status))
         out = out.append_column("success", pa.array(success))
         out = out.append_column("img_w", pa.array(img_w))
         out = out.append_column("img_h", pa.array(img_h))
         out = out.append_column("content", pa.array(contents, type=pa.binary()))
         out = out.append_column("error", pa.array(errors, type=pa.string()))
+        if tasks is not None:  # propagate keep_file's task-dict mutations
+            out = out.append_column("task_meta", pa.array(
+                [json.dumps({k: v for k, v in t.items() if k != "file_url"},
+                            sort_keys=True, default=str) for t in tasks],
+                type=pa.string()))
         return out
 
-    def _fetch_one(self, i, url, status, success, img_w, img_h, contents, errors):
+    def _fetch_one(self, i, url, status, success, img_w, img_h, contents,
+                   errors, task=None):
         try:
             resp = self.session.get(url)
         except Exception as e:
@@ -124,11 +204,24 @@ class Fetcher:
         if not (200 <= resp.status_code < 300):  # intended (non-inverted) gate
             errors[i] = "http status"
             return
-        keep, w, h = self.keep_file(resp.content)
-        img_w[i], img_h[i] = w, h
-        if not keep:
-            errors[i] = "keep_file rejected"
-            return
+        if self.user_hooks is not None:  # X3: user keep_file replaces gates
+            try:
+                keep = self.user_hooks.keep(task, resp)
+            except Exception as e:
+                errors[i] = f"keep_file raised: {e}"
+                return
+            sz = task.get("img_size")
+            if isinstance(sz, (tuple, list)) and len(sz) == 2:
+                img_w[i], img_h[i] = int(sz[0]), int(sz[1])
+            if not keep:
+                errors[i] = "keep_file rejected"
+                return
+        else:
+            keep, w, h = self.keep_file(resp.content)
+            img_w[i], img_h[i] = w, h
+            if not keep:
+                errors[i] = "keep_file rejected"
+                return
         success[i] = True
         if self.keep_content:
             contents[i] = resp.content
@@ -138,7 +231,7 @@ _FETCHER_CACHE: dict = {}
 
 
 def make_fetcher_fn(url_map_ref, min_size=None, max_size=None, keep_content=True,
-                    inflight: str | None = None):
+                    inflight: str | None = None, user_downloader=None):
     """Task-pool variant of Fetcher with a worker-process-level cache —
     same rationale as stages.fetch_parse.make_fetch_parse_fn (amortize
     session state across the per-round Ray Data executions of an iterative
@@ -149,13 +242,17 @@ def make_fetcher_fn(url_map_ref, min_size=None, max_size=None, keep_content=True
         tuple(max_size) if max_size else None,
         keep_content,
         inflight,
+        None if user_downloader is None else (
+            f"{user_downloader[0].__module__}.{user_downloader[0].__qualname__}",
+            json.dumps(user_downloader[1] or {}, sort_keys=True, default=str)),
     )
 
     def fn(batch: pa.Table) -> pa.Table:
         f = _FETCHER_CACHE.get(key)
         if f is None:
             f = Fetcher(url_map_ref, min_size=min_size, max_size=max_size,
-                        keep_content=keep_content, inflight=inflight)
+                        keep_content=keep_content, inflight=inflight,
+                        user_downloader=user_downloader)
             _FETCHER_CACHE[key] = f
         return f(batch)
 
@@ -164,7 +261,7 @@ def make_fetcher_fn(url_map_ref, min_size=None, max_size=None, keep_content=True
 
 def assign_filenames(ds, order_keys: list[str], default_ext: str = DEFAULT_EXT,
                      file_idx_offset: int = 0, max_num: int = 0,
-                     seq_col: str = "dl_seq"):
+                     seq_col: str = "dl_seq", downloader_hooks=None):
     """Deterministic filename assignment over *kept* downloads.
 
     Sort by ``order_keys`` (the engine-defined crawl order), assign the
@@ -173,6 +270,11 @@ def assign_filenames(ds, order_keys: list[str], default_ext: str = DEFAULT_EXT,
     downloader.py:110-116 increments before formatting) at any parallelism.
     ``max_num`` truncates in order (limit pushdown replaces the
     reach_max_num signal, downloader.py:79-90).
+
+    ``downloader_hooks=(cls, kwargs)`` delegates naming to the user
+    class's ``get_filename(task, default_ext)`` (X3) with the reference
+    fetched_num/file_idx_offset invariant restored per row; the builtin
+    whitelist logic is then the user class's responsibility.
     """
     kept = ds.filter(expr="success == True")
     kept = assign_global_seq(kept, order_keys, col=seq_col)
@@ -180,12 +282,51 @@ def assign_filenames(ds, order_keys: list[str], default_ext: str = DEFAULT_EXT,
         kept = kept.limit(max_num)
 
     def _name(t: pa.Table) -> pa.Table:
+        seq = t[seq_col].to_numpy(zero_copy_only=False)
+        if downloader_hooks is not None:
+            hooks = RefDownloaderHooks(*downloader_hooks)
+            urls_l = t["file_url"].to_pylist()
+            metas = (t["task_meta"].to_pylist()
+                     if "task_meta" in t.column_names else
+                     (t["meta_json"].to_pylist()
+                      if "meta_json" in t.column_names else [None] * len(urls_l)))
+            names = [
+                hooks.filename(_task_from_row(u, m), default_ext,
+                               int(s) + 1 + file_idx_offset, file_idx_offset)
+                for u, m, s in zip(urls_l, metas, seq)]
+            return t.append_column("filename", pa.array(names, type=pa.string()))
         urls = pd.Series(t["file_url"].to_pylist(), dtype="string")
         ext = path_ext(urls)
         ok = ext.str.lower().isin(IMAGE_EXT_WHITELIST)
         ext = ext.where(ok, default_ext).replace("", default_ext)
-        seq = t[seq_col].to_numpy(zero_copy_only=False)
         names = [f"{s + 1 + file_idx_offset:06d}.{e}" for s, e in zip(seq, ext)]
         return t.append_column("filename", pa.array(names, type=pa.string()))
 
     return kept.map_batches(_name, batch_format="pyarrow")
+
+
+def make_process_meta_fn(downloader_cls, downloader_kwargs: dict | None = None):
+    """Results-stage hook: call the user class's ``process_meta(task)``
+    (downloader.py:157-167, side effects only) once per kept row.  The
+    task dict is rebuilt from the row (file_url, filename, success, plus
+    keep_file's propagated mutations from ``task_meta``).  Deviation,
+    documented: the reference also calls process_meta on FAILED tasks;
+    here it runs over the kept results rows."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        hooks = RefDownloaderHooks(downloader_cls, downloader_kwargs)
+        urls_l = t["file_url"].to_pylist()
+        metas = (t["task_meta"].to_pylist()
+                 if "task_meta" in t.column_names else
+                 (t["meta_json"].to_pylist()
+                  if "meta_json" in t.column_names else [None] * len(urls_l)))
+        names = (t["filename"].to_pylist()
+                 if "filename" in t.column_names else [None] * len(urls_l))
+        for u, m, nm in zip(urls_l, metas, names):
+            task = _task_from_row(u, m)
+            task["success"] = True
+            task["filename"] = nm
+            hooks.meta(task)
+        return t
+
+    return fn

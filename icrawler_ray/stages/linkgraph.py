@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -56,8 +57,8 @@ def derive_edges(docs: rd.Dataset, n_docs: int) -> rd.Dataset:
     docstring).  Vectorized: each batch expands via np.repeat, no
     per-row loop."""
 
-    def expand(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy(dtype=np.int64)
+    def expand(t: "pa.Table") -> "pa.Table":
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         fanout = 1 + (ids % 4)
         src = np.repeat(ids, fanout)
         # j index within each src's fanout run: 1..fanout
@@ -65,9 +66,9 @@ def derive_edges(docs: rd.Dataset, n_docs: int) -> rd.Dataset:
             np.cumsum(fanout) - fanout, fanout) + 1
         dst = (src * 131 + j * 97) % n_docs
         keep = dst != src
-        return pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
 
-    return docs.map_batches(expand, batch_format="pandas")
+    return docs.map_batches(expand, batch_format="pyarrow")
 
 
 def _canonical_undirected(edges: rd.Dataset, n: np.int64,
@@ -78,19 +79,19 @@ def _canonical_undirected(edges: rd.Dataset, n: np.int64,
     per-bucket unique.  Packed int64 keys require n < 3e9; beyond that
     switch to a struct key (two-column groupby)."""
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["src"].to_numpy(dtype=np.int64)
-        d = df["dst"].to_numpy(dtype=np.int64)
+    def canon(t: "pa.Table") -> "pa.Table":
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = s != d
         s, d = s[keep], d[keep]
         key = np.unique(np.minimum(s, d) * n + np.maximum(s, d))
-        return pd.DataFrame({"key": key, "part": key % P})
+        return pa.table({"key": pa.array(key), "part": pa.array(key % P)})
 
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
         key = np.unique(g["key"].to_numpy(dtype=np.int64))
         return pd.DataFrame({"a": key // n, "b": key % n})
 
-    return (edges.map_batches(canon, batch_format="pandas")
+    return (edges.map_batches(canon, batch_format="pyarrow")
             .groupby("part").map_groups(dedup_bucket, batch_format="pandas"))
 
 

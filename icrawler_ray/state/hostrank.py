@@ -91,6 +91,12 @@ class HostRankState:
             ray.get(refs)
         self.local = {}  # driver per-host state gone from here on
 
+    def maybe_migrate(self, extra: int = 0) -> None:
+        """Migrate dict -> shard fleet once the dict (plus ``extra``
+        incoming keys) would outgrow the threshold."""
+        if self.shards is None and len(self.local) + extra > self.shard_threshold:
+            self._migrate()
+
     def update_and_counts(self, hosts: np.ndarray, ns: np.ndarray) -> np.ndarray:
         """Add ``ns[i]`` in-links to ``hosts[i]`` (hosts UNIQUE within the
         call) and return the post-update cumulative counts, aligned to
@@ -99,8 +105,7 @@ class HostRankState:
             return np.empty(0, dtype=np.int64)
         hosts = np.asarray(hosts, dtype=object)
         ns = np.asarray(ns, dtype=np.int64)
-        if self.shards is None and len(self.local) + len(hosts) > self.shard_threshold:
-            self._migrate()
+        self.maybe_migrate(len(hosts))
         if self.shards is None:
             out = np.empty(len(hosts), dtype=np.int64)
             for i, (h, n) in enumerate(zip(hosts.tolist(), ns.tolist())):
@@ -128,3 +133,42 @@ class HostRankState:
                 ray.kill(s, no_restart=True)
         self.shards = None
         self.local = {}
+
+
+def rewrite_priorities_ds(state: HostRankState, new_md, schema) -> "object":
+    """Sharded-mode priority rewrite that never transits the driver
+    (VERDICT r4 #4): the per-round (host, n) frame stays a Dataset.
+
+    One host-hash exchange: rows are tagged with their owning shard id
+    (the SAME ``pd.util.hash_array % num_shards`` routing as
+    :meth:`HostRankState._route`, so every host in partition k belongs to
+    shard k), then each partition task makes ONE batched
+    ``add_and_get`` call to its shard and rewrites its rows' priorities
+    locally — the driver sees only block metadata.  Requires
+    ``state.sharded``; priorities are bit-identical to the driver
+    broadcast path (each host's full round count lands in exactly one
+    partition, so the post-update cumulative count is the same).
+    """
+    if not state.sharded:
+        raise ValueError("rewrite_priorities_ds requires the sharded state")
+    import pyarrow as pa
+
+    shards = state.shards
+    nsh = state.num_shards
+
+    def tag(t: pa.Table) -> pa.Table:
+        hp = (pd.util.hash_array(np.asarray(t["host"].to_pylist(), dtype=object))
+              % nsh).astype(np.int64)
+        return t.append_column("_hp", pa.array(hp))
+
+    def rewrite(g: pd.DataFrame) -> pa.Table:
+        k = int(g["_hp"].iloc[0])
+        codes, uniq = pd.factorize(g["host"].to_numpy(dtype=object))
+        ns = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        newc = ray.get(shards[k].add_and_get.remote(uniq.tolist(), ns))
+        g = g.drop(columns=["_hp"])
+        g["priority"] = 1.0 + np.log1p(newc[codes].astype(np.float64))
+        return pa.Table.from_pandas(g, preserve_index=False).cast(schema)
+
+    return (new_md.map_batches(tag, batch_format="pyarrow")
+            .groupby("_hp").map_groups(rewrite, batch_format="pandas"))

@@ -78,11 +78,12 @@ def test_greedy_crawl_compat(web, url_map_ref, tmp_path):
     assert sorted(os.listdir(tmp_path))[0].startswith("000001.")
 
 
-def test_component_override_points_to_crawlplan():
+def test_component_override_classes_accepted():
     """feeder_cls/parser_cls overrides are accepted (run via the compat
-    adapters); only a CUSTOM downloader class still points to CrawlPlan."""
+    adapters); downloader_cls must subclass compat.Downloader so its hook
+    methods exist to run inside the engine stages."""
     GoogleImageCrawler(feeder_cls=object, parser_cls=object)  # accepted
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(TypeError):
         GoogleImageCrawler(downloader_cls=object)
 
 
@@ -183,12 +184,83 @@ def test_builtin_crawler_accepts_parser_cls(web, url_map_ref, tmp_path):
     assert all(f.endswith(".jpg") for f in files)
 
 
-def test_custom_downloader_cls_still_raises(web, url_map_ref):
+def test_non_downloader_cls_raises(web, url_map_ref):
     from icrawler_ray.compat import GoogleImageCrawler
 
     class NotADownloader:
         pass
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(TypeError):
         GoogleImageCrawler(downloader_cls=NotADownloader,
                            session_spec=url_map_ref)
+
+
+def test_custom_downloader_subclass_runs_end_to_end(web, url_map_ref, tmp_path):
+    """VERDICT r4 #3 (docs/extend.rst §3, downloader.py:60,92,157): a
+    verbatim reference-style ImageDownloader subclass overriding ALL
+    THREE hooks runs unmodified — keep_file gates and mutates the task,
+    get_filename renames with the user scheme, process_meta records
+    side-effect annotations per kept file."""
+    import json as _json
+
+    from icrawler_ray.compat import GoogleImageCrawler, ImageDownloader
+
+    ann_dir = tmp_path / "ann"
+    ann_dir.mkdir()
+    img_dir = tmp_path / "imgs"
+
+    class PrefixedDownloader(ImageDownloader):
+        def keep_file(self, task, response, min_size=None, max_size=None,
+                      **kwargs):
+            if not super().keep_file(task, response, min_size=min_size,
+                                     max_size=max_size, **kwargs):
+                return False
+            task["n_bytes"] = len(response.content)  # custom mutation
+            return True
+
+        def get_filename(self, task, default_ext):
+            base = super().get_filename(task, default_ext)
+            return f"cat_{base}"  # the docs/extend.rst renaming pattern
+
+        def process_meta(self, task):
+            with open(ann_dir / (task["filename"] + ".json"), "w") as f:
+                _json.dump({"file_url": task["file_url"],
+                            "img_size": task.get("img_size"),
+                            "n_bytes": task.get("n_bytes")}, f)
+
+    n = GoogleImageCrawler(
+        downloader_cls=PrefixedDownloader,
+        storage={"backend": "FileSystem", "root_dir": str(img_dir)},
+        session_spec=url_map_ref).crawl("cat", max_num=5)
+    files = sorted(os.listdir(img_dir))
+    assert n == 5 and len(files) == 5
+    assert files[0] == "cat_000001.jpg" or files[0].startswith("cat_000001.")
+    assert all(f.startswith("cat_") for f in files)
+    anns = sorted(os.listdir(ann_dir))
+    assert anns == sorted(f + ".json" for f in files)
+    meta = _json.load(open(ann_dir / anns[0]))
+    assert meta["img_size"] is not None and meta["n_bytes"] > 0
+
+
+def test_custom_downloader_keep_file_rejection_gates(web, url_map_ref, tmp_path):
+    """A user keep_file returning False must drop the file before
+    naming — rejected tasks consume no filename index (the reference's
+    break-before-increment at downloader.py:135-138)."""
+    from icrawler_ray.compat import Downloader, UrlListCrawler
+
+    class EvenOnly(Downloader):
+        def keep_file(self, task, response, **kwargs):
+            return len(response.content) % 2 == 0
+
+    urls = [u for u, k in zip(web.seeds, web.seed_kinds)
+            if k == "file" and web.blobs.get(u, (0,))[0] == 200][:8]
+    even = [u for u in urls if len(web.blobs[u][1]) % 2 == 0]
+    out = tmp_path / "o"
+    n = UrlListCrawler(
+        downloader_cls=EvenOnly,
+        storage={"backend": "FileSystem", "root_dir": str(out)},
+        session_spec=url_map_ref).crawl(urls, max_num=100)
+    files = sorted(os.listdir(out))
+    assert n == len(even)
+    # dense numbering over kept files only
+    assert [int(f.split(".")[0]) for f in files] == list(range(1, len(even) + 1))

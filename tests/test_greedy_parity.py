@@ -500,6 +500,64 @@ def test_host_rank_sharded_counters_match_dict_and_hold_1e5_hosts(ray_session):
     dict_state.reset()
 
 
+def test_host_rank_ds_rewrite_1m_hosts_off_driver(ray_session):
+    """VERDICT r4 #4: in sharded mode the per-round distinct-host frame
+    must stay a Dataset — rewrite_priorities_ds over a 1M-distinct-host
+    round frontier built OFF-driver, with a driver RSS pin (the old path
+    pulled the (host, n) frame to the driver: ~100 MB of host strings at
+    this scale) and exact priorities spot-checked against the counter
+    semantics."""
+    import resource
+
+    import numpy as np
+    import pyarrow as _pa
+
+    from icrawler_ray.schemas import FRONTIER
+    from icrawler_ray.state.hostrank import HostRankState, rewrite_priorities_ds
+
+    n = 1_000_000
+
+    def make_rows(t):
+        ids = t["id"].to_numpy()
+        z = np.zeros(len(ids))
+        return _pa.table({
+            "url": _pa.array([f"http://h{i}.com/p" for i in ids]),
+            "url_canon": _pa.array([f"http://h{i}.com/p" for i in ids]),
+            "url_hash": _pa.array(ids.astype(np.uint64)),
+            "host": _pa.array([f"h{i}.com" for i in ids]),
+            "depth": _pa.array(np.ones(len(ids), dtype=np.int32)),
+            "priority": _pa.array(z + 1.0),
+            "discovered_seq": _pa.array(ids.astype(np.int64)),
+            "parent_doc_id": _pa.array([""] * len(ids)),
+        }, schema=FRONTIER)
+
+    state = HostRankState(shard_threshold=0, num_shards=4)
+    state.maybe_migrate(1)
+    assert state.sharded and state.local == {}
+    # warm-up on a small frame pays Ray Data's one-time driver machinery
+    warm = ray.data.range(1000).map_batches(make_rows, batch_format="pyarrow")
+    rewrite_priorities_ds(state, warm, FRONTIER).materialize()
+    state.reset()
+    state = HostRankState(shard_threshold=0, num_shards=4)
+    state.maybe_migrate(1)
+
+    frontier = ray.data.range(n).map_batches(make_rows, batch_format="pyarrow")
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    out = rewrite_priorities_ds(state, frontier, FRONTIER).materialize()
+    assert out.count() == n
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert (rss1 - rss0) * 1024 < 48 << 20, (
+        f"driver RSS grew {(rss1 - rss0) // 1024} MiB in sharded host-rank")
+    # each host unique: every priority must be 1 + log1p(1)
+    sample = out.limit(500).to_pandas()
+    np.testing.assert_allclose(sample["priority"], 1.0 + np.log1p(1.0))
+    # second round doubles the counts -> 1 + log1p(2)
+    out2 = rewrite_priorities_ds(state, frontier, FRONTIER).materialize()
+    sample2 = out2.limit(500).to_pandas()
+    np.testing.assert_allclose(sample2["priority"], 1.0 + np.log1p(2.0))
+    state.reset()
+
+
 def test_host_rank_crawl_parity_dict_vs_sharded(ray_session):
     """A host-rank crawl forced onto the sharded-counter path from the
     first round produces the identical frontier priorities as the dict
