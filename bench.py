@@ -229,7 +229,10 @@ def bench_queries() -> dict:
              "nb_quality", "corpus_refinery", "precedence_dedup",
              "countmin_freq", "multimodal_pack", "left_outer_orders",
              "skew_audit", "late_events", "lpa_communities", "edit_verify_pairs",
-             "quantile_blend", "cumulative_users"]
+             "quantile_blend", "cumulative_users",
+             "gopher_rules", "word_entropy", "corr_len_ttr",
+             "winsorize_lengths", "adamic_adar", "local_clustering",
+             "host_budget"]
     # csv_roundtrip is deliberately excluded: it benchmarks tmp-dir disk I/O
     # (write+read of a scratch CSV), not engine compute, and its timing is
     # dominated by the sandbox filesystem (ADVICE r4 note).

@@ -39,6 +39,8 @@ def assign_global_seq(ds: ray.data.Dataset, sort_keys: list[str], col: str = "se
     out_refs = []
     offset = start
     for r, n in zip(refs, counts):
+        if n == 0:
+            continue  # sort can emit zero-row (even schema-less) blocks
         out_refs.append(_add_seq_block.remote(r, col, offset))
         offset += n
     if not out_refs:
@@ -85,6 +87,8 @@ def assign_global_cumsum(ds: ray.data.Dataset, sort_keys: list[str], weight_col:
     if sort_keys:
         ds = ds.sort(sort_keys, descending=descending)
     refs = ds.to_arrow_refs()
+    counts = ray.get([_block_count.remote(r) for r in refs])
+    refs = [r for r, n in zip(refs, counts) if n > 0]  # drop empty/schema-less
     sums = ray.get([_block_sum.remote(r, weight_col) for r in refs])
     out_refs = []
     offset = start
@@ -141,6 +145,8 @@ def assign_global_running_max(ds: ray.data.Dataset, sort_keys: list[str], val_co
     if sort_keys:
         ds = ds.sort(sort_keys)
     refs = ds.to_arrow_refs()
+    counts = ray.get([_block_count.remote(r) for r in refs])
+    refs = [r for r, n in zip(refs, counts) if n > 0]  # drop empty/schema-less
     maxes = ray.get([_block_max.remote(r, val_col) for r in refs])
     out_refs = []
     prior = RUNMAX_SENTINEL

@@ -6008,6 +6008,404 @@ FROM d ORDER BY day
 """
 
 
+# =====================================================================
+# K. round-5 additions: rule-based quality audit, distributed moments,
+#    per-group winsorization, word-entropy filter, crawl budget
+#    water-filling, link prediction, local clustering coefficient
+# =====================================================================
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher-style quality rule audit (Rae et al. 2021,
+    arXiv:2112.11446 — public-paper heuristics; no reference
+    counterpart): per-document boolean rule flags (word count, mean word
+    length, alphabetic-word fraction, stopword presence,
+    symbol-to-word ratio) reduced to per-language fail counts and a
+    pass rate.  The batch kernel is pure vectorized pandas string ops
+    (compiled-regex counts, no Python loop over rows); the shuffle moves
+    one PARTIAL row per (lang, batch) — the combiner pattern, so a
+    100 TB corpus exchanges kilobytes."""
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"]
+        nc = t.str.len().to_numpy(dtype=np.float64)
+        # split-on-single-space token count == n_spaces + 1, matching
+        # DuckDB len(string_split(text, ' ')) exactly (empty tokens incl.)
+        wc = (t.str.count(" ") + 1).to_numpy(dtype=np.float64)
+        mwl = (nc - (wc - 1.0)) / wc
+        # tokens containing an ASCII letter: the greedy [^ ]* runs cannot
+        # cross a space, so each qualifying token yields exactly one match
+        aw = t.str.count(r"[^ ]*[A-Za-z][^ ]*").to_numpy(dtype=np.float64)
+        sw = t.str.count(r"(?:^| )(?:the|and|of|to|a)(?= |$)").to_numpy(
+            dtype=np.float64)
+        sym = (t.str.count("#") + t.str.count(r"\.\.\.")).to_numpy(
+            dtype=np.float64)
+        ok_wc = (wc >= 20) & (wc <= 80)
+        ok_mwl = (mwl >= 4.0) & (mwl <= 4.8)
+        ok_alpha = aw >= 0.8 * wc
+        ok_stop = sw >= 2
+        ok_sym = sym <= 0.1 * wc
+        ok_all = ok_wc & ok_mwl & ok_alpha & ok_stop & ok_sym
+        g = pd.DataFrame({
+            "lang": df["lang"], "fail_wc": ~ok_wc, "fail_mwl": ~ok_mwl,
+            "fail_alpha": ~ok_alpha, "fail_stop": ~ok_stop,
+            "fail_sym": ~ok_sym, "n_pass": ok_all,
+        }).groupby("lang", sort=False).agg(
+            n_docs=("fail_wc", "size"), fail_wc=("fail_wc", "sum"),
+            fail_mwl=("fail_mwl", "sum"), fail_alpha=("fail_alpha", "sum"),
+            fail_stop=("fail_stop", "sum"), fail_sym=("fail_sym", "sum"),
+            n_pass=("n_pass", "sum"))
+        return g.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("lang", as_index=False).sum()
+    out["pass_rate"] = (out["n_pass"] / out["n_docs"]).round(6)
+    for c in ("n_docs", "fail_wc", "fail_mwl", "fail_alpha", "fail_stop",
+              "fail_sym", "n_pass"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_GOPHER_RULES = """
+WITH f AS (
+  SELECT lang,
+         length(text) AS nc,
+         len(string_split(text, ' ')) AS wc,
+         len(list_filter(string_split(text, ' '),
+                         w -> regexp_matches(w, '[A-Za-z]'))) AS aw,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ('the', 'and', 'of', 'to', 'a'))) AS sw,
+         (length(text) - length(replace(text, '#', '')))
+           + CAST(floor((length(text) - length(replace(text, '...', ''))) / 3)
+                  AS BIGINT) AS sym
+  FROM documents
+), r AS (
+  SELECT lang,
+         (wc BETWEEN 20 AND 80) AS ok_wc,
+         ((nc - (wc - 1)) / CAST(wc AS DOUBLE) BETWEEN 4.0 AND 4.8) AS ok_mwl,
+         (aw >= 0.8 * wc) AS ok_alpha,
+         (sw >= 2) AS ok_stop,
+         (sym <= 0.1 * wc) AS ok_sym
+  FROM f
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN NOT ok_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wc,
+       CAST(SUM(CASE WHEN NOT ok_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+       CAST(SUM(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+       CAST(SUM(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+       CAST(SUM(CASE WHEN NOT ok_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_sym,
+       CAST(SUM(CASE WHEN ok_wc AND ok_mwl AND ok_alpha AND ok_stop AND ok_sym
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       ROUND(SUM(CASE WHEN ok_wc AND ok_mwl AND ok_alpha AND ok_stop AND ok_sym
+                 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate
+FROM r GROUP BY lang ORDER BY lang
+"""
+
+
+def q_corr_len_ttr(sf_dir: str):
+    """Distributed Pearson correlation between document length and
+    type-token ratio (lexical diversity) via the classic 6-moment
+    combiner (n, Σx, Σy, Σx², Σy², Σxy): each batch emits ONE partial
+    row, the driver reduce is O(batches) — zero shuffles, the moment
+    pattern every corpus-level statistic should use at 100 TB.  TTR per
+    doc is computed with a C-speed explode + groupby nunique, no Python
+    row loop."""
+    ds = _read(sf_dir, "documents", ["text", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].str.split(" ")
+        wc = s.str.len().to_numpy(dtype=np.float64)
+        ex = s.explode()
+        uq = ex.groupby(level=0).nunique().to_numpy(dtype=np.float64)
+        y = uq / wc
+        x = df["n_chars"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "n": [float(len(x))], "sx": [x.sum()], "sy": [y.sum()],
+            "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+            "sxy": [(x * y).sum()],
+        })
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    n = p["n"]
+    cov = p["sxy"] - p["sx"] * p["sy"] / n
+    vx = p["sxx"] - p["sx"] * p["sx"] / n
+    vy = p["syy"] - p["sy"] * p["sy"] / n
+    r = float(cov / np.sqrt(vx * vy)) if vx > 0 and vy > 0 else 0.0
+    return pd.DataFrame({"n_docs": [int(n)], "corr_len_ttr": [round(r, 6)]})
+
+
+SQL_CORR_LEN_TTR = """
+WITH f AS (
+  SELECT n_chars,
+         len(list_distinct(string_split(text, ' ')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+  FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(corr(n_chars, ttr), 6) AS corr_len_ttr
+FROM f
+"""
+
+
+def q_winsorize_lengths(sf_dir: str):
+    """Per-language winsorized mean of document length (clip at the
+    exact p05/p95 discrete quantiles) — outlier-robust corpus statistics
+    from ONE (lang, value)-histogram combiner pass: quantiles, raw mean
+    and winsorized mean all fall out of the merged histogram, so no
+    second data pass and no sort.  Histogram size is bounded by distinct
+    (lang, n_chars) pairs, not rows; for unbounded value domains the
+    sort-mode sibling (percent_rank_by_lang's machinery) applies."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["lang", "n_chars"], sort=False).size()
+                .rename("c").reset_index())
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    hist = parts.groupby(["lang", "n_chars"], as_index=False)["c"].sum()
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        cum = c.cumsum()
+        n = int(cum[-1])
+        # percentile_disc definition: smallest value with cume_dist >= q
+        # (identical to q_length_quantiles / DuckDB quantile_disc)
+        lo = int(vals[np.searchsorted(cum, int(np.ceil(0.05 * n)))])
+        hi = int(vals[np.searchsorted(cum, int(np.ceil(0.95 * n)))])
+        w = np.clip(vals, lo, hi)
+        rows.append({
+            "lang": lang, "lo": lo, "hi": hi,
+            "mean_raw": round(float((vals * c).sum() / n), 6),
+            "mean_winsor": round(float((w * c).sum() / n), 6),
+        })
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
+SQL_WINSORIZE_LENGTHS = """
+WITH q AS (SELECT lang,
+                  quantile_disc(n_chars, 0.05) AS lo,
+                  quantile_disc(n_chars, 0.95) AS hi,
+                  ROUND(AVG(n_chars), 6) AS mean_raw
+           FROM documents GROUP BY lang),
+m AS (SELECT d.lang,
+             ROUND(AVG(LEAST(GREATEST(d.n_chars, q.lo), q.hi)), 6) AS mean_winsor
+      FROM documents d JOIN q ON q.lang = d.lang GROUP BY d.lang)
+SELECT q.lang, CAST(q.lo AS BIGINT) AS lo, CAST(q.hi AS BIGINT) AS hi,
+       q.mean_raw, m.mean_winsor
+FROM q JOIN m ON m.lang = q.lang ORDER BY q.lang
+"""
+
+
+def q_word_entropy(sf_dir: str):
+    """Per-document word-distribution Shannon entropy (base 2) — the
+    repetition/quality signal that catches template and boilerplate
+    docs — aggregated per language with a low-entropy count.  Per-batch
+    kernel: explode + two C-speed groupbys, entropy via the
+    log2(n) - Σc·log2(c)/n identity (integer counts, so the value is
+    deterministic); per-lang combiner partials, tiny driver reduce."""
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].str.split(" ")
+        n_tok = s.str.len().to_numpy(dtype=np.float64)
+        ex = s.explode()
+        cnt = ex.groupby([ex.index, ex]).size()
+        c = cnt.to_numpy(dtype=np.float64)
+        row = cnt.index.get_level_values(0)
+        clogc = (pd.Series(c * np.log2(c), index=row)
+                 .groupby(level=0).sum().to_numpy())
+        h = np.log2(n_tok) - clogc / n_tok
+        g = pd.DataFrame({"lang": df["lang"].to_numpy(), "h": h,
+                          "low": h < 4.5})
+        out = g.groupby("lang", sort=False).agg(
+            n_docs=("h", "size"), sum_h=("h", "sum"), low=("low", "sum"))
+        return out.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("lang", as_index=False).sum()
+    out["mean_entropy"] = (out["sum_h"] / out["n_docs"]).round(6)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["low_entropy"] = out["low"].astype(np.int64)
+    return (out[["lang", "n_docs", "mean_entropy", "low_entropy"]]
+            .sort_values("lang").reset_index(drop=True))
+
+
+SQL_WORD_ENTROPY = """
+WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+e AS (SELECT doc_id, ANY_VALUE(lang) AS lang, entropy(word) AS h
+      FROM w GROUP BY doc_id)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(h), 6) AS mean_entropy,
+       CAST(SUM(CASE WHEN h < 4.5 THEN 1 ELSE 0 END) AS BIGINT) AS low_entropy
+FROM e GROUP BY lang ORDER BY lang
+"""
+
+
+def q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction over the derived link graph: top-100
+    non-adjacent pairs by shared-neighbor score Σ 1/ln(deg(w)) — the
+    speculative-prefetch ranking a crawl scheduler feeds from.  Hub
+    intermediates above deg 64 excluded on BOTH sides (the standard
+    skew cap; see stages/linkgraph.py::adamic_adar_pairs scale notes)."""
+    from icrawler_ray.stages.linkgraph import adamic_adar_pairs, derive_edges
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    return adamic_adar_pairs(derive_edges(docs, n), n)
+
+
+SQL_ADAMIC_ADAR = f"""
+WITH {_SQL_EDGES_CTE},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges),
+adj AS (SELECT a AS w, b AS v FROM und UNION ALL SELECT b AS w, a AS v FROM und),
+deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
+ok AS (SELECT adj.w, adj.v, deg.d FROM adj JOIN deg ON deg.w = adj.w
+       WHERE deg.d BETWEEN 2 AND 64),
+p AS (SELECT x.v AS a, y.v AS b, x.d FROM ok x
+      JOIN ok y ON y.w = x.w AND x.v < y.v),
+s AS (SELECT a, b, ROUND(SUM(1.0 / LN(d)), 6) AS score FROM p GROUP BY a, b),
+nw AS (SELECT s.a, s.b, s.score FROM s
+       LEFT JOIN und ON und.a = s.a AND und.b = s.b WHERE und.a IS NULL)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, score FROM nw
+ORDER BY score DESC, a, b LIMIT 100
+"""
+
+
+def q_local_clustering(sf_dir: str):
+    """Per-node local clustering coefficient 2·tri/(deg·(deg−1)) over
+    the derived link graph — separates organic link neighborhoods from
+    link-farm cliques; composes the oriented triangle counter with an
+    undirected-degree combiner (stages/linkgraph.py::local_clustering)."""
+    from icrawler_ray.stages.linkgraph import derive_edges, local_clustering
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    return local_clustering(derive_edges(docs, n), n)
+
+
+SQL_LOCAL_CLUSTERING = f"""
+WITH {_SQL_EDGES_CTE},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tn AS (SELECT x AS node FROM tri UNION ALL
+       SELECT y FROM tri UNION ALL
+       SELECT z FROM tri),
+tc AS (SELECT node, COUNT(*) AS tri FROM tn GROUP BY node),
+adj AS (SELECT a AS w FROM und UNION ALL SELECT b FROM und),
+dg AS (SELECT w AS node, COUNT(*) AS d FROM adj GROUP BY w)
+SELECT d.doc_id AS node,
+       CAST(COALESCE(dg.d, 0) AS BIGINT) AS deg,
+       CAST(COALESCE(tc.tri, 0) AS BIGINT) AS tri,
+       ROUND(CASE WHEN COALESCE(dg.d, 0) >= 2
+             THEN 2.0 * COALESCE(tc.tri, 0) / (dg.d * (dg.d - 1.0))
+             ELSE 0.0 END, 6) AS coeff
+FROM documents d
+LEFT JOIN dg ON dg.node = d.doc_id
+LEFT JOIN tc ON tc.node = d.doc_id
+ORDER BY node
+"""
+
+
+def q_host_budget(sf_dir: str):
+    """Exact water-filling fair-share allocation of a global crawl
+    budget (10% of total demand) across per-host frontier demand — the
+    politeness-budget planner: small hosts are fully satisfied, hosts
+    above the water level are capped at the common level L chosen so
+    allocations exactly exhaust the budget.
+
+    Scale shape (rows never transit the driver): per-host demand via a
+    bucketed combiner groupby; ONE distributed sort by (n, host); the
+    exclusive running total and dense rank are metadata prefix-sum
+    stitches (functions/seq.py — the driver sees one int per block);
+    the pivot host i* (first unsatisfiable row) is a per-block partial
+    min reduce; the final allocation pass is embarrassingly parallel
+    with (B, H, i*, L) broadcast as four scalars."""
+    from icrawler_ray.functions.seq import assign_global_cumsum, assign_global_seq
+
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False).size().rename("n").reset_index()
+        g["part"] = (g["user_id"].to_numpy() % P).astype(np.int32)
+        return g
+
+    hosts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(
+                 lambda g: g.groupby("user_id", as_index=False)["n"].sum()
+                 .rename(columns={"user_id": "host"}),
+                 batch_format="pandas"))
+    agg = hosts.map_batches(
+        lambda df: pd.DataFrame({"tot": [int(df["n"].sum())],
+                                 "H": [len(df)]}),
+        batch_format="pandas").to_pandas().sum()
+    tot, H = int(agg["tot"]), int(agg["H"])
+    B = tot // 10
+
+    ranked = assign_global_seq(
+        assign_global_cumsum(hosts, ["n", "host"], "n", col="cumb"),
+        [], col="i0")
+
+    def pivot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.int64)
+        i0 = df["i0"].to_numpy(dtype=np.int64)
+        cumb = df["cumb"].to_numpy(dtype=np.int64)
+        unsat = n * (H - i0) > B - cumb
+        if not unsat.any():
+            return pd.DataFrame({"i0": [np.int64(-1)], "cumb": [np.int64(0)]})
+        j = int(np.argmax(unsat))  # rows are in global sort order per block
+        return pd.DataFrame({"i0": [i0[j]], "cumb": [cumb[j]]})
+
+    piv = ranked.map_batches(pivot_partial, batch_format="pandas").to_pandas()
+    piv = piv[piv["i0"] >= 0]
+    if len(piv):
+        row = piv.loc[piv["i0"].idxmin()]
+        istar, level = int(row["i0"]), (B - int(row["cumb"])) / float(H - int(row["i0"]))
+    else:
+        istar, level = H, 0.0  # budget covers all demand
+
+    def alloc(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.int64)
+        i0 = df["i0"].to_numpy(dtype=np.int64)
+        a = np.where(i0 < istar, n.astype(np.float64), level)
+        return pd.DataFrame({"host": df["host"].to_numpy(dtype=np.int64),
+                             "n": n, "alloc": np.round(a, 6)})
+
+    return ranked.map_batches(alloc, batch_format="pandas").sort("host")
+
+
+SQL_HOST_BUDGET = """
+WITH h AS (SELECT user_id AS host, COUNT(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT SUM(n) AS tot, COUNT(*) AS H FROM h),
+b AS (SELECT CAST(floor(tot / 10) AS BIGINT) AS B, H FROM t),
+s AS (SELECT host, n,
+             ROW_NUMBER() OVER (ORDER BY n, host) AS i,
+             COALESCE(SUM(n) OVER (ORDER BY n, host
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cumb
+      FROM h),
+u AS (SELECT MIN(i) AS istar FROM s, b WHERE n * (H - i + 1) > B - cumb),
+l AS (SELECT u.istar,
+             (SELECT (b.B - s.cumb) / CAST(b.H - s.i + 1 AS DOUBLE)
+              FROM s, b WHERE s.i = u.istar) AS L
+      FROM u)
+SELECT CAST(s.host AS BIGINT) AS host, CAST(s.n AS BIGINT) AS n,
+       ROUND(CASE WHEN l.istar IS NULL OR s.i < l.istar
+             THEN CAST(s.n AS DOUBLE) ELSE l.L END, 6) AS alloc
+FROM s, l ORDER BY host
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -6050,15 +6448,19 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "bigram_pmi": q_bigram_pmi,
     "dedup_cluster_keep": q_dedup_cluster_keep,
-    "length_quantiles": q_length_quantiles,
+    "gopher_rules": q_gopher_rules,
     "top_terms": q_top_terms,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "anti_join_customers": q_anti_join_customers,
-    "events_pivot_hourly": q_events_pivot_hourly,
+    "word_entropy": q_word_entropy,
+    "adamic_adar": q_adamic_adar,
+    "host_budget": q_host_budget,
     "kmeans_assign": q_kmeans_assign,
     "sequence_pack": q_sequence_pack,
     "stratified_sample": q_stratified_sample,
     "mixture_weights": q_mixture_weights,
+    "length_quantiles": q_length_quantiles,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "anti_join_customers": q_anti_join_customers,
+    "events_pivot_hourly": q_events_pivot_hourly,
     # ---- below the driver's 50-entry window: family variants ----
     "semantic_dedup": q_semantic_dedup,
     "topk_per_group": q_topk_per_group,
@@ -6134,6 +6536,9 @@ QUERIES = {
     "edit_verify_pairs": q_edit_verify_pairs,
     "quantile_blend": q_quantile_blend,
     "cumulative_users": q_cumulative_users,
+    "corr_len_ttr": q_corr_len_ttr,
+    "winsorize_lengths": q_winsorize_lengths,
+    "local_clustering": q_local_clustering,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -6266,4 +6671,11 @@ ORACLE_SQL = {
     "edit_verify_pairs": SQL_EDIT_VERIFY_PAIRS,
     "quantile_blend": SQL_QUANTILE_BLEND,
     "cumulative_users": SQL_CUMULATIVE_USERS,
+    "gopher_rules": SQL_GOPHER_RULES,
+    "corr_len_ttr": SQL_CORR_LEN_TTR,
+    "winsorize_lengths": SQL_WINSORIZE_LENGTHS,
+    "word_entropy": SQL_WORD_ENTROPY,
+    "adamic_adar": SQL_ADAMIC_ADAR,
+    "local_clustering": SQL_LOCAL_CLUSTERING,
+    "host_budget": SQL_HOST_BUDGET,
 }

@@ -1060,3 +1060,134 @@ def kcore_membership_partitioned(edges: rd.Dataset, n_nodes: int, *,
     in_core[alive_nodes] = 1
     return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
                          "in_core": in_core})
+
+
+def adamic_adar_pairs(edges: rd.Dataset, n_nodes: int, *,
+                      max_deg: int = 64, top_k: int = 100) -> pd.DataFrame:
+    """Adamic-Adar link prediction: for every non-adjacent pair (a, b)
+    sharing >= 1 neighbor, score = sum over shared neighbors w of
+    1 / ln(deg(w)) (Adamic & Adar 2003; Liben-Nowell & Kleinberg CIKM'03
+    — public-paper method, no reference counterpart).  The crawl-side
+    use: predicted links rank candidate URLs for speculative prefetch.
+
+    Scale shape: adjacency rows are bucketed by ``w %% P`` so each
+    neighbor-run (deg(w) rows) lands whole in one bucket; pair emission
+    is the same repeat/offset expansion as ``triangle_counts`` — no
+    per-node Python loop.  Skew mitigation is the standard hub cap:
+    intermediates with deg(w) > ``max_deg`` are EXCLUDED on both the
+    engine and oracle side (a 1e6-degree hub would emit 1e12 pairs and
+    carries ~0 signal at weight 1/ln(1e6)).  Scored pairs are summed
+    and anti-joined against existing edges inside one bucketed groupby
+    (all rows of a pair key share a bucket); global top-k is per-bucket
+    partial top-k then a P x k driver merge — rows never transit the
+    driver.  Packed int64 pair keys require n_nodes < 3e9."""
+    n = np.int64(n_nodes)
+    P = np.int64(64)
+    und = _canonical_undirected(edges, n, P).materialize()
+
+    def adj_rows(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        w = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pd.DataFrame({"w": w, "v": v, "part": w % P})
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((g["v"].to_numpy(dtype=np.int64),
+                        g["w"].to_numpy(dtype=np.int64)))
+        w = g["w"].to_numpy(dtype=np.int64)[o]
+        v = g["v"].to_numpy(dtype=np.int64)[o]
+        run_start = np.nonzero(np.concatenate([[True], w[1:] != w[:-1]]))[0]
+        run_len = np.diff(np.append(run_start, len(w)))
+        # hub cap: deg(w) is complete here (all of w's rows share this
+        # bucket); drop runs outside [2, max_deg]
+        elem_len = np.repeat(run_len, run_len)
+        run_end = np.repeat(run_start + run_len, run_len)
+        k = np.where((elem_len >= 2) & (elem_len <= max_deg),
+                     run_end - np.arange(len(w)) - 1, 0)
+        total = int(k.sum())
+        empty = pd.DataFrame({"key": np.array([], dtype=np.int64),
+                              "score": np.array([], dtype=np.float64),
+                              "is_edge": np.array([], dtype=np.int64)})
+        if not total:
+            return empty
+        idx_i = np.repeat(np.arange(len(w)), k)
+        off = np.arange(total) - np.repeat(np.cumsum(k) - k, k) + 1
+        idx_j = idx_i + off
+        # v ascending within a run -> v[idx_i] < v[idx_j]: canonical pair
+        key = v[idx_i] * n + v[idx_j]
+        score = 1.0 / np.log(elem_len[idx_i].astype(np.float64))
+        return pd.DataFrame({"key": key, "score": score,
+                             "is_edge": np.zeros(total, dtype=np.int64)})
+
+    scored = (und.map_batches(adj_rows, batch_format="pandas")
+              .groupby("part").map_groups(pairs_bucket,
+                                          batch_format="pandas"))
+    edge_keys = und.map_batches(
+        lambda df: pd.DataFrame({
+            "key": df["a"].to_numpy(dtype=np.int64) * n
+                   + df["b"].to_numpy(dtype=np.int64),
+            "score": np.zeros(len(df), dtype=np.float64),
+            "is_edge": np.ones(len(df), dtype=np.int64)}),
+        batch_format="pandas")
+    tagged = scored.union(edge_keys).map_batches(
+        lambda df: df.assign(part=df["key"].to_numpy(dtype=np.int64) % P),
+        batch_format="pandas")
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("key").agg(score=("score", "sum"),
+                                 is_edge=("is_edge", "max"))
+        s = s[s["is_edge"] == 0]  # anti-join existing edges, in-bucket
+        if not len(s):
+            return pd.DataFrame({"a": np.array([], dtype=np.int64),
+                                 "b": np.array([], dtype=np.int64),
+                                 "score": np.array([], dtype=np.float64)})
+        key = s.index.to_numpy(dtype=np.int64)
+        out = pd.DataFrame({"a": key // n, "b": key % n,
+                            "score": s["score"].to_numpy().round(6)})
+        # per-bucket partial top-k (same rank key as the final merge)
+        return out.sort_values(["score", "a", "b"],
+                               ascending=[False, True, True]).head(top_k)
+
+    partials = (tagged.groupby("part")
+                .map_groups(topk_bucket, batch_format="pandas")
+                .to_pandas())  # <= P x top_k rows
+    if not len(partials):
+        return partials
+    return (partials.sort_values(["score", "a", "b"],
+                                 ascending=[False, True, True])
+            .head(top_k).reset_index(drop=True))
+
+
+def local_clustering(edges: rd.Dataset, n_nodes: int) -> pd.DataFrame:
+    """Per-node local clustering coefficient
+    2*tri(v) / (deg(v) * (deg(v) - 1)) over the undirected graph —
+    the link-farm-vs-organic-neighborhood signal (cliquish host
+    clusters score ~1).  Composes the oriented triangle counter
+    (:func:`triangle_counts` — O(m^1.5) wedge bound) with an
+    undirected-degree combiner pass; the join is driver-side over two
+    node-sized frames (bounded by MAX_BROADCAST_NODES via
+    triangle_counts' dense-output guard; past that, both sides have
+    sparse/partitioned siblings)."""
+    tri = triangle_counts(edges, n_nodes)
+    n = np.int64(n_nodes)
+    P = np.int64(64)
+    und = _canonical_undirected(edges, n, P)
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.Series(1, index=np.concatenate(
+            [df["a"].to_numpy(), df["b"].to_numpy()])).groupby(level=0).sum()
+        return pd.DataFrame({"node": s.index.to_numpy(), "c": s.to_numpy()})
+
+    parts = und.map_batches(deg_partial, batch_format="pandas").to_pandas()
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    if len(parts):
+        agg = parts.groupby("node")["c"].sum()
+        deg[agg.index.to_numpy(dtype=np.int64)] = agg.to_numpy(dtype=np.int64)
+    t = tri["tri"].to_numpy(dtype=np.float64)
+    denom = deg.astype(np.float64) * (deg - 1.0)
+    coeff = np.divide(2.0 * t, denom, out=np.zeros_like(t),
+                      where=denom > 0)
+    return pd.DataFrame({"node": tri["node"].to_numpy(dtype=np.int64),
+                         "deg": deg, "tri": tri["tri"].to_numpy(dtype=np.int64),
+                         "coeff": np.round(coeff, 6)})
