@@ -6406,6 +6406,55 @@ FROM s, l ORDER BY host
 """
 
 
+def q_containment_join(sf_dir: str):
+    """Asymmetric shingle-set containment join (|A∩B|/|A| >= 0.8):
+    ordered subset-document pairs that Jaccard-threshold LSH misses when
+    |A| << |B| — prefix-filter candidates (rank shingles by ascending
+    global df, probe the first |A|-ceil(0.8|A|)+1) with exact verify;
+    see stages/dedup.py::containment_join_pairs for the bucketed scale
+    shape and the positional recall guarantee that makes the engine's
+    hash-ordered and the oracle's string-ordered prefixes equivalent."""
+    from icrawler_ray.stages.dedup import containment_join_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return containment_join_pairs(ds, threshold=0.8)
+
+
+#: Shingle CTEs identical to SQL_MINHASH_LSH_PAIRS (k=3, distinct
+#: shingle strings as set identities).
+SQL_CONTAINMENT_JOIN = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+shl AS (SELECT doc_id,
+         CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         END AS sh FROM tok),
+tk AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shl),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tk GROUP BY doc_id),
+df AS (SELECT s, COUNT(*) AS d FROM tk GROUP BY s),
+rk AS (SELECT tk.doc_id, tk.s, sz.n,
+              ROW_NUMBER() OVER (PARTITION BY tk.doc_id
+                                 ORDER BY df.d, tk.s) AS r
+       FROM tk JOIN df ON df.s = tk.s JOIN sz ON sz.doc_id = tk.doc_id),
+pref AS (SELECT doc_id, s, n FROM rk
+         WHERE r <= n - CAST(ceil(0.8 * n) AS BIGINT) + 1),
+cand AS (SELECT DISTINCT p.doc_id AS a, t.doc_id AS b, p.n AS na
+         FROM pref p
+         JOIN tk t ON t.s = p.s AND t.doc_id <> p.doc_id
+         JOIN sz sb ON sb.doc_id = t.doc_id
+         WHERE sb.n >= ceil(0.8 * p.n)),
+iv AS (SELECT c.a, c.b, ANY_VALUE(c.na) AS na, COUNT(*) AS i
+       FROM cand c
+       JOIN tk ta ON ta.doc_id = c.a
+       JOIN tk tb ON tb.doc_id = c.b AND tb.s = ta.s
+       GROUP BY c.a, c.b)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       ROUND(CAST(i AS DOUBLE) / na, 6) AS containment
+FROM iv WHERE CAST(i AS DOUBLE) / na >= 0.8
+ORDER BY a, b
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -6539,6 +6588,7 @@ QUERIES = {
     "corr_len_ttr": q_corr_len_ttr,
     "winsorize_lengths": q_winsorize_lengths,
     "local_clustering": q_local_clustering,
+    "containment_join": q_containment_join,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -6678,4 +6728,5 @@ ORACLE_SQL = {
     "adamic_adar": SQL_ADAMIC_ADAR,
     "local_clustering": SQL_LOCAL_CLUSTERING,
     "host_budget": SQL_HOST_BUDGET,
+    "containment_join": SQL_CONTAINMENT_JOIN,
 }

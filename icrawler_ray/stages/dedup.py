@@ -1029,3 +1029,198 @@ def duplicate_span_scrub(
     union = ds.map_batches(doc_rows, batch_format="pyarrow").union(
         cover.map_batches(cover_tagged, batch_format="pyarrow"))
     return union.groupby("dkey").map_groups(rebuild, batch_format="pandas")
+
+
+def containment_join_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Asymmetric set-containment join over k-shingle sets: ordered
+    pairs (a, b) with C(a→b) = |A ∩ B| / |A| >= ``threshold`` — the
+    subset-document detector (quotes, excerpts, reposts-with-header)
+    that Jaccard-threshold LSH structurally MISSES when |A| << |B|.
+    Candidate generation is the prefix filter of Chaudhuri, Ganti &
+    Kaushik (ICDE'06) / PPJoin (Xiao et al. WWW'08) — public-paper
+    methods, no reference counterpart: rank each doc's shingles by
+    ascending global document frequency and probe only the first
+    |A| - ceil(t·|A|) + 1 (any pair with C >= t must share one of them,
+    for ANY df tie-break — the guarantee is positional, so the engine's
+    hash-ordered and the oracle's string-ordered prefixes yield the
+    same final pairs after exact verification).
+
+    Scale shape (each exchange is a bounded hash-bucket groupby):
+      1. per-doc distinct shingle identities (md5 lower halves), rows
+         (tok, doc, |A|) — narrow, never the text;
+      2. bucket by tok: global df attached in-bucket (all of a token's
+         rows share its bucket — no vocab-sized broadcast);
+      3. bucket by doc: per-doc df-ascending sort picks the prefix;
+      4. bucket by tok: prefix rows x all rows emit ordered candidates,
+         with the |B| >= ceil(t·|A|) length filter applied in-bucket;
+         rare-token prefixes keep posting lists short (a corpus with
+         adversarial hub-prefix tokens should route those docs through
+         an LSH-ensemble sibling instead — documented knob, not needed
+         on shingle vocabularies);
+      5. exact verify via the same tag-and-group join as
+         :func:`minhash_lsh_pairs` stage 4 (sets meet their pairs in
+         hash(doc) then hash(pair) buckets; no driver payloads).
+    Returns (a, b, containment), ordered pairs, sorted."""
+    P = max(1, num_partitions)
+    t = threshold
+
+    def stage_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        sh = shingle_hashes(texts, shingle_k)
+        toks = [h[:, 0] for h in sh]  # distinct per doc by construction
+        counts = np.array([len(x) for x in toks], dtype=np.int64)
+        return pa.table({
+            "tok": pa.array(np.concatenate(toks) if len(toks) else
+                            np.empty(0, np.uint64)),
+            "doc_id": pa.array(np.repeat(ids, counts)),
+            "n_doc": pa.array(np.repeat(counts, counts)),
+        })
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        df_map = g.groupby("tok")["doc_id"].size()
+        g = g.copy()
+        g["df"] = df_map.loc[g["tok"]].to_numpy()
+        g["dpart"] = (pd.util.hash_array(
+            g["doc_id"].to_numpy(dtype=np.int64)) % P).astype(np.int64)
+        return g.drop(columns=["part"])
+
+    def mark_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "df", "tok"], kind="mergesort")
+        n = g["n_doc"].to_numpy(dtype=np.int64)
+        # rank within doc: positions since the doc's run start
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        run_len = np.diff(np.append(starts, len(d)))
+        r = np.arange(len(d)) - np.repeat(starts, run_len) + 1
+        p = n - np.ceil(t * n).astype(np.int64) + 1
+        out = g.drop(columns=["dpart", "df"]).copy()
+        out["is_prefix"] = (r <= p).astype(np.int8)
+        out["part"] = (out["tok"].to_numpy(dtype=np.uint64)
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": np.array([], dtype=np.int64),
+                              "b": np.array([], dtype=np.int64),
+                              "na": np.array([], dtype=np.int64)})
+        g = g.sort_values("tok", kind="mergesort")
+        tok = g["tok"].to_numpy(dtype=np.uint64)
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        nd = g["n_doc"].to_numpy(dtype=np.int64)
+        pref = g["is_prefix"].to_numpy(dtype=np.int8) == 1
+        starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        ends = np.r_[starts[1:], len(tok)]
+        aa, bb, na = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            pi = np.flatnonzero(pref[s:e]) + s
+            if not len(pi):
+                continue
+            ai = np.repeat(pi, e - s)
+            bi = np.tile(np.arange(s, e), len(pi))
+            keep = (doc[ai] != doc[bi]) & (nd[bi] >= np.ceil(t * nd[ai]))
+            aa.append(doc[ai[keep]])
+            bb.append(doc[bi[keep]])
+            na.append(nd[ai[keep]])
+        if not aa:
+            return empty
+        return pd.DataFrame({"a": np.concatenate(aa),
+                             "b": np.concatenate(bb),
+                             "na": np.concatenate(na)})
+
+    rows = ds.map_batches(stage_rows, batch_format="pyarrow").map_batches(
+        lambda df: df.assign(part=(df["tok"].to_numpy(dtype=np.uint64)
+                                   % np.uint64(P)).astype(np.int64)),
+        batch_format="pandas")
+    cand = (rows.groupby("part").map_groups(attach_df, batch_format="pandas")
+            .groupby("dpart").map_groups(mark_prefix, batch_format="pandas")
+            .groupby("part").map_groups(candidates, batch_format="pandas")
+            ).to_pandas()  # OUTPUT-sized ordered candidate pairs
+    if not len(cand):
+        return pd.DataFrame({"a": [], "b": [], "containment": []})
+    cand = (cand.drop_duplicates(["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+    # ---- exact verify: same tag-and-group join as minhash stage 4
+    involved = np.unique(np.concatenate([cand["a"].to_numpy(),
+                                         cand["b"].to_numpy()]))
+    inv_ref = ray.put(involved)
+
+    def sets_involved(batch: pa.Table) -> pa.Table:
+        inv = ray.get(inv_ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        idx = np.searchsorted(inv, ids)
+        idx[idx >= len(inv)] = 0
+        m = inv[idx] == ids
+        batch = batch.filter(pa.array(m))
+        ids = ids[m]
+        sh = shingle_hashes(batch[text_col].to_pylist(), shingle_k)
+        return pa.table({
+            "key": pa.array((pd.util.hash_array(ids) % P).astype(np.int64)),
+            "pair_id": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "slot": pa.array(np.full(len(ids), -1, dtype=np.int8)),
+            "doc_id": pa.array(ids),
+            "sh": pa.array([h[:, 0].astype(np.uint64) for h in sh],
+                           type=pa.list_(pa.uint64())),
+        })
+
+    pair_ids = np.arange(len(cand), dtype=np.int64)
+    tags = pa.table({
+        "key": pa.array((pd.util.hash_array(
+            np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
+        ) % P).astype(np.int64)),
+        "pair_id": pa.array(np.concatenate([pair_ids, pair_ids])),
+        "slot": pa.array(np.concatenate([np.zeros(len(cand), dtype=np.int8),
+                                         np.ones(len(cand), dtype=np.int8)])),
+        "doc_id": pa.array(np.concatenate([cand["a"].to_numpy(),
+                                           cand["b"].to_numpy()])),
+        "sh": pa.array([None] * (2 * len(cand)), type=pa.list_(pa.uint64())),
+    })
+
+    def attach_sets(g: pd.DataFrame) -> pd.DataFrame:
+        is_set = g["slot"].to_numpy() == -1
+        sets = dict(zip(g["doc_id"][is_set], g["sh"][is_set]))
+        tagged = g[~is_set]
+        return pd.DataFrame({
+            "vkey": (tagged["pair_id"] % P).astype(np.int64),
+            "pair_id": tagged["pair_id"].to_numpy(),
+            "slot": tagged["slot"].to_numpy(),
+            "sh": [sets.get(d) for d in tagged["doc_id"]],
+        })
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"pair_id": [], "containment": []}
+        for pid, rws in g.groupby("pair_id", sort=True):
+            if len(rws) != 2:
+                continue
+            by_slot = {s: np.asarray(v, dtype=np.uint64)
+                       for s, v in zip(rws["slot"], rws["sh"])}
+            A, B = by_slot[0], by_slot[1]
+            inter = len(np.intersect1d(A, B, assume_unique=True))
+            c = inter / len(A)
+            if c >= t:
+                out["pair_id"].append(pid)
+                out["containment"].append(round(c, 6))
+        return pd.DataFrame(out)
+
+    union = ds.map_batches(sets_involved, batch_format="pyarrow").union(
+        ray.data.from_arrow(tags))
+    verified = (union.groupby("key").map_groups(attach_sets,
+                                                batch_format="pandas")
+                .groupby("vkey").map_groups(verify, batch_format="pandas")
+                ).to_pandas()
+    if not len(verified):
+        return pd.DataFrame({"a": [], "b": [], "containment": []})
+    out = cand.iloc[verified["pair_id"].to_numpy()].reset_index(drop=True)
+    out = out.drop(columns=["na"])
+    out["containment"] = verified["containment"].to_numpy()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -31,13 +31,13 @@ import time
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
-def _init(smoke: bool) -> None:
+def _init(smoke: bool, cpus: int = 8) -> None:
     import ray
 
     if ray.is_initialized():
         return
     if smoke:
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
+        ray.init(address="local", num_cpus=cpus, include_dashboard=False,
                  logging_level="ERROR")
     else:  # pragma: no cover — real cluster only
         ray.init(address="auto")
@@ -59,19 +59,30 @@ def cmd_crawl(args) -> dict:
     policy = HostPolicy({h: {"crawl_delay_ms": 0, "max_inflight": 64,
                              "robots_disallow": []} for h in web.hosts},
                         round_ms=1000)
+    from icrawler_ray.defaults import DEFAULT_SEEN_SHARDS
+
+    # size each seen shard for the expected key volume (pages + ~0.9x
+    # files) so the filters stay single-generation in the common case;
+    # past-estimate growth is handled by the scalable bloom/cuckoo gens
+    seen_capacity = max(1 << 18, int(args.pages * 2.0 / DEFAULT_SEEN_SHARDS))
     t0 = time.time()
     docs, results, metrics = greedy_crawl(
         ("procedural", web.spec()), web.domains,
         seeds=web.seed_urls(max(64, args.pages // 100)), policy=policy,
         max_num=0, max_depth=4, keep_content=False, mode=args.mode,
         driver_threshold=2_000_000, emit_docs=args.emit_docs,
+        seen_capacity=seen_capacity,
         out_dir=args.out, checkpoint_dir=args.checkpoint,
     )
     dt = time.time() - t0
     pages = int(sum(m.get("gated", 0) for m in metrics))
     files = 0 if results is None else results.count()
+    import resource
+
+    rss_gib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
     out = {"job": "crawl", "sec": round(dt, 2), "pages": pages, "files": files,
-           "urls_per_sec": round((pages + files) / dt, 1), "rounds": len(metrics)}
+           "urls_per_sec": round((pages + files) / dt, 1),
+           "rounds": len(metrics), "driver_peak_rss_gib": round(rss_gib, 2)}
     if args.timings:
         out["round_timings"] = [
             {"gated": m.get("gated"), **m.get("timings", {})} for m in metrics
@@ -100,11 +111,13 @@ def main() -> None:
     pc.add_argument("--timings", action="store_true",
                     help="include per-round phase timings in the output")
     pc.add_argument("--smoke", action="store_true")
+    pc.add_argument("--cpus", type=int, default=8,
+                    help="local-session CPU budget when --smoke is set")
     pb = sub.add_parser("bench")
     pb.add_argument("--smoke", action="store_true")
     args = p.parse_args()
 
-    _init(getattr(args, "smoke", False))
+    _init(getattr(args, "smoke", False), getattr(args, "cpus", 8))
     out = cmd_crawl(args) if args.cmd == "crawl" else cmd_bench(args)
     print(json.dumps(out))
     import ray

@@ -165,3 +165,46 @@ def test_seq_stitches_skip_empty_blocks(ray_session):
     assert got.sort_values("n")["cumb"].tolist() == want.tolist()
     got2 = assign_global_seq(sparse, ["n"], col="seq").to_pandas()
     assert got2.sort_values("n")["seq"].tolist() == list(range(10))
+
+
+def test_containment_join_finds_subset_doc(ray_session):
+    import ray.data as rd
+
+    from icrawler_ray.stages.dedup import containment_join_pairs
+
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{i}" for i in range(2000)]
+    long_words = [vocab[i] for i in rng.integers(0, 2000, 120)]
+    rows = [
+        {"doc_id": 1, "text": " ".join(long_words)},
+        # doc 2: a 20-word excerpt of doc 1 -> containment 1.0 but
+        # jaccard ~ 0.15 (the case jaccard-threshold LSH misses)
+        {"doc_id": 2, "text": " ".join(long_words[40:60])},
+        {"doc_id": 3, "text": " ".join(
+            vocab[i] for i in rng.integers(0, 2000, 80))},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = containment_join_pairs(ds, threshold=0.8)
+    got = set(zip(out["a"], out["b"]))
+    assert (2, 1) in got  # excerpt contained in source (ordered)
+    assert (1, 2) not in got  # source NOT contained in excerpt
+    assert not any(3 in p for p in got)
+    c = out.set_index(["a", "b"]).loc[(2, 1), "containment"]
+    assert c == 1.0
+
+
+def test_containment_join_threshold_excludes_partial(ray_session):
+    import ray.data as rd
+
+    from icrawler_ray.stages.dedup import containment_join_pairs
+
+    # doc 2 shares only half its shingles with doc 1 -> below 0.8
+    base = [f"w{i}" for i in range(40)]
+    other = [f"z{i}" for i in range(20)]
+    rows = [
+        {"doc_id": 1, "text": " ".join(base)},
+        {"doc_id": 2, "text": " ".join(base[:20] + other)},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = containment_join_pairs(ds, threshold=0.8)
+    assert len(out) == 0

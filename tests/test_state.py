@@ -50,10 +50,47 @@ def test_cuckoo_serialize_roundtrip():
     assert c2.contains(k).all() and c2.num_items == c.num_items
 
 
-def test_cuckoo_overfill_raises():
+def test_cuckoo_overfill_grows_generations():
+    # a frontier that outruns the sized capacity opens new generations
+    # (scalable-filter pattern) instead of raising; every key stays a hit
     c = CuckooFilter(64)
-    with pytest.raises(RuntimeError):
-        c.add(keys(5000))
+    k = keys(5000)
+    c.add(k)
+    assert len(c.gens) > 1
+    assert c.contains(k).all()
+    assert c.num_items == 5000
+    # fresh keys are still overwhelmingly misses (FP rate stays bounded)
+    fresh = keys(5000, seed=123)
+    assert c.contains(fresh).mean() < 0.05
+
+
+def test_cuckoo_growth_serialize_roundtrip():
+    c = CuckooFilter(64)
+    k = keys(3000)
+    c.add(k)
+    assert len(c.gens) > 1
+    c2 = CuckooFilter.deserialize(c.serialize())
+    assert len(c2.gens) == len(c.gens)
+    assert c2.contains(k).all()
+    assert c2.num_items == c.num_items
+
+
+def test_bloom_overfill_grows_generations():
+    from icrawler_ray.state.bloom import BloomFilter
+
+    b = BloomFilter(100)
+    k = keys(5000)
+    # scalable bloom: inserts past sized capacity open new generations so
+    # the pre-filter never saturates into all-maybe
+    for lo in range(0, 5000, 250):
+        b.add(k[lo:lo + 250])
+    assert len(b.gens) > 1
+    assert b.contains(k).all()
+    fresh = keys(5000, seed=321)
+    assert b.contains(fresh).mean() < 0.2
+    b2 = BloomFilter.deserialize(b.serialize())
+    assert len(b2.gens) == len(b.gens)
+    assert b2.contains(k).all()
 
 
 def test_sharded_seen_set_bulk(ray_session):
