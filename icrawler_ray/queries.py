@@ -6455,6 +6455,113 @@ ORDER BY a, b
 """
 
 
+def q_bfs_depth(sf_dir: str):
+    """multi-source BFS depth over the derived link graph (seeds: every
+    97th doc; 4 fixed min-plus sweeps, -1 = unreached) — the "how deep
+    from the seed list" crawl audit."""
+    from icrawler_ray.stages.linkgraph import bfs_depths, derive_edges
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    seeds = np.arange(0, n, 97, dtype=np.int64)
+    depth = bfs_depths(derive_edges(docs, n), n, seeds, iters=4)
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "depth": depth})
+
+
+def _bfs_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT {prev}.node, LEAST({prev}.dep, COALESCE(c.m, {prev}.dep)) AS dep
+  FROM {prev} LEFT JOIN (
+    SELECT e.dst AS node, MIN(p.dep + 1) AS m
+    FROM edges e JOIN {prev} p ON p.node = e.src GROUP BY e.dst
+  ) c ON c.node = {prev}.node
+)"""
+
+
+SQL_BFS_DEPTH = f"""
+WITH {_SQL_EDGES_CTE},
+d0 AS (SELECT d.doc_id AS node,
+              CAST(CASE WHEN d.doc_id % 97 = 0 THEN 0 ELSE nn.cnt + 1 END
+                   AS BIGINT) AS dep
+       FROM documents d, nn),
+{",".join(_bfs_iter_sql(f"d{i}", f"d{i + 1}") for i in range(4))}
+SELECT node AS doc_id,
+       CAST(CASE WHEN dep >= nn.cnt + 1 THEN -1 ELSE dep END AS BIGINT) AS depth
+FROM d4, nn ORDER BY doc_id
+"""
+
+
+_BM25_TERMS = ["spark", "merge", "stream", "slow"]
+
+
+def q_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-10 for a fixed 4-term query (k1=1.2, b=0.75,
+    Lucene ln(1+...) idf) — ranked retrieval over the corpus; one heavy
+    text pass -> narrow tf table, combiner stats, per-batch top-k."""
+    from icrawler_ray.stages.textfns import bm25_topk
+
+    return bm25_topk(_read(sf_dir, "documents", ["doc_id", "text"]),
+                     _BM25_TERMS, k=10)
+
+
+def _sql_bm25() -> str:
+    tf_cols = ",\n       ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS BIGINT) AS tf{j}"
+        for j, t in enumerate(_BM25_TERMS))
+    df_cols = ", ".join(
+        f"CAST(COUNT(*) FILTER (tf{j} > 0) AS BIGINT) AS df{j}"
+        for j in range(len(_BM25_TERMS)))
+    term_sum = " + ".join(
+        f"(ln(1.0 + (st.n - st.df{j} + 0.5) / (st.df{j} + 0.5))"
+        f" * (t.tf{j} * (1.2 + 1.0))"
+        f" / (t.tf{j} + 1.2 * (1.0 - 0.75 + 0.75 * (t.dl / st.avgdl))))"
+        for j in range(len(_BM25_TERMS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       {tf_cols}
+  FROM documents),
+st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+              {df_cols}
+       FROM toks),
+sc AS (SELECT t.doc_id, {term_sum} AS score FROM toks t, st)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM sc ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_range_search(sf_dir: str):
+    """cosine radius search (ALL neighbours with sim >= 0.25 of the 3
+    lowest-vec_id queries) — the full-ball dual of knn_bruteforce;
+    embarrassingly streaming, output-bounded by the threshold."""
+    from icrawler_ray.stages.similarity import range_search
+
+    head = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .sort("vec_id").limit(3).to_pandas()
+    queries = np.asarray(head["embedding"].tolist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return range_search(ds, queries, threshold=0.25,
+                        query_ids=head["vec_id"].to_numpy())
+
+
+SQL_RANGE_SEARCH = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           ORDER BY vec_id LIMIT 3)
+SELECT q.query_id, e.vec_id,
+       ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])), 6) AS sim
+FROM q CROSS JOIN embeddings e
+WHERE e.vec_id <> q.query_id
+  AND list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])) >= 0.25
+ORDER BY query_id, vec_id
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -6589,6 +6696,9 @@ QUERIES = {
     "winsorize_lengths": q_winsorize_lengths,
     "local_clustering": q_local_clustering,
     "containment_join": q_containment_join,
+    "bfs_depth": q_bfs_depth,
+    "bm25_topk": q_bm25_topk,
+    "range_search": q_range_search,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -6729,4 +6839,7 @@ ORACLE_SQL = {
     "local_clustering": SQL_LOCAL_CLUSTERING,
     "host_budget": SQL_HOST_BUDGET,
     "containment_join": SQL_CONTAINMENT_JOIN,
+    "bfs_depth": SQL_BFS_DEPTH,
+    "bm25_topk": _sql_bm25(),
+    "range_search": SQL_RANGE_SEARCH,
 }

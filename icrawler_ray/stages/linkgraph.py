@@ -40,7 +40,7 @@ import ray
 import ray.data as rd
 
 __all__ = ["derive_edges", "degree_table", "pagerank", "pagerank_partitioned",
-           "connected_components", "pairs_components", "triangle_counts",
+           "connected_components", "pairs_components", "triangle_counts", "bfs_depths",
            "hits", "hits_partitioned", "kcore_membership",
            "kcore_membership_partitioned"]
 
@@ -1191,3 +1191,51 @@ def local_clustering(edges: rd.Dataset, n_nodes: int) -> pd.DataFrame:
     return pd.DataFrame({"node": tri["node"].to_numpy(dtype=np.int64),
                          "deg": deg, "tri": tri["tri"].to_numpy(dtype=np.int64),
                          "coeff": np.round(coeff, 6)})
+
+
+def bfs_depths(edges: rd.Dataset, n_nodes: int, seeds: np.ndarray, *,
+               iters: int = 4) -> np.ndarray:
+    """Multi-source BFS depth (directed shortest hop count from a seed
+    set) — the crawl-analysis primitive behind "how deep is this page
+    from the seed list" audits and frontier-budget planning.
+
+    Min-plus label propagation with ``iters`` fixed sweeps (no
+    convergence test, so the SQL oracle unrolls the identical
+    computation): depth'[v] = min(depth[v], 1 + min over in-edges (u, v)
+    of depth[u]).  Same broadcast-iterate exchange as :func:`pagerank` —
+    the edge set is materialized once and re-scanned per sweep, the
+    depth vector rides ``ray.put`` (zero-copy shared numpy per node),
+    and each sweep's exchange is per-block partial dst-mins,
+    output-sized rather than edge-sized.  Nodes not reached within
+    ``iters`` hops return -1.  Guarded by MAX_BROADCAST_NODES like the
+    other dense-vector sweeps; doc-scale graphs should run the frontier
+    engine itself (pipelines/greedy.py), which is this computation in
+    streaming form with a sharded seen-set instead of a dense vector."""
+    if n_nodes > MAX_BROADCAST_NODES:
+        raise ValueError(
+            f"bfs_depths is the broadcast (host-scale) variant; "
+            f"n_nodes={n_nodes} exceeds MAX_BROADCAST_NODES="
+            f"{MAX_BROADCAST_NODES} — run the streaming frontier engine "
+            f"for doc-scale reachability")
+    edges = edges.materialize()
+    INF = np.int64(n_nodes + 1)
+    depth = np.full(n_nodes, INF, dtype=np.int64)
+    depth[np.asarray(seeds, dtype=np.int64)] = 0
+    for _ in range(iters):
+        ref = ray.put(depth)
+
+        def part(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            d = ray.get(_ref)
+            src = df["src"].to_numpy()
+            dst = df["dst"].to_numpy()
+            s = pd.Series(d[src] + 1).groupby(dst).min()
+            return pd.DataFrame({"node": s.index.to_numpy(), "m": s.to_numpy()})
+
+        partials = edges.map_batches(part, batch_format="pandas").to_pandas()
+        agg = partials.groupby("node")["m"].min()
+        new = depth.copy()
+        np.minimum.at(new, agg.index.to_numpy(), agg.to_numpy(dtype=np.int64))
+        if (new == depth).all():
+            break  # converged: further sweeps are identity (oracle-safe)
+        depth = new
+    return np.where(depth >= INF, np.int64(-1), depth)

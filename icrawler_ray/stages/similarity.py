@@ -506,3 +506,42 @@ def pq_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 5,
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
     out["adist"] = np.round(out["adist"], 6)
     return out[["query_id", "vec_id", "adist", "rank"]]
+
+
+def range_search(ds: ray.data.Dataset, queries: np.ndarray, threshold: float,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_ids: np.ndarray | None = None,
+                 exclude_self: bool = True) -> pd.DataFrame:
+    """Radius (range) search: every vector with cosine >= ``threshold``
+    against each query vector — the "give me ALL near neighbours" dual
+    of :func:`brute_force_topk` (retrieval dedup sweeps and contamination
+    scans want the full ball, not a fixed k).
+
+    Scale shape: the query matrix is ray.put ONCE and read per batch;
+    each batch emits only its matches (no per-query global state, no
+    top-k merge), so the stage is embarrassingly streaming — output
+    volume is the only scale knob, bounded by the threshold.  For huge
+    query sets route through the IVF/LSH bucketed paths instead of the
+    dense matmul."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+    qids = np.asarray(query_ids) if query_ids is not None else np.arange(len(qn))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        m = _normalize(_as_matrix(batch[vec_col]))
+        sims = q @ m.T  # (nq, nb)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        qi, bi = np.nonzero(sims >= threshold)
+        return pa.table({
+            "query_id": pa.array(qids[qi].astype(np.int64)),
+            "vec_id": pa.array(ids[bi]),
+            "sim": pa.array(sims[qi, bi].astype(np.float64)),
+        })
+
+    out = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+    if exclude_self:
+        out = out[out.query_id != out.vec_id]
+    out["sim"] = np.round(out["sim"], 6)
+    return (out.sort_values(["query_id", "vec_id"])
+            .reset_index(drop=True)[["query_id", "vec_id", "sim"]])

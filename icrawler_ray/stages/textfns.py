@@ -306,3 +306,76 @@ def nb_score_batch(batch: pa.Table, text_col: str, id_col: str,
         "nb_score": pa.array(np.round(s, 6)),
         "pred_good": pa.array(s > 0.0),
     })
+
+
+def bm25_topk(docs, terms: list[str], *, k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:
+    """Okapi BM25 (Lucene idf form) top-``k`` documents for a bag of
+    query ``terms`` — ranked retrieval over the corpus, the scoring core
+    of a decontamination / targeted-harvest sweep.
+
+    Scale shape: ONE pass over the heavy text column extracts a narrow
+    integer table (doc_id, dl, tf per term) that is materialized in the
+    object store (n_docs x ~48 bytes — spillable, never on the driver);
+    corpus stats (N, sum dl, df per term) reduce from one partial row
+    per block; scoring re-scans the narrow table with the stats closure
+    and each batch keeps only its local top-k (same (score desc, id asc)
+    tie-break the final merge ranks by, so truncation can never change
+    the merged result — the driver sees n_blocks x k rows).
+
+    Tokens are single-space-delimited (the corpus generator's join
+    convention, as token_stats) and tf uses whitespace-boundary
+    non-overlapping matches, replicated exactly by the SQL oracle's
+    list_filter-over-string_split."""
+    import re as _re
+
+    import ray
+
+    pats = [_re.compile(r"(?<!\S)" + _re.escape(t) + r"(?!\S)") for t in terms]
+    nt = len(terms)
+
+    def tf_pass(batch: pa.Table) -> pa.Table:
+        text = pd.Series(batch["text"].to_pylist())
+        cols = {"doc_id": batch["doc_id"],
+                "dl": pa.array((text.str.count(" ") + 1).to_numpy(dtype=np.int64))}
+        for j, p in enumerate(pats):
+            cols[f"tf{j}"] = pa.array(text.str.count(p).to_numpy(dtype=np.int64))
+        return pa.table(cols)
+
+    tfd = docs.map_batches(tf_pass, batch_format="pyarrow").materialize()
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        row = {"n": pa.array([t.num_rows], type=pa.int64()),
+               "sdl": pa.array([int(np.sum(t["dl"].to_numpy(zero_copy_only=False)))])}
+        for j in range(nt):
+            tf = t[f"tf{j}"].to_numpy(zero_copy_only=False)
+            row[f"df{j}"] = pa.array([int(np.count_nonzero(tf > 0))])
+        return pa.table(row)
+
+    st = tfd.map_batches(stat_partial, batch_format="pyarrow").to_pandas().sum()
+    n_docs, avgdl = int(st["n"]), float(st["sdl"]) / int(st["n"])
+    # ln(1 + x), NOT log1p: the SQL oracle's ln(1 + ...) must see the
+    # identical float64 operation sequence
+    idf = [float(np.log(1.0 + (n_docs - int(st[f"df{j}"]) + 0.5)
+                        / (int(st[f"df{j}"]) + 0.5))) for j in range(nt)]
+    consts_ref = ray.put((idf, avgdl))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        idf_, avgdl_ = ray.get(consts_ref)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        norm = k1 * (1.0 - b + b * (dl / avgdl_))
+        score = np.zeros(len(dl))
+        for j in range(nt):
+            tf = t[f"tf{j}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            score = score + idf_[j] * (tf * (k1 + 1.0)) / (tf + norm)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        top = np.lexsort((ids, -score))[:k]
+        return pa.table({"doc_id": pa.array(ids[top]),
+                         "score": pa.array(score[top])})
+
+    parts = tfd.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    out = (parts.sort_values(["score", "doc_id"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    out["score"] = np.round(out["score"], 6)
+    return out
