@@ -232,7 +232,8 @@ def bench_queries() -> dict:
              "quantile_blend", "cumulative_users",
              "gopher_rules", "word_entropy", "corr_len_ttr",
              "winsorize_lengths", "adamic_adar", "local_clustering",
-             "host_budget"]
+             "host_budget", "containment_join", "bfs_depth", "bm25_topk",
+             "range_search"]
     # csv_roundtrip is deliberately excluded: it benchmarks tmp-dir disk I/O
     # (write+read of a scratch CSV), not engine compute, and its timing is
     # dominated by the sandbox filesystem (ADVICE r4 note).

@@ -6602,10 +6602,10 @@ QUERIES = {
     "clean_text": q_clean_text,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
-    "bigram_pmi": q_bigram_pmi,
+    "bm25_topk": q_bm25_topk,
     "dedup_cluster_keep": q_dedup_cluster_keep,
     "gopher_rules": q_gopher_rules,
-    "top_terms": q_top_terms,
+    "bfs_depth": q_bfs_depth,
     "word_entropy": q_word_entropy,
     "adamic_adar": q_adamic_adar,
     "host_budget": q_host_budget,
@@ -6696,8 +6696,8 @@ QUERIES = {
     "winsorize_lengths": q_winsorize_lengths,
     "local_clustering": q_local_clustering,
     "containment_join": q_containment_join,
-    "bfs_depth": q_bfs_depth,
-    "bm25_topk": q_bm25_topk,
+    "bigram_pmi": q_bigram_pmi,
+    "top_terms": q_top_terms,
     "range_search": q_range_search,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
