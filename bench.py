@@ -233,10 +233,12 @@ def bench_queries() -> dict:
              "gopher_rules", "word_entropy", "corr_len_ttr",
              "winsorize_lengths", "adamic_adar", "local_clustering",
              "host_budget", "containment_join", "bfs_depth", "bm25_topk",
-             "range_search"]
-    # csv_roundtrip is deliberately excluded: it benchmarks tmp-dir disk I/O
-    # (write+read of a scratch CSV), not engine compute, and its timing is
-    # dominated by the sandbox filesystem (ADVICE r4 note).
+             "range_search", "harmonic_centrality", "random_walks",
+             "coreset_kcenter"]
+    # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
+    # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
+    # compute, and their timing is dominated by the sandbox filesystem
+    # (ADVICE r4 note).
     out = {}
     for name in names:
         t0 = time.time()

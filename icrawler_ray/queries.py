@@ -6562,6 +6562,175 @@ ORDER BY query_id, vec_id
 """
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink parity: write the narrow documents projection
+    as JSONL shards (write_json, one file per block — the resumable
+    layout and the lingua franca of training-data interchange), read it
+    back with rd.read_json, and roll up per-source counts from the
+    re-read dataset.  Exercises the JSON ingest path end to end; the
+    oracle aggregates the original table directly."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="jsonrt_", dir="/tmp")
+    try:
+        ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+        ds.write_json(out_dir)
+        back = rd.read_json(out_dir)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("source", as_index=False).agg(
+                n=("doc_id", "size"), max_chars=("n_chars", "max"))
+
+        parts = back.map_batches(partial, batch_format="pandas").to_pandas()
+        outp = parts.groupby("source", as_index=False).agg(
+            n=("n", "sum"), max_chars=("max_chars", "max"))
+        outp["n"] = outp["n"].astype("int64")
+        outp["max_chars"] = outp["max_chars"].astype("int64")
+        return outp.sort_values("source").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_harmonic_centrality(sf_dir: str):
+    """sampled-seed harmonic centrality over the derived link graph
+    (seeds: every 211th doc; hc(v) = sum of 1/d(s,v) over finite
+    nonzero seed depths within 4 sweeps), top-50 by (hc, node)."""
+    from icrawler_ray.stages.linkgraph import derive_edges, harmonic_centrality
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    seeds = np.arange(0, n, 211, dtype=np.int64)
+    out = harmonic_centrality(derive_edges(docs, n), n, seeds,
+                              iters=4, topk=50)
+    return out.rename(columns={"node": "doc_id"})
+
+
+def _hc_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT {prev}.seed, {prev}.node,
+         LEAST({prev}.dep, COALESCE(c.m, {prev}.dep)) AS dep
+  FROM {prev} LEFT JOIN (
+    SELECT p.seed, e.dst AS node, MIN(p.dep + 1) AS m
+    FROM edges e JOIN {prev} p ON p.node = e.src GROUP BY p.seed, e.dst
+  ) c ON c.seed = {prev}.seed AND c.node = {prev}.node
+)"""
+
+
+SQL_HARMONIC_CENTRALITY = f"""
+WITH {_SQL_EDGES_CTE},
+seeds AS (SELECT doc_id AS seed FROM documents WHERE doc_id % 211 = 0),
+h0 AS (SELECT s.seed, d.doc_id AS node,
+              CAST(CASE WHEN d.doc_id = s.seed THEN 0 ELSE nn.cnt + 1 END
+                   AS BIGINT) AS dep
+       FROM documents d CROSS JOIN seeds s, nn),
+{",".join(_hc_iter_sql(f"h{i}", f"h{i + 1}") for i in range(4))},
+fin AS (SELECT node, ROUND(SUM(1.0 / dep), 6) AS hc,
+               CAST(COUNT(*) AS BIGINT) AS n_reached
+        FROM h4, nn WHERE dep > 0 AND dep < nn.cnt + 1 GROUP BY node)
+SELECT CAST(row_number() OVER (ORDER BY hc DESC, node) AS BIGINT) AS rank,
+       node AS doc_id, hc, n_reached
+FROM fin ORDER BY hc DESC, node LIMIT 50
+"""
+
+
+def q_random_walks(sf_dir: str):
+    """deterministic hash-driven 4-step random walks over the derived
+    link graph (walkers: every 53rd doc; next hop = hash(walker, step,
+    node) % outdeg over dst-sorted distinct neighbours; halt at sinks)."""
+    from icrawler_ray.stages.linkgraph import derive_edges, random_walks
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    walkers = np.arange(0, n, 53, dtype=np.int64)
+    return random_walks(derive_edges(docs, n), walkers, steps=4)
+
+
+def _walk_iter_sql(t: int) -> str:
+    return f"""
+w{t} AS (
+  SELECT w.walker, a.dst AS node
+  FROM w{t - 1} w JOIN adj a
+    ON a.src = w.node
+   AND a.j = ((w.walker % 997) * 8191 + {t} * 131071
+              + (w.node % 9973) * 131) % a.deg
+)"""
+
+
+SQL_RANDOM_WALKS = f"""
+WITH {_SQL_EDGES_CTE},
+adj AS (SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS j,
+               COUNT(*) OVER (PARTITION BY src) AS deg
+        FROM (SELECT DISTINCT src, dst FROM edges)),
+w0 AS (SELECT doc_id AS walker, doc_id AS node FROM documents
+       WHERE doc_id % 53 = 0),
+{",".join(_walk_iter_sql(t) for t in range(1, 5))}
+SELECT walker, step, node FROM (
+  SELECT walker, CAST(0 AS BIGINT) AS step, node FROM w0
+  UNION ALL SELECT walker, 1, node FROM w1
+  UNION ALL SELECT walker, 2, node FROM w2
+  UNION ALL SELECT walker, 3, node FROM w3
+  UNION ALL SELECT walker, 4, node FROM w4
+) ORDER BY walker, step
+"""
+
+
+_KCENTER_K = 8
+
+
+def q_coreset_kcenter(sf_dir: str):
+    """k-center greedy (farthest-point) diversity coreset over the
+    embeddings table: 8 centers under cosine distance, 6-dp-rounded
+    min-distances with lowest-id tie-breaks so the greedy trajectory is
+    SQL-replayable."""
+    from icrawler_ray.stages.clustering import kcenter_coreset
+
+    return kcenter_coreset(_read(sf_dir, "embeddings",
+                                 ["vec_id", "embedding"]), k=_KCENTER_K)
+
+
+def _sql_kcenter() -> str:
+    parts = ["sel1 AS (SELECT CAST(1 AS BIGINT) AS rank, "
+             "CAST(MIN(vec_id) AS BIGINT) AS vec_id, 0.0 AS dist "
+             "FROM embeddings)",
+             "acc1 AS (SELECT * FROM sel1)"]
+    for i in range(2, _KCENTER_K + 1):
+        parts.append(f"""
+m{i} AS (
+  SELECT e.vec_id,
+         ROUND(MIN(1.0 - list_cosine_similarity(
+             CAST(e.embedding AS DOUBLE[]),
+             CAST(c.embedding AS DOUBLE[]))), 6) AS md
+  FROM embeddings e
+  CROSS JOIN (SELECT emb.embedding FROM acc{i - 1} s
+              JOIN embeddings emb ON emb.vec_id = s.vec_id) c
+  GROUP BY e.vec_id
+)""")
+        parts.append(f"""
+sel{i} AS (
+  SELECT CAST({i} AS BIGINT) AS rank, m.vec_id, m.md AS dist
+  FROM m{i} m
+  WHERE m.vec_id NOT IN (SELECT vec_id FROM acc{i - 1})
+  ORDER BY m.md DESC, m.vec_id LIMIT 1
+)""")
+        parts.append(f"acc{i} AS (SELECT * FROM acc{i - 1} "
+                     f"UNION ALL SELECT * FROM sel{i})")
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT rank, vec_id, ROUND(dist, 6) AS dist "
+              f"FROM acc{_KCENTER_K} ORDER BY rank")
+
+
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -6609,6 +6778,8 @@ QUERIES = {
     "word_entropy": q_word_entropy,
     "adamic_adar": q_adamic_adar,
     "host_budget": q_host_budget,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "coreset_kcenter": q_coreset_kcenter,
     "kmeans_assign": q_kmeans_assign,
     "sequence_pack": q_sequence_pack,
     "stratified_sample": q_stratified_sample,
@@ -6696,6 +6867,8 @@ QUERIES = {
     "winsorize_lengths": q_winsorize_lengths,
     "local_clustering": q_local_clustering,
     "containment_join": q_containment_join,
+    "harmonic_centrality": q_harmonic_centrality,
+    "random_walks": q_random_walks,
     "bigram_pmi": q_bigram_pmi,
     "top_terms": q_top_terms,
     "range_search": q_range_search,
@@ -6842,4 +7015,8 @@ ORACLE_SQL = {
     "bfs_depth": SQL_BFS_DEPTH,
     "bm25_topk": _sql_bm25(),
     "range_search": SQL_RANGE_SEARCH,
+    "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
+    "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
+    "random_walks": SQL_RANDOM_WALKS,
+    "coreset_kcenter": _sql_kcenter(),
 }

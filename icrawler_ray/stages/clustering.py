@@ -270,3 +270,71 @@ def semantic_dedup(ds: ray.data.Dataset, k: int = 8, n_iter: int = 2,
     if not len(kept):
         return pd.DataFrame({id_col: [], "cluster": []})
     return kept.sort_values(id_col).reset_index(drop=True)
+
+
+def kcenter_coreset(ds: ray.data.Dataset, k: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    ) -> pd.DataFrame:
+    """k-center greedy (farthest-point traversal) coreset selection
+    over cosine distance — the classic diversity-sampling rule for
+    training-data curation (Sener & Savarese 2018 active-learning
+    coresets; a 2-approximation of the k-center objective, Gonzalez
+    1985): start from the lowest-id vector, then repeatedly add the
+    point FARTHEST from its nearest already-selected center.
+
+    Scale shape: each of the k rounds is one streaming pass — the
+    selected centers (<= k x dim, tiny) broadcast via ``ray.put``, each
+    batch computes min-distance-to-centers with one matmul and emits a
+    SINGLE (id, dist, embedding) best-candidate row, and the driver
+    reduces n_blocks partial rows.  Distances round to 6 dp BEFORE the
+    argmax (ties -> lowest id) so the float64 trajectory is exactly
+    replayable by the SQL oracle; distances are recomputed against the
+    full center set each round (never incrementally) for the same
+    reason.  k passes over the data, no shuffle anywhere.
+
+    Returns (rank 1..k, vec_id, dist) where dist is the point's
+    min-distance at selection time (0.0 for the first center)."""
+    from icrawler_ray.stages.similarity import _as_matrix, _normalize
+
+    def min_id_row(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        j = int(np.argmin(ids))
+        return batch.take(pa.array([j]))
+
+    first = (ds.map_batches(min_id_row, batch_format="pyarrow",
+                            batch_size=8192)
+             .to_pandas().sort_values(id_col).head(1))
+    sel_ids = [int(first[id_col].iloc[0])]
+    sel_vecs = [np.asarray(list(first[vec_col].iloc[0]), dtype=np.float64)]
+    dists = [0.0]
+    for _ in range(1, k):
+        cent = _normalize(np.asarray(sel_vecs, dtype=np.float64))
+        ref = ray.put((cent, np.asarray(sel_ids, dtype=np.int64)))
+
+        def best_in_batch(batch: pa.Table, _ref=ref) -> pa.Table:
+            c, taken = ray.get(_ref)
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            m = _normalize(_as_matrix(batch[vec_col]))
+            mind = np.round(1.0 - (m @ c.T).max(axis=1), 6)
+            mind[np.isin(ids, taken)] = -1.0  # never re-pick
+            j = np.lexsort((ids, -mind))[0]
+            return pa.table({
+                "vec_id": pa.array(ids[j:j + 1]),
+                "dist": pa.array(mind[j:j + 1]),
+                "emb": pa.array([m[j].tolist()],
+                                type=pa.list_(pa.float64())),
+            })
+
+        parts = ds.map_batches(best_in_batch, batch_format="pyarrow",
+                               batch_size=4096).to_pandas()
+        parts = parts.sort_values(["dist", "vec_id"],
+                                  ascending=[False, True], kind="mergesort")
+        win = parts.iloc[0]
+        sel_ids.append(int(win["vec_id"]))
+        sel_vecs.append(np.asarray(win["emb"], dtype=np.float64))
+        dists.append(float(win["dist"]))
+    return pd.DataFrame({
+        "rank": np.arange(1, len(sel_ids) + 1, dtype=np.int64),
+        "vec_id": np.asarray(sel_ids, dtype=np.int64),
+        "dist": np.round(np.asarray(dists), 6),
+    })

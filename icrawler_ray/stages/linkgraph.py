@@ -41,6 +41,7 @@ import ray.data as rd
 
 __all__ = ["derive_edges", "degree_table", "pagerank", "pagerank_partitioned",
            "connected_components", "pairs_components", "triangle_counts", "bfs_depths",
+           "seed_depths", "harmonic_centrality", "random_walks",
            "hits", "hits_partitioned", "kcore_membership",
            "kcore_membership_partitioned"]
 
@@ -1239,3 +1240,151 @@ def bfs_depths(edges: rd.Dataset, n_nodes: int, seeds: np.ndarray, *,
             break  # converged: further sweeps are identity (oracle-safe)
         depth = new
     return np.where(depth >= INF, np.int64(-1), depth)
+
+
+def seed_depths(edges: rd.Dataset, n_nodes: int, seeds: np.ndarray, *,
+                iters: int = 4) -> pd.DataFrame:
+    """PER-SEED BFS depths (one row per (seed, node) with finite depth
+    <= ``iters``) — the sampled-source primitive behind harmonic
+    centrality and seed-influence audits; :func:`bfs_depths` is its
+    min-collapsed (multi-source) sibling.
+
+    State is an (S, n) depth matrix broadcast per sweep via ``ray.put``
+    (S = |seeds| sampled sources, so the budget is S x n x 8 bytes —
+    sampling keeps S small by construction); per-block partials are
+    (seed, dst, min) rows grouped in pandas, output-sized per sweep.
+    """
+    seeds = np.asarray(seeds, dtype=np.int64)
+    S = len(seeds)
+    if S * n_nodes > MAX_BROADCAST_NODES:
+        raise ValueError(
+            f"seed_depths broadcasts an (S={S}) x (n={n_nodes}) depth "
+            f"matrix; budget exceeds MAX_BROADCAST_NODES="
+            f"{MAX_BROADCAST_NODES} — sample fewer seeds or run the "
+            f"streaming frontier engine per seed")
+    edges = edges.materialize()
+    INF = np.int64(n_nodes + 1)
+    depth = np.full((S, n_nodes), INF, dtype=np.int64)
+    depth[np.arange(S), seeds] = 0
+    for _ in range(iters):
+        ref = ray.put(depth)
+
+        def part(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            d = ray.get(_ref)
+            src = df["src"].to_numpy()
+            dst = df["dst"].to_numpy()
+            cand = d[:, src] + 1  # (S, m)
+            rows = pd.DataFrame({
+                "s": np.repeat(np.arange(len(d), dtype=np.int64), len(src)),
+                "node": np.tile(dst, len(d)),
+                "m": cand.ravel(),
+            })
+            g = rows.groupby(["s", "node"], as_index=False)["m"].min()
+            return g[g["m"] <= INF]
+
+        partials = edges.map_batches(part, batch_format="pandas").to_pandas()
+        agg = partials.groupby(["s", "node"])["m"].min()
+        new = depth.copy()
+        idx = agg.index.to_frame(index=False)
+        np.minimum.at(new, (idx["s"].to_numpy(), idx["node"].to_numpy()),
+                      agg.to_numpy(dtype=np.int64))
+        if (new == depth).all():
+            break  # converged: further sweeps are identity (oracle-safe)
+        depth = new
+    s_idx, node = np.nonzero(depth < INF)
+    return pd.DataFrame({"seed": seeds[s_idx], "node": node.astype(np.int64),
+                         "dep": depth[s_idx, node]})
+
+
+def harmonic_centrality(edges: rd.Dataset, n_nodes: int, seeds: np.ndarray,
+                        *, iters: int = 4, topk: int = 50) -> pd.DataFrame:
+    """Sampled-seed harmonic centrality estimate: hc(v) = sum over
+    sampled sources s of 1/d(s, v) for finite nonzero depths within
+    ``iters`` hops (Boldi & Vigna's harmonic variant of closeness,
+    estimated from a source sample as in HyperBall-style sweeps).
+    Returns the top-``topk`` nodes by (round(hc, 6) desc, node asc) with
+    the number of reaching seeds — rounding BEFORE ranking keeps the
+    order identical to the SQL oracle's float64 sum."""
+    rows = seed_depths(edges, n_nodes, seeds, iters=iters)
+    rows = rows[rows["dep"] > 0]
+    # seed-ascending accumulation order: fixed, so the float64 sum is
+    # reproducible (the oracle orders its SUM identically)
+    rows = rows.sort_values(["node", "seed"], kind="mergesort")
+    g = rows.groupby("node").agg(hc=("dep", lambda d: (1.0 / d).sum()),
+                                 n_reached=("dep", "size")).reset_index()
+    g["hc"] = np.round(g["hc"], 6)
+    g = g.sort_values(["hc", "node"], ascending=[False, True],
+                      kind="mergesort").head(topk).reset_index(drop=True)
+    g.insert(0, "rank", np.arange(1, len(g) + 1, dtype=np.int64))
+    g["node"] = g["node"].astype("int64")
+    g["n_reached"] = g["n_reached"].astype("int64")
+    return g[["rank", "node", "hc", "n_reached"]]
+
+
+def random_walks(edges: rd.Dataset, walkers: np.ndarray, *, steps: int = 4,
+                 num_partitions: int = 32) -> pd.DataFrame:
+    """Deterministic hash-driven random walks over the link graph (the
+    subgraph-sampling / corpus-expansion primitive: node2vec-style
+    traversal with a replayable pseudo-random next-hop choice instead of
+    an RNG, so the SQL oracle can follow the identical paths).
+
+    At node u on step t, walker w moves to the idx-th smallest distinct
+    out-neighbour where idx = ((w % 997)*8191 + t*131071 +
+    (u % 9973)*131) % outdeg(u); walks halt at sink nodes.  Each step is
+    ONE bucketed exchange: position rows and adjacency rows meet in
+    hash(node) buckets (adjacency is tagged ONCE and its materialized
+    blocks are reused across all steps), so the per-step shuffle moves
+    only frontier-sized + adjacency-sized narrow rows and millions of
+    walkers ride the same P buckets.  Returns (walker, step, node)
+    rows including step 0."""
+    P = np.int64(max(1, num_partitions))
+
+    def tag_adj(t: "pa.Table") -> "pa.Table":
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(s), "other": pa.array(d),
+                         "kind": pa.array(np.zeros(len(s), dtype=np.int8)),
+                         "part": pa.array(s % P)})
+
+    adj = edges.map_batches(tag_adj, batch_format="pyarrow").materialize()
+
+    out = [pd.DataFrame({"walker": walkers.astype(np.int64),
+                         "step": np.zeros(len(walkers), dtype=np.int64),
+                         "node": walkers.astype(np.int64)})]
+    cur = out[0][["walker", "node"]]
+    for t in range(1, steps + 1):
+        nd = cur["node"].to_numpy(dtype=np.int64)
+        pos = pa.table({
+            "node": pa.array(nd),
+            "other": pa.array(cur["walker"].to_numpy(dtype=np.int64)),
+            "kind": pa.array(np.ones(len(nd), dtype=np.int8)),
+            "part": pa.array(nd % P),
+        })
+
+        def step_group(g: pd.DataFrame, _t=t) -> pd.DataFrame:
+            is_w = g["kind"].to_numpy() == 1
+            nbr = {u: np.unique(d.to_numpy(dtype=np.int64))
+                   for u, d in g[~is_w].groupby("node")["other"]}
+            w = g[is_w]
+            wk = w["other"].to_numpy(dtype=np.int64)
+            at = w["node"].to_numpy(dtype=np.int64)
+            nxt = np.full(len(wk), -1, dtype=np.int64)
+            for i in range(len(wk)):  # frontier-sized, not corpus-sized
+                ns = nbr.get(at[i])
+                if ns is not None and len(ns):
+                    h = ((wk[i] % 997) * 8191 + _t * 131071
+                         + (at[i] % 9973) * 131) % len(ns)
+                    nxt[i] = ns[h]
+            keep = nxt >= 0
+            return pd.DataFrame({"walker": wk[keep], "node": nxt[keep]})
+
+        cur = (adj.union(rd.from_arrow(pos))
+               .groupby("part").map_groups(step_group, batch_format="pandas")
+               .to_pandas())
+        if not len(cur):
+            break
+        frame = cur.copy()
+        frame.insert(1, "step", np.int64(t))
+        out.append(frame[["walker", "step", "node"]])
+    res = pd.concat(out, ignore_index=True)
+    return res.sort_values(["walker", "step"]).reset_index(drop=True)

@@ -18,7 +18,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 R5_WINDOW_NAMES = ["gopher_rules", "word_entropy", "adamic_adar",
-                   "host_budget"]
+                   "host_budget", "jsonl_roundtrip", "coreset_kcenter"]
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -208,3 +208,126 @@ def test_containment_join_threshold_excludes_partial(ray_session):
     ds = rd.from_pandas(pd.DataFrame(rows))
     out = containment_join_pairs(ds, threshold=0.8)
     assert len(out) == 0
+
+
+def _brute_bfs(edges, n, seed, max_d):
+    import collections
+
+    adj = collections.defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    dep = {seed: 0}
+    q = collections.deque([seed])
+    while q:
+        u = q.popleft()
+        if dep[u] >= max_d:
+            continue
+        for v in adj[u]:
+            if v not in dep:
+                dep[v] = dep[u] + 1
+                q.append(v)
+    return dep
+
+
+def test_seed_depths_matches_bruteforce_bfs(ray_session):
+    import ray.data as rd
+
+    from icrawler_ray.stages.linkgraph import seed_depths
+
+    rng = np.random.default_rng(7)
+    n = 50
+    e = np.unique(rng.integers(0, n, (220, 2)), axis=0)
+    e = e[e[:, 0] != e[:, 1]]
+    edges = rd.from_pandas(pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]}))
+    seeds = np.array([0, 17, 33], dtype=np.int64)
+    got = seed_depths(edges, n, seeds, iters=4)
+    got = {(int(r.seed), int(r.node)): int(r.dep)
+           for r in got.itertuples()}
+    pairs = list(zip(e[:, 0].tolist(), e[:, 1].tolist()))
+    want = {(int(s), v): d for s in seeds
+            for v, d in _brute_bfs(pairs, n, int(s), 4).items()}
+    assert got == want
+
+
+def test_harmonic_centrality_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from icrawler_ray.stages.linkgraph import harmonic_centrality
+
+    rng = np.random.default_rng(13)
+    n = 40
+    e = np.unique(rng.integers(0, n, (160, 2)), axis=0)
+    e = e[e[:, 0] != e[:, 1]]
+    edges = rd.from_pandas(pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]}))
+    seeds = np.array([1, 9, 25], dtype=np.int64)
+    got = harmonic_centrality(edges, n, seeds, iters=4, topk=10)
+    pairs = list(zip(e[:, 0].tolist(), e[:, 1].tolist()))
+    hc, nr = {}, {}
+    for s in seeds:
+        for v, d in sorted(_brute_bfs(pairs, n, int(s), 4).items()):
+            if d > 0:
+                hc[v] = hc.get(v, 0.0) + 1.0 / d
+                nr[v] = nr.get(v, 0) + 1
+    want = sorted(((round(h, 6), v) for v, h in hc.items()),
+                  key=lambda t: (-t[0], t[1]))[:10]
+    assert [(row.hc, row.node) for row in got.itertuples()] == want
+    assert all(int(got.set_index("node").loc[v, "n_reached"]) == nr[v]
+               for _, v in want)
+    assert got["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_random_walks_follows_hash_rule_and_halts_at_sinks(ray_session):
+    import ray.data as rd
+
+    from icrawler_ray.stages.linkgraph import random_walks
+
+    # 0 -> {1, 2}, 1 -> {3}, 2 -> {}, 3 -> {0}; duplicate edge 0->1 must
+    # not change the distinct-neighbour fanout
+    edges = rd.from_pandas(pd.DataFrame(
+        [(0, 1), (0, 2), (0, 1), (1, 3), (3, 0)], columns=["src", "dst"]))
+    walkers = np.array([0, 2], dtype=np.int64)
+    got = random_walks(edges, walkers, steps=3, num_partitions=4)
+
+    def hop(w, t, u, nbrs):
+        return nbrs[((w % 997) * 8191 + t * 131071 + (u % 9973) * 131)
+                    % len(nbrs)]
+
+    adj = {0: [1, 2], 1: [3], 3: [0]}
+    want = []
+    for w in walkers:
+        node, t = int(w), 0
+        want.append((int(w), 0, int(w)))
+        while t < 3 and node in adj:
+            t += 1
+            node = hop(int(w), t, node, adj[node])
+            want.append((int(w), t, node))
+    assert list(map(tuple, got[["walker", "step", "node"]].values)) == want
+    # walker 2 starts at a sink: exactly its step-0 row survives
+    assert (got["walker"] == 2).sum() == 1
+
+
+def test_kcenter_coreset_greedy_trajectory(ray_session):
+    import ray.data as rd
+
+    from icrawler_ray.stages.clustering import kcenter_coreset
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(30, 8))
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(30, dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs]}))
+    got = kcenter_coreset(ds, k=5)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sel = [0]  # lowest id first
+    dists = [0.0]
+    for _ in range(4):
+        mind = np.round(1.0 - (unit @ unit[sel].T).max(axis=1), 6)
+        mind[sel] = -1.0
+        j = int(np.lexsort((np.arange(30), -mind))[0])
+        sel.append(j)
+        dists.append(float(mind[j]))
+    assert got["vec_id"].tolist() == sel
+    assert got["dist"].tolist() == [round(d, 6) for d in dists]
+    # greedy min-distances are non-increasing after the first pick
+    d = got["dist"].to_numpy()
+    assert (np.diff(d[1:]) <= 1e-12).all()
