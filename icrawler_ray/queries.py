@@ -6729,6 +6729,225 @@ sel{i} AS (
               f"FROM acc{_KCENTER_K} ORDER BY rank")
 
 
+_CHUNK_W, _CHUNK_S = 64, 48
+
+
+def q_chunk_overlap(sf_dir: str):
+    """RAG-style overlapping chunk explode: every 17th doc's words split
+    into 64-word windows at stride 48 (16-word overlap); each chunk
+    emits (doc_id, chunk_id, n_words, md5 fingerprint).  One map_batches
+    pass, no shuffle — the classic retrieval-index / long-doc-training
+    preprocessing step; the md5 pins the exact chunk text against the
+    oracle without shipping it."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = batch.filter(pa.array(ids % 17 == 0))
+        out = {"doc_id": [], "chunk_id": [], "n_words": [], "fp": []}
+        for did, text in zip(sel["doc_id"].to_pylist(),
+                             sel["text"].to_pylist()):
+            words = text.split(" ")
+            for ci, st in enumerate(range(0, len(words), _CHUNK_S)):
+                cw = words[st:st + _CHUNK_W]
+                out["doc_id"].append(did)
+                out["chunk_id"].append(ci)
+                out["n_words"].append(len(cw))
+                out["fp"].append(
+                    hashlib.md5(" ".join(cw).encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "chunk_id": pa.array(out["chunk_id"], type=pa.int64()),
+            "n_words": pa.array(out["n_words"], type=pa.int64()),
+            "fp": pa.array(out["fp"], type=pa.string()),
+        })
+
+    out = ds.map_batches(explode, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+SQL_CHUNK_OVERLAP = f"""
+WITH sel AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents WHERE doc_id % 17 = 0),
+ix AS (SELECT doc_id, w, unnest(generate_series(
+           0, CAST(floor((len(w) - 1) / {_CHUNK_S}) AS BIGINT))) AS i
+       FROM sel),
+c AS (SELECT doc_id, i AS chunk_id,
+             list_slice(w, i * {_CHUNK_S} + 1,
+                        i * {_CHUNK_S} + {_CHUNK_W}) AS cw
+      FROM ix)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(cw) AS BIGINT) AS n_words,
+       md5(array_to_string(cw, ' ')) AS fp
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+def q_ppr_seeds(sf_dir: str):
+    """4-iteration personalized PageRank (restart alpha=0.15 to every
+    211th doc) over the derived link graph — seed-anchored relevance
+    propagation for corpus expansion; returns the full score vector."""
+    from icrawler_ray.stages.linkgraph import derive_edges, personalized_pagerank
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    seeds = np.arange(0, n, 211, dtype=np.int64)
+    p = personalized_pagerank(derive_edges(docs, n), n, seeds,
+                              iters=4, alpha=0.15)
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "ppr": pd.Series(p).round(6)})
+
+
+def _ppr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT b.node, b.base + 0.85e0 * COALESCE(c.s, 0e0) AS r
+  FROM base b LEFT JOIN (
+    SELECT e.dst AS node, SUM(rp.r / od.deg) AS s
+    FROM edges e JOIN od ON od.src = e.src JOIN {prev} rp ON rp.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = b.node
+)"""
+
+
+SQL_PPR_SEEDS = f"""
+WITH {_SQL_EDGES_CTE},
+od AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+ns AS (SELECT COUNT(*) AS cnt FROM documents WHERE doc_id % 211 = 0),
+base AS (SELECT d.doc_id AS node,
+                CASE WHEN d.doc_id % 211 = 0 THEN 0.15e0 / ns.cnt
+                     ELSE 0e0 END AS base
+         FROM documents d, ns),
+r0 AS (SELECT d.doc_id AS node,
+              CASE WHEN d.doc_id % 211 = 0 THEN 1e0 / ns.cnt
+                   ELSE 0e0 END AS r
+       FROM documents d, ns),
+{",".join(_ppr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(4))}
+SELECT node AS doc_id, ROUND(r, 6) AS ppr FROM r4 ORDER BY doc_id
+"""
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: for every source pair
+    (src_a < src_b), the number of doc pairs sharing a leading-prefix
+    fingerprint (md5 of the first 8 words — the boilerplate/near-dup
+    key; exact-text md5 finds nothing in this corpus) — the audit that
+    tells you which corpus slices leak into each other before mixing.
+    Scale shape: one fingerprint pass, then ONLY (fp, source, count)
+    identities ride the groupby exchange (never text); per-fp groups
+    emit cross-source count products (zero pair expansion), reduced by
+    a tiny source-pair groupby."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def fps(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(" ".join(t.split(" ")[:8]).encode()).hexdigest()
+             for t in batch["text"].to_pylist()]
+        return pa.table({"fp": pa.array(h, type=pa.string()),
+                         "source": batch["source"]})
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["fp", "source"], as_index=False).size()                  .rename(columns={"size": "n"})
+
+    def cross_products(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("source")["n"].sum()
+        if len(c) < 2:
+            return _EMPTY_OVERLAP.copy()
+        srcs = c.index.to_numpy()
+        n = c.to_numpy(dtype=np.int64)
+        ii, jj = np.triu_indices(len(srcs), k=1)
+        return pd.DataFrame({"src_a": srcs[ii], "src_b": srcs[jj],
+                             "n_pairs": n[ii] * n[jj]})
+
+    _EMPTY_OVERLAP = pd.DataFrame({
+        "src_a": pd.Series([], dtype="string"),
+        "src_b": pd.Series([], dtype="string"),
+        "n_pairs": pd.Series([], dtype="int64")})
+    pairs = (ds.map_batches(fps, batch_format="pyarrow")
+             .map_batches(partial_counts, batch_format="pandas")
+             .groupby("fp").map_groups(cross_products, batch_format="pandas")
+             .to_pandas())
+    if not len(pairs):
+        return pd.DataFrame({"src_a": pd.Series([], dtype="string"),
+                             "src_b": pd.Series([], dtype="string"),
+                             "n_pairs": pd.Series([], dtype="int64")})
+    out = pairs.groupby(["src_a", "src_b"], as_index=False)["n_pairs"].sum()
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+SQL_SOURCE_OVERLAP = """
+WITH f AS (SELECT md5(array_to_string(
+               list_slice(string_split(text, ' '), 1, 8), ' ')) AS fp,
+               source FROM documents),
+c AS (SELECT fp, source, COUNT(*) AS n FROM f GROUP BY fp, source)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(SUM(a.n * b.n) AS BIGINT) AS n_pairs
+FROM c a JOIN c b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_token_budget(sf_dir: str):
+    """Token-budget pruning audit: per source, keep docs in descending
+    (token count, doc_id asc) order while the running token total stays
+    within a budget of floor(50% of the source's tokens); report how
+    many docs and tokens survive.  The whole answer comes from ONE
+    (source, tokens)-histogram combiner pass — the boundary rule
+    (floor(remaining/v) docs at the crossing token value) needs counts,
+    never identities, so nothing doc-sized ever moves."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        df["tok"] = df["text"].str.count(" ") + 1
+        return df.groupby(["source", "tok"], as_index=False).size()                  .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(hist, batch_format="pandas").to_pandas()
+    h = parts.groupby(["source", "tok"], as_index=False)["n"].sum()
+    rows = []
+    for src, g in h.groupby("source"):
+        g = g.sort_values("tok", ascending=False)
+        v = g["tok"].to_numpy(dtype=np.int64)
+        n = g["n"].to_numpy(dtype=np.int64)
+        total = int((v * n).sum())
+        budget = total // 2
+        acc_tok = acc_n = 0
+        for vi, ni in zip(v, n):
+            s = int(vi) * int(ni)
+            if acc_tok + s <= budget:
+                acc_tok += s
+                acc_n += int(ni)
+            else:
+                m = (budget - acc_tok) // int(vi)
+                acc_tok += m * int(vi)
+                acc_n += m
+                break
+        rows.append((src, budget, acc_n, acc_tok))
+    return pd.DataFrame(rows, columns=["source", "budget", "n_kept",
+                                       "tok_kept"]).sort_values(
+        "source").reset_index(drop=True)
+
+
+SQL_TOKEN_BUDGET = """
+WITH t AS (SELECT doc_id, source,
+                  length(text) - length(replace(text, ' ', '')) + 1 AS tok
+           FROM documents),
+b AS (SELECT source, CAST(floor(0.5 * SUM(tok)) AS BIGINT) AS budget
+      FROM t GROUP BY source),
+r AS (SELECT source, tok,
+             SUM(tok) OVER (PARTITION BY source
+                            ORDER BY tok DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT r.source, b.budget, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(r.tok) AS BIGINT) AS tok_kept
+FROM r JOIN b USING (source) WHERE r.cum <= b.budget
+GROUP BY r.source, b.budget ORDER BY r.source
+"""
+
 
 
 QUERIES = {
@@ -6869,6 +7088,10 @@ QUERIES = {
     "containment_join": q_containment_join,
     "harmonic_centrality": q_harmonic_centrality,
     "random_walks": q_random_walks,
+    "chunk_overlap": q_chunk_overlap,
+    "ppr_seeds": q_ppr_seeds,
+    "source_overlap": q_source_overlap,
+    "token_budget": q_token_budget,
     "bigram_pmi": q_bigram_pmi,
     "top_terms": q_top_terms,
     "range_search": q_range_search,
@@ -7019,4 +7242,8 @@ ORACLE_SQL = {
     "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
     "random_walks": SQL_RANDOM_WALKS,
     "coreset_kcenter": _sql_kcenter(),
+    "chunk_overlap": SQL_CHUNK_OVERLAP,
+    "ppr_seeds": SQL_PPR_SEEDS,
+    "source_overlap": SQL_SOURCE_OVERLAP,
+    "token_budget": SQL_TOKEN_BUDGET,
 }

