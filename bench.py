@@ -234,7 +234,8 @@ def bench_queries() -> dict:
              "winsorize_lengths", "adamic_adar", "local_clustering",
              "host_budget", "containment_join", "bfs_depth", "bm25_topk",
              "range_search", "harmonic_centrality", "random_walks",
-             "coreset_kcenter"]
+             "coreset_kcenter", "chunk_overlap", "ppr_seeds",
+             "source_overlap", "token_budget"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
