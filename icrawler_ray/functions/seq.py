@@ -101,6 +101,59 @@ def assign_global_cumsum(ds: ray.data.Dataset, sort_keys: list[str], weight_col:
 
 
 @ray.remote
+def _block_count_and_sum(block: pa.Table, col: str) -> tuple[int, int]:
+    import pyarrow.compute as pc
+
+    if block.num_rows == 0 or col not in block.column_names:
+        return 0, 0  # sort can emit zero-row, even schema-less, blocks
+    return block.num_rows, int(pc.sum(block[col]).as_py() or 0)
+
+
+@ray.remote
+def _add_seq_cumsum_block(block: pa.Table, weight_col: str, cum_col: str,
+                          seq_col: str, cum_offset: int, seq_offset: int) -> pa.Table:
+    import numpy as np
+
+    w = block[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = (cum_offset + np.concatenate([[0], np.cumsum(w)[:-1]])
+              if len(w) else np.empty(0, np.int64))
+    block = block.append_column(cum_col, pa.array(starts.astype("int64"), type=pa.int64()))
+    n = block.num_rows
+    return block.append_column(seq_col, pa.array(range(seq_offset, seq_offset + n),
+                                                 type=pa.int64()))
+
+
+def assign_global_seq_and_cumsum(ds: ray.data.Dataset, sort_keys: list[str],
+                                 weight_col: str, cum_col: str = "cum_before",
+                                 seq_col: str = "seq", start: int = 0,
+                                 descending=False) -> ray.data.Dataset:
+    """ONE sort + ONE metadata stitch appending BOTH the dense global
+    index and the exclusive running total of ``weight_col``.
+
+    Fuses :func:`assign_global_seq` ∘ :func:`assign_global_cumsum`: both
+    are prefix sums over the same sort order, so chaining them costs an
+    extra per-block task wave and an extra driver round-trip for no new
+    information. The driver sees one ``(count, sum)`` pair per block; the
+    append is a single embarrassingly parallel pass."""
+    if sort_keys:
+        ds = ds.sort(sort_keys, descending=descending)
+    refs = ds.to_arrow_refs()
+    stats = ray.get([_block_count_and_sum.remote(r, weight_col) for r in refs])
+    out_refs = []
+    cum_offset, seq_offset = start, start
+    for r, (n, s) in zip(refs, stats):
+        if n == 0:
+            continue  # sort can emit zero-row (even schema-less) blocks
+        out_refs.append(_add_seq_cumsum_block.remote(
+            r, weight_col, cum_col, seq_col, cum_offset, seq_offset))
+        cum_offset += s
+        seq_offset += n
+    if not out_refs:
+        return ds
+    return ray.data.from_arrow_refs(out_refs)
+
+
+@ray.remote
 def _block_max(block: pa.Table, col: str) -> int:
     import pyarrow.compute as pc
 

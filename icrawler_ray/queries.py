@@ -1471,7 +1471,7 @@ def q_training_tape(sf_dir: str):
     ordering shuffle — only (doc_id, hash, n_tokens) moves. Output:
     (doc_id, pos, n_tokens, tok_start, seq_id). Every stage reuses an
     oracle-proven operator; the SQL oracle is the same chain as CTEs."""
-    from icrawler_ray.functions.seq import assign_global_cumsum, assign_global_seq
+    from icrawler_ray.functions.seq import assign_global_seq_and_cumsum
     from icrawler_ray.stages.dedup import md5_pair
     from icrawler_ray.stages.textfns import quality_scores
 
@@ -1495,9 +1495,12 @@ def q_training_tape(sf_dir: str):
                          "n_tokens": n_tok.cast(pa.int64()),
                          "h": pa.array(h, type=pa.uint64())})
 
+    # one sort + one stitch: pos (dense index) and tok_start (exclusive
+    # token cumsum) share the (h, doc_id) shuffle order, so fusing them
+    # drops the redundant re-sort by pos entirely
     ds2 = deduped.map_batches(narrow, batch_format="pyarrow")
-    pos = assign_global_seq(ds2, ["h", "doc_id"], col="pos")
-    packed = assign_global_cumsum(pos, ["pos"], "n_tokens", col="tok_start")
+    packed = assign_global_seq_and_cumsum(ds2, ["h", "doc_id"], "n_tokens",
+                                          cum_col="tok_start", seq_col="pos")
 
     def finish(t: pa.Table) -> pa.Table:
         start = t["tok_start"].to_numpy(zero_copy_only=False)
@@ -6330,7 +6333,7 @@ def q_host_budget(sf_dir: str):
     the pivot host i* (first unsatisfiable row) is a per-block partial
     min reduce; the final allocation pass is embarrassingly parallel
     with (B, H, i*, L) broadcast as four scalars."""
-    from icrawler_ray.functions.seq import assign_global_cumsum, assign_global_seq
+    from icrawler_ray.functions.seq import assign_global_seq_and_cumsum
 
     P = 32
     ds = _read(sf_dir, "events", ["user_id"])
@@ -6340,11 +6343,14 @@ def q_host_budget(sf_dir: str):
         g["part"] = (g["user_id"].to_numpy() % P).astype(np.int32)
         return g
 
+    # materialize: the per-host table feeds both the scalar (tot, H)
+    # reduce and the ranked sort — without this the read+double-groupby
+    # re-executes once per consumer
     hosts = (ds.map_batches(partial, batch_format="pandas")
              .groupby("part").map_groups(
                  lambda g: g.groupby("user_id", as_index=False)["n"].sum()
                  .rename(columns={"user_id": "host"}),
-                 batch_format="pandas"))
+                 batch_format="pandas")).materialize()
     agg = hosts.map_batches(
         lambda df: pd.DataFrame({"tot": [int(df["n"].sum())],
                                  "H": [len(df)]}),
@@ -6352,9 +6358,8 @@ def q_host_budget(sf_dir: str):
     tot, H = int(agg["tot"]), int(agg["H"])
     B = tot // 10
 
-    ranked = assign_global_seq(
-        assign_global_cumsum(hosts, ["n", "host"], "n", col="cumb"),
-        [], col="i0")
+    ranked = assign_global_seq_and_cumsum(hosts, ["n", "host"], "n",
+                                          cum_col="cumb", seq_col="i0")
 
     def pivot_partial(df: pd.DataFrame) -> pd.DataFrame:
         n = df["n"].to_numpy(dtype=np.int64)

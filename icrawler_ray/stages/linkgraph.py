@@ -525,7 +525,8 @@ def pagerank_partitioned(edges: rd.Dataset, n_nodes: int, *, iters: int = 5,
 
 def triangle_counts(edges: rd.Dataset, n_nodes: int, *,
                     deg_mode: str = "broadcast",
-                    dense_output: bool = True) -> pd.DataFrame:
+                    dense_output: bool = True,
+                    return_deg: bool = False) -> pd.DataFrame:
     """Per-node triangle participation counts via degree-ordered edge
     orientation (the classic MapReduce triangle algorithm: Suri &
     Vassilvitskii, "Counting Triangles and the Curse of the Last
@@ -562,8 +563,15 @@ def triangle_counts(edges: rd.Dataset, n_nodes: int, *,
          final reduce.
 
     Returns (node, tri) for all ``n_nodes`` nodes, sorted by node.
-    Packed int64 keys require ``n_nodes < 3e9``; beyond that use a
-    struct key (two-column groupby)."""
+    ``return_deg=True`` (broadcast + dense only) appends the undirected
+    degree column computed by step 2, so callers that need both — e.g.
+    :func:`local_clustering` — don't run a second canonicalize+degree
+    pass over the edge Dataset.  Packed int64 keys require
+    ``n_nodes < 3e9``; beyond that use a struct key (two-column
+    groupby)."""
+    if return_deg and (deg_mode != "broadcast" or not dense_output):
+        raise ValueError("return_deg requires deg_mode='broadcast' and "
+                         "dense_output=True (the dense degree vector)")
     if deg_mode == "broadcast" and n_nodes > MAX_BROADCAST_NODES:
         raise ValueError(
             f"triangle_counts(deg_mode='broadcast') holds a dense degree "
@@ -738,8 +746,11 @@ def triangle_counts(edges: rd.Dataset, n_nodes: int, *,
     tri = np.zeros(n_nodes, dtype=np.int64)
     if len(cnt):
         tri[cnt.index.to_numpy(dtype=np.int64)] = cnt.to_numpy(dtype=np.int64)
-    return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
-                         "tri": tri})
+    out = pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
+                        "tri": tri})
+    if return_deg:
+        out["deg"] = deg  # the step-2 dense vector (broadcast mode only)
+    return out
 
 
 def hits(edges: rd.Dataset, n_nodes: int, *, iters: int = 2) -> pd.DataFrame:
@@ -1170,22 +1181,11 @@ def local_clustering(edges: rd.Dataset, n_nodes: int) -> pd.DataFrame:
     undirected-degree combiner pass; the join is driver-side over two
     node-sized frames (bounded by MAX_BROADCAST_NODES via
     triangle_counts' dense-output guard; past that, both sides have
-    sparse/partitioned siblings)."""
-    tri = triangle_counts(edges, n_nodes)
-    n = np.int64(n_nodes)
-    P = np.int64(64)
-    und = _canonical_undirected(edges, n, P)
-
-    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        s = pd.Series(1, index=np.concatenate(
-            [df["a"].to_numpy(), df["b"].to_numpy()])).groupby(level=0).sum()
-        return pd.DataFrame({"node": s.index.to_numpy(), "c": s.to_numpy()})
-
-    parts = und.map_batches(deg_partial, batch_format="pandas").to_pandas()
-    deg = np.zeros(n_nodes, dtype=np.int64)
-    if len(parts):
-        agg = parts.groupby("node")["c"].sum()
-        deg[agg.index.to_numpy(dtype=np.int64)] = agg.to_numpy(dtype=np.int64)
+    sparse/partitioned siblings).  ``return_deg=True`` reuses the
+    counter's own canonicalize+degree pass, so the edge Dataset (and
+    anything lazy upstream of it) executes exactly once."""
+    tri = triangle_counts(edges, n_nodes, return_deg=True)
+    deg = tri["deg"].to_numpy(dtype=np.int64)
     t = tri["tri"].to_numpy(dtype=np.float64)
     denom = deg.astype(np.float64) * (deg - 1.0)
     coeff = np.divide(2.0 * t, denom, out=np.zeros_like(t),
