@@ -1116,26 +1116,25 @@ def containment_join_pairs(
         doc = g["doc_id"].to_numpy(dtype=np.int64)
         nd = g["n_doc"].to_numpy(dtype=np.int64)
         pref = g["is_prefix"].to_numpy(dtype=np.int8) == 1
+        # one repeat/offset expansion over all (prefix row x same-token
+        # row) pairs — no Python loop over token runs
         starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
-        ends = np.r_[starts[1:], len(tok)]
-        aa, bb, na = [], [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            pi = np.flatnonzero(pref[s:e]) + s
-            if not len(pi):
-                continue
-            ai = np.repeat(pi, e - s)
-            bi = np.tile(np.arange(s, e), len(pi))
-            keep = (doc[ai] != doc[bi]) & (nd[bi] >= np.ceil(t * nd[ai]))
-            aa.append(doc[ai[keep]])
-            bb.append(doc[bi[keep]])
-            na.append(nd[ai[keep]])
-        if not aa:
+        run_len = np.diff(np.append(starts, len(tok)))
+        run_of = np.repeat(np.arange(len(starts)), run_len)
+        pi = np.flatnonzero(pref)                 # global prefix-row indices
+        cnt = run_len[run_of[pi]]                 # pairs emitted per prefix row
+        total = int(cnt.sum())
+        if not total:
             return empty
-        return pd.DataFrame({"a": np.concatenate(aa),
-                             "b": np.concatenate(bb),
-                             "na": np.concatenate(na)})
+        ai = np.repeat(pi, cnt)
+        off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        bi = np.repeat(starts[run_of[pi]], cnt) + off
+        keep = (doc[ai] != doc[bi]) & (nd[bi] >= np.ceil(t * nd[ai]))
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"a": doc[ai[keep]],
+                             "b": doc[bi[keep]],
+                             "na": nd[ai[keep]]})
 
     rows = ds.map_batches(stage_rows, batch_format="pyarrow").map_batches(
         lambda df: df.assign(part=(df["tok"].to_numpy(dtype=np.uint64)
