@@ -235,7 +235,9 @@ def bench_queries() -> dict:
              "host_budget", "containment_join", "bfs_depth", "bm25_topk",
              "range_search", "harmonic_centrality", "random_walks",
              "coreset_kcenter", "chunk_overlap", "ppr_seeds",
-             "source_overlap", "token_budget"]
+             "source_overlap", "token_budget",
+             "redirect_resolve", "recrawl_schedule", "url_templates",
+             "trap_audit", "column_profile"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -6954,6 +6954,258 @@ GROUP BY r.source, b.budget ORDER BY r.source
 """
 
 
+def q_redirect_resolve(sf_dir: str):
+    """Frontier redirect flattening: resolve every redirecting URL to the
+    END of its redirect chain (plus hop count) via pointer doubling —
+    O(log L) hash-partitioned exchanges, never a per-row walk and never a
+    broadcast mapping (stages/linkgraph.py::resolve_redirects; the
+    reference follows redirects per-request inside each worker thread,
+    downloader.py:150, with no corpus-level view).  Chains synthesized
+    from doc_id arithmetic so the oracle can replay the same doubling as
+    four unrolled LEFT JOINs."""
+    from icrawler_ray.stages.linkgraph import resolve_redirects
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(dtype=np.int64)
+        d = d[d % 10 != 0]
+        return pd.DataFrame({"src": d, "dst": d - 1})
+
+    out = resolve_redirects(
+        ds.map_batches(edges, batch_format="pandas")).to_pandas()
+    out = out.rename(columns={"src": "url_id", "dst": "resolved"})
+    return out.sort_values("url_id").reset_index(drop=True)
+
+
+SQL_REDIRECT_RESOLVE = """
+WITH e AS (SELECT doc_id AS src, doc_id - 1 AS dst, CAST(1 AS BIGINT) AS hops
+           FROM documents WHERE doc_id % 10 <> 0),
+r1 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst,
+              a.hops + COALESCE(b.hops, 0) AS hops
+       FROM e a LEFT JOIN e b ON a.dst = b.src),
+r2 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst,
+              a.hops + COALESCE(b.hops, 0) AS hops
+       FROM r1 a LEFT JOIN r1 b ON a.dst = b.src),
+r3 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst,
+              a.hops + COALESCE(b.hops, 0) AS hops
+       FROM r2 a LEFT JOIN r2 b ON a.dst = b.src),
+r4 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst,
+              a.hops + COALESCE(b.hops, 0) AS hops
+       FROM r3 a LEFT JOIN r3 b ON a.dst = b.src)
+SELECT src AS url_id, dst AS resolved, hops FROM r4 ORDER BY url_id
+"""
+
+
+def q_recrawl_schedule(sf_dir: str):
+    """Recrawl scheduling audit (Cho & Garcia-Molina 2003): per-URL
+    change-rate estimate lambda = -ln((n - k + 0.5)/(n + 0.5)) from k
+    observed changes over n visits (the bias-corrected MLE), bucketed
+    into hot/warm/cold tiers by fixed lambda thresholds; per (source,
+    tier) doc counts and mean lambda.  ONE combiner pass — per-batch
+    (source, tier, n, sum_lambda) partials, tiny final reduce; lambda is
+    rounded to 6 dp BEFORE summing on both sides so the float64 partial
+    order can't blur the hash."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(dtype=np.int64)
+        n = 4 + (d % 5)
+        k = (d * 7) % (n + 1)
+        lam = np.round(-np.log((n - k + 0.5) / (n + 0.5)), 6)
+        tier = np.where(lam >= 0.6931, "hot",
+                        np.where(lam >= 0.2, "warm", "cold"))
+        g = pd.DataFrame({"source": df["source"], "tier": tier, "lam": lam})
+        out = g.groupby(["source", "tier"], as_index=False).agg(
+            n=("lam", "size"), s=("lam", "sum"))
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["source", "tier"], as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"))
+    agg["n_docs"] = agg["n"].astype("int64")
+    agg["mean_lambda"] = (agg["s"] / agg["n"]).round(6)
+    return agg[["source", "tier", "n_docs", "mean_lambda"]].sort_values(
+        ["source", "tier"]).reset_index(drop=True)
+
+
+SQL_RECRAWL_SCHEDULE = """
+WITH v AS (SELECT source, 4 + (doc_id % 5) AS n,
+                  (doc_id * 7) % (4 + (doc_id % 5) + 1) AS k
+           FROM documents),
+l AS (SELECT source, ROUND(-ln((n - k + 0.5) / (n + 0.5)), 6) AS lam FROM v),
+t AS (SELECT source,
+             CASE WHEN lam >= 0.6931 THEN 'hot'
+                  WHEN lam >= 0.2 THEN 'warm' ELSE 'cold' END AS tier, lam
+      FROM l)
+SELECT source, tier, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(lam) / COUNT(*), 6) AS mean_lambda
+FROM t GROUP BY source, tier ORDER BY source, tier
+"""
+
+
+def _url_template_counts(sf_dir: str) -> pd.DataFrame:
+    """Shared combiner for url_templates / trap_audit: synthesize a URL
+    path per event (three deterministic shapes), reduce digit runs to
+    'N' (the classic URL-template normalization), and return exact
+    (host, template, n_urls) counts — per-batch partials, tiny final
+    reduce, nothing event-sized past the first exchange."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["event_id"].to_numpy(dtype=np.int64)
+        host = "h" + (df["user_id"] % 40).astype(str)
+        m = e % 3
+        path = pd.Series(
+            np.where(m == 0, "/archive/" + pd.Series(e % 12).astype(str),
+                     np.where(m == 1, "/tag/" + df["event_type"].astype(str),
+                              "/post/" + pd.Series(e).astype(str))),
+            index=df.index, dtype="string")
+        tmpl = path.str.replace(r"[0-9]+", "N", regex=True)
+        g = pd.DataFrame({"host": host, "template": tmpl.astype(object)})
+        return g.groupby(["host", "template"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["host", "template"], as_index=False)["n"].sum()
+    out["n_urls"] = out["n"].astype("int64")
+    return out[["host", "template", "n_urls"]]
+
+
+def q_url_templates(sf_dir: str):
+    """URL-template mining over the synthesized event URL stream: digit
+    runs collapse to 'N', exact counts per (host, template) — the
+    frontier-side audit a crawler runs to spot parameter explosions.
+    Combiner-only: see _url_template_counts."""
+    return _url_template_counts(sf_dir).sort_values(
+        ["host", "template"]).reset_index(drop=True)
+
+
+SQL_URL_TEMPLATES = """
+WITH u AS (SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+  CASE WHEN event_id % 3 = 0 THEN '/archive/' || CAST(event_id % 12 AS VARCHAR)
+       WHEN event_id % 3 = 1 THEN '/tag/' || event_type
+       ELSE '/post/' || CAST(event_id AS VARCHAR) END AS path
+  FROM events)
+SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM u GROUP BY host, template ORDER BY host, template
+"""
+
+
+def q_trap_audit(sf_dir: str):
+    """Crawl-trap audit: hosts whose URL count vastly exceeds their
+    distinct-template count (calendar pages, session-id echoes —
+    the pathology that sinks naive frontiers).  Rolls the
+    _url_template_counts combiner output up to per-host (n_urls,
+    n_templates, ratio, trap flag) — everything past the one exchange is
+    template-cardinality-sized."""
+    t = _url_template_counts(sf_dir)
+    g = t.groupby("host").agg(n_urls=("n_urls", "sum"),
+                              n_templates=("template", "nunique"))
+    g["n_urls"] = g["n_urls"].astype("int64")
+    g["n_templates"] = g["n_templates"].astype("int64")
+    g["ratio"] = (g["n_urls"] / g["n_templates"]).round(6)
+    g["trap"] = (g["ratio"] > 60.0).astype("int64")
+    return g.reset_index().sort_values("host").reset_index(drop=True)
+
+
+SQL_TRAP_AUDIT = """
+WITH u AS (SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+  regexp_replace(
+    CASE WHEN event_id % 3 = 0 THEN '/archive/' || CAST(event_id % 12 AS VARCHAR)
+         WHEN event_id % 3 = 1 THEN '/tag/' || event_type
+         ELSE '/post/' || CAST(event_id AS VARCHAR) END,
+    '[0-9]+', 'N', 'g') AS template
+  FROM events)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT template) AS BIGINT) AS n_templates,
+       ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT template), 6) AS ratio,
+       CAST(CASE WHEN COUNT(*) * 1.0 / COUNT(DISTINCT template) > 60.0
+            THEN 1 ELSE 0 END AS BIGINT) AS trap
+FROM u GROUP BY host ORDER BY host
+"""
+
+
+def q_column_profile(sf_dir: str):
+    """Data-quality column profiling of the events table: per column the
+    row count, null count, EXACT distinct count, and numeric min/max
+    (timestamps as epoch micros; strings get NULL min/max).  Shape:
+    per-batch (col, stat) partials for n/null/min/max plus per-batch
+    DEDUPED (col, value) identities for the distinct count — the only
+    exchange is sized by the sum of per-block distincts, never by rows."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    numeric = {"event_id", "ts", "user_id", "value"}
+    ds = _read(sf_dir, "events", cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = df[c]
+            nn = int(s.isna().sum())
+            if c == "ts":
+                v = s.astype("int64")
+            else:
+                v = s
+            if c in numeric and len(s) > nn:
+                mn, mx = float(v.min()), float(v.max())
+            else:
+                mn = mx = np.nan
+            rows.append((c, len(s), nn, mn, mx))
+        return pd.DataFrame(rows, columns=["col", "n", "nn", "mn", "mx"])
+
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            v = df[c]
+            if c == "ts":
+                v = v.astype("int64")
+            u = v.dropna().astype(str).unique()
+            frames.append(pd.DataFrame({"col": c, "v": u}))
+        return pd.concat(frames, ignore_index=True)
+
+    stats = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = stats.groupby("col").agg(n_rows=("n", "sum"), n_null=("nn", "sum"),
+                                   min_num=("mn", "min"), max_num=("mx", "max"))
+    dist = (ds.map_batches(ident, batch_format="pandas")
+            .groupby("col").map_groups(
+                lambda g: pd.DataFrame({"col": [g["col"].iloc[0]],
+                                        "nd": [g["v"].nunique()]}),
+                batch_format="pandas").to_pandas().set_index("col"))
+    out = agg.join(dist)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_null"] = out["n_null"].astype("int64")
+    out["n_distinct"] = out["nd"].astype("int64")
+    out = out.reset_index()[["col", "n_rows", "n_null", "n_distinct",
+                             "min_num", "max_num"]]
+    return out.sort_values("col").reset_index(drop=True)
+
+
+SQL_COLUMN_PROFILE = """
+SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(event_id) AS DOUBLE) AS min_num,
+       CAST(MAX(event_id) AS DOUBLE) AS max_num FROM events
+UNION ALL
+SELECT 'ts', COUNT(*), CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT ts), CAST(epoch_us(MIN(ts)) AS DOUBLE),
+       CAST(epoch_us(MAX(ts)) AS DOUBLE) FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT user_id), CAST(MIN(user_id) AS DOUBLE),
+       CAST(MAX(user_id) AS DOUBLE) FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*), CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT event_type), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'value', COUNT(*), CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT value), CAST(MIN(value) AS DOUBLE),
+       CAST(MAX(value) AS DOUBLE) FROM events
+ORDER BY col
+"""
+
 
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
@@ -7097,6 +7349,11 @@ QUERIES = {
     "ppr_seeds": q_ppr_seeds,
     "source_overlap": q_source_overlap,
     "token_budget": q_token_budget,
+    "redirect_resolve": q_redirect_resolve,
+    "recrawl_schedule": q_recrawl_schedule,
+    "url_templates": q_url_templates,
+    "trap_audit": q_trap_audit,
+    "column_profile": q_column_profile,
     "bigram_pmi": q_bigram_pmi,
     "top_terms": q_top_terms,
     "range_search": q_range_search,
@@ -7251,4 +7508,9 @@ ORACLE_SQL = {
     "ppr_seeds": SQL_PPR_SEEDS,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "token_budget": SQL_TOKEN_BUDGET,
+    "redirect_resolve": SQL_REDIRECT_RESOLVE,
+    "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
+    "url_templates": SQL_URL_TEMPLATES,
+    "trap_audit": SQL_TRAP_AUDIT,
+    "column_profile": SQL_COLUMN_PROFILE,
 }

@@ -42,7 +42,7 @@ import ray.data as rd
 __all__ = ["derive_edges", "degree_table", "pagerank", "pagerank_partitioned",
            "connected_components", "pairs_components", "triangle_counts", "bfs_depths",
            "seed_depths", "harmonic_centrality", "random_walks",
-           "personalized_pagerank",
+           "personalized_pagerank", "resolve_redirects",
            "hits", "hits_partitioned", "kcore_membership",
            "kcore_membership_partitioned"]
 
@@ -1439,3 +1439,79 @@ def personalized_pagerank(edges: rd.Dataset, n_nodes: int,
         p = base.copy()
         p[agg.index.to_numpy()] += (1.0 - alpha) * agg.to_numpy()
     return p
+
+
+def resolve_redirects(edges: rd.Dataset, *, src_col: str = "src",
+                      dst_col: str = "dst", num_partitions: int = 64,
+                      max_rounds: int = 48) -> rd.Dataset:
+    """Redirect-chain resolution to terminal targets via pointer doubling.
+
+    Corpus-level redirect flattening the reference lacks entirely (it
+    follows redirects inside each worker thread via the requests session,
+    downloader.py:150 — no frontier-wide view): given a functional
+    (src, dst) redirect edge set, rewrite every src to the END of its
+    chain and report the hop count, in O(log L) rounds for max chain
+    length L — never a per-row walk.
+
+    Scale shape (1e10-URL design point): each round is ONE
+    hash-partitioned exchange of (src, dst, hops) identities keyed by the
+    current dst; the mapping is never broadcast, no dense per-node vector
+    exists, so MAX_BROADCAST_NODES does not apply.  Pointer doubling
+    composes the mapping with itself, so chains collapse in ceil(log2 L)
+    rounds; rows whose dst is not itself a src are terminal and ride the
+    exchange unchanged.  Early-stops on the first round with zero
+    rewrites (one tiny ``sum`` over a materialized int8 column per
+    round).  ``max_rounds`` bounds pathological redirect CYCLES, which
+    real crawlers cap the same way (requests' 30-redirect limit the
+    reference inherits); a cycle resolves to a deterministic in-cycle
+    node after 2**max_rounds composed steps.
+
+    Returns a Dataset (src, dst, hops) with dst = terminal target.
+    """
+    P = np.int64(num_partitions)
+
+    def init(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": df[src_col].to_numpy(dtype=np.int64),
+            "dst": df[dst_col].to_numpy(dtype=np.int64),
+            "hops": np.ones(len(df), dtype=np.int64),
+            "moved": np.zeros(len(df), dtype=np.int8),
+        })
+
+    cur = edges.map_batches(init, batch_format="pandas").materialize()
+
+    def fanout(df: pd.DataFrame) -> pd.DataFrame:
+        # each current row participates twice: as a PROBE keyed by its
+        # dst (wants to advance) and as a BUILD mapping keyed by its src
+        # (tells probes where that node currently points) — one exchange.
+        probe = pd.DataFrame({
+            "key": df["dst"], "side": np.int8(0), "src": df["src"],
+            "dst": df["dst"], "hops": df["hops"],
+            "bdst": np.int64(0), "bhops": np.int64(0)})
+        build = pd.DataFrame({
+            "key": df["src"], "side": np.int8(1), "src": np.int64(0),
+            "dst": np.int64(0), "hops": np.int64(0),
+            "bdst": df["dst"], "bhops": df["hops"]})
+        out = pd.concat([probe, build], ignore_index=True)
+        out["part"] = (out["key"].to_numpy(dtype=np.int64) % P).astype(np.int32)
+        return out
+
+    def advance(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0]
+        b = g.loc[g["side"] == 1, ["key", "bdst", "bhops"]]
+        m = p[["key", "src", "dst", "hops"]].merge(b, on="key", how="left")
+        hit = m["bdst"].notna().to_numpy()
+        dst = np.where(hit, m["bdst"].fillna(0).to_numpy(dtype=np.int64),
+                       m["dst"].to_numpy(dtype=np.int64))
+        hops = m["hops"].to_numpy(dtype=np.int64) + np.where(
+            hit, m["bhops"].fillna(0).to_numpy(dtype=np.int64), 0)
+        return pd.DataFrame({"src": m["src"], "dst": dst, "hops": hops,
+                             "moved": hit.astype(np.int8)})
+
+    for _ in range(max_rounds):
+        cur = (cur.map_batches(fanout, batch_format="pandas")
+               .groupby("part").map_groups(advance, batch_format="pandas")
+               .materialize())
+        if int(cur.sum("moved") or 0) == 0:
+            break
+    return cur.drop_columns(["moved"])
