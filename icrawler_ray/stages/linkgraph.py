@@ -1475,29 +1475,44 @@ def resolve_redirects(edges: rd.Dataset, *, src_col: str = "src",
             "src": df[src_col].to_numpy(dtype=np.int64),
             "dst": df[dst_col].to_numpy(dtype=np.int64),
             "hops": np.ones(len(df), dtype=np.int64),
+            "done": np.zeros(len(df), dtype=np.int8),
             "moved": np.zeros(len(df), dtype=np.int8),
         })
 
     cur = edges.map_batches(init, batch_format="pandas").materialize()
 
     def fanout(df: pd.DataFrame) -> pd.DataFrame:
-        # each current row participates twice: as a PROBE keyed by its
-        # dst (wants to advance) and as a BUILD mapping keyed by its src
-        # (tells probes where that node currently points) — one exchange.
+        # Every row serves as a BUILD mapping entry keyed by its src
+        # (probes pointing AT this node must still learn where it points,
+        # even after it froze).  Only NOT-yet-terminal rows also emit a
+        # PROBE keyed by their dst: a row that failed to advance once can
+        # never advance again (the build key set — the srcs — never
+        # changes), so terminal rows ride build-only, halving late-round
+        # traffic and skipping their merge work.
+        act = df[df["done"] == 0]
         probe = pd.DataFrame({
-            "key": df["dst"], "side": np.int8(0), "src": df["src"],
-            "dst": df["dst"], "hops": df["hops"],
-            "bdst": np.int64(0), "bhops": np.int64(0)})
+            "key": act["dst"], "side": np.int8(0), "src": act["src"],
+            "dst": act["dst"], "hops": act["hops"],
+            "bdst": np.int64(0), "bhops": np.int64(0), "bdone": np.int8(0)})
         build = pd.DataFrame({
             "key": df["src"], "side": np.int8(1), "src": np.int64(0),
             "dst": np.int64(0), "hops": np.int64(0),
-            "bdst": df["dst"], "bhops": df["hops"]})
+            "bdst": df["dst"], "bhops": df["hops"],
+            "bdone": df["done"].astype(np.int8)})
         out = pd.concat([probe, build], ignore_index=True)
         out["part"] = (out["key"].to_numpy(dtype=np.int64) % P).astype(np.int32)
         return out
 
     def advance(g: pd.DataFrame) -> pd.DataFrame:
+        # frozen rows reconstruct from their build entry (each original
+        # row appears exactly once on the build side, so no duplication)
+        fz = g[(g["side"] == 1) & (g["bdone"] == 1)]
+        frozen = pd.DataFrame({
+            "src": fz["key"], "dst": fz["bdst"], "hops": fz["bhops"],
+            "done": np.int8(1), "moved": np.int8(0)})
         p = g[g["side"] == 0]
+        if not len(p):
+            return frozen
         b = g.loc[g["side"] == 1, ["key", "bdst", "bhops"]]
         m = p[["key", "src", "dst", "hops"]].merge(b, on="key", how="left")
         hit = m["bdst"].notna().to_numpy()
@@ -1505,8 +1520,10 @@ def resolve_redirects(edges: rd.Dataset, *, src_col: str = "src",
                        m["dst"].to_numpy(dtype=np.int64))
         hops = m["hops"].to_numpy(dtype=np.int64) + np.where(
             hit, m["bhops"].fillna(0).to_numpy(dtype=np.int64), 0)
-        return pd.DataFrame({"src": m["src"], "dst": dst, "hops": hops,
-                             "moved": hit.astype(np.int8)})
+        adv = pd.DataFrame({"src": m["src"], "dst": dst, "hops": hops,
+                            "done": (~hit).astype(np.int8),
+                            "moved": hit.astype(np.int8)})
+        return pd.concat([adv, frozen], ignore_index=True)
 
     for _ in range(max_rounds):
         cur = (cur.map_batches(fanout, batch_format="pandas")
@@ -1514,4 +1531,4 @@ def resolve_redirects(edges: rd.Dataset, *, src_col: str = "src",
                .materialize())
         if int(cur.sum("moved") or 0) == 0:
             break
-    return cur.drop_columns(["moved"])
+    return cur.drop_columns(["done", "moved"])
