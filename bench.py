@@ -237,7 +237,8 @@ def bench_queries() -> dict:
              "coreset_kcenter", "chunk_overlap", "ppr_seeds",
              "source_overlap", "token_budget",
              "redirect_resolve", "recrawl_schedule", "url_templates",
-             "trap_audit", "column_profile"]
+             "trap_audit", "column_profile",
+             "hard_negatives", "neighbor_jaccard", "host_latency_slo"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -7207,6 +7207,113 @@ ORDER BY col
 """
 
 
+def q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining: for the first 8 embedding rows
+    (by vec_id), the most-cosine-similar vector with a DIFFERENT label
+    (stages/similarity.py::hard_negative_top1 — broadcast query matrix,
+    per-batch masked matmul, one candidate row per query per block)."""
+    from icrawler_ray.stages.similarity import hard_negative_top1
+
+    head = _read(sf_dir, "embeddings",
+                 ["vec_id", "embedding", "label"]).sort("vec_id").limit(8).to_pandas()
+    queries = np.asarray(head["embedding"].tolist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return hard_negative_top1(ds, queries, head["label"].to_numpy(),
+                              head["vec_id"].to_numpy())
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+           FROM embeddings ORDER BY vec_id LIMIT 8),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.label <> q.ql)
+SELECT query_id, vec_id AS neg_id FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, vec_id) = 1
+ORDER BY query_id
+"""
+
+
+def q_neighbor_jaccard(sf_dir: str):
+    """Structural-equivalence pairs over the derived link graph: Jaccard
+    of neighbor sets >= 0.3 for pairs sharing >= 1 neighbor, endpoint and
+    wedge degrees capped at 64 (stages/linkgraph.py::
+    neighborhood_jaccard_pairs — wedge expansion + exact in-bucket
+    degrees + two pair-sized bucketed deg joins; the mirror-page signal
+    of a crawl scheduler)."""
+    from icrawler_ray.stages.linkgraph import (derive_edges,
+                                               neighborhood_jaccard_pairs)
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    return neighborhood_jaccard_pairs(derive_edges(docs, n), n)
+
+
+SQL_NEIGHBOR_JACCARD = f"""
+WITH {_SQL_EDGES_CTE},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges),
+adj AS (SELECT a AS w, b AS v FROM und UNION ALL SELECT b AS w, a AS v FROM und),
+deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
+okw AS (SELECT adj.w, adj.v FROM adj JOIN deg ON deg.w = adj.w
+        WHERE deg.d BETWEEN 2 AND 64),
+p AS (SELECT x.v AS a, y.v AS b FROM okw x
+      JOIN okw y ON y.w = x.w AND x.v < y.v),
+c AS (SELECT a, b, COUNT(*) AS common FROM p GROUP BY a, b),
+j AS (SELECT c.a, c.b,
+             ROUND(c.common * 1.0 / (da.d + db.d - c.common), 6) AS jaccard
+      FROM c JOIN deg da ON da.w = c.a JOIN deg db ON db.w = c.b
+      WHERE da.d <= 64 AND db.d <= 64)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, jaccard
+FROM j WHERE jaccard >= 0.3 ORDER BY a, b
+"""
+
+
+def q_host_latency_slo(sf_dir: str):
+    """Per-host fetch-latency SLO report: exact p50/p95 and an SLO-breach
+    flag (p95 > 400 ms) over a deterministic synthetic latency per event,
+    via the (host, latency)-histogram combiner — one row per distinct
+    (host, ms) per block, never per event; quantile definition matches
+    DuckDB quantile_disc (smallest value with cum >= ceil(q*n))."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        host = "h" + (df["user_id"] % 40).astype(str)
+        lat = 20 + (df["event_id"].to_numpy(dtype=np.int64) * 37) % 480
+        g = pd.DataFrame({"host": host, "lat": lat})
+        return g.groupby(["host", "lat"]).size().rename("c").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    hist = parts.groupby(["host", "lat"])["c"].sum().reset_index()
+    rows = []
+    for host, g in hist.groupby("host"):
+        g = g.sort_values("lat")
+        cum = g["c"].cumsum().to_numpy()
+        vals = g["lat"].to_numpy()
+        n = int(cum[-1])
+        p50 = int(vals[np.searchsorted(cum, int(np.ceil(0.5 * n)))])
+        p95 = int(vals[np.searchsorted(cum, int(np.ceil(0.95 * n)))])
+        rows.append({"host": host, "n": n, "p50": p50, "p95": p95,
+                     "breach": int(p95 > 400)})
+    return pd.DataFrame(rows).sort_values("host").reset_index(drop=True)
+
+
+SQL_HOST_LATENCY_SLO = """
+WITH l AS (SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+                  20 + (event_id * 37) % 480 AS lat
+           FROM events)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(quantile_disc(lat, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(lat, 0.95) AS BIGINT) AS p95,
+       CAST(CASE WHEN quantile_disc(lat, 0.95) > 400 THEN 1 ELSE 0 END
+            AS BIGINT) AS breach
+FROM l GROUP BY host ORDER BY host
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -7354,6 +7461,9 @@ QUERIES = {
     "url_templates": q_url_templates,
     "trap_audit": q_trap_audit,
     "column_profile": q_column_profile,
+    "hard_negatives": q_hard_negatives,
+    "neighbor_jaccard": q_neighbor_jaccard,
+    "host_latency_slo": q_host_latency_slo,
     "bigram_pmi": q_bigram_pmi,
     "top_terms": q_top_terms,
     "range_search": q_range_search,
@@ -7513,4 +7623,7 @@ ORACLE_SQL = {
     "url_templates": SQL_URL_TEMPLATES,
     "trap_audit": SQL_TRAP_AUDIT,
     "column_profile": SQL_COLUMN_PROFILE,
+    "hard_negatives": SQL_HARD_NEGATIVES,
+    "neighbor_jaccard": SQL_NEIGHBOR_JACCARD,
+    "host_latency_slo": SQL_HOST_LATENCY_SLO,
 }

@@ -1532,3 +1532,130 @@ def resolve_redirects(edges: rd.Dataset, *, src_col: str = "src",
         if int(cur.sum("moved") or 0) == 0:
             break
     return cur.drop_columns(["done", "moved"])
+
+
+def neighborhood_jaccard_pairs(edges: rd.Dataset, n_nodes: int, *,
+                               max_deg: int = 64, threshold: float = 0.3,
+                               num_partitions: int = 64) -> pd.DataFrame:
+    """Structural-equivalence pairs: Jaccard similarity of neighbor SETS,
+    J(a, b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, for every node pair sharing
+    at least one neighbor (Lorrain & White 1971 structural equivalence;
+    the mirror/doorway-page signal a crawl scheduler uses — two URLs
+    whose outlink sets coincide are almost surely the same page).
+
+    Scale shape: shared-neighbor counting is the triangle/adamic-adar
+    wedge expansion — adjacency bucketed by ``w % P`` so each neighbor
+    run lands whole, repeat/offset pair emission, runs capped at
+    ``max_deg`` (a 1e6-degree hub emits 1e12 wedges and is never a
+    mirror candidate).  Exact degrees fall out of the SAME bucketed pass
+    (a node's full adjacency shares its bucket), so the union size needs
+    no extra adjacency scan; degrees then attach to the pair table via
+    two hash-bucketed joins keyed by each endpoint — every stage past
+    the wedge pass is PAIR-set-sized, nothing is broadcast, and the
+    endpoint cap bounds the join fan-in.  Packed int64 keys require
+    n_nodes < 3e9."""
+    n = np.int64(n_nodes)
+    P = np.int64(num_partitions)
+    und = _canonical_undirected(edges, n, P).materialize()
+
+    def adj_rows(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        w = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pd.DataFrame({"w": w, "v": v, "part": w % P})
+
+    def wedge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((g["v"].to_numpy(dtype=np.int64),
+                        g["w"].to_numpy(dtype=np.int64)))
+        w = g["w"].to_numpy(dtype=np.int64)[o]
+        v = g["v"].to_numpy(dtype=np.int64)[o]
+        run_start = np.nonzero(np.concatenate([[True], w[1:] != w[:-1]]))[0]
+        run_len = np.diff(np.append(run_start, len(w)))
+        # kind=1 rows: exact degree per node (full adjacency is in-bucket)
+        deg = pd.DataFrame({"kind": np.int8(1), "key": w[run_start],
+                            "d": run_len.astype(np.int64)})
+        elem_len = np.repeat(run_len, run_len)
+        run_end = np.repeat(run_start + run_len, run_len)
+        k = np.where((elem_len >= 2) & (elem_len <= max_deg),
+                     run_end - np.arange(len(w)) - 1, 0)
+        total = int(k.sum())
+        if not total:
+            return deg
+        idx_i = np.repeat(np.arange(len(w)), k)
+        off = np.arange(total) - np.repeat(np.cumsum(k) - k, k) + 1
+        idx_j = idx_i + off
+        pairs = pd.DataFrame({"kind": np.int8(0),
+                              "key": v[idx_i] * n + v[idx_j],
+                              "d": np.ones(total, dtype=np.int64)})
+        return pd.concat([pairs, deg], ignore_index=True)
+
+    mixed = (und.map_batches(adj_rows, batch_format="pandas")
+             .groupby("part").map_groups(wedge_bucket, batch_format="pandas")
+             .materialize())
+    degs = mixed.map_batches(
+        lambda df: df[df["kind"] == 1][["key", "d"]]
+        .rename(columns={"key": "node"}), batch_format="pandas")
+
+    def common_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("key")["d"].sum()
+        key = s.index.to_numpy(dtype=np.int64)
+        return pd.DataFrame({"a": key // n, "b": key % n,
+                             "common": s.to_numpy(dtype=np.int64)})
+
+    common = (mixed.map_batches(
+        lambda df: df[df["kind"] == 0].assign(
+            part=(df.loc[df["kind"] == 0, "key"].to_numpy(dtype=np.int64) % P)
+            .astype(np.int32)), batch_format="pandas")
+        .groupby("part").map_groups(common_bucket, batch_format="pandas"))
+
+    def attach(endpoint: str, deg_name: str):
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            p = g[g["side"] == 0].drop(columns=["side", "node", "d", "part"])
+            b = g.loc[g["side"] == 1, ["node", "d"]]
+            m = p.merge(b, left_on=endpoint, right_on="node", how="inner")
+            m = m[m["d"] <= max_deg].drop(columns=["node"])
+            return m.rename(columns={"d": deg_name})
+        return merge
+
+    def tag_pairs(col, extra):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["side"] = np.int8(0)
+            out["node"] = np.int64(0)
+            out["d"] = np.int64(0)
+            out["part"] = (out[col].to_numpy(dtype=np.int64) % P).astype(np.int32)
+            return out[["a", "b", "common", *extra, "side", "node", "d", "part"]]
+        return fn
+
+    def tag_degs(extra):
+        # schemas of the two union sides MUST match exactly — Ray
+        # null-fills missing columns, silently floatifying the int keys
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            z = np.zeros(len(df), dtype=np.int64)
+            out["a"], out["b"], out["common"] = z, z, z
+            for c in extra:
+                out[c] = z
+            out["side"] = np.int8(1)
+            out["part"] = (out["node"].to_numpy(dtype=np.int64) % P).astype(np.int32)
+            return out[["a", "b", "common", *extra, "side", "node", "d", "part"]]
+        return fn
+
+    with_da = (common.map_batches(tag_pairs("a", []), batch_format="pandas")
+               .union(degs.map_batches(tag_degs([]), batch_format="pandas"))
+               .groupby("part").map_groups(attach("a", "da"),
+                                           batch_format="pandas"))
+    with_db = (with_da.map_batches(tag_pairs("b", ["da"]), batch_format="pandas")
+               .union(degs.map_batches(tag_degs(["da"]), batch_format="pandas"))
+               .groupby("part").map_groups(attach("b", "db"),
+                                           batch_format="pandas"))
+    out = with_db.to_pandas()
+    if not len(out):
+        return pd.DataFrame({"a": np.array([], dtype=np.int64),
+                             "b": np.array([], dtype=np.int64),
+                             "jaccard": np.array([], dtype=np.float64)})
+    union = (out["da"] + out["db"] - out["common"]).to_numpy(dtype=np.float64)
+    out["jaccard"] = np.round(out["common"].to_numpy(dtype=np.float64) / union, 6)
+    out = out[out["jaccard"] >= threshold][["a", "b", "jaccard"]]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -545,3 +545,54 @@ def range_search(ds: ray.data.Dataset, queries: np.ndarray, threshold: float,
     out["sim"] = np.round(out["sim"], 6)
     return (out.sort_values(["query_id", "vec_id"])
             .reset_index(drop=True)[["query_id", "vec_id", "sim"]])
+
+
+def hard_negative_top1(ds: ray.data.Dataset, queries: np.ndarray,
+                       query_labels: np.ndarray, query_ids: np.ndarray,
+                       *, id_col: str = "vec_id", vec_col: str = "embedding",
+                       label_col: str = "label") -> pd.DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the single most-cosine-similar corpus vector whose label
+    DIFFERS from the query's (the classic in-batch-negatives upgrade —
+    see e.g. Karpukhin et al. 2020 DPR §5).
+
+    Scale shape: the query matrix + labels ride ONE ``ray.put``; each
+    batch does a dense matmul, masks same-label columns, and emits at
+    most ONE (query, candidate, sim) row per query — the driver merge is
+    O(n_queries × n_blocks).  Ties break (sim desc, vec_id asc) per
+    batch AND at the merge, so per-batch truncation cannot change the
+    answer."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put((qn, np.asarray(query_labels), np.asarray(query_ids)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, ql, qi = ray.get(q_ref)
+        m = _normalize(_as_matrix(batch[vec_col]))
+        labels = np.asarray(batch[label_col].to_pylist())
+        ids = np.asarray(batch[id_col].to_pylist())
+        sims = q @ m.T
+        out = {"query_id": [], "neg_id": [], "sim": []}
+        for j in range(len(q)):
+            ok = np.flatnonzero(labels != ql[j])
+            if not len(ok):
+                continue
+            s = sims[j, ok]
+            # best = max sim, ties -> lowest id (lexsort on (-sim, id))
+            best = ok[np.lexsort((ids[ok], -s))[0]]
+            out["query_id"].append(int(qi[j]))
+            out["neg_id"].append(int(ids[best]))
+            out["sim"].append(float(sims[j, best]))
+        return pa.table({"query_id": pa.array(out["query_id"], type=pa.int64()),
+                         "neg_id": pa.array(out["neg_id"], type=pa.int64()),
+                         "sim": pa.array(out["sim"], type=pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=4096).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"query_id": np.array([], dtype=np.int64),
+                             "neg_id": np.array([], dtype=np.int64)})
+    parts = parts.sort_values(["query_id", "sim", "neg_id"],
+                              ascending=[True, False, True])
+    best = parts.groupby("query_id", as_index=False).first()
+    return best[["query_id", "neg_id"]].sort_values("query_id") \
+        .reset_index(drop=True)

@@ -137,3 +137,88 @@ def test_r5b_query_matches_oracle(ray_session, name):
     exp = _normalize(con.execute(ORACLE_SQL[name]).df())
     con.close()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ----------------------------------------------------------- batch C ops
+
+def test_neighbor_jaccard_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from icrawler_ray.stages.linkgraph import neighborhood_jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    n = 60
+    src = rng.integers(0, n, 300)
+    dst = rng.integers(0, n, 300)
+    e = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    got = neighborhood_jaccard_pairs(e, n, max_deg=64, threshold=0.3)
+
+    # brute force
+    adj = [set() for _ in range(n)]
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[s].add(d); adj[d].add(s)
+    exp = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            inter = len(adj[a] & adj[b])
+            if inter and len(adj[a]) <= 64 and len(adj[b]) <= 64:
+                j = round(inter / len(adj[a] | adj[b]), 6)
+                if j >= 0.3:
+                    exp.append((a, b, j))
+    exp_df = pd.DataFrame(exp, columns=["a", "b", "jaccard"])
+    got = got.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"a": "int64", "b": "int64"}), exp_df, check_dtype=False)
+
+
+def test_neighbor_jaccard_hub_cap(ray_session):
+    """A hub with deg > max_deg is excluded both as intermediate and
+    endpoint."""
+    import ray.data as rd
+
+    from icrawler_ray.stages.linkgraph import neighborhood_jaccard_pairs
+
+    # hub 0 connects to 1..9; nodes 1 and 2 also share neighbor 10
+    rows = [(0, i) for i in range(1, 10)] + [(1, 10), (2, 10)]
+    e = rd.from_pandas(pd.DataFrame(rows, columns=["src", "dst"]))
+    out = neighborhood_jaccard_pairs(e, 20, max_deg=4, threshold=0.1)
+    # 0 has deg 9 > 4: wedges through it vanish; (1,2) still share 10
+    assert list(out.itertuples(index=False)) and set(
+        map(tuple, out[["a", "b"]].to_numpy())) == {(1, 2)}
+
+
+def test_hard_negatives_numpy_replay(ray_session):
+    from icrawler_ray.queries import _read, q_hard_negatives
+
+    SF = SF_DIR
+    out = q_hard_negatives(SF).set_index("query_id")
+    emb = _read(SF, "embeddings", ["vec_id", "embedding", "label"]).to_pandas()
+    M = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    head = emb.sort_values("vec_id").head(8)
+    for _, r in head.iterrows():
+        q = np.asarray(r["embedding"], dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        sims = M @ q
+        ok = labels != r["label"]
+        order = np.lexsort((ids[ok], -sims[ok]))
+        exp = ids[ok][order[0]]
+        assert out.loc[r["vec_id"], "neg_id"] == exp
+
+
+def test_host_latency_slo_quantile_definition(ray_session):
+    from icrawler_ray.queries import _read, q_host_latency_slo
+
+    out = q_host_latency_slo(SF_DIR)
+    ev = _read(SF_DIR, "events", ["event_id", "user_id"]).to_pandas()
+    host = "h" + (ev["user_id"] % 40).astype(str)
+    lat = 20 + (ev["event_id"].to_numpy(dtype=np.int64) * 37) % 480
+    df = pd.DataFrame({"host": host, "lat": lat})
+    for _, r in out.iterrows():
+        v = np.sort(df.loc[df["host"] == r["host"], "lat"].to_numpy())
+        assert r["n"] == len(v)
+        assert r["p50"] == v[int(np.ceil(0.5 * len(v))) - 1]
+        assert r["p95"] == v[int(np.ceil(0.95 * len(v))) - 1]
