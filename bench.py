@@ -238,7 +238,8 @@ def bench_queries() -> dict:
              "source_overlap", "token_budget",
              "redirect_resolve", "recrawl_schedule", "url_templates",
              "trap_audit", "column_profile",
-             "hard_negatives", "neighbor_jaccard", "host_latency_slo"]
+             "hard_negatives", "neighbor_jaccard", "host_latency_slo",
+             "host_reputation", "value_histogram", "weighted_median"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -7314,6 +7314,132 @@ FROM l GROUP BY host ORDER BY host
 """
 
 
+def q_host_reputation(sf_dir: str):
+    """Time-decayed host reputation (EWMA over daily error rates): the
+    scheduler signal that demotes hosts whose recent fetches fail.
+    Per (host, day) error rates from ONE combiner pass (host x day
+    partials); the exponential weights (1-alpha)^(days_before_last)
+    apply in a vectorized driver pass over the host x day table — the
+    only thing that ever leaves the cluster."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "host": "h" + (df["user_id"] % 40).astype(str),
+            "day": df["ts"].dt.floor("D"),
+            "err": (df["event_id"].to_numpy(dtype=np.int64) % 7 == 0)
+            .astype(np.int64)})
+        return g.groupby(["host", "day"], as_index=False).agg(
+            n=("err", "size"), e=("err", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["host", "day"], as_index=False).agg(
+        n=("n", "sum"), e=("e", "sum"))
+    last = agg["day"].max()
+    k = (last - agg["day"]).dt.days.to_numpy(dtype=np.float64)
+    agg["wt"] = np.power(0.7, k)
+    agg["r"] = agg["e"] / agg["n"]
+    out = agg.groupby("host").apply(
+        lambda g: np.round((g["r"] * g["wt"]).sum() / g["wt"].sum(), 6),
+        include_groups=False).rename("reputation").reset_index()
+    return out.sort_values("host").reset_index(drop=True)
+
+
+SQL_HOST_REPUTATION = """
+WITH e AS (SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+                  CAST(ts AS DATE) AS day,
+                  CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS err
+           FROM events),
+d AS (SELECT host, day, SUM(err) * 1.0 / COUNT(*) AS r FROM e
+      GROUP BY host, day),
+m AS (SELECT MAX(day) AS mx FROM e),
+w AS (SELECT host, r, POWER(0.7, date_diff('day', day, m.mx)) AS wt
+      FROM d, m)
+SELECT host, ROUND(SUM(r * wt) / SUM(wt), 6) AS reputation
+FROM w GROUP BY host ORDER BY host
+"""
+
+
+def q_value_histogram(sf_dir: str):
+    """Equi-width 20-bin histogram of events.value: pass 1 is a (min,
+    max) combiner, pass 2 bins with the BROADCAST bounds — the two-scan
+    shape every distributed histogram needs when bounds aren't known a
+    priori.  The bin expression is evaluated with the identical
+    left-associated float64 ops on both sides so edge values can't flip
+    bins."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    bounds = ds.map_batches(
+        lambda df: pd.DataFrame({"mn": [df["value"].min()],
+                                 "mx": [df["value"].max()]}),
+        batch_format="pandas").to_pandas()
+    mn, mx = float(bounds["mn"].min()), float(bounds["mx"].max())
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        b = np.minimum(19.0, np.floor((v - mn) * 20.0 / (mx - mn)))
+        return pd.DataFrame({"bin": b.astype(np.int64)}).groupby(
+            "bin", as_index=False).size().rename(columns={"size": "n"})
+
+    parts = ds.map_batches(binned, batch_format="pandas").to_pandas()
+    out = parts.groupby("bin", as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH m AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events)
+SELECT CAST(LEAST(19.0, FLOOR((value - m.mn) * 20.0 / (m.mx - m.mn)))
+            AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events, m GROUP BY bin ORDER BY bin
+"""
+
+
+def q_weighted_median(sf_dir: str):
+    """Per-lang WEIGHTED median token count, weight = n_chars (the
+    robust center a mixture planner uses when long docs should count
+    proportionally): smallest token value whose cumulative char weight
+    reaches half the lang's total.  Same (lang, tok)-histogram combiner
+    as the quantile family, with summed weights instead of counts —
+    integer-exact, order-independent."""
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(tok=df["text"].str.count(" ") + 1)
+        return df.groupby(["lang", "tok"], as_index=False).agg(
+            w=("n_chars", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    hist = parts.groupby(["lang", "tok"], as_index=False)["w"].sum()
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("tok")
+        cum = g["w"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        i = int(np.searchsorted(cum, (tot + 1) // 2))
+        rows.append({"lang": lang, "wmedian_tok": int(g["tok"].to_numpy()[i]),
+                     "total_w": tot})
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH t AS (SELECT lang, n_chars,
+                  length(text) - length(replace(text, ' ', '')) + 1 AS tok
+           FROM documents),
+h AS (SELECT lang, tok, SUM(n_chars) AS w FROM t GROUP BY lang, tok),
+c AS (SELECT lang, tok, w,
+             SUM(w) OVER (PARTITION BY lang ORDER BY tok
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER (PARTITION BY lang) AS tot
+      FROM h)
+SELECT lang, CAST(MIN(tok) AS BIGINT) AS wmedian_tok,
+       CAST(ANY_VALUE(tot) AS BIGINT) AS total_w
+FROM c WHERE cum >= (tot + 1) // 2
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -7464,6 +7590,9 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "neighbor_jaccard": q_neighbor_jaccard,
     "host_latency_slo": q_host_latency_slo,
+    "host_reputation": q_host_reputation,
+    "value_histogram": q_value_histogram,
+    "weighted_median": q_weighted_median,
     "bigram_pmi": q_bigram_pmi,
     "top_terms": q_top_terms,
     "range_search": q_range_search,
@@ -7626,4 +7755,7 @@ ORACLE_SQL = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "neighbor_jaccard": SQL_NEIGHBOR_JACCARD,
     "host_latency_slo": SQL_HOST_LATENCY_SLO,
+    "host_reputation": SQL_HOST_REPUTATION,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "weighted_median": SQL_WEIGHTED_MEDIAN,
 }

@@ -222,3 +222,54 @@ def test_host_latency_slo_quantile_definition(ray_session):
         assert r["n"] == len(v)
         assert r["p50"] == v[int(np.ceil(0.5 * len(v))) - 1]
         assert r["p95"] == v[int(np.ceil(0.95 * len(v))) - 1]
+
+
+# ----------------------------------------------------------- batch D ops
+
+def test_host_reputation_bounds_and_decay(ray_session):
+    """Reputation is a convex combination of daily error rates (in
+    [0, 1]) and recent days dominate: replay one host in numpy."""
+    from icrawler_ray.queries import _read, q_host_reputation
+
+    out = q_host_reputation(SF_DIR)
+    assert ((out["reputation"] >= 0) & (out["reputation"] <= 1)).all()
+    ev = _read(SF_DIR, "events", ["event_id", "user_id", "ts"]).to_pandas()
+    ev["host"] = "h" + (ev["user_id"] % 40).astype(str)
+    ev["day"] = ev["ts"].dt.floor("D")
+    ev["err"] = (ev["event_id"] % 7 == 0).astype(int)
+    one = ev[ev["host"] == "h0"]
+    d = one.groupby("day")["err"].mean()
+    k = (ev["day"].max() - d.index).days.to_numpy(dtype=np.float64)
+    wt = np.power(0.7, k)
+    exp = round(float((d.to_numpy() * wt).sum() / wt.sum()), 6)
+    got = float(out.set_index("host").loc["h0", "reputation"])
+    assert got == exp
+
+
+def test_value_histogram_counts_complete(ray_session):
+    from icrawler_ray.queries import _read, q_value_histogram
+
+    out = q_value_histogram(SF_DIR)
+    ev = _read(SF_DIR, "events", ["value"]).to_pandas()
+    assert out["n"].sum() == len(ev)
+    assert out["bin"].between(0, 19).all()
+    mn, mx = float(ev["value"].min()), float(ev["value"].max())
+    b = np.minimum(19.0, np.floor((ev["value"].to_numpy() - mn) * 20.0 / (mx - mn)))
+    exp = pd.Series(b.astype(np.int64)).value_counts().sort_index()
+    got = out.set_index("bin")["n"]
+    assert (got == exp).all()
+
+
+def test_weighted_median_definition(ray_session):
+    from icrawler_ray.queries import _read, q_weighted_median
+
+    out = q_weighted_median(SF_DIR).set_index("lang")
+    docs = _read(SF_DIR, "documents", ["lang", "text", "n_chars"]).to_pandas()
+    docs["tok"] = docs["text"].str.count(" ") + 1
+    for lang, g in docs.groupby("lang"):
+        g = g.sort_values("tok")
+        cum = g["n_chars"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        exp = int(g["tok"].to_numpy()[np.searchsorted(cum, (tot + 1) // 2)])
+        assert out.loc[lang, "wmedian_tok"] == exp
+        assert out.loc[lang, "total_w"] == tot
