@@ -239,7 +239,8 @@ def bench_queries() -> dict:
              "redirect_resolve", "recrawl_schedule", "url_templates",
              "trap_audit", "column_profile",
              "hard_negatives", "neighbor_jaccard", "host_latency_slo",
-             "host_reputation", "value_histogram", "weighted_median"]
+             "host_reputation", "value_histogram", "weighted_median",
+             "source_drift", "stopword_coverage", "trending_types"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

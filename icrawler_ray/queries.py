@@ -7440,6 +7440,149 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_source_drift(sf_dir: str):
+    """Ingestion drift audit: per-source Kolmogorov-Smirnov statistic of
+    the n_chars distribution against the GLOBAL corpus distribution —
+    max |cdf_src(v) − cdf_all(v)| over the merged value grid.  Everything
+    derives from ONE (source, n_chars) histogram combiner; the CDF grids
+    are (distinct values × sources)-sized driver work, never doc-sized.
+    |d| is rounded to 6 dp BEFORE the max on both sides so float ulps
+    can't flip the argmax."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "n_chars"]).size().rename("c").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    h = parts.groupby(["source", "n_chars"])["c"].sum().reset_index()
+    grid = np.sort(h["n_chars"].unique())
+    gh = h.groupby("n_chars")["c"].sum().reindex(grid, fill_value=0)
+    gcdf = gh.cumsum().to_numpy(dtype=np.float64) / gh.sum()
+    rows = []
+    for src, g in h.groupby("source"):
+        sh = g.set_index("n_chars")["c"].reindex(grid, fill_value=0)
+        scdf = sh.cumsum().to_numpy(dtype=np.float64) / sh.sum()
+        d = np.round(np.abs(scdf - gcdf), 6)
+        rows.append({"source": src, "ks": float(d.max())})
+    return pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+
+
+SQL_SOURCE_DRIFT = """
+WITH h AS (SELECT source, n_chars AS v, COUNT(*) AS c FROM documents
+           GROUP BY source, n_chars),
+tot AS (SELECT source, SUM(c) AS n FROM h GROUP BY source),
+gtot AS (SELECT SUM(c) AS n FROM h),
+grid AS (SELECT DISTINCT v FROM h),
+sg AS (SELECT t.source, g.v, COALESCE(SUM(h.c), 0) AS cum
+       FROM tot t CROSS JOIN grid g
+       LEFT JOIN h ON h.source = t.source AND h.v <= g.v
+       GROUP BY t.source, g.v),
+gg AS (SELECT g.v, SUM(h.c) AS cum FROM grid g JOIN h ON h.v <= g.v
+       GROUP BY g.v),
+d AS (SELECT sg.source,
+             ROUND(ABS(sg.cum * 1.0 / t.n - gg.cum * 1.0 / gtot.n), 6) AS dd
+      FROM sg JOIN tot t ON t.source = sg.source
+      JOIN gg ON gg.v = sg.v, gtot)
+SELECT source, MAX(dd) AS ks FROM d GROUP BY source ORDER BY source
+"""
+
+
+def q_stopword_coverage(sf_dir: str):
+    """Vocabulary-coverage audit: fraction of each lang's token
+    occurrences that fall in the corpus-global top-50 terms (count desc,
+    term asc) — the cheap signal that separates natural prose from
+    symbol soup.  Term counts come from the per-batch vocabulary
+    combiner; the 50-term set rides ONE ray.put and the per-lang
+    fractions are another combiner pass."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def vocab(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].str.split(" ").explode()
+        return t.groupby(t).size().rename("c").rename_axis("term").reset_index()
+
+    parts = ds.map_batches(vocab, batch_format="pandas").to_pandas()
+    counts = parts.groupby("term")["c"].sum().reset_index()
+    top = counts.sort_values(["c", "term"], ascending=[False, True]) \
+        .head(50)["term"]
+    top_ref = ray.put(set(top.tolist()))
+
+    def cover(df: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(top_ref)
+        t = df[["lang"]].join(df["text"].str.split(" ").rename("term")).explode("term")
+        t["hit"] = t["term"].isin(s).astype(np.int64)
+        return t.groupby("lang", as_index=False).agg(n=("hit", "size"),
+                                                     k=("hit", "sum"))
+
+    out = (ds.map_batches(cover, batch_format="pandas").to_pandas()
+           .groupby("lang", as_index=False).agg(n=("n", "sum"), k=("k", "sum")))
+    out["n_tokens"] = out["n"].astype("int64")
+    out["coverage"] = (out["k"] / out["n"]).round(6)
+    return out[["lang", "n_tokens", "coverage"]].sort_values("lang") \
+        .reset_index(drop=True)
+
+
+SQL_STOPWORD_COVERAGE = """
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+top AS (SELECT t FROM tok GROUP BY t ORDER BY COUNT(*) DESC, t LIMIT 50)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(CASE WHEN t IN (SELECT t FROM top) THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS coverage
+FROM tok GROUP BY lang ORDER BY lang
+"""
+
+
+def q_trending_types(sf_dir: str):
+    """Day-over-day trending audit: event types ranked by count on the
+    corpus's LAST day, with each type's rank on the prior day and the
+    rank delta (0 for absent-yesterday).  ONE (day, type) combiner pass;
+    ranking is type-cardinality-sized driver work."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"day": df["ts"].dt.floor("D"),
+                          "event_type": df["event_type"]})
+        return g.groupby(["day", "event_type"]).size().rename("c").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    h = parts.groupby(["day", "event_type"])["c"].sum().reset_index()
+    last = h["day"].max()
+    prev = h.loc[h["day"] < last, "day"].max()
+
+    def ranks(day):
+        g = h[h["day"] == day].sort_values(["c", "event_type"],
+                                           ascending=[False, True])
+        return {t: i + 1 for i, t in enumerate(g["event_type"])}
+
+    rt, rp = ranks(last), ranks(prev)
+    rows = [{"event_type": t, "rank_today": r,
+             "rank_prev": rp.get(t, 0),
+             "delta": (rp.get(t, 0) - r) if t in rp else 0}
+            for t, r in rt.items()]
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+SQL_TRENDING_TYPES = """
+WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+           FROM events GROUP BY day, event_type),
+mx AS (SELECT MAX(day) AS last FROM d),
+pv AS (SELECT MAX(day) AS prev FROM d, mx WHERE day < mx.last),
+rt AS (SELECT event_type,
+              CAST(ROW_NUMBER() OVER (ORDER BY c DESC, event_type) AS BIGINT)
+              AS rank_today
+       FROM d, mx WHERE day = mx.last),
+rp AS (SELECT event_type,
+              CAST(ROW_NUMBER() OVER (ORDER BY c DESC, event_type) AS BIGINT)
+              AS rank_prev
+       FROM d, pv WHERE day = pv.prev)
+SELECT rt.event_type, rt.rank_today,
+       COALESCE(rp.rank_prev, 0) AS rank_prev,
+       CASE WHEN rp.event_type IS NULL THEN 0
+            ELSE rp.rank_prev - rt.rank_today END AS delta
+FROM rt LEFT JOIN rp ON rp.event_type = rt.event_type
+ORDER BY rt.event_type
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -7593,6 +7736,9 @@ QUERIES = {
     "host_reputation": q_host_reputation,
     "value_histogram": q_value_histogram,
     "weighted_median": q_weighted_median,
+    "source_drift": q_source_drift,
+    "stopword_coverage": q_stopword_coverage,
+    "trending_types": q_trending_types,
     "bigram_pmi": q_bigram_pmi,
     "top_terms": q_top_terms,
     "range_search": q_range_search,
@@ -7758,4 +7904,7 @@ ORACLE_SQL = {
     "host_reputation": SQL_HOST_REPUTATION,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "weighted_median": SQL_WEIGHTED_MEDIAN,
+    "source_drift": SQL_SOURCE_DRIFT,
+    "stopword_coverage": SQL_STOPWORD_COVERAGE,
+    "trending_types": SQL_TRENDING_TYPES,
 }

@@ -273,3 +273,42 @@ def test_weighted_median_definition(ray_session):
         exp = int(g["tok"].to_numpy()[np.searchsorted(cum, (tot + 1) // 2)])
         assert out.loc[lang, "wmedian_tok"] == exp
         assert out.loc[lang, "total_w"] == tot
+
+
+# ----------------------------------------------------------- batch E ops
+
+def test_source_drift_scipy_style_replay(ray_session):
+    """KS statistic per source equals the direct two-sample-vs-pooled
+    computation on sorted arrays."""
+    from icrawler_ray.queries import _read, q_source_drift
+
+    out = q_source_drift(SF_DIR).set_index("source")
+    docs = _read(SF_DIR, "documents", ["source", "n_chars"]).to_pandas()
+    grid = np.sort(docs["n_chars"].unique())
+    allv = np.sort(docs["n_chars"].to_numpy())
+    gcdf = np.searchsorted(allv, grid, side="right") / len(allv)
+    for src, g in docs.groupby("source"):
+        sv = np.sort(g["n_chars"].to_numpy())
+        scdf = np.searchsorted(sv, grid, side="right") / len(sv)
+        exp = float(np.round(np.abs(scdf - gcdf), 6).max())
+        assert out.loc[src, "ks"] == pytest.approx(exp, abs=1e-9)
+
+
+def test_stopword_coverage_bounds(ray_session):
+    from icrawler_ray.queries import q_stopword_coverage
+
+    out = q_stopword_coverage(SF_DIR)
+    assert ((out["coverage"] > 0) & (out["coverage"] <= 1)).all()
+    assert out["n_tokens"].sum() > 0
+
+
+def test_trending_types_rank_consistency(ray_session):
+    from icrawler_ray.queries import _read, q_trending_types
+
+    out = q_trending_types(SF_DIR)
+    # ranks 1..k exactly once; delta matches the two rank columns
+    assert sorted(out["rank_today"]) == list(range(1, len(out) + 1))
+    present = out["rank_prev"] > 0
+    assert (out.loc[present, "delta"] ==
+            out.loc[present, "rank_prev"] - out.loc[present, "rank_today"]).all()
+    assert (out.loc[~present, "delta"] == 0).all()
