@@ -7632,8 +7632,8 @@ QUERIES = {
     "host_budget": q_host_budget,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "coreset_kcenter": q_coreset_kcenter,
-    "kmeans_assign": q_kmeans_assign,
-    "sequence_pack": q_sequence_pack,
+    "redirect_resolve": q_redirect_resolve,
+    "source_drift": q_source_drift,
     "stratified_sample": q_stratified_sample,
     "mixture_weights": q_mixture_weights,
     "length_quantiles": q_length_quantiles,
@@ -7725,7 +7725,8 @@ QUERIES = {
     "ppr_seeds": q_ppr_seeds,
     "source_overlap": q_source_overlap,
     "token_budget": q_token_budget,
-    "redirect_resolve": q_redirect_resolve,
+    "kmeans_assign": q_kmeans_assign,
+    "sequence_pack": q_sequence_pack,
     "recrawl_schedule": q_recrawl_schedule,
     "url_templates": q_url_templates,
     "trap_audit": q_trap_audit,
@@ -7736,7 +7737,6 @@ QUERIES = {
     "host_reputation": q_host_reputation,
     "value_histogram": q_value_histogram,
     "weighted_median": q_weighted_median,
-    "source_drift": q_source_drift,
     "stopword_coverage": q_stopword_coverage,
     "trending_types": q_trending_types,
     "bigram_pmi": q_bigram_pmi,

@@ -122,7 +122,8 @@ def test_column_profile_matches_pandas(ray_session):
 
 # -------------------------------------------------- below-window oracle pin
 
-@pytest.mark.parametrize("name", ["redirect_resolve", "url_templates"])
+@pytest.mark.parametrize("name", ["redirect_resolve", "url_templates",
+                                  "source_drift"])
 def test_r5b_query_matches_oracle(ray_session, name):
     import duckdb
 
