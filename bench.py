@@ -240,7 +240,9 @@ def bench_queries() -> dict:
              "trap_audit", "column_profile",
              "hard_negatives", "neighbor_jaccard", "host_latency_slo",
              "host_reputation", "value_histogram", "weighted_median",
-             "source_drift", "stopword_coverage", "trending_types"]
+             "source_drift", "stopword_coverage", "trending_types",
+             "rrf_fusion", "hapax_ratio", "dup_ratio_by_source",
+             "edge_reciprocity"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

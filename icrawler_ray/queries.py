@@ -6511,7 +6511,7 @@ def q_bm25_topk(sf_dir: str):
                      _BM25_TERMS, k=10)
 
 
-def _sql_bm25() -> str:
+def _sql_bm25(k: int = 10) -> str:
     tf_cols = ",\n       ".join(
         f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS BIGINT) AS tf{j}"
         for j, t in enumerate(_BM25_TERMS))
@@ -6535,7 +6535,7 @@ st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
 sc AS (SELECT t.doc_id, {term_sum} AS score FROM toks t, st)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
        doc_id, ROUND(score, 6) AS score
-FROM sc ORDER BY score DESC, doc_id LIMIT 10
+FROM sc ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
@@ -7583,6 +7583,232 @@ ORDER BY rt.event_type
 """
 
 
+# =====================================================================
+# F. round-5 batch F: retrieval fusion, vocabulary tail, dup
+#    attribution, graph reciprocity
+# =====================================================================
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two retrievers — Okapi BM25 (lexical,
+    over documents.text) and brute-force cosine (dense, embeddings
+    joined on doc_id = vec_id): rrf(d) = sum over lists of
+    1 / (60 + rank_d).  Both top-20 inputs are output-sized, so the
+    fusion itself is driver-side by design (fusing top-k lists is O(k));
+    the heavy work is the two distributed retrieval passes, each already
+    combiner-first.  Single-list ties break by doc_id asc, mirrored in
+    the SQL oracle."""
+    from icrawler_ray.stages.similarity import brute_force_topk
+    from icrawler_ray.stages.textfns import bm25_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bm = bm25_topk(docs, _BM25_TERMS, k=20)[["doc_id", "rank"]]
+
+    head = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .sort("vec_id").limit(1).to_pandas()
+    qvec = np.asarray(head["embedding"].tolist(), dtype=np.float64)
+    cs = brute_force_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                          qvec, k=20, query_ids=head["vec_id"].to_numpy())
+    cs = cs[["vec_id", "rank"]].rename(columns={"vec_id": "doc_id"})
+
+    fused = bm.merge(cs, on="doc_id", how="outer", suffixes=("_bm", "_cs"))
+    fused["rrf"] = (1.0 / (60.0 + fused["rank_bm"])).fillna(0.0) \
+        + (1.0 / (60.0 + fused["rank_cs"])).fillna(0.0)
+    fused = fused.sort_values(["rrf", "doc_id"], ascending=[False, True],
+                              kind="mergesort").head(10).reset_index(drop=True)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(fused) + 1, dtype=np.int64),
+        "doc_id": fused["doc_id"].astype(np.int64),
+        "rrf": fused["rrf"].round(6),
+    })
+
+
+SQL_RRF_FUSION = f"""
+WITH bm AS (SELECT doc_id, rank AS r FROM ({_sql_bm25(20)})),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      ORDER BY vec_id LIMIT 1),
+cs AS (SELECT e.vec_id AS doc_id,
+              row_number() OVER (
+                ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[]))
+                DESC, e.vec_id) AS r
+       FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+       QUALIFY r <= 20),
+f AS (SELECT COALESCE(bm.doc_id, cs.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + bm.r), 0) + COALESCE(1.0 / (60 + cs.r), 0)
+               AS rrf
+      FROM bm FULL JOIN cs ON cs.doc_id = bm.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, ROUND(rrf, 6) AS rrf
+FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+def q_hapax_ratio(sf_dir: str):
+    """Vocabulary-tail audit: per source, the share of token occurrences
+    that are corpus-global hapax legomena (terms seen exactly once
+    anywhere) — the dual of stopword_coverage's head coverage and the
+    cheap OCR-garbage / boilerplate-synthesis signal.  The hapax set is
+    vocabulary-sized so it is NEVER broadcast: per-batch (term, source,
+    n) partials exchange by term-hash bucket (a term lives in exactly
+    one bucket, so bucket-local totals are global), and only per-source
+    counter rows leave each bucket."""
+    P = 32
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[["source"]].join(df["text"].str.split(" ").rename("term")) \
+            .explode("term")
+        g = t.groupby(["term", "source"], sort=False).size().rename("n") \
+            .reset_index()
+        g["part"] = (pd.util.hash_array(g["term"].to_numpy(dtype=object))
+                     % P).astype(np.int64)
+        return g
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("term")["n"].transform("sum")
+        hx = g[tot == 1]  # total 1 => exactly one row, n == 1: its source
+        return (hx.groupby("source").size().rename("k").reset_index())
+
+    hap = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("part").map_groups(mark, batch_format="pandas")
+           .to_pandas())
+    hap = hap.groupby("source")["k"].sum() if len(hap) else pd.Series(dtype=np.int64)
+
+    def tokens(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": df["source"],
+            "n": df["text"].str.count(" ").to_numpy(dtype=np.int64) + 1})
+
+    tot = (ds.map_batches(tokens, batch_format="pandas")
+           .groupby("source").sum("n").to_pandas()
+           .rename(columns={"sum(n)": "n_tokens"}))
+    tot["n_tokens"] = tot["n_tokens"].astype(np.int64)
+    tot["n_hapax"] = tot["source"].map(hap).fillna(0).astype(np.int64)
+    tot["hapax_ratio"] = (tot["n_hapax"] / tot["n_tokens"]).round(6)
+    return (tot[["source", "n_tokens", "n_hapax", "hapax_ratio"]]
+            .sort_values("source").reset_index(drop=True))
+
+
+SQL_HAPAX_RATIO = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+g AS (SELECT t, COUNT(*) AS c, MIN(source) AS src FROM tok GROUP BY t),
+hx AS (SELECT src AS source, CAST(COUNT(*) AS BIGINT) AS n_hapax
+       FROM g WHERE c = 1 GROUP BY src),
+nt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+       FROM tok GROUP BY source)
+SELECT nt.source, nt.n_tokens,
+       CAST(COALESCE(hx.n_hapax, 0) AS BIGINT) AS n_hapax,
+       ROUND(COALESCE(hx.n_hapax, 0) * 1.0 / nt.n_tokens, 6) AS hapax_ratio
+FROM nt LEFT JOIN hx ON hx.source = nt.source
+ORDER BY nt.source
+"""
+
+
+def q_dup_ratio_by_source(sf_dir: str):
+    """Contamination attribution: per source, the share of docs whose
+    exact md5 fingerprint occurs >= 2 times corpus-wide (BOTH copies
+    count — the mass a dedup pass inspects, not what it deletes), the
+    audit that decides which feed gets throttled.  Identity-sized
+    exchanges only: (fp, source, n) partials -> fp-hash buckets (a
+    fingerprint lives in exactly one bucket) -> per-source counter
+    rows."""
+    import hashlib
+
+    P = 32
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        fp = df["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest())
+        g = (pd.DataFrame({"fp": fp, "source": df["source"]})
+             .groupby(["fp", "source"], sort=False).size().rename("n")
+             .reset_index())
+        g["part"] = g["fp"].map(lambda h: int(h[:8], 16) % P).astype(np.int64)
+        return g
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("fp")["n"].transform("sum")
+        dup = g[tot >= 2]
+        return dup.groupby("source")["n"].sum().rename("k").reset_index()
+
+    dup = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("part").map_groups(mark, batch_format="pandas")
+           .to_pandas())
+    dup = dup.groupby("source")["k"].sum() if len(dup) else pd.Series(dtype=np.int64)
+
+    tot = (ds.groupby("source").count().to_pandas()
+           .rename(columns={"count()": "n_docs"}))
+    tot["n_docs"] = tot["n_docs"].astype(np.int64)
+    tot["n_dup"] = tot["source"].map(dup).fillna(0).astype(np.int64)
+    tot["dup_ratio"] = (tot["n_dup"] / tot["n_docs"]).round(6)
+    return (tot[["source", "n_docs", "n_dup", "dup_ratio"]]
+            .sort_values("source").reset_index(drop=True))
+
+
+SQL_DUP_RATIO_BY_SOURCE = """
+WITH f AS (SELECT source, md5(text) AS fp FROM documents),
+c AS (SELECT fp, COUNT(*) AS n FROM f GROUP BY fp)
+SELECT f.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(SUM(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS dup_ratio
+FROM f JOIN c USING (fp) GROUP BY f.source ORDER BY f.source
+"""
+
+
+def q_edge_reciprocity(sf_dir: str):
+    """Directed-graph reciprocity over the derived link graph: the share
+    of DISTINCT directed edges whose reverse edge also exists — the
+    mutual-link signal that separates link farms from organic topology.
+    Per-batch canonical (pair-key, direction-bit) uniques exchange by
+    key bucket; each bucket dedups globally (a pair key lives in exactly
+    one bucket) and emits TWO counters; the driver adds P rows of ints.
+    Packed int64 pair keys require n < 3e9 (same bound as
+    stages/linkgraph.py::_canonical_undirected; beyond that switch to a
+    two-column struct key)."""
+    from icrawler_ray.stages.linkgraph import derive_edges
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = np.int64(docs.count())
+    P = np.int64(32)
+    edges = derive_edges(docs, n)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src"].to_numpy(dtype=np.int64)
+        d = df["dst"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({
+            "key": np.minimum(s, d) * n + np.maximum(s, d),
+            "flag": np.where(s < d, 1, 2).astype(np.int64),
+        }).drop_duplicates()
+        out["part"] = out["key"] % P
+        return out
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.drop_duplicates(["key", "flag"]).groupby("key").size()
+        return pd.DataFrame({"n_edges": [int(per.sum())],
+                             "n_recip": [int((per == 2).sum()) * 2]})
+
+    parts = (edges.map_batches(canon, batch_format="pandas")
+             .groupby("part").map_groups(reduce_bucket, batch_format="pandas")
+             .to_pandas())
+    ne, nr = int(parts["n_edges"].sum()), int(parts["n_recip"].sum())
+    rec = round(nr / ne, 6) if ne else 0.0
+    return pd.DataFrame({"n_edges": pd.array([ne], dtype="int64"),
+                         "n_recip": pd.array([nr], dtype="int64"),
+                         "reciprocity": [rec]})
+
+
+SQL_EDGE_RECIPROCITY = f"""
+WITH {_SQL_EDGES_CTE},
+de AS (SELECT DISTINCT src, dst FROM edges),
+r AS (SELECT COUNT(*) AS n_recip
+      FROM de a JOIN de b ON b.src = a.dst AND b.dst = a.src)
+SELECT CAST((SELECT COUNT(*) FROM de) AS BIGINT) AS n_edges,
+       CAST(r.n_recip AS BIGINT) AS n_recip,
+       ROUND(r.n_recip * 1.0 / (SELECT COUNT(*) FROM de), 6) AS reciprocity
+FROM r
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -7742,6 +7968,10 @@ QUERIES = {
     "bigram_pmi": q_bigram_pmi,
     "top_terms": q_top_terms,
     "range_search": q_range_search,
+    "rrf_fusion": q_rrf_fusion,
+    "hapax_ratio": q_hapax_ratio,
+    "dup_ratio_by_source": q_dup_ratio_by_source,
+    "edge_reciprocity": q_edge_reciprocity,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -7907,4 +8137,8 @@ ORACLE_SQL = {
     "source_drift": SQL_SOURCE_DRIFT,
     "stopword_coverage": SQL_STOPWORD_COVERAGE,
     "trending_types": SQL_TRENDING_TYPES,
+    "rrf_fusion": SQL_RRF_FUSION,
+    "hapax_ratio": SQL_HAPAX_RATIO,
+    "dup_ratio_by_source": SQL_DUP_RATIO_BY_SOURCE,
+    "edge_reciprocity": SQL_EDGE_RECIPROCITY,
 }
