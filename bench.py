@@ -242,7 +242,9 @@ def bench_queries() -> dict:
              "host_reputation", "value_histogram", "weighted_median",
              "source_drift", "stopword_coverage", "trending_types",
              "rrf_fusion", "hapax_ratio", "dup_ratio_by_source",
-             "edge_reciprocity"]
+             "edge_reciprocity",
+             "benford_audit", "mad_outliers", "vocab_coverage",
+             "interarrival_quantiles", "mutual_knn", "weighted_pagerank"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -7809,6 +7809,280 @@ FROM r
 """
 
 
+# =====================================================================
+# R5d. audit / calibration / graph-weighting operators
+# =====================================================================
+
+def q_benford_audit(sf_dir: str):
+    """Leading-digit (Benford) audit of order totals — the cheap fraud /
+    synthetic-data smoke test a corpus pipeline runs over numeric
+    columns.  Each batch emits a 9-bin partial count (the combiner
+    pattern: the exchange is 9 rows per block regardless of input
+    size); the expected Benford share log10(1 + 1/d) and the observed
+    share join on the driver over 9 rows."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ip = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        ip = ip[ip >= 1]
+        # leading decimal digit via string head — exact (no log10 edge
+        # cases at powers of ten), vectorized by numpy's U1 cast
+        lead = ip.astype("U1").astype(np.int64)
+        digit, n = np.unique(lead, return_counts=True)
+        return pa.table({"digit": pa.array(digit), "n": pa.array(n)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("digit", as_index=False)["n"].sum()
+    tot = int(g["n"].sum())
+    g["share"] = (g["n"] / tot).round(6)
+    g["benford"] = np.round(np.log10(1.0 + 1.0 / g["digit"].to_numpy()), 6)
+    g["n"] = g["n"].astype(np.int64)
+    return g.sort_values("digit").reset_index(drop=True)[
+        ["digit", "n", "share", "benford"]]
+
+
+SQL_BENFORD_AUDIT = """
+WITH lead AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE FLOOR(o_totalprice) >= 1),
+c AS (SELECT digit, COUNT(*) AS n FROM lead GROUP BY digit)
+SELECT digit, n,
+       ROUND(n * 1.0 / (SELECT SUM(n) FROM c), 6) AS share,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford
+FROM c ORDER BY digit
+"""
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust per-language outlier gate: median + MAD (median absolute
+    deviation) of document length, and the count of docs beyond
+    3 x MAD — the quality filter that survives heavy-tailed length
+    distributions where mean/stddev gates do not.  Both medians use the
+    quantile_disc definition (smallest value with cume_dist >= 0.5) so
+    the SQL oracle is exact.  Execution is the (lang, n_chars)
+    histogram combiner of length_quantiles_by_lang: one row per
+    distinct (group, value) per block, never per document."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "n_chars"]).size().rename("c").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    hist = parts.groupby(["lang", "n_chars"], as_index=False)["c"].sum()
+
+    def disc_q(vals: np.ndarray, cnts: np.ndarray, q: float) -> int:
+        order = np.argsort(vals, kind="mergesort")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        return int(vals[np.searchsorted(cum, int(np.ceil(q * cum[-1])))])
+
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        v = g["n_chars"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        med = disc_q(v, c, 0.5)
+        dev = np.abs(v - med)
+        mad = disc_q(dev, c, 0.5)
+        n_out = int(c[dev > 3 * mad].sum())
+        rows.append({"lang": lang, "med": np.int64(med), "mad": np.int64(mad),
+                     "n_outliers": np.int64(n_out)})
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
+SQL_MAD_OUTLIERS = """
+WITH m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med
+           FROM documents GROUP BY lang),
+d AS (SELECT doc.lang, ABS(doc.n_chars - m.med) AS dev
+      FROM documents doc JOIN m ON m.lang = doc.lang),
+mad AS (SELECT lang, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY lang)
+SELECT m.lang, CAST(m.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM m JOIN mad ON mad.lang = m.lang JOIN d ON d.lang = m.lang
+GROUP BY m.lang, m.med, mad.mad ORDER BY m.lang
+"""
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve: the top-40 corpus terms with their
+    CUMULATIVE share of all tokens — the tokenizer-sizing question
+    ('how many vocab entries cover 90% of the stream?').  Per-batch
+    (term, count) partials bound the exchange by distinct-terms-per-
+    block; the final reduce over the merged vocabulary runs on the
+    driver (bounded by vocab size; a web-scale vocabulary
+    hash-partitions the final reduce and takes a distributed top-k
+    instead, as top_terms notes)."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].str.split(" ").rename("term").explode()
+        return t.groupby(t, sort=False).size().rename("n").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("term", as_index=False)["n"].sum()
+    tot = float(g["n"].sum())
+    g = g.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+    top = g.head(40).reset_index(drop=True)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["cum_share"] = (top["n"].cumsum() / tot).round(6)
+    top["n"] = top["n"].astype(np.int64)
+    return top[["rank", "term", "n", "cum_share"]]
+
+
+SQL_VOCAB_COVERAGE = """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT term, COUNT(*) AS n FROM t GROUP BY term),
+r AS (SELECT term, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank,
+             SUM(n) OVER (ORDER BY n DESC, term
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c)
+SELECT rank, term, n,
+       ROUND(CAST(cum AS DOUBLE) / (SELECT SUM(n) FROM c), 6) AS cum_share
+FROM r WHERE rank <= 40 ORDER BY rank
+"""
+
+
+def q_interarrival_quantiles(sf_dir: str):
+    """Inter-arrival time distribution per event type: whole-second
+    deltas between a user's consecutive events (ordered by ts with
+    event_id tie-break), quantile_disc p50/p90/p99 per the LATER
+    event's type — the arrival-process profile a rate-limiter or
+    recrawl scheduler is tuned against.  Same bounded-fat-partition
+    walk as events_sessionize (hash users into 32 partitions, sort +
+    shift inside each — never one pandas group per user), then the
+    (event_type, delta_s) histogram combiner for exact distributed
+    quantiles."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    P = 32
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["part"] = (df["user_id"].to_numpy() % P).astype(np.int32)
+        return df
+
+    def deltas_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_user = g["user_id"].eq(g["user_id"].shift()).to_numpy()
+        delta_us = g["ts"].diff().dt.total_seconds().to_numpy() * 1e6
+        delta_s = np.floor(delta_us[same_user] / 1e6).astype(np.int64)
+        et = g["event_type"].to_numpy()[same_user]
+        out = pd.DataFrame({"event_type": et, "delta_s": delta_s})
+        return out.groupby(["event_type", "delta_s"]).size().rename("c").reset_index()
+
+    parts = (ds.map_batches(add_part, batch_format="pandas")
+             .groupby("part").map_groups(deltas_part, batch_format="pandas")
+             .to_pandas())
+    hist = parts.groupby(["event_type", "delta_s"], as_index=False)["c"].sum()
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("delta_s")
+        cum = g["c"].cumsum().to_numpy()
+        vals = g["delta_s"].to_numpy(dtype=np.int64)
+        for q in (0.5, 0.9, 0.99):
+            rows.append({"event_type": et, "q": float(q),
+                         "delta_s_q": np.int64(
+                             vals[np.searchsorted(cum, int(np.ceil(q * cum[-1])))])})
+    return pd.DataFrame(rows).sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
+SQL_INTERARRIVAL_QUANTILES = """
+WITH o AS (
+  SELECT event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+d AS (SELECT event_type,
+             CAST(FLOOR((epoch_us(ts) - epoch_us(prev)) / 1000000.0) AS BIGINT)
+               AS delta_s
+      FROM o WHERE prev IS NOT NULL)
+""" + "\nUNION ALL\n".join(
+    f"SELECT event_type, CAST({q} AS DOUBLE) AS q, "
+    f"quantile_disc(delta_s, {q}) AS delta_s_q FROM d GROUP BY event_type"
+    for q in (0.5, 0.9, 0.99)
+)
+
+
+def q_mutual_knn(sf_dir: str):
+    """Mutual nearest-neighbor pairs over the embedding table (a's top-1
+    is b AND b's top-1 is a) — the high-precision alignment/duplicate
+    signal used for cross-source doc matching.  Reuses the broadcast
+    brute-force scorer with every vector as a query (per-batch matmul,
+    tie-break sim DESC then vec_id ASC); the mutuality self-join runs
+    on the driver over n top-1 rows.  At web scale the all-vs-all
+    scorer is replaced by the LSH/IVF candidate path (knn_lsh/knn_ivf)
+    and the mutuality join becomes a hash-partitioned semi-join —
+    top-1-per-vector rows, never pairs, cross the exchange either way."""
+    from icrawler_ray.stages.similarity import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = emb.sort("vec_id").to_pandas()
+    queries = np.asarray(head["embedding"].tolist(), dtype=np.float64)
+    nn1 = brute_force_topk(emb, queries, k=1, query_ids=head["vec_id"].to_numpy())
+    nn = dict(zip(nn1["query_id"].to_numpy(), nn1["vec_id"].to_numpy()))
+    sim = dict(zip(nn1["query_id"].to_numpy(), nn1["sim"].to_numpy()))
+    rows = [{"a": np.int64(a), "b": np.int64(b), "sim": float(sim[a])}
+            for a, b in nn.items() if a < b and nn.get(b) == a]
+    return (pd.DataFrame(rows, columns=["a", "b", "sim"])
+            .sort_values("a").reset_index(drop=True))
+
+
+SQL_MUTUAL_KNN = """
+WITH sims AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+nn AS (SELECT ai, bi, sim,
+              ROW_NUMBER() OVER (PARTITION BY ai ORDER BY sim DESC, bi) AS rk
+       FROM sims)
+SELECT n1.ai AS a, n1.bi AS b, ROUND(n1.sim, 6) AS sim
+FROM nn n1 JOIN nn n2 ON n2.ai = n1.bi AND n2.bi = n1.ai
+WHERE n1.rk = 1 AND n2.rk = 1 AND n1.ai < n1.bi
+ORDER BY a
+"""
+
+
+def q_weighted_pagerank(sf_dir: str):
+    """Edge-weighted PageRank (weight 1 + (src+dst) % 3, 5 fixed
+    damping-0.85 sweeps) — anchor-quality-weighted authority, the
+    crawl-priority signal when links carry trust scores.  Same
+    broadcast-iterate shape as pagerank; the weight is recomputed from
+    (src, dst) in each batch so no weight column ships (stages/
+    linkgraph.py::pagerank_weighted)."""
+    from icrawler_ray.stages.linkgraph import derive_edges, pagerank_weighted
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    ranks = pagerank_weighted(derive_edges(docs, n), n, iters=5, damping=0.85)
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "pr": pd.Series(ranks).round(6)})
+
+
+def _wpagerank_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT {prev}.node,
+         0.15e0 / (SELECT cnt FROM nn) + 0.85e0 * COALESCE(c.s, 0e0) AS r
+  FROM {prev} LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(rp.r * (1 + (e.src + e.dst) % 3) / wd.wdeg) AS s
+    FROM edges e JOIN wd ON wd.src = e.src JOIN {prev} rp ON rp.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = {prev}.node
+)"""
+
+
+SQL_WEIGHTED_PAGERANK = f"""
+WITH {_SQL_EDGES_CTE},
+wd AS MATERIALIZED (
+  SELECT src, CAST(SUM(1 + (src + dst) % 3) AS DOUBLE) AS wdeg
+  FROM edges GROUP BY src),
+r0 AS (SELECT d.doc_id AS node, 1e0 / nn.cnt AS r FROM documents d, nn),
+{",".join(_wpagerank_iter_sql(f"r{i}", f"r{i + 1}") for i in range(5))}
+SELECT node AS doc_id, ROUND(r, 6) AS pr FROM r5 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -7853,10 +8127,10 @@ QUERIES = {
     "dedup_cluster_keep": q_dedup_cluster_keep,
     "gopher_rules": q_gopher_rules,
     "bfs_depth": q_bfs_depth,
-    "word_entropy": q_word_entropy,
+    "benford_audit": q_benford_audit,
     "adamic_adar": q_adamic_adar,
     "host_budget": q_host_budget,
-    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "mutual_knn": q_mutual_knn,
     "coreset_kcenter": q_coreset_kcenter,
     "redirect_resolve": q_redirect_resolve,
     "source_drift": q_source_drift,
@@ -7867,6 +8141,8 @@ QUERIES = {
     "anti_join_customers": q_anti_join_customers,
     "events_pivot_hourly": q_events_pivot_hourly,
     # ---- below the driver's 50-entry window: family variants ----
+    "word_entropy": q_word_entropy,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "semantic_dedup": q_semantic_dedup,
     "topk_per_group": q_topk_per_group,
     "embedding_dim_stats": q_embedding_dim_stats,
@@ -7972,6 +8248,10 @@ QUERIES = {
     "hapax_ratio": q_hapax_ratio,
     "dup_ratio_by_source": q_dup_ratio_by_source,
     "edge_reciprocity": q_edge_reciprocity,
+    "mad_outliers": q_mad_outliers,
+    "vocab_coverage": q_vocab_coverage,
+    "interarrival_quantiles": q_interarrival_quantiles,
+    "weighted_pagerank": q_weighted_pagerank,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -8141,4 +8421,10 @@ ORACLE_SQL = {
     "hapax_ratio": SQL_HAPAX_RATIO,
     "dup_ratio_by_source": SQL_DUP_RATIO_BY_SOURCE,
     "edge_reciprocity": SQL_EDGE_RECIPROCITY,
+    "benford_audit": SQL_BENFORD_AUDIT,
+    "mad_outliers": SQL_MAD_OUTLIERS,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,
+    "mutual_knn": SQL_MUTUAL_KNN,
+    "weighted_pagerank": SQL_WEIGHTED_PAGERANK,
 }
