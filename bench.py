@@ -244,7 +244,13 @@ def bench_queries() -> dict:
              "rrf_fusion", "hapax_ratio", "dup_ratio_by_source",
              "edge_reciprocity",
              "benford_audit", "mad_outliers", "vocab_coverage",
-             "interarrival_quantiles", "mutual_knn", "weighted_pagerank"]
+             "interarrival_quantiles", "mutual_knn", "weighted_pagerank",
+             "type_cooccurrence_lift", "user_path_prefix", "ngram_novelty",
+             "quantization_error", "gini_concentration", "hour_profile",
+             "degree_powerlaw", "transition_latency", "knn_label_accuracy",
+             "revenue_pareto", "brand_price_profile", "priority_mix_monthly",
+             "kmv_distinct", "lognormal_fit", "negsample_weights",
+             "type_hour_mi", "rare_category_merge", "vocab_churn"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

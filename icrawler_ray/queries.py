@@ -8083,6 +8083,840 @@ SELECT node AS doc_id, ROUND(r, 6) AS pr FROM r5 ORDER BY doc_id
 """
 
 
+def q_type_cooccurrence_lift(sf_dir: str):
+    """Market-basket lift between event types: for each unordered type
+    pair, the number of users that performed both, and the lift
+    n_both * n_users / (n_a * n_b) — the co-behaviour signal that drives
+    mixture design ("users who hit errors also purchase?").  Per-block
+    (user, type) dedup shrinks the exchange, one groupby(user) emits
+    pair/single/user partials, and the final reduce is bounded by the
+    type-pair grid (T^2 rows), never by users."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    d = ds.map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.unique(g["event_type"].to_numpy())
+        a = [""]
+        b = [""]
+        for i in range(len(ts)):
+            a.append(ts[i]); b.append(ts[i])
+            for j in range(i + 1, len(ts)):
+                a.append(ts[i]); b.append(ts[j])
+        return pd.DataFrame({"a": a, "b": b, "n": np.ones(len(a), np.int64)})
+
+    p = d.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    parts = p.map_batches(
+        lambda df: df.groupby(["a", "b"], as_index=False)["n"].sum(),
+        batch_format="pandas").to_pandas()
+    agg = parts.groupby(["a", "b"], as_index=False)["n"].sum()
+    n_users = int(agg.loc[agg["a"] == "", "n"].iloc[0])
+    singles = dict(zip(agg.loc[(agg["a"] == agg["b"]) & (agg["a"] != ""), "a"],
+                       agg.loc[(agg["a"] == agg["b"]) & (agg["a"] != ""), "n"]))
+    out = agg[(agg["a"] != agg["b"]) & (agg["a"] != "")].copy()
+    out["lift"] = (out["n"] * n_users
+                   / (out["a"].map(singles) * out["b"].map(singles).astype(np.float64))
+                   ).round(6)
+    out = out.rename(columns={"a": "type_a", "b": "type_b", "n": "n_both"})
+    out["n_both"] = out["n_both"].astype(np.int64)
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+SQL_TYPE_COOCCURRENCE_LIFT = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT COUNT(DISTINCT user_id) AS n FROM ut),
+tc AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY event_type)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_both,
+       ROUND(COUNT(*) * ANY_VALUE(tot.n)
+             / (ANY_VALUE(ta.c) * CAST(ANY_VALUE(tb.c) AS DOUBLE)), 6) AS lift
+FROM ut a
+JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+JOIN tc ta ON ta.event_type = a.event_type
+JOIN tc tb ON tb.event_type = b.event_type
+CROSS JOIN tot
+GROUP BY a.event_type, b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+def q_user_path_prefix(sf_dir: str):
+    """Top user journeys: each user's first three event types in (ts,
+    event_id) order joined with '>', counted across users — the funnel
+    prefix distribution.  One groupby(user) shuffle; the path vocabulary
+    (<= T^3 + T^2 + T) reduces with a per-block combiner so the driver
+    sees the tiny path frame only."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def path3(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.sort_values(["ts", "event_id"], kind="mergesort").head(3)
+        return pd.DataFrame({"path": [">".join(h["event_type"])],
+                             "n": np.ones(1, np.int64)})
+
+    p = ds.groupby("user_id").map_groups(path3, batch_format="pandas")
+    parts = p.map_batches(
+        lambda df: df.groupby("path", as_index=False)["n"].sum(),
+        batch_format="pandas").to_pandas()
+    agg = parts.groupby("path", as_index=False)["n"].sum()
+    agg = agg.rename(columns={"n": "n_users"})
+    agg["n_users"] = agg["n_users"].astype(np.int64)
+    return agg.sort_values(["n_users", "path"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+SQL_USER_PATH_PREFIX = """
+WITH r AS (SELECT user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+p AS (SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY path ORDER BY n_users DESC, path
+"""
+
+
+def q_ngram_novelty(sf_dir: str):
+    """Corpus-order novelty audit: per source, the mean fraction of each
+    doc's distinct 3-word shingles already seen in a LOWER doc_id — how
+    derivative later shards are of earlier ones (the shard-ordering
+    signal for curriculum and dedup budgeting).  Shingle ownership is a
+    groupby(shingle) min-doc pass that emits one (doc, tot, old) partial
+    per group member; per-doc fractions then reduce by doc_id and
+    average per source with combiner partials.  Group size equals a
+    shingle's document frequency, so work per group is linear and hot
+    stopword shingles stay O(df) — no all-pairs blowup."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def shingles(df: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_s, out_sh = [], [], []
+        for did, src, txt in zip(df["doc_id"].to_numpy(),
+                                 df["source"].to_numpy(), df["text"]):
+            toks = txt.split(" ")
+            if len(toks) <= 3:
+                sh = {txt}
+            else:
+                sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+            out_d.extend([did] * len(sh))
+            out_s.extend([src] * len(sh))
+            out_sh.extend(sh)
+        return pd.DataFrame({"doc_id": np.asarray(out_d, np.int64),
+                             "source": out_s, "sh": out_sh})
+
+    s = ds.map_batches(shingles, batch_format="pandas")
+
+    def owner(g: pd.DataFrame) -> pd.DataFrame:
+        first = g["doc_id"].min()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "source": g["source"].to_numpy(),
+            "tot": np.ones(len(g), np.int64),
+            "old": (g["doc_id"].to_numpy() > first).astype(np.int64)})
+
+    per = s.groupby("sh").map_groups(owner, batch_format="pandas")
+    parts = per.map_batches(
+        lambda df: df.groupby(["doc_id", "source"], as_index=False)[["tot", "old"]].sum(),
+        batch_format="pandas").to_pandas()
+    doc = parts.groupby(["doc_id", "source"], as_index=False)[["tot", "old"]].sum()
+    doc["frac"] = doc["old"] / doc["tot"].astype(np.float64)
+    out = doc.groupby("source").agg(n_docs=("doc_id", "size"),
+                                    avg_seen_frac=("frac", "mean")).reset_index()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["avg_seen_frac"] = out["avg_seen_frac"].round(6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_NGRAM_NOVELTY = """
+WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+             FROM documents),
+shl AS (SELECT doc_id, source,
+          CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+          END AS sh FROM tok),
+s AS (SELECT DISTINCT doc_id, source, unnest(sh) AS s FROM shl),
+m AS (SELECT s, MIN(doc_id) AS first_doc FROM s GROUP BY s),
+d AS (SELECT s.doc_id, s.source, COUNT(*) AS tot,
+             SUM(CASE WHEN m.first_doc < s.doc_id THEN 1 ELSE 0 END) AS old
+      FROM s JOIN m USING (s) GROUP BY s.doc_id, s.source)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(old / CAST(tot AS DOUBLE)), 6) AS avg_seen_frac
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+def q_quantization_error(sf_dir: str):
+    """Int8 uniform-quantization audit for the embedding store: per-dim
+    [min, max] over the corpus defines a 256-level grid; report per-label
+    reconstruction MSE — the fidelity check before shipping quantized
+    vectors to the ANN tier.  Two combiner passes (per-block dim min/max
+    partials -> 64-float broadcast; per-label (sum err^2, n) partials),
+    no vector leaves a worker.  Rounding is floor(x + 0.5) on both sides
+    so the SQL oracle is exact (stages/similarity.py::_as_matrix)."""
+    from icrawler_ray.stages.similarity import _as_matrix
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def mm_partial(t):
+        e = _as_matrix(t["embedding"])
+        return pd.DataFrame({"dim": np.arange(e.shape[1], dtype=np.int64),
+                             "mn": e.min(0), "mx": e.max(0)})
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    g = mm.groupby("dim")
+    mn = g["mn"].min().to_numpy()
+    mx = g["mx"].max().to_numpy()
+    step = (mx - mn) / 255.0
+    safe = np.where(step == 0, 1.0, step)
+
+    def err_partial(t):
+        e = _as_matrix(t["embedding"])
+        q = np.floor((e - mn) / safe + 0.5)
+        err = np.where(step == 0, 0.0, e - (mn + q * safe))
+        df = pd.DataFrame({"label": t["label"].to_numpy(),
+                           "sq": (err * err).sum(1),
+                           "n": np.full(len(e), e.shape[1], np.int64)})
+        return df.groupby("label", as_index=False)[["sq", "n"]].sum()
+
+    parts = ds.map_batches(err_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("label", as_index=False)[["sq", "n"]].sum()
+    agg["mse"] = (agg["sq"] / agg["n"]).round(6)
+    agg["n_vals"] = agg["n"].astype(np.int64)
+    agg["label"] = agg["label"].astype(np.int64)
+    return agg[["label", "n_vals", "mse"]].sort_values("label").reset_index(drop=True)
+
+
+SQL_QUANTIZATION_ERROR = """
+WITH f AS (SELECT label, t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS val
+           FROM embeddings CROSS JOIN range(1, 65) t(i)),
+mm AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM f GROUP BY dim),
+e AS (SELECT label,
+        CASE WHEN mx = mn THEN 0.0
+             ELSE val - (mn + FLOOR((val - mn) / ((mx - mn) / 255.0) + 0.5)
+                              * ((mx - mn) / 255.0))
+        END AS err
+      FROM f JOIN mm USING (dim))
+SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vals,
+       ROUND(AVG(err * err), 6) AS mse
+FROM e GROUP BY label ORDER BY label
+"""
+
+
+def q_gini_concentration(sf_dir: str):
+    """Gini coefficient of per-user event concentration — the inequality
+    audit that tells a crawl/ingest planner how skewed its load is (0 =
+    uniform, ->1 = a few users dominate).  Per-user counts come from a
+    distributed groupby; the driver then reduces the tiny (count ->
+    frequency) histogram with the exact rank-sum identity over tie
+    blocks, so driver work is O(distinct count values), never O(users)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    counts = ds.groupby("user_id").count()
+    parts = counts.map_batches(
+        lambda df: df.groupby("count()").size().rename("f").reset_index(),
+        batch_format="pandas").to_pandas()
+    hist = parts.groupby("count()", as_index=False)["f"].sum()
+    v = hist["count()"].to_numpy(np.int64)
+    f = hist["f"].to_numpy(np.int64)
+    order = np.argsort(v, kind="mergesort")
+    v, f = v[order], f[order]
+    starts = np.concatenate(([0], np.cumsum(f)[:-1]))
+    # sum of ranks (1-based) inside each tie block: f*s + f*(f+1)/2
+    rank_sums = f * starts + f * (f + 1) // 2
+    s = float((v * rank_sums).sum())
+    cnt = int(f.sum())
+    tot = int((v * f).sum())
+    gini = round(2.0 * s / (cnt * float(tot)) - (cnt + 1.0) / cnt, 6)
+    return pd.DataFrame({"gini": [gini], "n_users": np.array([cnt], np.int64),
+                         "n_events": np.array([tot], np.int64)})
+
+
+SQL_GINI_CONCENTRATION = """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rk FROM c),
+t AS (SELECT COUNT(*) AS cnt, SUM(n) AS tot, SUM(rk * n) AS s FROM r)
+SELECT ROUND(2.0 * s / (cnt * CAST(tot AS DOUBLE)) - (cnt + 1.0) / cnt, 6)
+         AS gini,
+       CAST(cnt AS BIGINT) AS n_users, CAST(tot AS BIGINT) AS n_events
+FROM t
+"""
+
+
+def q_hour_profile(sf_dir: str):
+    """Hour-of-day load profile per event type: count, mean value and
+    within-type share for each (type, hour) cell — the recrawl/ingest
+    scheduling heatmap.  Single combiner pass: per-block (type, hour) ->
+    (n, sum value) partials; the 24 x T final grid reduces on the
+    driver."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hod=df["ts"].dt.hour.astype(np.int64))
+        g = df.groupby(["event_type", "hod"])
+        return g.agg(n=("value", "size"), sv=("value", "sum")).reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["event_type", "hod"], as_index=False)[["n", "sv"]].sum()
+    agg["avg_value"] = (agg["sv"] / agg["n"]).round(6)
+    agg["share"] = (agg["n"] / agg.groupby("event_type")["n"].transform("sum")
+                    .astype(np.float64)).round(6)
+    agg["n"] = agg["n"].astype(np.int64)
+    return (agg[["event_type", "hod", "n", "avg_value", "share"]]
+            .sort_values(["event_type", "hod"]).reset_index(drop=True))
+
+
+SQL_HOUR_PROFILE = """
+SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(value), 6) AS avg_value,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type)
+                             AS DOUBLE), 6) AS share
+FROM events GROUP BY event_type, hod ORDER BY event_type, hod
+"""
+
+
+def q_degree_powerlaw(sf_dir: str):
+    """Power-law tail fit over link-graph in-degrees: the discrete MLE
+    alpha = 1 + n / sum ln(d / (dmin - 0.5)) over nodes with d >= dmin=2
+    (Clauset, Shalizi & Newman 2009) — the topology health check that
+    separates organic webs from link farms.  Degrees come from one
+    distributed groupby(dst); alpha reduces over the tiny (degree ->
+    frequency) histogram, so driver work is O(distinct degrees)."""
+    from icrawler_ray.stages.linkgraph import derive_edges
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    deg = derive_edges(docs, n).groupby("dst").count()
+    parts = deg.map_batches(
+        lambda df: df.groupby("count()").size().rename("f").reset_index(),
+        batch_format="pandas").to_pandas()
+    hist = parts.groupby("count()", as_index=False)["f"].sum()
+    d = hist["count()"].to_numpy(np.int64)
+    f = hist["f"].to_numpy(np.int64)
+    tail = d >= 2
+    n_tail = int(f[tail].sum())
+    s = float((f[tail] * np.log(d[tail] / 1.5)).sum())
+    return pd.DataFrame({"alpha": [round(1.0 + n_tail / s, 6)],
+                         "n_tail": np.array([n_tail], np.int64),
+                         "dmin": np.array([2], np.int64)})
+
+
+SQL_DEGREE_POWERLAW = f"""
+WITH {_SQL_EDGES_CTE},
+deg AS (SELECT dst, COUNT(*) AS d FROM edges GROUP BY dst),
+t AS (SELECT d FROM deg WHERE d >= 2)
+SELECT ROUND(1.0 + COUNT(*) / SUM(LN(d / 1.5)), 6) AS alpha,
+       CAST(COUNT(*) AS BIGINT) AS n_tail, CAST(2 AS BIGINT) AS dmin
+FROM t
+"""
+
+
+def q_transition_latency(sf_dir: str):
+    """Per (prev_type -> type) transition: count and mean inter-event gap
+    in seconds — the timing layer over event_transitions that a session
+    model or recrawl scheduler consumes.  One groupby(user) shuffle;
+    each group emits per-transition (n, sum-gap) partials (microsecond
+    integers -> double once), the T^2 grid reduces via combiner."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        if len(g) < 2:
+            return pd.DataFrame({"prev_type": pd.Series([], dtype=str),
+                                 "event_type": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "s": pd.Series([], dtype=np.float64)})
+        et = g["event_type"].to_numpy()
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"prev_type": et[:-1], "event_type": et[1:],
+                           "n": np.ones(len(g) - 1, np.int64),
+                           "s": np.diff(us) / 1e6})
+        return df.groupby(["prev_type", "event_type"], as_index=False)[["n", "s"]].sum()
+
+    p = ds.groupby("user_id").map_groups(trans, batch_format="pandas")
+    parts = p.map_batches(
+        lambda df: df.groupby(["prev_type", "event_type"], as_index=False)[["n", "s"]].sum(),
+        batch_format="pandas").to_pandas()
+    agg = parts.groupby(["prev_type", "event_type"], as_index=False)[["n", "s"]].sum()
+    agg["avg_gap_s"] = (agg["s"] / agg["n"]).round(6)
+    agg["n"] = agg["n"].astype(np.int64)
+    return (agg[["prev_type", "event_type", "n", "avg_gap_s"]]
+            .sort_values(["prev_type", "event_type"]).reset_index(drop=True))
+
+
+SQL_TRANSITION_LATENCY = """
+WITH r AS (SELECT user_id, event_type, ts,
+                  LAG(event_type) OVER w AS prev_type,
+                  LAG(ts) OVER w AS prev_ts
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(date_diff('microsecond', prev_ts, ts) / 1e6), 6) AS avg_gap_s
+FROM r WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type ORDER BY prev_type, event_type
+"""
+
+
+def q_knn_label_accuracy(sf_dir: str):
+    """Embedding-quality eval: leave-one-out 1-NN label agreement for a
+    deterministic 10% query sample (vec_id % 10 = 0) against the full
+    corpus — the standard probe for "do these embeddings cluster by
+    label".  Same shape as brute_force_topk: the sample matrix rides
+    ray.put once, each corpus batch emits ONE candidate row per query
+    (tie-safe sim desc / id asc), and the final merge + per-label
+    accuracy reduce is query-sample-sized.  Eval sets are small by
+    construction; a corpus-x-corpus variant routes through knn_ivf."""
+    from icrawler_ray.stages.similarity import _as_matrix, _normalize
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    sample = ds.map_batches(
+        lambda df: df[df["vec_id"] % 10 == 0], batch_format="pandas").to_pandas()
+    qids = sample["vec_id"].to_numpy(np.int64)
+    qlab = sample["label"].to_numpy(np.int64)
+    qn = _normalize(np.asarray(sample["embedding"].tolist(), dtype=np.float64))
+    q_ref = ray.put(qn)
+
+    def partial(t):
+        q = ray.get(q_ref)
+        m = _normalize(_as_matrix(t["embedding"]))
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = q @ m.T
+        # mask self-matches, then keep the single best candidate per query
+        sims[qids[:, None] == ids[None, :]] = -np.inf
+        best = np.empty(len(q), np.int64)
+        for i in range(len(q)):
+            best[i] = np.lexsort((ids, -sims[i]))[0]
+        return pd.DataFrame({"qid": qids, "qlabel": qlab,
+                             "sim": sims[np.arange(len(q)), best],
+                             "nid": ids[best], "nlabel": labs[best]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    win = (parts.sort_values(["qid", "sim", "nid"],
+                             ascending=[True, False, True], kind="mergesort")
+           .groupby("qid", as_index=False).first())
+    win["hit"] = (win["qlabel"] == win["nlabel"]).astype(np.float64)
+    out = win.groupby("qlabel", as_index=False).agg(n_queries=("hit", "size"),
+                                                    acc=("hit", "mean"))
+    out = out.rename(columns={"qlabel": "label"})
+    out["label"] = out["label"].astype(np.int64)
+    out["n_queries"] = out["n_queries"].astype(np.int64)
+    out["acc"] = out["acc"].round(6)
+    return out.sort_values("label").reset_index(drop=True)
+
+
+SQL_KNN_LABEL_ACCURACY = """
+WITH q AS (SELECT vec_id, label, embedding FROM embeddings
+           WHERE vec_id % 10 = 0),
+s AS (SELECT q.vec_id AS qid, q.label AS qlabel, c.label AS nlabel,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS sim,
+             c.vec_id AS cid
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+b AS (SELECT qid, qlabel, nlabel FROM s
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY sim DESC, cid) = 1)
+SELECT CAST(qlabel AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(CASE WHEN nlabel = qlabel THEN 1.0 ELSE 0.0 END), 6) AS acc
+FROM b GROUP BY qlabel ORDER BY label
+"""
+
+
+def q_revenue_pareto(sf_dir: str):
+    """Pareto concentration of order revenue: the share held by the top
+    1% of customers (ceil(n/100), ranked revenue desc / custkey asc) —
+    the skew audit behind salted-join and budget decisions.  Per-customer
+    revenue is summed in integer CENTS (exact, no float-order ties), the
+    rank boundary comes from ONE distributed sort + limit over the
+    customer frame; only the k boundary rows and two counters reach the
+    driver."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev=np.round(df["o_totalprice"].to_numpy() * 100)
+                       .astype(np.int64))
+        return df.groupby("o_custkey", as_index=False)["rev"].sum()
+
+    # materialize ONCE: the per-customer frame (distinct-customer-sized,
+    # far smaller than orders) feeds three consumers (count, sort+limit,
+    # total) that would otherwise each re-run the groupby
+    per = ds.map_batches(cents, batch_format="pandas") \
+        .groupby("o_custkey").sum("rev").materialize()
+    n = per.count()
+    k = int(np.ceil(n * 0.01))
+    top = per.sort(["sum(rev)", "o_custkey"],
+                   descending=[True, False]).limit(k).to_pandas()
+    total = int(per.sum("sum(rev)"))
+    top_cents = int(top["sum(rev)"].sum())
+    return pd.DataFrame({
+        "n_customers": np.array([n], np.int64),
+        "top_k": np.array([k], np.int64),
+        "top_share": [round(top_cents / float(total), 6)],
+        "top_revenue": [round(top_cents / 100.0, 2)],
+        "total_revenue": [round(total / 100.0, 2)]})
+
+
+SQL_REVENUE_PARETO = """
+WITH c AS (SELECT o_custkey,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+           FROM orders GROUP BY o_custkey),
+r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+             COUNT(*) OVER () AS n
+      FROM c)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(CEIL(MAX(n) * 0.01) AS BIGINT) AS top_k,
+       ROUND(SUM(CASE WHEN rk <= CEIL(n * 0.01) THEN rev ELSE 0 END)
+             / CAST(SUM(rev) AS DOUBLE), 6) AS top_share,
+       ROUND(SUM(CASE WHEN rk <= CEIL(n * 0.01) THEN rev ELSE 0 END)
+             / 100.0, 2) AS top_revenue,
+       ROUND(SUM(rev) / 100.0, 2) AS total_revenue
+FROM r
+"""
+
+
+def q_brand_price_profile(sf_dir: str):
+    """Per-brand part profile: count, exact mean retail price (integer
+    cents), discrete median size and PROMO-type share — the catalog
+    rollup shape (brand x size histogram combiner, driver reduce bounded
+    by the brand-size grid)."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_type", "p_size", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            cents=np.round(df["p_retailprice"].to_numpy() * 100).astype(np.int64),
+            promo=(df["p_type"] == "PROMO").astype(np.int64))
+        g = df.groupby(["p_brand", "p_size"])
+        return g.agg(n=("cents", "size"), sc=("cents", "sum"),
+                     np_=("promo", "sum")).reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    grid = parts.groupby(["p_brand", "p_size"], as_index=False)[["n", "sc", "np_"]].sum()
+    rows = []
+    for brand, g in grid.groupby("p_brand"):
+        n = int(g["n"].sum())
+        v = g["p_size"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        order = np.argsort(v, kind="mergesort")
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        p50 = int(v[np.searchsorted(cum, int(np.ceil(0.5 * n)))])
+        rows.append({"p_brand": brand, "n_parts": np.int64(n),
+                     "avg_price": round(int(g["sc"].sum()) / (100.0 * n), 6),
+                     "p50_size": np.int64(p50),
+                     "promo_share": round(int(g["np_"].sum()) / float(n), 6)})
+    return pd.DataFrame(rows).sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_BRAND_PRICE_PROFILE = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT))
+             / (100.0 * COUNT(*)), 6) AS avg_price,
+       CAST(quantile_disc(p_size, 0.5) AS BIGINT) AS p50_size,
+       ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS promo_share
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_priority_mix_monthly(sf_dir: str):
+    """Order-priority mix per month: count and within-month share for
+    each (month, priority) cell — the seasonality slice of the order
+    stream.  One combiner pass; the month x priority grid reduces on the
+    driver."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(month=pd.to_datetime(df["o_orderdate"]).dt.strftime("%Y-%m"))
+        return df.groupby(["month", "o_orderpriority"]).size().rename("n").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["month", "o_orderpriority"], as_index=False)["n"].sum()
+    agg["share"] = (agg["n"]
+                    / agg.groupby("month")["n"].transform("sum").astype(np.float64)
+                    ).round(6)
+    agg["n"] = agg["n"].astype(np.int64)
+    return (agg.sort_values(["month", "o_orderpriority"])
+            .reset_index(drop=True))
+
+
+SQL_PRIORITY_MIX_MONTHLY = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY
+             strftime(o_orderdate, '%Y-%m')) AS DOUBLE), 6) AS share
+FROM orders GROUP BY month, o_orderpriority ORDER BY month, o_orderpriority
+"""
+
+
+def q_kmv_distinct(sf_dir: str):
+    """K-minimum-values distinct-count sketch over the corpus vocabulary
+    (Bar-Yossef et al. 2002): estimate = (k-1) / u_k where u_k is the
+    k-th smallest normalized md5 of a term — the second mergeable
+    cardinality sketch next to HLL, exact-replayable because the hash is
+    md5 (stages/dedup.py::md5_pair convention).  Per-block partials are
+    bottom-k hash arrays (k=256 uint64s, mergeable by concat+partition);
+    the exact reference count comes from one vocabulary-bucketed
+    identity exchange.  Reported together so the sketch's relative error
+    is part of the oracle-checked contract."""
+    from icrawler_ray.stages.dedup import md5_pair
+
+    K = 256
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def bottom_k(df: pd.DataFrame) -> pd.DataFrame:
+        terms = set()
+        for txt in df["text"]:
+            terms.update(txt.split(" "))
+        h = md5_pair(sorted(terms))[:, 0]
+        if len(h) > K:
+            h = np.partition(h, K - 1)[:K]
+        return pd.DataFrame({"h": h})
+
+    hs = ds.map_batches(bottom_k, batch_format="pandas").to_pandas()["h"] \
+        .to_numpy(np.uint64)
+    hs = np.unique(hs)
+
+    def uniq_terms(df: pd.DataFrame) -> pd.DataFrame:
+        terms = set()
+        for txt in df["text"]:
+            terms.update(txt.split(" "))
+        return pd.DataFrame({"term": sorted(terms)})
+
+    n_exact = int(ds.map_batches(uniq_terms, batch_format="pandas")
+                  .groupby("term").count().count())
+    if len(hs) <= K:
+        est = float(len(hs))
+    else:
+        hk = float(np.sort(hs)[K - 1])
+        est = (K - 1) * 18446744073709551616.0 / (hk + 1.0)
+    est = round(est, 2)
+    return pd.DataFrame({
+        "n_exact": np.array([n_exact], np.int64),
+        "kmv_est": [est],
+        "rel_err": [round(abs(est - n_exact) / n_exact, 6)]})
+
+
+SQL_KMV_DISTINCT = """
+WITH t AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+           FROM documents),
+h AS (SELECT CAST(md5_number_lower(term) AS HUGEINT) AS h FROM t),
+r AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk, COUNT(*) OVER () AS n
+      FROM h),
+e AS (SELECT CASE WHEN MAX(n) <= 256 THEN CAST(MAX(n) AS DOUBLE)
+                  ELSE 255 * 18446744073709551616.0
+                       / (MAX(CASE WHEN rk = 256 THEN CAST(h AS DOUBLE) END)
+                          + 1.0)
+             END AS est, MAX(n) AS n
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n_exact, ROUND(est, 2) AS kmv_est,
+       ROUND(ABS(ROUND(est, 2) - n) / n, 6) AS rel_err
+FROM e
+"""
+
+
+def q_lognormal_fit(sf_dir: str):
+    """Log-normal moment fit of document length per source: mu =
+    mean(ln n_chars), sigma = population std of ln n_chars — the
+    two-parameter summary a mixture planner samples synthetic lengths
+    from.  One combiner pass of (n, sum ln, sum ln^2) partials per
+    source."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ln = np.log(df["n_chars"].to_numpy(np.float64))
+        g = pd.DataFrame({"source": df["source"], "ln": ln, "ln2": ln * ln,
+                          "n": np.ones(len(df), np.int64)})
+        return g.groupby("source", as_index=False)[["ln", "ln2", "n"]].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("source", as_index=False)[["ln", "ln2", "n"]].sum()
+    mu = agg["ln"] / agg["n"]
+    var = agg["ln2"] / agg["n"] - mu * mu
+    out = pd.DataFrame({"source": agg["source"],
+                        "n": agg["n"].astype(np.int64),
+                        "mu": mu.round(6),
+                        "sigma": np.sqrt(np.maximum(var, 0.0)).round(6)})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_LOGNORMAL_FIT = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(LN(n_chars)) / COUNT(*), 6) AS mu,
+       ROUND(SQRT(GREATEST(SUM(LN(n_chars) * LN(n_chars)) / COUNT(*)
+                           - (SUM(LN(n_chars)) / COUNT(*))
+                             * (SUM(LN(n_chars)) / COUNT(*)), 0.0)), 6)
+         AS sigma
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_negsample_weights(sf_dir: str):
+    """word2vec negative-sampling table head: the 30 most frequent terms
+    with p(term) = count^0.75 / sum(count^0.75) over the FULL vocabulary
+    (Mikolov et al. 2013).  One vocabulary-bucketed exchange builds
+    global counts; each post-exchange block then emits its local top-30
+    candidates plus ONE partial-normalizer row (sum of count^0.75), so
+    the driver reduce is output-sized, never vocabulary-sized."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].str.split(" ").explode()
+        return t.groupby(t, sort=False).size().rename("n") \
+            .rename_axis("term").reset_index()
+
+    vocab = ds.map_batches(counts, batch_format="pandas") \
+        .groupby("term").sum("n")
+
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        pw = float(np.power(df["sum(n)"].to_numpy(np.float64), 0.75).sum())
+        top = df.sort_values(["sum(n)", "term"], ascending=[False, True],
+                             kind="mergesort").head(30)
+        return pd.DataFrame({
+            "term": np.concatenate((top["term"].to_numpy(), [""])),
+            "n": np.concatenate((top["sum(n)"].to_numpy(np.int64), [0])),
+            "pw": np.concatenate((np.zeros(len(top)), [pw]))})
+
+    parts = vocab.map_batches(block_top, batch_format="pandas").to_pandas()
+    z = float(parts.loc[parts["term"] == "", "pw"].sum())
+    cand = parts[parts["term"] != ""].sort_values(
+        ["n", "term"], ascending=[False, True], kind="mergesort").head(30)
+    out = pd.DataFrame({
+        "term": cand["term"].to_numpy(),
+        "n": cand["n"].to_numpy(np.int64),
+        "rank": np.arange(1, len(cand) + 1, dtype=np.int64),
+        "p": np.round(np.power(cand["n"].to_numpy(np.float64), 0.75) / z, 6)})
+    return out.reset_index(drop=True)
+
+
+SQL_NEGSAMPLE_WEIGHTS = """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT term, COUNT(*) AS n FROM t GROUP BY term),
+z AS (SELECT SUM(POWER(n, 0.75)) AS z FROM c),
+r AS (SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank
+      FROM c)
+SELECT term, CAST(n AS BIGINT) AS n, rank,
+       ROUND(POWER(n, 0.75) / z.z, 6) AS p
+FROM r, z WHERE rank <= 30 ORDER BY rank
+"""
+
+
+def q_type_hour_mi(sf_dir: str):
+    """Mutual information (nats) between event type and hour-of-day —
+    the scalar dependence audit over the hour_profile grid: does load
+    shape differ by type enough to schedule per-type?  One (type, hour)
+    combiner pass; MI reduces over the 24 x T grid on the driver."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"event_type": df["event_type"],
+                          "hod": df["ts"].dt.hour.astype(np.int64)})
+        return g.groupby(["event_type", "hod"]).size().rename("n").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    grid = parts.groupby(["event_type", "hod"], as_index=False)["n"].sum()
+    n = float(grid["n"].sum())
+    pt = grid.groupby("event_type")["n"].transform("sum").to_numpy(np.float64) / n
+    ph = grid.groupby("hod")["n"].transform("sum").to_numpy(np.float64) / n
+    pj = grid["n"].to_numpy(np.float64) / n
+    mi = float((pj * np.log(pj / (pt * ph))).sum())
+    return pd.DataFrame({"mi_nats": [round(mi, 6)],
+                         "n_events": np.array([int(n)], np.int64),
+                         "n_cells": np.array([len(grid)], np.int64)})
+
+
+SQL_TYPE_HOUR_MI = """
+WITH g AS (SELECT event_type, EXTRACT(hour FROM ts) AS hod, COUNT(*) AS n
+           FROM events GROUP BY event_type, hod),
+tot AS (SELECT SUM(n) AS n FROM g),
+pt AS (SELECT event_type, SUM(n) AS nt FROM g GROUP BY event_type),
+ph AS (SELECT hod, SUM(n) AS nh FROM g GROUP BY hod)
+SELECT ROUND(SUM((g.n / CAST(tot.n AS DOUBLE))
+             * LN((g.n * CAST(tot.n AS DOUBLE))
+                  / (CAST(pt.nt AS DOUBLE) * ph.nh))), 6) AS mi_nats,
+       CAST(MAX(tot.n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM g JOIN pt USING (event_type) JOIN ph USING (hod) CROSS JOIN tot
+"""
+
+
+def q_rare_category_merge(sf_dir: str):
+    """Rare-category consolidation: sources under 1% corpus share merge
+    into 'OTHER' (the standard preprocessing step before stratification
+    keys explode); per merged category, count and share.  One per-source
+    combiner pass, merge decided on the tiny category frame."""
+    ds = _read(sf_dir, "documents", ["source"])
+    parts = ds.map_batches(
+        lambda df: df.groupby("source").size().rename("n").reset_index(),
+        batch_format="pandas").to_pandas()
+    c = parts.groupby("source", as_index=False)["n"].sum()
+    tot = int(c["n"].sum())
+    c["cat"] = np.where(c["n"] < 0.01 * tot, "OTHER", c["source"])
+    out = c.groupby("cat", as_index=False)["n"].sum()
+    out["share"] = (out["n"] / float(tot)).round(6)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("cat").reset_index(drop=True)
+
+
+SQL_RARE_CATEGORY_MERGE = """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+t AS (SELECT SUM(n) AS tot FROM c),
+m AS (SELECT CASE WHEN c.n < 0.01 * t.tot THEN 'OTHER' ELSE c.source END
+        AS cat, c.n
+      FROM c CROSS JOIN t)
+SELECT cat, CAST(SUM(n) AS BIGINT) AS n,
+       ROUND(SUM(n) / CAST((SELECT tot FROM t) AS DOUBLE), 6) AS share
+FROM m GROUP BY cat ORDER BY cat
+"""
+
+
+def q_vocab_churn(sf_dir: str):
+    """Vocabulary churn between corpus halves: the top-20 terms (count
+    desc, term asc) of doc_id < n/2 vs the rest, as ranked rows — the
+    drift audit a recrawl scheduler reads before refreshing a shard.
+    One (half, term) vocabulary exchange; each post-exchange block emits
+    its per-half top-20 candidates so the driver merge is output-sized."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+    split = n_docs // 2
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        half = (df["doc_id"].to_numpy(np.int64) >= split).astype(np.int64)
+        t = pd.DataFrame({"half": half, "term": df["text"].str.split(" ")}) \
+            .explode("term")
+        return t.groupby(["half", "term"], sort=False).size().rename("n") \
+            .reset_index()
+
+    vocab = docs.map_batches(counts, batch_format="pandas") \
+        .groupby(["half", "term"]).sum("n")
+
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["half", "sum(n)", "term"],
+                              ascending=[True, False, True],
+                              kind="mergesort").groupby("half").head(20)
+
+    parts = vocab.map_batches(block_top, batch_format="pandas").to_pandas()
+    top = parts.sort_values(["half", "sum(n)", "term"],
+                            ascending=[True, False, True], kind="mergesort") \
+        .groupby("half").head(20)
+    top = top.rename(columns={"sum(n)": "n"})
+    top["rank"] = (top.groupby("half").cumcount() + 1).astype(np.int64)
+    top["half"] = top["half"].astype(np.int64)
+    top["n"] = top["n"].astype(np.int64)
+    return top[["half", "rank", "term", "n"]].reset_index(drop=True)
+
+
+SQL_VOCAB_CHURN = """
+WITH nn AS (SELECT COUNT(*) AS cnt FROM documents),
+t AS (SELECT CASE WHEN doc_id >= nn.cnt // 2 THEN 1 ELSE 0 END AS half,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents CROSS JOIN nn),
+c AS (SELECT half, term, COUNT(*) AS n FROM t GROUP BY half, term),
+r AS (SELECT half, term, n,
+             ROW_NUMBER() OVER (PARTITION BY half
+                                ORDER BY n DESC, term) AS rank
+      FROM c)
+SELECT CAST(half AS BIGINT) AS half, rank, term, CAST(n AS BIGINT) AS n
+FROM r WHERE rank <= 20 ORDER BY half, rank
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -8252,6 +9086,24 @@ QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "interarrival_quantiles": q_interarrival_quantiles,
     "weighted_pagerank": q_weighted_pagerank,
+    "type_cooccurrence_lift": q_type_cooccurrence_lift,
+    "user_path_prefix": q_user_path_prefix,
+    "ngram_novelty": q_ngram_novelty,
+    "quantization_error": q_quantization_error,
+    "gini_concentration": q_gini_concentration,
+    "hour_profile": q_hour_profile,
+    "degree_powerlaw": q_degree_powerlaw,
+    "transition_latency": q_transition_latency,
+    "knn_label_accuracy": q_knn_label_accuracy,
+    "revenue_pareto": q_revenue_pareto,
+    "brand_price_profile": q_brand_price_profile,
+    "priority_mix_monthly": q_priority_mix_monthly,
+    "kmv_distinct": q_kmv_distinct,
+    "lognormal_fit": q_lognormal_fit,
+    "negsample_weights": q_negsample_weights,
+    "type_hour_mi": q_type_hour_mi,
+    "rare_category_merge": q_rare_category_merge,
+    "vocab_churn": q_vocab_churn,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -8427,4 +9279,22 @@ ORACLE_SQL = {
     "interarrival_quantiles": SQL_INTERARRIVAL_QUANTILES,
     "mutual_knn": SQL_MUTUAL_KNN,
     "weighted_pagerank": SQL_WEIGHTED_PAGERANK,
+    "type_cooccurrence_lift": SQL_TYPE_COOCCURRENCE_LIFT,
+    "user_path_prefix": SQL_USER_PATH_PREFIX,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "quantization_error": SQL_QUANTIZATION_ERROR,
+    "gini_concentration": SQL_GINI_CONCENTRATION,
+    "hour_profile": SQL_HOUR_PROFILE,
+    "degree_powerlaw": SQL_DEGREE_POWERLAW,
+    "transition_latency": SQL_TRANSITION_LATENCY,
+    "knn_label_accuracy": SQL_KNN_LABEL_ACCURACY,
+    "revenue_pareto": SQL_REVENUE_PARETO,
+    "brand_price_profile": SQL_BRAND_PRICE_PROFILE,
+    "priority_mix_monthly": SQL_PRIORITY_MIX_MONTHLY,
+    "kmv_distinct": SQL_KMV_DISTINCT,
+    "lognormal_fit": SQL_LOGNORMAL_FIT,
+    "negsample_weights": SQL_NEGSAMPLE_WEIGHTS,
+    "type_hour_mi": SQL_TYPE_HOUR_MI,
+    "rare_category_merge": SQL_RARE_CATEGORY_MERGE,
+    "vocab_churn": SQL_VOCAB_CHURN,
 }
