@@ -250,7 +250,10 @@ def bench_queries() -> dict:
              "degree_powerlaw", "transition_latency", "knn_label_accuracy",
              "revenue_pareto", "brand_price_profile", "priority_mix_monthly",
              "kmv_distinct", "lognormal_fit", "negsample_weights",
-             "type_hour_mi", "rare_category_merge", "vocab_churn"]
+             "type_hour_mi", "rare_category_merge", "vocab_churn",
+             "dau_mau_stickiness", "lines_per_order_dist",
+             "discount_revenue_curve", "supplier_region_acctbal",
+             "label_centroid_affinity", "status_priority_chi2"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

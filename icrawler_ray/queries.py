@@ -8917,6 +8917,268 @@ FROM r WHERE rank <= 20 ORDER BY half, rank
 """
 
 
+def q_dau_mau_stickiness(sf_dir: str):
+    """Monthly engagement rollup: MAU (distinct users per month), mean
+    DAU over the month's active days, and stickiness = avg DAU / MAU —
+    the activity-concentration audit of the event stream.  Per-block
+    (day, user) dedup feeds ONE global distinct exchange; DAU and MAU
+    then reduce from that identity frame with day- and month-bounded
+    combiners, so nothing user-sized reaches the driver."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_user(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": df["ts"].dt.strftime("%Y-%m-%d"),
+                             "user_id": df["user_id"]}).drop_duplicates()
+
+    # materialize ONCE: the distinct (day, user) identity frame feeds
+    # both the DAU and MAU branches, which would otherwise each re-run
+    # the exchange; blocks stay in the object store (spillable)
+    du = ds.map_batches(day_user, batch_format="pandas") \
+        .groupby(["day", "user_id"]).count().materialize()
+    dau = du.map_batches(
+        lambda df: df.groupby("day").size().rename("dau").reset_index(),
+        batch_format="pandas").to_pandas()
+    dau = dau.groupby("day", as_index=False)["dau"].sum()
+    mu = du.map_batches(
+        lambda df: pd.DataFrame({"month": df["day"].str.slice(0, 7),
+                                 "user_id": df["user_id"]}).drop_duplicates(),
+        batch_format="pandas").groupby(["month", "user_id"]).count()
+    mau = mu.map_batches(
+        lambda df: df.groupby("month").size().rename("mau").reset_index(),
+        batch_format="pandas").to_pandas()
+    mau = mau.groupby("month", as_index=False)["mau"].sum()
+    dau["month"] = dau["day"].str.slice(0, 7)
+    md = dau.groupby("month", as_index=False).agg(n_days=("day", "size"),
+                                                  avg_dau=("dau", "mean"))
+    out = md.merge(mau, on="month")
+    out["stickiness"] = (out["avg_dau"] / out["mau"]).round(6)
+    out["avg_dau"] = out["avg_dau"].round(6)
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out["mau"] = out["mau"].astype(np.int64)
+    return (out[["month", "n_days", "mau", "avg_dau", "stickiness"]]
+            .sort_values("month").reset_index(drop=True))
+
+
+SQL_DAU_MAU = """
+WITH du AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+            FROM events),
+dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+mau AS (SELECT month, COUNT(*) AS mau FROM
+          (SELECT DISTINCT substr(day, 1, 7) AS month, user_id FROM du)
+        GROUP BY month),
+md AS (SELECT substr(day, 1, 7) AS month, COUNT(*) AS n_days,
+              AVG(CAST(dau AS DOUBLE)) AS avg_dau
+       FROM dau GROUP BY month)
+SELECT md.month, CAST(md.n_days AS BIGINT) AS n_days,
+       CAST(mau.mau AS BIGINT) AS mau, ROUND(md.avg_dau, 6) AS avg_dau,
+       ROUND(md.avg_dau / mau.mau, 6) AS stickiness
+FROM md JOIN mau ON mau.month = md.month ORDER BY md.month
+"""
+
+
+def q_lines_per_order_dist(sf_dir: str):
+    """Distribution of lineitem counts per order: (n_lines -> n_orders,
+    share) — the fan-out histogram that sizes a join's skew budget.  One
+    distributed groupby(orderkey) over the big table, then a histogram
+    combiner over the order-sized frame; the driver sees only the tiny
+    (distinct fan-out) grid."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    per = ds.groupby("l_orderkey").count()
+    parts = per.map_batches(
+        lambda df: df.groupby("count()").size().rename("f").reset_index(),
+        batch_format="pandas").to_pandas()
+    hist = parts.groupby("count()", as_index=False)["f"].sum()
+    tot = int(hist["f"].sum())
+    out = pd.DataFrame({"n_lines": hist["count()"].astype(np.int64),
+                        "n_orders": hist["f"].astype(np.int64),
+                        "share": (hist["f"] / float(tot)).round(6)})
+    return out.sort_values("n_lines").reset_index(drop=True)
+
+
+SQL_LINES_PER_ORDER_DIST = """
+WITH c AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(n AS BIGINT) AS n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+FROM c GROUP BY n ORDER BY n_lines
+"""
+
+
+def q_discount_revenue_curve(sf_dir: str):
+    """Revenue response by discount level: per distinct l_discount, line
+    count, mean discounted revenue and share of total discounted revenue
+    — the pricing-curve rollup.  One (discount -> n, sum revenue)
+    combiner pass; discounts group by their exact stored doubles on both
+    sides."""
+    ds = _read(sf_dir, "lineitem", ["l_discount", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        g = pd.DataFrame({"l_discount": df["l_discount"], "rev": rev,
+                          "n": np.ones(len(df), np.int64)})
+        return g.groupby("l_discount", as_index=False)[["rev", "n"]].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("l_discount", as_index=False)[["rev", "n"]].sum()
+    tot = float(agg["rev"].sum())
+    out = pd.DataFrame({"l_discount": agg["l_discount"],
+                        "n": agg["n"].astype(np.int64),
+                        "avg_revenue": (agg["rev"] / agg["n"]).round(6),
+                        "rev_share": (agg["rev"] / tot).round(6)})
+    return out.sort_values("l_discount").reset_index(drop=True)
+
+
+SQL_DISCOUNT_REVENUE_CURVE = """
+WITH g AS (SELECT l_discount, COUNT(*) AS n,
+                  SUM(l_extendedprice * (1.0 - l_discount)) AS rev
+           FROM lineitem GROUP BY l_discount)
+SELECT l_discount, CAST(n AS BIGINT) AS n, ROUND(rev / n, 6) AS avg_revenue,
+       ROUND(rev / CAST((SELECT SUM(rev) FROM g) AS DOUBLE), 6) AS rev_share
+FROM g ORDER BY l_discount
+"""
+
+
+def q_supplier_region_acctbal(sf_dir: str):
+    """Supplier account-balance rollup by region through the two small
+    dimension tables: the canonical broadcast-join shape (nation+region
+    ride ray.put as one dict; the supplier scan never shuffles).  Cent-
+    integer sums keep the mean exact."""
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nat["n_nationkey"],
+                   nat["n_regionkey"].map(dict(zip(reg["r_regionkey"],
+                                                   reg["r_name"])))))
+    ref = ray.put(n2r)
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        g = pd.DataFrame({
+            "r_name": df["s_nationkey"].map(m),
+            "cents": np.round(df["s_acctbal"].to_numpy() * 100).astype(np.int64),
+            "n": np.ones(len(df), np.int64)})
+        return g.groupby("r_name", as_index=False).agg(
+            sc=("cents", "sum"), n=("n", "sum"),
+            mn=("cents", "min"), mx=("cents", "max"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("r_name", as_index=False).agg(
+        sc=("sc", "sum"), n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+    out = pd.DataFrame({"r_name": agg["r_name"],
+                        "n_suppliers": agg["n"].astype(np.int64),
+                        "avg_acctbal": (agg["sc"] / (100.0 * agg["n"])).round(6),
+                        "min_acctbal": (agg["mn"] / 100.0).round(2),
+                        "max_acctbal": (agg["mx"] / 100.0).round(2)})
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+SQL_SUPPLIER_REGION_ACCTBAL = """
+SELECT r.r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT))
+             / (100.0 * COUNT(*)), 6) AS avg_acctbal,
+       ROUND(MIN(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) / 100.0, 2)
+         AS min_acctbal,
+       ROUND(MAX(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) / 100.0, 2)
+         AS max_acctbal
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name ORDER BY r.r_name
+"""
+
+
+def q_label_centroid_affinity(sf_dir: str):
+    """Pairwise cosine between label centroids (mean vectors) — the
+    cluster-confusability matrix that predicts which labels a classifier
+    or ANN router will mix up.  Per-block (label -> sum vec, n) partials
+    reduce to a k x dim grid on the driver; the pairwise pass is
+    k^2-bounded."""
+    from icrawler_ray.stages.similarity import _as_matrix
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t):
+        e = _as_matrix(t["embedding"])
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = []
+        for lb in np.unique(lab):
+            m = lab == lb
+            rows.append({"label": int(lb), "n": int(m.sum()),
+                         "s": e[m].sum(0).tolist()})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    labs, cents = [], []
+    for lb, g in parts.groupby("label"):
+        s = np.sum(np.stack(g["s"].to_numpy()), axis=0)
+        labs.append(int(lb))
+        cents.append(s / float(g["n"].sum()))
+    labs = np.asarray(labs)
+    c = np.stack(cents)
+    nrm = np.linalg.norm(c, axis=1)
+    sims = (c @ c.T) / (nrm[:, None] * nrm[None, :])
+    ia, ib = np.triu_indices(len(labs), k=1)
+    out = pd.DataFrame({"label_a": labs[ia].astype(np.int64),
+                        "label_b": labs[ib].astype(np.int64),
+                        "cos": np.round(sims[ia, ib], 6)})
+    return out.sort_values(["label_a", "label_b"]).reset_index(drop=True)
+
+
+SQL_LABEL_CENTROID_AFFINITY = """
+WITH f AS (SELECT label, t.i AS dim,
+                  AVG(CAST(embedding[t.i] AS DOUBLE)) AS m
+           FROM embeddings CROSS JOIN range(1, 65) t(i)
+           GROUP BY label, t.i),
+nrm AS (SELECT label, SQRT(SUM(m * m)) AS nrm FROM f GROUP BY label),
+p AS (SELECT a.label AS label_a, b.label AS label_b, SUM(a.m * b.m) AS dot
+      FROM f a JOIN f b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label)
+SELECT CAST(label_a AS BIGINT) AS label_a, CAST(label_b AS BIGINT) AS label_b,
+       ROUND(dot / (na.nrm * nb.nrm), 6) AS cos
+FROM p JOIN nrm na ON na.label = p.label_a JOIN nrm nb ON nb.label = p.label_b
+ORDER BY label_a, label_b
+"""
+
+
+def q_status_priority_chi2(sf_dir: str):
+    """Chi-square independence test between order status and priority:
+    the categorical-dependence audit (does priority shift the status
+    mix?).  One contingency-grid combiner pass; the statistic reduces
+    over the S x P grid on the driver."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    parts = ds.map_batches(
+        lambda df: df.groupby(["o_orderstatus", "o_orderpriority"]).size()
+        .rename("n").reset_index(),
+        batch_format="pandas").to_pandas()
+    grid = parts.groupby(["o_orderstatus", "o_orderpriority"],
+                         as_index=False)["n"].sum()
+    n = float(grid["n"].sum())
+    rs = grid.groupby("o_orderstatus")["n"].transform("sum").to_numpy(np.float64)
+    cs = grid.groupby("o_orderpriority")["n"].transform("sum").to_numpy(np.float64)
+    e = rs * cs / n
+    o = grid["n"].to_numpy(np.float64)
+    chi2 = float(((o - e) ** 2 / e).sum())
+    n_s = grid["o_orderstatus"].nunique()
+    n_p = grid["o_orderpriority"].nunique()
+    return pd.DataFrame({"chi2": [round(chi2, 6)],
+                         "dof": np.array([(n_s - 1) * (n_p - 1)], np.int64),
+                         "n": np.array([int(n)], np.int64)})
+
+
+SQL_STATUS_PRIORITY_CHI2 = """
+WITH g AS (SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS n
+           FROM orders GROUP BY s, p),
+tot AS (SELECT SUM(n) AS n FROM g),
+rs AS (SELECT s, SUM(n) AS rn FROM g GROUP BY s),
+cs AS (SELECT p, SUM(n) AS cn FROM g GROUP BY p)
+SELECT ROUND(SUM(POWER(g.n - rs.rn * cs.cn / CAST(tot.n AS DOUBLE), 2)
+             / (rs.rn * cs.cn / CAST(tot.n AS DOUBLE))), 6) AS chi2,
+       CAST(((SELECT COUNT(*) FROM rs) - 1)
+            * ((SELECT COUNT(*) FROM cs) - 1) AS BIGINT) AS dof,
+       CAST(MAX(tot.n) AS BIGINT) AS n
+FROM g JOIN rs USING (s) JOIN cs USING (p) CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -8934,7 +9196,7 @@ QUERIES = {
     "size_gate": q_size_gate,
     "interleaved_spans": q_interleaved_spans,
     "dedup_exact": q_dedup_exact,
-    "doc_fingerprint": q_doc_fingerprint,
+    "ngram_novelty": q_ngram_novelty,
     "text_stats": q_text_stats,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -8946,7 +9208,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_near_dup": q_embedding_near_dup,
     "media_pipeline": q_media_pipeline,
-    "events_sliding_window": q_events_sliding_window,
+    "type_cooccurrence_lift": q_type_cooccurrence_lift,
     "events_asof_join": q_events_asof_join,
     "range_join_orders": q_range_join_orders,
     "robots_gate": q_robots_gate,
@@ -9086,9 +9348,7 @@ QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "interarrival_quantiles": q_interarrival_quantiles,
     "weighted_pagerank": q_weighted_pagerank,
-    "type_cooccurrence_lift": q_type_cooccurrence_lift,
     "user_path_prefix": q_user_path_prefix,
-    "ngram_novelty": q_ngram_novelty,
     "quantization_error": q_quantization_error,
     "gini_concentration": q_gini_concentration,
     "hour_profile": q_hour_profile,
@@ -9104,6 +9364,14 @@ QUERIES = {
     "type_hour_mi": q_type_hour_mi,
     "rare_category_merge": q_rare_category_merge,
     "vocab_churn": q_vocab_churn,
+    "dau_mau_stickiness": q_dau_mau_stickiness,
+    "lines_per_order_dist": q_lines_per_order_dist,
+    "discount_revenue_curve": q_discount_revenue_curve,
+    "supplier_region_acctbal": q_supplier_region_acctbal,
+    "label_centroid_affinity": q_label_centroid_affinity,
+    "status_priority_chi2": q_status_priority_chi2,
+    "doc_fingerprint": q_doc_fingerprint,
+    "events_sliding_window": q_events_sliding_window,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
     "crawl_flickr": q_crawl_flickr,
@@ -9297,4 +9565,10 @@ ORACLE_SQL = {
     "type_hour_mi": SQL_TYPE_HOUR_MI,
     "rare_category_merge": SQL_RARE_CATEGORY_MERGE,
     "vocab_churn": SQL_VOCAB_CHURN,
+    "dau_mau_stickiness": SQL_DAU_MAU,
+    "lines_per_order_dist": SQL_LINES_PER_ORDER_DIST,
+    "discount_revenue_curve": SQL_DISCOUNT_REVENUE_CURVE,
+    "supplier_region_acctbal": SQL_SUPPLIER_REGION_ACCTBAL,
+    "label_centroid_affinity": SQL_LABEL_CENTROID_AFFINITY,
+    "status_priority_chi2": SQL_STATUS_PRIORITY_CHI2,
 }
