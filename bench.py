@@ -253,7 +253,9 @@ def bench_queries() -> dict:
              "type_hour_mi", "rare_category_merge", "vocab_churn",
              "dau_mau_stickiness", "lines_per_order_dist",
              "discount_revenue_curve", "supplier_region_acctbal",
-             "label_centroid_affinity", "status_priority_chi2"]
+             "label_centroid_affinity", "status_priority_chi2",
+             "lang_embedding_norm", "dup_cluster_sizes", "head_mass_terms",
+             "hourly_autocorr", "tokens_per_char"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -9179,6 +9179,238 @@ FROM g JOIN rs USING (s) JOIN cs USING (p) CROSS JOIN tot
 """
 
 
+def q_lang_embedding_norm(sf_dir: str):
+    """Cross-modal join: documents ⋈ embeddings on doc_id = vec_id, then
+    per-language mean L2 norm — the text-metadata-to-vector-store hookup
+    every curation pipeline needs.  The vector side reduces to a narrow
+    (id, norm) frame BEFORE the join; the join itself is the repo's
+    salted hash join (stages/joins.py::salted_hash_join) with a combiner
+    agg_fn, so only per-lang (n, sum norm) partials leave the join
+    stage."""
+    from icrawler_ray.stages.joins import salted_hash_join
+    from icrawler_ray.stages.similarity import _as_matrix
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def norms(t):
+        e = _as_matrix(t["embedding"])
+        return pd.DataFrame({
+            "doc_id": t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "nrm": np.sqrt((e * e).sum(1))})
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(norms, batch_format="pyarrow")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame({"lang": g["lang"], "nrm": g["nrm"],
+                          "n": np.ones(len(g), np.int64)})
+        return p.groupby("lang", as_index=False)[["nrm", "n"]].sum()
+
+    parts = salted_hash_join(docs, emb, "doc_id", agg_fn=agg).to_pandas()
+    out = parts.groupby("lang", as_index=False)[["nrm", "n"]].sum()
+    return pd.DataFrame({"lang": out["lang"],
+                         "n": out["n"].astype(np.int64),
+                         "avg_norm": (out["nrm"] / out["n"]).round(6)}) \
+        .sort_values("lang").reset_index(drop=True)
+
+
+SQL_LANG_EMBEDDING_NORM = """
+WITH nrm AS (SELECT vec_id,
+                    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))
+                      AS nrm
+             FROM embeddings)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(nrm.nrm) / COUNT(*), 6) AS avg_norm
+FROM documents d JOIN nrm ON nrm.vec_id = d.doc_id
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+def q_dup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size histogram: how big do transitive duplicate
+    groups get (the skew signal for dedup budgeting)?  Same exact-
+    Jaccard pair stage and sparse connected components as
+    dedup_cluster_keep; the histogram reduces over the pair-set-bounded
+    label table, singletons never materialize.  The SQL oracle's 8
+    min-label sweeps equal true components because near-dup clusters
+    are near-cliques (diameter << 8)."""
+    from icrawler_ray.functions.seq import from_pandas_blocks
+    from icrawler_ray.stages.dedup import ngram_jaccard_pairs_grouped
+    from icrawler_ray.stages.linkgraph import pairs_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    pairs = ngram_jaccard_pairs_grouped(ds, group_col="source", threshold=0.6)
+    if not len(pairs):
+        return pd.DataFrame({"cluster_size": pd.Series([], dtype=np.int64),
+                             "n_clusters": pd.Series([], dtype=np.int64)})
+    edges_df = pd.DataFrame({"src": pairs["a"].to_numpy(dtype=np.int64),
+                             "dst": pairs["b"].to_numpy(dtype=np.int64)})
+    sparse = pairs_components(from_pandas_blocks(edges_df))
+    sizes = sparse.groupby("component").size()
+    hist = sizes[sizes >= 2].value_counts().sort_index()
+    return pd.DataFrame({"cluster_size": hist.index.to_numpy(np.int64),
+                         "n_clusters": hist.to_numpy(np.int64)})
+
+
+SQL_DUP_CLUSTER_SIZES = f"""
+WITH w AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS words
+           FROM documents),
+edges AS MATERIALIZED (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.words, b.words))) >= 0.6
+),
+und AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+l0 AS (SELECT d.doc_id AS node, d.doc_id AS l FROM documents d),
+{{CC_SWEEPS}},
+lab AS (SELECT l, COUNT(*) AS sz FROM l8 GROUP BY l HAVING COUNT(*) >= 2)
+SELECT CAST(sz AS BIGINT) AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM lab GROUP BY sz ORDER BY cluster_size
+"""
+
+
+def q_head_mass_terms(sf_dir: str):
+    """Vocabulary head mass: the minimum number of distinct terms whose
+    occurrences cover 90% of all token occurrences — the
+    tokenizer-budget statistic.  One vocabulary exchange builds global
+    counts; the answer reduces over the (count -> #terms) histogram
+    (tie-order invariant: within an equal-count block the cumulative sum
+    climbs by the same step), so driver work is O(distinct counts)."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].str.split(" ").explode()
+        return t.groupby(t, sort=False).size().rename("n") \
+            .rename_axis("term").reset_index()
+
+    vocab = ds.map_batches(counts, batch_format="pandas") \
+        .groupby("term").sum("n")
+    parts = vocab.map_batches(
+        lambda df: df.groupby("sum(n)").size().rename("m").reset_index(),
+        batch_format="pandas").to_pandas()
+    hist = parts.groupby("sum(n)", as_index=False)["m"].sum()
+    c = hist["sum(n)"].to_numpy(np.int64)
+    m = hist["m"].to_numpy(np.int64)
+    order = np.argsort(-c, kind="mergesort")
+    c, m = c[order], m[order]
+    tot = int((c * m).sum())
+    vocab_size = int(m.sum())
+    target = 0.9 * tot
+    cum = np.cumsum(c * m)
+    blk = int(np.searchsorted(cum, target))
+    before = int(cum[blk - 1]) if blk else 0
+    terms_before = int(m[:blk].sum())
+    n90 = terms_before + int(np.ceil((target - before) / c[blk]))
+    return pd.DataFrame({
+        "n_terms_90": np.array([n90], np.int64),
+        "vocab_size": np.array([vocab_size], np.int64),
+        "frac_vocab": [round(n90 / vocab_size, 6)]})
+
+
+SQL_HEAD_MASS_TERMS = """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT term, COUNT(*) AS n FROM t GROUP BY term),
+r AS (SELECT n, SUM(n) OVER (ORDER BY n DESC, term) AS cum,
+             ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rk,
+             SUM(n) OVER () AS tot, COUNT(*) OVER () AS vs
+      FROM c)
+SELECT CAST(MIN(CASE WHEN cum >= 0.9 * tot THEN rk END) AS BIGINT)
+         AS n_terms_90,
+       CAST(MAX(vs) AS BIGINT) AS vocab_size,
+       ROUND(MIN(CASE WHEN cum >= 0.9 * tot THEN rk END)
+             / CAST(MAX(vs) AS DOUBLE), 6) AS frac_vocab
+FROM r
+"""
+
+
+def q_hourly_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the per-type hourly event-count series
+    (dense over the global hour span, missing hours = 0) — the
+    burstiness audit that separates steady feeds from flash crowds.
+    One (type, epoch-hour) combiner pass; the dense series and Pearson
+    reduce on the driver, bounded by types x span-hours."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hr = (df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+              // (3_600_000_000))
+        g = pd.DataFrame({"event_type": df["event_type"], "hr": hr})
+        return g.groupby(["event_type", "hr"]).size().rename("n").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    grid = parts.groupby(["event_type", "hr"], as_index=False)["n"].sum()
+    lo, hi = int(grid["hr"].min()), int(grid["hr"].max())
+    span = np.arange(lo, hi + 1)
+    rows = []
+    for et, g in grid.groupby("event_type"):
+        s = pd.Series(0.0, index=span)
+        s.loc[g["hr"].to_numpy()] = g["n"].to_numpy(np.float64)
+        x, y = s.to_numpy()[1:], s.to_numpy()[:-1]
+        r = float(np.corrcoef(x, y)[0, 1])
+        rows.append({"event_type": et, "n_hours": np.int64(len(span)),
+                     "autocorr_lag1": round(r, 6)})
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+SQL_HOURLY_AUTOCORR = """
+WITH b AS (SELECT event_type,
+                  date_diff('hour', TIMESTAMP '1970-01-01', date_trunc('hour', ts))
+                    AS hr,
+                  COUNT(*) AS n
+           FROM events GROUP BY event_type, hr),
+span AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM b),
+grid AS (SELECT t.event_type, s.hr
+         FROM (SELECT DISTINCT event_type FROM b) t
+         CROSS JOIN (SELECT unnest(generate_series(span.lo, span.hi)) AS hr
+                     FROM span) s),
+d AS (SELECT g.event_type, g.hr, COALESCE(b.n, 0) AS n
+      FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.hr = g.hr),
+l AS (SELECT event_type, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY hr) AS pn
+      FROM d)
+SELECT event_type,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_hours,
+       ROUND(corr(CAST(n AS DOUBLE), CAST(pn AS DOUBLE)), 6) AS autocorr_lag1
+FROM l WHERE pn IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_tokens_per_char(sf_dir: str):
+    """Tokenization-density profile per language: total tokens / total
+    chars and mean tokens per doc — the byte-budget planning numbers.
+    One (lang -> n docs, sum tokens, sum chars) combiner pass."""
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"lang": df["lang"],
+                          "tok": df["text"].str.count(" ").to_numpy(np.int64) + 1,
+                          "ch": df["n_chars"].to_numpy(np.int64),
+                          "n": np.ones(len(df), np.int64)})
+        return g.groupby("lang", as_index=False)[["tok", "ch", "n"]].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("lang", as_index=False)[["tok", "ch", "n"]].sum()
+    return pd.DataFrame({
+        "lang": agg["lang"],
+        "n_docs": agg["n"].astype(np.int64),
+        "tokens_per_char": (agg["tok"] / agg["ch"].astype(np.float64)).round(6),
+        "avg_tokens": (agg["tok"] / agg["n"].astype(np.float64)).round(6)}) \
+        .sort_values("lang").reset_index(drop=True)
+
+
+SQL_TOKENS_PER_CHAR = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(len(string_split(text, ' ')))
+             / CAST(SUM(n_chars) AS DOUBLE), 6) AS tokens_per_char,
+       ROUND(SUM(len(string_split(text, ' ')))
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -9370,6 +9602,11 @@ QUERIES = {
     "supplier_region_acctbal": q_supplier_region_acctbal,
     "label_centroid_affinity": q_label_centroid_affinity,
     "status_priority_chi2": q_status_priority_chi2,
+    "lang_embedding_norm": q_lang_embedding_norm,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
+    "head_mass_terms": q_head_mass_terms,
+    "hourly_autocorr": q_hourly_autocorr,
+    "tokens_per_char": q_tokens_per_char,
     "doc_fingerprint": q_doc_fingerprint,
     "events_sliding_window": q_events_sliding_window,
     "crawl_urllist": q_crawl_urllist,
@@ -9571,4 +9808,11 @@ ORACLE_SQL = {
     "supplier_region_acctbal": SQL_SUPPLIER_REGION_ACCTBAL,
     "label_centroid_affinity": SQL_LABEL_CENTROID_AFFINITY,
     "status_priority_chi2": SQL_STATUS_PRIORITY_CHI2,
+    "lang_embedding_norm": SQL_LANG_EMBEDDING_NORM,
+    "dup_cluster_sizes": SQL_DUP_CLUSTER_SIZES.replace(
+        "{CC_SWEEPS}",
+        ",".join(_cc_iter_sql(f"l{i}", f"l{i + 1}") for i in range(8))),
+    "head_mass_terms": SQL_HEAD_MASS_TERMS,
+    "hourly_autocorr": SQL_HOURLY_AUTOCORR,
+    "tokens_per_char": SQL_TOKENS_PER_CHAR,
 }
