@@ -8529,15 +8529,21 @@ def q_revenue_pareto(sf_dir: str):
     driver."""
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def cents(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(rev=np.round(df["o_totalprice"].to_numpy() * 100)
-                       .astype(np.int64))
-        return df.groupby("o_custkey", as_index=False)["rev"].sum()
+    # Arrow output: feeding PANDAS blocks into a Ray groupby makes its
+    # sort-shuffle ~8x slower (measured 22.9 s vs 4.1 s at sf0.1)
+    def cents(t):
+        g = pd.DataFrame({
+            "o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+            "rev": np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                            * 100).astype(np.int64)}) \
+            .groupby("o_custkey", as_index=False)["rev"].sum()
+        return pa.table({"o_custkey": pa.array(g["o_custkey"].to_numpy()),
+                         "rev": pa.array(g["rev"].to_numpy())})
 
     # materialize ONCE: the per-customer frame (distinct-customer-sized,
     # far smaller than orders) feeds three consumers (count, sort+limit,
     # total) that would otherwise each re-run the groupby
-    per = ds.map_batches(cents, batch_format="pandas") \
+    per = ds.map_batches(cents, batch_format="pyarrow") \
         .groupby("o_custkey").sum("rev").materialize()
     n = per.count()
     k = int(np.ceil(n * 0.01))
@@ -8926,23 +8932,37 @@ def q_dau_mau_stickiness(sf_dir: str):
     combiners, so nothing user-sized reaches the driver."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def day_user(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"day": df["ts"].dt.strftime("%Y-%m-%d"),
-                             "user_id": df["user_id"]}).drop_duplicates()
+    # Arrow output before each Ray groupby: pandas blocks make the
+    # sort-shuffle ~8x slower (see q_revenue_pareto note)
+    def day_user(t):
+        d = pd.DataFrame({
+            "day": t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype(str),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates()
+        return pa.table({"day": pa.array(d["day"].to_numpy()),
+                         "user_id": pa.array(d["user_id"].to_numpy())})
 
     # materialize ONCE: the distinct (day, user) identity frame feeds
     # both the DAU and MAU branches, which would otherwise each re-run
     # the exchange; blocks stay in the object store (spillable)
-    du = ds.map_batches(day_user, batch_format="pandas") \
+    du = ds.map_batches(day_user, batch_format="pyarrow") \
         .groupby(["day", "user_id"]).count().materialize()
     dau = du.map_batches(
         lambda df: df.groupby("day").size().rename("dau").reset_index(),
         batch_format="pandas").to_pandas()
     dau = dau.groupby("day", as_index=False)["dau"].sum()
-    mu = du.map_batches(
-        lambda df: pd.DataFrame({"month": df["day"].str.slice(0, 7),
-                                 "user_id": df["user_id"]}).drop_duplicates(),
-        batch_format="pandas").groupby(["month", "user_id"]).count()
+
+    def month_user(t):
+        d = pd.DataFrame({
+            "month": pd.Series(t["day"].to_pylist()).str.slice(0, 7),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates()
+        return pa.table({"month": pa.array(d["month"].to_numpy()),
+                         "user_id": pa.array(d["user_id"].to_numpy())})
+
+    mu = du.map_batches(month_user, batch_format="pyarrow") \
+        .groupby(["month", "user_id"]).count()
     mau = mu.map_batches(
         lambda df: df.groupby("month").size().rename("mau").reset_index(),
         batch_format="pandas").to_pandas()
@@ -9411,6 +9431,262 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_weekend_effect(sf_dir: str):
+    """Weekend-vs-weekday contrast per event type: counts, mean values
+    and the weekend/weekday mean-value lift — the calendar-seasonality
+    slice next to hour_profile.  One (type, is_weekend) combiner pass
+    over the stream."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        we = (df["ts"].dt.dayofweek >= 5).astype(np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"], "we": we,
+                          "n": np.ones(len(df), np.int64),
+                          "sv": df["value"].to_numpy()})
+        return g.groupby(["event_type", "we"], as_index=False)[["n", "sv"]].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["event_type", "we"], as_index=False)[["n", "sv"]].sum()
+    wide = agg.pivot(index="event_type", columns="we", values=["n", "sv"])
+    out = pd.DataFrame({
+        "event_type": wide.index.to_numpy(),
+        "n_weekday": wide[("n", 0)].to_numpy(np.int64),
+        "n_weekend": wide[("n", 1)].to_numpy(np.int64),
+        "avg_weekday": (wide[("sv", 0)] / wide[("n", 0)]).to_numpy().round(6),
+        "avg_weekend": (wide[("sv", 1)] / wide[("n", 1)]).to_numpy().round(6)})
+    out["lift"] = ((wide[("sv", 1)] / wide[("n", 1)])
+                   / (wide[("sv", 0)] / wide[("n", 0)])).to_numpy().round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_WEEKEND_EFFECT = """
+WITH g AS (SELECT event_type,
+                  CASE WHEN EXTRACT(dow FROM ts) IN (0, 6) THEN 1 ELSE 0 END
+                    AS we,
+                  COUNT(*) AS n, SUM(value) AS sv
+           FROM events GROUP BY event_type, we)
+SELECT a.event_type,
+       CAST(a.n AS BIGINT) AS n_weekday, CAST(b.n AS BIGINT) AS n_weekend,
+       ROUND(a.sv / a.n, 6) AS avg_weekday, ROUND(b.sv / b.n, 6) AS avg_weekend,
+       ROUND((b.sv / b.n) / (a.sv / a.n), 6) AS lift
+FROM g a JOIN g b ON b.event_type = a.event_type AND a.we = 0 AND b.we = 1
+ORDER BY a.event_type
+"""
+
+
+def q_order_gap_customer(sf_dir: str):
+    """Repeat-purchase cadence: per customer with >= 2 orders, the
+    discrete median day-gap between consecutive orders; report the
+    p25/p50/p75 of those per-customer medians — the re-engagement
+    distribution a recrawl/notify scheduler keys on.  One groupby
+    (customer) shuffle emits ONE integer median per customer; the global
+    quantiles reduce over the (median -> frequency) histogram."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def med_gap(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"med": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        d = pd.to_datetime(g["o_orderdate"]).to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        gaps = np.sort(np.diff(d))
+        return pd.DataFrame({"med": np.array(
+            [gaps[int(np.ceil(0.5 * len(gaps))) - 1]], np.int64)})
+
+    meds = ds.groupby("o_custkey").map_groups(med_gap, batch_format="pandas")
+    parts = meds.map_batches(
+        lambda df: df.groupby("med").size().rename("f").reset_index(),
+        batch_format="pandas").to_pandas()
+    hist = parts.groupby("med", as_index=False)["f"].sum()
+    v = hist["med"].to_numpy(np.int64)
+    f = hist["f"].to_numpy(np.int64)
+    order = np.argsort(v, kind="mergesort")
+    v, f = v[order], f[order]
+    cum = np.cumsum(f)
+
+    def disc(q: float) -> int:
+        return int(v[np.searchsorted(cum, int(np.ceil(q * cum[-1])))])
+
+    return pd.DataFrame({"n_customers": np.array([int(cum[-1])], np.int64),
+                         "p25": np.array([disc(0.25)], np.int64),
+                         "p50": np.array([disc(0.5)], np.int64),
+                         "p75": np.array([disc(0.75)], np.int64)})
+
+
+SQL_ORDER_GAP_CUSTOMER = """
+WITH o AS (SELECT o_custkey, o_orderdate,
+                  LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey)
+                    AS prev
+           FROM orders),
+g AS (SELECT o_custkey, date_diff('day', prev, o_orderdate) AS gap
+      FROM o WHERE prev IS NOT NULL),
+med AS (SELECT o_custkey, quantile_disc(gap, 0.5) AS med
+        FROM g GROUP BY o_custkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(quantile_disc(med, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(med, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(med, 0.75) AS BIGINT) AS p75
+FROM med
+"""
+
+
+def q_embedding_outlier_dims(sf_dir: str):
+    """Rogue-dimension audit: per-dim population variance of the
+    embedding matrix, flagged where the (6-dp rounded) variance exceeds
+    2x the median dim variance — dead/dominant dims break quantization
+    and cosine geometry.  One (n, sum, sum-sq per dim) combiner pass;
+    the 64-dim grid reduces on the driver.  The flag compares ROUNDED
+    variances on both sides so the boundary is ulp-stable."""
+    from icrawler_ray.stages.similarity import _as_matrix
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t):
+        e = _as_matrix(t["embedding"])
+        return pd.DataFrame({"dim": np.arange(e.shape[1], dtype=np.int64),
+                             "n": np.full(e.shape[1], len(e), np.int64),
+                             "s": e.sum(0), "s2": (e * e).sum(0)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dim", as_index=False)[["n", "s", "s2"]].sum()
+    mean = agg["s"] / agg["n"]
+    var = np.round(agg["s2"] / agg["n"] - mean * mean, 6)
+    sv = np.sort(var.to_numpy())
+    med = sv[int(np.ceil(0.5 * len(sv))) - 1]
+    return pd.DataFrame({
+        "dim": (agg["dim"] + 1).astype(np.int64),
+        "var": var,
+        "is_outlier": (var > 2 * med).to_numpy()}).sort_values("dim") \
+        .reset_index(drop=True)
+
+
+SQL_EMBEDDING_OUTLIER_DIMS = """
+WITH f AS (SELECT t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS val
+           FROM embeddings CROSS JOIN range(1, 65) t(i)),
+v AS (SELECT dim,
+             ROUND(SUM(val * val) / COUNT(*)
+                   - (SUM(val) / COUNT(*)) * (SUM(val) / COUNT(*)), 6) AS var
+      FROM f GROUP BY dim),
+m AS (SELECT quantile_disc(var, 0.5) AS med FROM v)
+SELECT CAST(dim AS BIGINT) AS dim, var, (var > 2 * m.med) AS is_outlier
+FROM v CROSS JOIN m ORDER BY dim
+"""
+
+
+def q_ship_delay_quantiles(sf_dir: str):
+    """Fulfilment-latency SLO: per order priority, the p50/p90/max days
+    between order date and line-item ship date — a big-big join
+    (lineitem x orders on orderkey) through salted_hash_join whose
+    agg_fn reduces joined rows to (priority, gap-day) histogram partials
+    in the join stage itself, so nothing row-sized leaves it."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+        .map_batches(lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+                     batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        gap = (pd.to_datetime(g["l_shipdate"]).to_numpy().astype("datetime64[D]")
+               .astype(np.int64)
+               - pd.to_datetime(g["o_orderdate"]).to_numpy()
+               .astype("datetime64[D]").astype(np.int64))
+        p = pd.DataFrame({"o_orderpriority": g["o_orderpriority"], "gap": gap})
+        return p.groupby(["o_orderpriority", "gap"]).size().rename("f") \
+            .reset_index()
+
+    parts = salted_hash_join(li, orders, "o_orderkey", agg_fn=agg).to_pandas()
+    hist = parts.groupby(["o_orderpriority", "gap"], as_index=False)["f"].sum()
+    rows = []
+    for pr, g in hist.groupby("o_orderpriority"):
+        v = g["gap"].to_numpy(np.int64)
+        f = g["f"].to_numpy(np.int64)
+        order = np.argsort(v, kind="mergesort")
+        v, f = v[order], f[order]
+        cum = np.cumsum(f)
+        rows.append({
+            "o_orderpriority": pr,
+            "n": np.int64(cum[-1]),
+            "p50": np.int64(v[np.searchsorted(cum, int(np.ceil(0.5 * cum[-1])))]),
+            "p90": np.int64(v[np.searchsorted(cum, int(np.ceil(0.9 * cum[-1])))]),
+            "max_gap": np.int64(v[-1])})
+    return pd.DataFrame(rows).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_SHIP_DELAY_QUANTILES = """
+WITH j AS (SELECT o.o_orderpriority,
+                  date_diff('day', o.o_orderdate, l.l_shipdate) AS gap
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90,
+       CAST(MAX(gap) AS BIGINT) AS max_gap
+FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_user_value_deciles(sf_dir: str):
+    """Whale curve: users ranked by lifetime value (integer cents, rank
+    = (total asc, user asc)) split into 10 rank-deciles; per decile the
+    user count, total value and share — the mixture-weighting view of
+    revenue concentration.  Per-user totals come from one distributed
+    groupby; the rank is functions/seq.py::assign_global_seq (ONE sort +
+    metadata prefix-sum, driver sees one int per block); deciles then
+    reduce via combiner."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    # Arrow output before the Ray groupby (see q_revenue_pareto note)
+    def cents(t):
+        g = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "cents": np.round(t["value"].to_numpy(zero_copy_only=False)
+                              * 100).astype(np.int64)}) \
+            .groupby("user_id", as_index=False)["cents"].sum()
+        return pa.table({"user_id": pa.array(g["user_id"].to_numpy()),
+                         "cents": pa.array(g["cents"].to_numpy())})
+
+    per = ds.map_batches(cents, batch_format="pyarrow") \
+        .groupby("user_id").sum("cents").materialize()
+    n = per.count()
+    ranked = assign_global_seq(per, ["sum(cents)", "user_id"], col="rk")
+
+    def dec_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["rk"].to_numpy(np.int64) * 10) // n + 1
+        g = pd.DataFrame({"decile": d, "cents": df["sum(cents)"],
+                          "n": np.ones(len(df), np.int64)})
+        return g.groupby("decile", as_index=False)[["cents", "n"]].sum()
+
+    parts = ranked.map_batches(dec_partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("decile", as_index=False)[["cents", "n"]].sum()
+    tot = float(agg["cents"].sum())
+    return pd.DataFrame({
+        "decile": agg["decile"].astype(np.int64),
+        "n_users": agg["n"].astype(np.int64),
+        "total_value": (agg["cents"] / 100.0).round(2),
+        "share": (agg["cents"] / tot).round(6)}).sort_values("decile") \
+        .reset_index(drop=True)
+
+
+SQL_USER_VALUE_DECILES = """
+WITH u AS (SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+           FROM events GROUP BY user_id),
+r AS (SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, user_id) - 1 AS rk,
+             COUNT(*) OVER () AS n
+      FROM u),
+d AS (SELECT (rk * 10) // n + 1 AS decile, cents FROM r)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(SUM(cents) / 100.0, 2) AS total_value,
+       ROUND(SUM(cents) / CAST((SELECT SUM(cents) FROM u) AS DOUBLE), 6)
+         AS share
+FROM d GROUP BY decile ORDER BY decile
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -9607,6 +9883,11 @@ QUERIES = {
     "head_mass_terms": q_head_mass_terms,
     "hourly_autocorr": q_hourly_autocorr,
     "tokens_per_char": q_tokens_per_char,
+    "weekend_effect": q_weekend_effect,
+    "order_gap_customer": q_order_gap_customer,
+    "embedding_outlier_dims": q_embedding_outlier_dims,
+    "ship_delay_quantiles": q_ship_delay_quantiles,
+    "user_value_deciles": q_user_value_deciles,
     "doc_fingerprint": q_doc_fingerprint,
     "events_sliding_window": q_events_sliding_window,
     "crawl_urllist": q_crawl_urllist,
@@ -9815,4 +10096,9 @@ ORACLE_SQL = {
     "head_mass_terms": SQL_HEAD_MASS_TERMS,
     "hourly_autocorr": SQL_HOURLY_AUTOCORR,
     "tokens_per_char": SQL_TOKENS_PER_CHAR,
+    "weekend_effect": SQL_WEEKEND_EFFECT,
+    "order_gap_customer": SQL_ORDER_GAP_CUSTOMER,
+    "embedding_outlier_dims": SQL_EMBEDDING_OUTLIER_DIMS,
+    "ship_delay_quantiles": SQL_SHIP_DELAY_QUANTILES,
+    "user_value_deciles": SQL_USER_VALUE_DECILES,
 }
