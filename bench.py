@@ -257,7 +257,9 @@ def bench_queries() -> dict:
              "lang_embedding_norm", "dup_cluster_sizes", "head_mass_terms",
              "hourly_autocorr", "tokens_per_char",
              "weekend_effect", "order_gap_customer", "embedding_outlier_dims",
-             "ship_delay_quantiles", "user_value_deciles"]
+             "ship_delay_quantiles", "user_value_deciles",
+             "rich_club", "label_cohesion", "price_size_regression",
+             "revenue_mom_growth"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -9687,6 +9687,220 @@ FROM d GROUP BY decile ORDER BY decile
 """
 
 
+def q_rich_club(sf_dir: str):
+    """Rich-club coefficient at k=4 over the derived link graph: the
+    density of distinct directed edges among nodes of total degree > 4 —
+    high values flag link farms / citation cartels.  Distinct edges via
+    one pair-identity groupby; degrees via a second; the rich set rides
+    ray.put (MAX_BROADCAST_NODES convention of stages/linkgraph.py — the
+    past-broadcast sibling is a bucketed semi-join like
+    neighborhood_jaccard's degree joins)."""
+    from icrawler_ray.stages.linkgraph import derive_edges
+
+    K = 4
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    de = derive_edges(docs, n).groupby(["src", "dst"]).count().materialize()
+
+    def deg_partial(t):
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        node, cnt = np.unique(np.concatenate((s, d)), return_counts=True)
+        return pa.table({"node": pa.array(node), "d": pa.array(cnt.astype(np.int64))})
+
+    parts = de.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+    deg = parts.groupby("node", as_index=False)["d"].sum()
+    rich = np.sort(deg.loc[deg["d"] > K, "node"].to_numpy(np.int64))
+    rich_ref = ray.put(rich)
+
+    def count_rich(t):
+        h = ray.get(rich_ref)
+        if not len(h):
+            return pa.table({"n": pa.array([0], type=pa.int64())})
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        sin = np.clip(np.searchsorted(h, s), 0, len(h) - 1)
+        din = np.clip(np.searchsorted(h, d), 0, len(h) - 1)
+        ok = (h[sin] == s) & (h[din] == d)
+        return pa.table({"n": pa.array([int(ok.sum())], type=pa.int64())})
+
+    n_edges = int(de.map_batches(count_rich, batch_format="pyarrow")
+                  .to_pandas()["n"].sum())
+    nr = len(rich)
+    phi = round(n_edges / (nr * (nr - 1.0)), 6) if nr > 1 else 0.0
+    return pd.DataFrame({"k": np.array([K], np.int64),
+                         "n_rich": np.array([nr], np.int64),
+                         "n_edges_rich": np.array([n_edges], np.int64),
+                         "phi": [phi]})
+
+
+SQL_RICH_CLUB = f"""
+WITH {_SQL_EDGES_CTE},
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+deg AS (SELECT node, COUNT(*) AS d
+        FROM (SELECT src AS node FROM de UNION ALL SELECT dst FROM de)
+        GROUP BY node),
+h AS (SELECT node FROM deg WHERE d > 4),
+re AS (SELECT * FROM de
+       WHERE src IN (SELECT node FROM h) AND dst IN (SELECT node FROM h))
+SELECT CAST(4 AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS n_rich,
+       CAST(COUNT(*) AS BIGINT) AS n_edges_rich,
+       COALESCE(ROUND(COUNT(*) / NULLIF((SELECT COUNT(*) FROM h)
+                         * ((SELECT COUNT(*) FROM h) - 1.0), 0.0), 6), 0.0)
+         AS phi
+FROM re
+"""
+
+
+def q_label_cohesion(sf_dir: str):
+    """Embedding-space cohesion per label from SUFFICIENT STATISTICS
+    only: with unit-normalized vectors, mean intra-label pairwise cosine
+    = (||s_l||^2 - n_l) / (n_l (n_l - 1)) and mean inter-label cosine =
+    (s_l . (S - s_l)) / (n_l (N - n_l)) where s_l is the label's summed
+    normalized vector — the silhouette-style separability audit WITHOUT
+    any pairwise pass.  One (label -> n, sum-vec) combiner; everything
+    else is k x dim driver arithmetic."""
+    from icrawler_ray.stages.similarity import _as_matrix, _normalize
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t):
+        e = _normalize(_as_matrix(t["embedding"]))
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = []
+        for lb in np.unique(lab):
+            m = lab == lb
+            rows.append({"label": int(lb), "n": int(m.sum()),
+                         "s": e[m].sum(0).tolist()})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    labs, ns, ss = [], [], []
+    for lb, g in parts.groupby("label"):
+        labs.append(int(lb))
+        ns.append(int(g["n"].sum()))
+        ss.append(np.sum(np.stack(g["s"].to_numpy()), axis=0))
+    labs = np.asarray(labs)
+    ns = np.asarray(ns, np.float64)
+    s = np.stack(ss)
+    big_n = float(ns.sum())
+    stot = s.sum(0)
+    s2 = (s * s).sum(1)
+    intra = (s2 - ns) / (ns * (ns - 1.0))
+    inter = (s @ stot - s2) / (ns * (big_n - ns))
+    return pd.DataFrame({"label": labs.astype(np.int64),
+                         "n": ns.astype(np.int64),
+                         "intra_cos": np.round(intra, 6),
+                         "inter_cos": np.round(inter, 6),
+                         "cohesion": np.round(intra - inter, 6)}) \
+        .sort_values("label").reset_index(drop=True)
+
+
+SQL_LABEL_COHESION = """
+WITH nr AS (SELECT vec_id, SQRT(list_inner_product(
+                CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              AS nrm FROM embeddings),
+f AS (SELECT e.label, t.i AS dim, CAST(e.embedding[t.i] AS DOUBLE) / nr.nrm AS v
+      FROM embeddings e JOIN nr ON nr.vec_id = e.vec_id
+      CROSS JOIN range(1, 65) t(i)),
+s AS (SELECT label, dim, SUM(v) AS s FROM f GROUP BY label, dim),
+cnt AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+ss AS (SELECT label, SUM(s * s) AS s2 FROM s GROUP BY label),
+tot AS (SELECT dim, SUM(s) AS st FROM s GROUP BY dim),
+cr AS (SELECT s.label, SUM(s.s * tot.st) AS sdot
+       FROM s JOIN tot USING (dim) GROUP BY s.label),
+nn AS (SELECT SUM(n) AS big_n FROM cnt)
+SELECT CAST(c.label AS BIGINT) AS label, CAST(c.n AS BIGINT) AS n,
+       ROUND((ss.s2 - c.n) / (c.n * (c.n - 1.0)), 6) AS intra_cos,
+       ROUND((cr.sdot - ss.s2) / (c.n * (nn.big_n - c.n)), 6) AS inter_cos,
+       ROUND((ss.s2 - c.n) / (c.n * (c.n - 1.0))
+             - (cr.sdot - ss.s2) / (c.n * (nn.big_n - c.n)), 6) AS cohesion
+FROM cnt c JOIN ss ON ss.label = c.label JOIN cr ON cr.label = c.label
+CROSS JOIN nn ORDER BY label
+"""
+
+
+def q_price_size_regression(sf_dir: str):
+    """Per-brand OLS of retail price (integer cents) on part size:
+    slope + intercept from EXACT integer moment sums (n, Σx, Σy, Σxy,
+    Σx²) — the catalog pricing-curve fit; one combiner pass, brand-grid
+    driver reduce, bit-identical to the SQL replay because every sum is
+    integer."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["p_size"].to_numpy(np.int64)
+        y = np.round(df["p_retailprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"p_brand": df["p_brand"], "n": np.ones(len(df), np.int64),
+                          "sx": x, "sy": y, "sxy": x * y, "sx2": x * x})
+        return g.groupby("p_brand", as_index=False)[["n", "sx", "sy", "sxy", "sx2"]].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    a = parts.groupby("p_brand", as_index=False)[["n", "sx", "sy", "sxy", "sx2"]].sum()
+    den = (a["n"] * a["sx2"] - a["sx"] * a["sx"]).astype(np.float64)
+    slope = (a["n"] * a["sxy"] - a["sx"] * a["sy"]) / den / 100.0
+    intercept = (a["sy"] / a["n"] - slope * 100.0 * a["sx"] / a["n"]) / 100.0
+    return pd.DataFrame({"p_brand": a["p_brand"],
+                         "n": a["n"].astype(np.int64),
+                         "slope": slope.round(6),
+                         "intercept": intercept.round(6)}) \
+        .sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_PRICE_SIZE_REGRESSION = """
+WITH m AS (SELECT p_brand, COUNT(*) AS n,
+                  SUM(CAST(p_size AS BIGINT)) AS sx,
+                  SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS sy,
+                  SUM(CAST(p_size AS BIGINT)
+                      * CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS sxy,
+                  SUM(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT)) AS sx2
+           FROM part GROUP BY p_brand)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy)
+             / CAST(n * sx2 - sx * sx AS DOUBLE) / 100.0, 6) AS slope,
+       ROUND((CAST(sy AS DOUBLE) / n
+              - (n * sxy - sx * sy) / CAST(n * sx2 - sx * sx AS DOUBLE)
+                * CAST(sx AS DOUBLE) / n) / 100.0, 6) AS intercept
+FROM m ORDER BY p_brand
+"""
+
+
+def q_revenue_mom_growth(sf_dir: str):
+    """Month-over-month order-revenue growth: exact cent sums per month,
+    driver-side lag over the bounded month frame, growth = (rev - prev)
+    / prev — the trend audit a capacity planner reads.  One combiner
+    pass."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "month": pd.to_datetime(df["o_orderdate"]).dt.strftime("%Y-%m"),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)})
+        return g.groupby("month", as_index=False)["cents"].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("month", as_index=False)["cents"].sum() \
+        .sort_values("month").reset_index(drop=True)
+    prev = agg["cents"].shift(1)
+    out = pd.DataFrame({"month": agg["month"],
+                        "revenue": (agg["cents"] / 100.0).round(2),
+                        "growth": ((agg["cents"] - prev) / prev).round(6)})
+    return out[out["growth"].notna()].reset_index(drop=True)
+
+
+SQL_REVENUE_MOM_GROWTH = """
+WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY month),
+l AS (SELECT month, cents, LAG(cents) OVER (ORDER BY month) AS prev FROM m)
+SELECT month, ROUND(cents / 100.0, 2) AS revenue,
+       ROUND((cents - prev) / CAST(prev AS DOUBLE), 6) AS growth
+FROM l WHERE prev IS NOT NULL ORDER BY month
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -9888,6 +10102,10 @@ QUERIES = {
     "embedding_outlier_dims": q_embedding_outlier_dims,
     "ship_delay_quantiles": q_ship_delay_quantiles,
     "user_value_deciles": q_user_value_deciles,
+    "rich_club": q_rich_club,
+    "label_cohesion": q_label_cohesion,
+    "price_size_regression": q_price_size_regression,
+    "revenue_mom_growth": q_revenue_mom_growth,
     "doc_fingerprint": q_doc_fingerprint,
     "events_sliding_window": q_events_sliding_window,
     "crawl_urllist": q_crawl_urllist,
@@ -10101,4 +10319,8 @@ ORACLE_SQL = {
     "embedding_outlier_dims": SQL_EMBEDDING_OUTLIER_DIMS,
     "ship_delay_quantiles": SQL_SHIP_DELAY_QUANTILES,
     "user_value_deciles": SQL_USER_VALUE_DECILES,
+    "rich_club": SQL_RICH_CLUB,
+    "label_cohesion": SQL_LABEL_COHESION,
+    "price_size_regression": SQL_PRICE_SIZE_REGRESSION,
+    "revenue_mom_growth": SQL_REVENUE_MOM_GROWTH,
 }
