@@ -259,7 +259,9 @@ def bench_queries() -> dict:
              "weekend_effect", "order_gap_customer", "embedding_outlier_dims",
              "ship_delay_quantiles", "user_value_deciles",
              "rich_club", "label_cohesion", "price_size_regression",
-             "revenue_mom_growth"]
+             "revenue_mom_growth",
+             "part_affinity_topk", "user_type_breadth", "avg_neighbor_degree",
+             "dup_rate_by_length_decile"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

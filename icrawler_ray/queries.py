@@ -9901,6 +9901,274 @@ FROM l WHERE prev IS NOT NULL ORDER BY month
 """
 
 
+def q_part_affinity_topk(sf_dir: str):
+    """Market-basket part affinity: the 20 most frequent distinct part
+    pairs co-occurring in one order (n desc, pair asc) — the co-purchase
+    signal.  One groupby(orderkey) emits C(lines,2)-bounded pair rows
+    (order fan-out is small by schema), the pair-identity exchange
+    reduces counts, and each post-exchange block contributes only its
+    top-20 candidates (tie-safe truncation) so the driver merge is
+    output-sized."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    # bucket by orderkey hash -> ONE exchange; inside each fat bucket the
+    # pair expansion is run-length vectorized (group runs by length L,
+    # matrix triu expansion) — NO per-order map_groups (150k tiny groups
+    # took 47 s at sf0.01; this shape is the adamic_adar idiom)
+    def bucket(t):
+        return pa.table({
+            "b": pa.array((t["l_orderkey"].to_numpy(zero_copy_only=False)
+                           % 64).astype(np.int64)),
+            "l_orderkey": t["l_orderkey"], "l_partkey": t["l_partkey"]})
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates() \
+            .sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        ok = d["l_orderkey"].to_numpy(np.int64)
+        pk = d["l_partkey"].to_numpy(np.int64)
+        if not len(ok):
+            return pd.DataFrame({"pa": pd.Series([], dtype=np.int64),
+                                 "pb": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, len(ok)])
+        out_a, out_b = [], []
+        for L in np.unique(lens):
+            if L < 2:
+                continue
+            rs = starts[lens == L]
+            m = pk[rs[:, None] + np.arange(L)[None, :]]
+            ia, ib = np.triu_indices(int(L), k=1)
+            out_a.append(m[:, ia].ravel())
+            out_b.append(m[:, ib].ravel())
+        if not out_a:
+            return pd.DataFrame({"pa": pd.Series([], dtype=np.int64),
+                                 "pb": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        p = pd.DataFrame({"pa": np.concatenate(out_a),
+                          "pb": np.concatenate(out_b)})
+        return p.groupby(["pa", "pb"]).size().rename("n").reset_index()
+
+    pr = ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("b").map_groups(pairs_bucket, batch_format="pandas")
+
+    # per-bucket partials are already combined; the cross-bucket reduce
+    # runs on the driver (top_terms convention — a web-scale pair
+    # vocabulary hash-partitions this final reduce instead)
+    parts = pr.to_pandas()
+    agg = parts.groupby(["pa", "pb"], as_index=False)["n"].sum()
+    top = agg.sort_values(["n", "pa", "pb"], ascending=[False, True, True],
+                          kind="mergesort").head(20).reset_index(drop=True)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["n"] = top["n"].astype(np.int64)
+    top["pa"] = top["pa"].astype(np.int64)
+    top["pb"] = top["pb"].astype(np.int64)
+    return top[["rank", "pa", "pb", "n"]]
+
+
+SQL_PART_AFFINITY_TOPK = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb),
+r AS (SELECT pa, pb, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, pa, pb) AS rank
+      FROM p)
+SELECT rank, CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb,
+       CAST(n AS BIGINT) AS n
+FROM r WHERE rank <= 20 ORDER BY rank
+"""
+
+
+def q_user_type_breadth(sf_dir: str):
+    """Behavioral breadth histogram: how many distinct event types each
+    user touches -> (n_types, n_users, share) — the engagement-depth
+    profile.  Per-block (user, type) dedup feeds one distinct exchange;
+    the breadth histogram reduces over the user-sized frame via
+    combiner."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def du(t):
+        d = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_pylist()}).drop_duplicates()
+        return pa.table({"user_id": pa.array(d["user_id"].to_numpy()),
+                         "event_type": pa.array(d["event_type"].to_numpy())})
+
+    dist = ds.map_batches(du, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]).count()
+    per_user = dist.map_batches(
+        lambda df: df.groupby("user_id").size().rename("b").reset_index(),
+        batch_format="pandas").to_pandas()
+    breadth = per_user.groupby("user_id", as_index=False)["b"].sum()
+    hist = breadth.groupby("b", as_index=False).size() \
+        .rename(columns={"size": "n_users"})
+    tot = int(hist["n_users"].sum())
+    return pd.DataFrame({"n_types": hist["b"].astype(np.int64),
+                         "n_users": hist["n_users"].astype(np.int64),
+                         "share": (hist["n_users"] / float(tot)).round(6)}) \
+        .sort_values("n_types").reset_index(drop=True)
+
+
+SQL_USER_TYPE_BREADTH = """
+WITH b AS (SELECT user_id, COUNT(DISTINCT event_type) AS nt
+           FROM events GROUP BY user_id)
+SELECT CAST(nt AS BIGINT) AS n_types, CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+FROM b GROUP BY nt ORDER BY n_types
+"""
+
+
+def q_avg_neighbor_degree(sf_dir: str):
+    """Degree-correlation profile knn(k): for each out-degree class k,
+    the mean in-degree of linked-to nodes — the curve form of
+    assortativity that separates hub-avoiding from hub-seeking
+    topologies.  Degrees come from two combiner passes over the derived
+    edges; the per-edge (src-deg class, dst-deg) pairing broadcasts the
+    two degree maps via ray.put (doc-count-bounded, MAX_BROADCAST_NODES
+    convention; the past-broadcast sibling is neighborhood_jaccard's
+    bucketed degree join)."""
+    from icrawler_ray.stages.linkgraph import derive_edges
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    edges = derive_edges(docs, n).materialize()
+
+    def deg_part(col):
+        def f(t):
+            node, cnt = np.unique(
+                t[col].to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table({"node": pa.array(node),
+                             "d": pa.array(cnt.astype(np.int64))})
+        return f
+
+    outd = edges.map_batches(deg_part("src"), batch_format="pyarrow") \
+        .to_pandas().groupby("node", as_index=False)["d"].sum()
+    ind = edges.map_batches(deg_part("dst"), batch_format="pyarrow") \
+        .to_pandas().groupby("node", as_index=False)["d"].sum()
+    out_ref = ray.put((outd["node"].to_numpy(np.int64),
+                       outd["d"].to_numpy(np.int64)))
+    in_ref = ray.put((ind["node"].to_numpy(np.int64),
+                      ind["d"].to_numpy(np.int64)))
+
+    def pair(t):
+        on, od = ray.get(out_ref)
+        inn, idg = ray.get(in_ref)
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        k = od[np.searchsorted(on, s)]
+        nd = np.zeros(len(d), np.int64)
+        pos = np.clip(np.searchsorted(inn, d), 0, len(inn) - 1)
+        hit = inn[pos] == d
+        nd[hit] = idg[pos[hit]]
+        g = pd.DataFrame({"k": k, "nd": nd, "n": np.ones(len(k), np.int64)})
+        g = g.groupby("k", as_index=False)[["nd", "n"]].sum()
+        return pa.table({"k": pa.array(g["k"].to_numpy(np.int64)),
+                         "nd": pa.array(g["nd"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    parts = edges.map_batches(pair, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("k", as_index=False)[["nd", "n"]].sum()
+    return pd.DataFrame({"out_degree": agg["k"].astype(np.int64),
+                         "n_edges": agg["n"].astype(np.int64),
+                         "avg_nbr_in_degree": (agg["nd"] / agg["n"]).round(6)}) \
+        .sort_values("out_degree").reset_index(drop=True)
+
+
+SQL_AVG_NEIGHBOR_DEGREE = f"""
+WITH {_SQL_EDGES_CTE},
+od AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+id AS (SELECT dst, COUNT(*) AS d FROM edges GROUP BY dst)
+SELECT CAST(od.d AS BIGINT) AS out_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       ROUND(SUM(COALESCE(id.d, 0)) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_nbr_in_degree
+FROM edges e JOIN od ON od.src = e.src LEFT JOIN id ON id.dst = e.dst
+GROUP BY od.d ORDER BY out_degree
+"""
+
+
+def q_dup_rate_by_length_decile(sf_dir: str):
+    """Curation cross-audit: duplicated-prefix rate per document-length
+    rank-decile — are shared 8-word openings (boilerplate) concentrated
+    in short docs or long ones?  The dup flag comes from the md5 prefix-
+    fingerprint identity exchange (count >= 2, the source_overlap
+    convention — the corpus has no exact full-text dups by construction,
+    pinned by the oracle); the decile from the same rank rule
+    as user_value_deciles ((rank*10)//n + 1 over (n_chars, doc_id)); the
+    cross table reduces via combiner."""
+    import hashlib
+
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    n_docs = ds.count()
+
+    def fp(t):
+        h = [hashlib.md5(" ".join(s.split(" ")[:8]).encode()).hexdigest()
+             for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_chars": t["n_chars"],
+                         "fp": pa.array(h)})  # hex string = DuckDB md5()
+
+    tagged = ds.map_batches(fp, batch_format="pyarrow").materialize()
+    fps = tagged.groupby("fp").count()
+    def dups_only(df: pd.DataFrame) -> pd.DataFrame:
+        if "fp" not in df.columns:  # schema-less empty shuffle block
+            return pd.DataFrame({"fp": pd.Series([], dtype=str)})
+        return df.loc[df["count()"] >= 2, ["fp"]]
+
+    dpdf = fps.map_batches(dups_only, batch_format="pandas").to_pandas()
+    dup_fps = (dpdf["fp"].to_numpy() if "fp" in dpdf.columns
+               else np.array([], dtype="U32"))
+    dup_ref = ray.put(np.sort(dup_fps.astype("U32")))
+    ranked = assign_global_seq(tagged, ["n_chars", "doc_id"], col="rk")
+
+    def cross(t):
+        h = ray.get(dup_ref)
+        f = np.asarray(t["fp"].to_pylist(), dtype="U32")
+        is_dup = np.zeros(len(f), bool)
+        if len(h):
+            pos = np.clip(np.searchsorted(h, f), 0, len(h) - 1)
+            is_dup = h[pos] == f
+        dec = (t["rk"].to_numpy(zero_copy_only=False) * 10) // n_docs + 1
+        g = pd.DataFrame({"decile": dec, "dup": is_dup.astype(np.int64),
+                          "n": np.ones(len(f), np.int64)})
+        g = g.groupby("decile", as_index=False)[["dup", "n"]].sum()
+        return pa.table({"decile": pa.array(g["decile"].to_numpy(np.int64)),
+                         "dup": pa.array(g["dup"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    parts = ranked.map_batches(cross, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("decile", as_index=False)[["dup", "n"]].sum()
+    return pd.DataFrame({"decile": agg["decile"].astype(np.int64),
+                         "n_docs": agg["n"].astype(np.int64),
+                         "n_dup": agg["dup"].astype(np.int64),
+                         "dup_rate": (agg["dup"] / agg["n"]).round(6)}) \
+        .sort_values("decile").reset_index(drop=True)
+
+
+SQL_DUP_RATE_BY_LENGTH_DECILE = """
+WITH f AS (SELECT doc_id, n_chars,
+                  md5(array_to_string(list_slice(string_split(text, ' '),
+                                                 1, 8), ' ')) AS fp
+           FROM documents),
+c AS (SELECT fp, COUNT(*) AS cnt FROM f GROUP BY fp),
+r AS (SELECT f.doc_id, f.fp,
+             ROW_NUMBER() OVER (ORDER BY f.n_chars, f.doc_id) - 1 AS rk,
+             COUNT(*) OVER () AS n
+      FROM f),
+d AS (SELECT (r.rk * 10) // r.n + 1 AS decile,
+             CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END AS dup
+      FROM r JOIN c ON c.fp = r.fp)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup) AS BIGINT) AS n_dup,
+       ROUND(SUM(dup) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM d GROUP BY decile ORDER BY decile
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -10106,6 +10374,10 @@ QUERIES = {
     "label_cohesion": q_label_cohesion,
     "price_size_regression": q_price_size_regression,
     "revenue_mom_growth": q_revenue_mom_growth,
+    "part_affinity_topk": q_part_affinity_topk,
+    "user_type_breadth": q_user_type_breadth,
+    "avg_neighbor_degree": q_avg_neighbor_degree,
+    "dup_rate_by_length_decile": q_dup_rate_by_length_decile,
     "doc_fingerprint": q_doc_fingerprint,
     "events_sliding_window": q_events_sliding_window,
     "crawl_urllist": q_crawl_urllist,
@@ -10323,4 +10595,8 @@ ORACLE_SQL = {
     "label_cohesion": SQL_LABEL_COHESION,
     "price_size_regression": SQL_PRICE_SIZE_REGRESSION,
     "revenue_mom_growth": SQL_REVENUE_MOM_GROWTH,
+    "part_affinity_topk": SQL_PART_AFFINITY_TOPK,
+    "user_type_breadth": SQL_USER_TYPE_BREADTH,
+    "avg_neighbor_degree": SQL_AVG_NEIGHBOR_DEGREE,
+    "dup_rate_by_length_decile": SQL_DUP_RATE_BY_LENGTH_DECILE,
 }
