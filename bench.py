@@ -261,7 +261,8 @@ def bench_queries() -> dict:
              "rich_club", "label_cohesion", "price_size_regression",
              "revenue_mom_growth",
              "part_affinity_topk", "user_type_breadth", "avg_neighbor_degree",
-             "dup_rate_by_length_decile"]
+             "dup_rate_by_length_decile",
+             "q6_revenue", "segment_priority_mix", "daily_ohlc"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -10169,6 +10169,146 @@ FROM d GROUP BY decile ORDER BY decile
 """
 
 
+def q_q6_revenue(sf_dir: str):
+    """TPC-H Q6 shape — the canonical vectorized filter-aggregate: summed
+    discount revenue for a shipdate year, a discount band and a quantity
+    cap.  One pruned-column read, one Arrow-side predicate, one scalar
+    combiner; integer-cent * integer-bp products keep the sum exact."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sd = pd.to_datetime(df["l_shipdate"])
+        disc = df["l_discount"].to_numpy()
+        m = ((sd >= "1995-01-01") & (sd < "1996-01-01")
+             & (disc >= 0.05 - 1e-9) & (disc <= 0.07 + 1e-9)
+             & (df["l_quantity"].to_numpy() < 24))
+        cents = np.round(df.loc[m, "l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        bp = np.round(disc[m.to_numpy()] * 100).astype(np.int64)
+        return pd.DataFrame({"rev": [int((cents * bp).sum())],
+                             "n": [int(m.sum())]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rev = int(parts["rev"].sum())
+    return pd.DataFrame({"revenue": [round(rev / 10000.0, 4)],
+                         "n_lines": np.array([int(parts["n"].sum())], np.int64)})
+
+
+SQL_Q6_REVENUE = """
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND(l_discount * 100) AS BIGINT)) / 10000.0, 4)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  AND l_discount >= 0.05 - 1e-9 AND l_discount <= 0.07 + 1e-9
+  AND l_quantity < 24
+"""
+
+
+def q_segment_priority_mix(sf_dir: str):
+    """Customer-segment x order-priority mix through the orders ⋈
+    customer join (salted_hash_join with a combiner agg_fn — only
+    (segment, priority, n) partials leave the join stage); share within
+    segment on the S x P grid."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+                     batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.groupby(["c_mktsegment", "o_orderpriority"]).size() \
+            .rename("n").reset_index()
+        return p
+
+    parts = salted_hash_join(orders, cust, "c_custkey", agg_fn=agg).to_pandas()
+    grid = parts.groupby(["c_mktsegment", "o_orderpriority"],
+                         as_index=False)["n"].sum()
+    grid["share"] = (grid["n"]
+                     / grid.groupby("c_mktsegment")["n"].transform("sum")
+                     .astype(np.float64)).round(6)
+    grid["n"] = grid["n"].astype(np.int64)
+    return grid.sort_values(["c_mktsegment", "o_orderpriority"]) \
+        .reset_index(drop=True)
+
+
+SQL_SEGMENT_PRIORITY_MIX = """
+SELECT c.c_mktsegment, o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY c.c_mktsegment)
+                             AS DOUBLE), 6) AS share
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment, o.o_orderpriority
+ORDER BY c.c_mktsegment, o.o_orderpriority
+"""
+
+
+def q_daily_ohlc(sf_dir: str):
+    """OHLC rollup per (event_type, day): open = value of the first
+    event by (ts, event_id), high/low = max/min, close = last — the
+    time-series compaction every metrics store runs.  Truly mergeable
+    partials: each block carries (argmin-ts value, argmax-ts value, min,
+    max, n) per cell and the driver merge keeps the (ts, event_id)-
+    earliest / latest winners."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(day=df["ts"].dt.strftime("%Y-%m-%d"))
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        g = df.groupby(["event_type", "day"])
+        first = g.head(1).rename(columns={"value": "open", "ts": "ots",
+                                          "event_id": "oid"})
+        last = g.tail(1).rename(columns={"value": "close", "ts": "cts",
+                                         "event_id": "cid"})
+        stats = g["value"].agg(["min", "max", "size"]).reset_index() \
+            .rename(columns={"min": "low", "max": "high", "size": "n"})
+        out = stats.merge(first[["event_type", "day", "open", "ots", "oid"]],
+                          on=["event_type", "day"])
+        return out.merge(last[["event_type", "day", "close", "cts", "cid"]],
+                         on=["event_type", "day"])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(["ots", "oid"], kind="mergesort")
+    first = parts.groupby(["event_type", "day"], as_index=False).head(1)
+    parts2 = parts.sort_values(["cts", "cid"], kind="mergesort")
+    last = parts2.groupby(["event_type", "day"], as_index=False).tail(1)
+    stats = parts.groupby(["event_type", "day"], as_index=False).agg(
+        low=("low", "min"), high=("high", "max"), n=("n", "sum"))
+    out = stats.merge(first[["event_type", "day", "open"]],
+                      on=["event_type", "day"])
+    out = out.merge(last[["event_type", "day", "close"]],
+                    on=["event_type", "day"])
+    out["n"] = out["n"].astype(np.int64)
+    for c in ("open", "high", "low", "close"):
+        out[c] = out[c].round(6)
+    return (out[["event_type", "day", "open", "high", "low", "close", "n"]]
+            .sort_values(["event_type", "day"]).reset_index(drop=True))
+
+
+SQL_DAILY_OHLC = """
+WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, ts, event_id,
+                  value
+           FROM events),
+o AS (SELECT event_type, day, value AS open FROM e
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                 ORDER BY ts, event_id) = 1),
+c AS (SELECT event_type, day, value AS close FROM e
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                 ORDER BY ts DESC, event_id DESC) = 1),
+s AS (SELECT event_type, day, MIN(value) AS low, MAX(value) AS high,
+             COUNT(*) AS n
+      FROM e GROUP BY event_type, day)
+SELECT s.event_type, s.day, ROUND(o.open, 6) AS open, ROUND(s.high, 6) AS high,
+       ROUND(s.low, 6) AS low, ROUND(c.close, 6) AS close,
+       CAST(s.n AS BIGINT) AS n
+FROM s JOIN o ON o.event_type = s.event_type AND o.day = s.day
+JOIN c ON c.event_type = s.event_type AND c.day = s.day
+ORDER BY s.event_type, s.day
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -10190,7 +10330,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash_pairs": q_simhash_pairs,
+    "label_cohesion": q_label_cohesion,
     "langid": q_langid,
     "token_counts": q_token_counts,
     "quality_filter": q_quality_filter,
@@ -10213,7 +10353,7 @@ QUERIES = {
     "dedup_cluster_keep": q_dedup_cluster_keep,
     "gopher_rules": q_gopher_rules,
     "bfs_depth": q_bfs_depth,
-    "benford_audit": q_benford_audit,
+    "part_affinity_topk": q_part_affinity_topk,
     "adamic_adar": q_adamic_adar,
     "host_budget": q_host_budget,
     "mutual_knn": q_mutual_knn,
@@ -10371,14 +10511,17 @@ QUERIES = {
     "ship_delay_quantiles": q_ship_delay_quantiles,
     "user_value_deciles": q_user_value_deciles,
     "rich_club": q_rich_club,
-    "label_cohesion": q_label_cohesion,
     "price_size_regression": q_price_size_regression,
     "revenue_mom_growth": q_revenue_mom_growth,
-    "part_affinity_topk": q_part_affinity_topk,
     "user_type_breadth": q_user_type_breadth,
     "avg_neighbor_degree": q_avg_neighbor_degree,
     "dup_rate_by_length_decile": q_dup_rate_by_length_decile,
+    "q6_revenue": q_q6_revenue,
+    "segment_priority_mix": q_segment_priority_mix,
+    "daily_ohlc": q_daily_ohlc,
     "doc_fingerprint": q_doc_fingerprint,
+    "simhash_pairs": q_simhash_pairs,
+    "benford_audit": q_benford_audit,
     "events_sliding_window": q_events_sliding_window,
     "crawl_urllist": q_crawl_urllist,
     "crawl_google": q_crawl_google,
@@ -10599,4 +10742,7 @@ ORACLE_SQL = {
     "user_type_breadth": SQL_USER_TYPE_BREADTH,
     "avg_neighbor_degree": SQL_AVG_NEIGHBOR_DEGREE,
     "dup_rate_by_length_decile": SQL_DUP_RATE_BY_LENGTH_DECILE,
+    "q6_revenue": SQL_Q6_REVENUE,
+    "segment_priority_mix": SQL_SEGMENT_PRIORITY_MIX,
+    "daily_ohlc": SQL_DAILY_OHLC,
 }
