@@ -10309,6 +10309,272 @@ ORDER BY s.event_type, s.day
 """
 
 
+def q_q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — the canonical 3-table join + top-k: unshipped
+    revenue per BUILDING-segment order placed before the cutoff, top 10.
+    Two salted hash-partitioned joins (orders ⋈ customer on custkey,
+    then lineitem revenue partials ⋈ qualifying orders on orderkey);
+    every stage emits combiner partials, and the top-k is a per-partition
+    top-10 partial merged on the driver — the exchange never carries more
+    than (partitions x 10) rows past the joins.  Integer cents x basis
+    points keep revenue sums exact so the top-10 tiebreak is stable."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    CUT = pd.Timestamp("1998-07-01")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda df: df.loc[df["c_mktsegment"] == "BUILDING",
+                                       ["c_custkey"]],
+                     batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda df: df.loc[df["o_orderdate"] < CUT]
+                     .rename(columns={"o_custkey": "c_custkey"}),
+                     batch_format="pandas")
+    # semi-join: qualifying orders (c_custkey unique in build => no fanout)
+    qual = salted_hash_join(
+        orders, cust, "c_custkey",
+        agg_fn=lambda g: g[["o_orderkey", "o_orderdate"]])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["l_shipdate"] > CUT]
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        bp = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        out = pd.DataFrame({"o_orderkey": df["l_orderkey"].to_numpy(),
+                            "rev100": cents * (100 - bp)})
+        return out.groupby("o_orderkey", as_index=False)["rev100"].sum()
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pandas")
+
+    def topk_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # orderkey groups are bounded (<= lines-per-order), never salted,
+        # so each partition holds EVERY partial of its orderkeys: the
+        # per-order sum is final here and the top-10 partial is sound
+        o = g.groupby(["o_orderkey", "o_orderdate"], as_index=False)["rev100"].sum()
+        return o.sort_values(["rev100", "o_orderkey"],
+                             ascending=[False, True]).head(10)
+
+    parts = salted_hash_join(li, qual, "o_orderkey",
+                             agg_fn=topk_partial).to_pandas()
+    top = parts.sort_values(["rev100", "o_orderkey"],
+                            ascending=[False, True]).head(10)
+    return pd.DataFrame({
+        "o_orderkey": top["o_orderkey"].to_numpy(np.int64),
+        "revenue": np.round(top["rev100"].to_numpy() / 10000.0, 4),
+        "o_orderdate": top["o_orderdate"].to_numpy(),
+    })
+
+
+SQL_Q3_SHIPPING_PRIORITY = """
+WITH r AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev100
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-07-01'
+  GROUP BY l_orderkey)
+SELECT o.o_orderkey, ROUND(r.rev100 / 10000.0, 4) AS revenue, o.o_orderdate
+FROM r
+JOIN orders o ON o.o_orderkey = r.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+"""
+
+
+def q_q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape — EXISTS semi-join rewritten as an aggregate join:
+    count Q1-1997 orders by priority where ANY line shipped more than 60
+    days after the order date.  The existential collapses to a per-order
+    max(l_shipdate) — a per-block combiner shrinks lineitem to one row
+    per (block, orderkey) BEFORE the exchange — then one salted hash join
+    against the filtered orders emits (priority, n) partials."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    LO, HI = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-04-01")
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+        .map_batches(
+            lambda df: df.groupby("l_orderkey", as_index=False)
+            .agg(max_ship=("l_shipdate", "max"))
+            .rename(columns={"l_orderkey": "o_orderkey"}),
+            batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(
+            lambda df: df.loc[(df["o_orderdate"] >= LO)
+                              & (df["o_orderdate"] < HI)],
+            batch_format="pandas")
+
+    def late_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # per-order max over this partition's partials is final: orderkey
+        # groups are bounded, never salted, so all partials co-locate
+        o = g.groupby("o_orderkey", as_index=False).agg(
+            max_ship=("max_ship", "max"),
+            o_orderdate=("o_orderdate", "first"),
+            o_orderpriority=("o_orderpriority", "first"))
+        late = o.loc[o["max_ship"] > o["o_orderdate"] + pd.Timedelta(days=60)]
+        return late.groupby("o_orderpriority", as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = salted_hash_join(li, orders, "o_orderkey",
+                             agg_fn=late_partial).to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False)["n"].sum()
+    out["n_orders"] = out.pop("n").astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_Q4_ORDER_PRIORITY = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_promo_revenue_ratio(sf_dir: str):
+    """TPC-H Q14 shape — promotion revenue share for one ship month
+    through the lineitem ⋈ part join.  part is block-scale at the design
+    point, so this is a salted hash join on partkey (not a broadcast);
+    the agg_fn reduces each salted group to ONE (promo, total, n) partial
+    row, and the driver folds partition partials into the single output
+    row.  Integer cents x (100-bp) keeps both sums exact."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    LO, HI = pd.Timestamp("1995-09-01"), pd.Timestamp("1995-10-01")
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[(df["l_shipdate"] >= LO) & (df["l_shipdate"] < HI)]
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        bp = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"p_partkey": df["l_partkey"].to_numpy(),
+                             "rev100": cents * (100 - bp)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(li_prep, batch_format="pandas")
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def ratio_partial(g: pd.DataFrame) -> pd.DataFrame:
+        promo = int(g.loc[g["p_type"] == "PROMO", "rev100"].sum())
+        return pd.DataFrame({"promo100": [promo],
+                             "tot100": [int(g["rev100"].sum())],
+                             "n": [len(g)]})
+
+    parts = salted_hash_join(li, part, "p_partkey",
+                             agg_fn=ratio_partial).to_pandas()
+    promo, tot = int(parts["promo100"].sum()), int(parts["tot100"].sum())
+    return pd.DataFrame({
+        "promo_revenue": [round(promo / 10000.0, 4)],
+        "total_revenue": [round(tot / 10000.0, 4)],
+        "promo_share": [round(100.0 * promo / tot, 6) if tot else 0.0],
+        "n_lines": np.array([int(parts["n"].sum())], np.int64),
+    })
+
+
+SQL_PROMO_REVENUE_RATIO = """
+WITH j AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev100,
+         p_type
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+    AND l_shipdate < TIMESTAMP '1995-10-01')
+SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev100 ELSE 0 END)
+             / 10000.0, 4) AS promo_revenue,
+       ROUND(SUM(rev100) / 10000.0, 4) AS total_revenue,
+       ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN rev100 ELSE 0 END)
+             / SUM(rev100), 6) AS promo_share,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM j
+"""
+
+
+def q_returned_customer_revenue(sf_dir: str):
+    """TPC-H Q10 shape — top-20 customers by revenue of RETURNED lines on
+    Q4-1995 orders, with nation names.  Three-stage reduction: lineitem
+    R-flag revenue shrinks to per-orderkey combiner partials; a salted
+    hash join against the quarter's orders re-keys them to (custkey,
+    rev100) partials; a second salted hash join against customer
+    co-locates each custkey, finalizes its sum, attaches the name and
+    emits a per-partition top-20 partial.  Only nation (25 rows) is
+    broadcast; the driver merges (partitions x 20) rows."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    LO, HI = pd.Timestamp("1995-10-01"), pd.Timestamp("1996-01-01")
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["l_returnflag"] == "R"]
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        bp = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        out = pd.DataFrame({"o_orderkey": df["l_orderkey"].to_numpy(),
+                            "rev100": cents * (100 - bp)})
+        return out.groupby("o_orderkey", as_index=False)["rev100"].sum()
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(
+            lambda df: df.loc[(df["o_orderdate"] >= LO)
+                              & (df["o_orderdate"] < HI),
+                              ["o_orderkey", "o_custkey"]],
+            batch_format="pandas")
+
+    by_cust = salted_hash_join(
+        li, orders, "o_orderkey",
+        agg_fn=lambda g: g.groupby("o_custkey", as_index=False)["rev100"]
+        .sum().rename(columns={"o_custkey": "c_custkey"}))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+
+    def cust_topk(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.groupby(["c_custkey", "c_name", "c_nationkey"],
+                      as_index=False)["rev100"].sum()
+        return o.sort_values(["rev100", "c_custkey"],
+                             ascending=[False, True]).head(20)
+
+    parts = salted_hash_join(by_cust, cust, "c_custkey",
+                             agg_fn=cust_topk).to_pandas()
+    top = parts.sort_values(["rev100", "c_custkey"],
+                            ascending=[False, True]).head(20)
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    top = top.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    top = top.sort_values(["rev100", "c_custkey"], ascending=[False, True])
+    return pd.DataFrame({
+        "c_custkey": top["c_custkey"].to_numpy(np.int64),
+        "c_name": top["c_name"].to_numpy(),
+        "n_name": top["n_name"].to_numpy(),
+        "revenue": np.round(top["rev100"].to_numpy() / 10000.0, 4),
+    })
+
+
+SQL_RETURNED_CUSTOMER_REVENUE = """
+WITH r AS (
+  SELECT o.o_custkey,
+         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS rev100
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1995-10-01'
+    AND o.o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY o.o_custkey)
+SELECT c.c_custkey, c.c_name, n.n_name, ROUND(r.rev100 / 10000.0, 4) AS revenue
+FROM r
+JOIN customer c ON c.c_custkey = r.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY revenue DESC, c.c_custkey LIMIT 20
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -10519,6 +10785,10 @@ QUERIES = {
     "q6_revenue": q_q6_revenue,
     "segment_priority_mix": q_segment_priority_mix,
     "daily_ohlc": q_daily_ohlc,
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "q4_order_priority": q_q4_order_priority,
+    "promo_revenue_ratio": q_promo_revenue_ratio,
+    "returned_customer_revenue": q_returned_customer_revenue,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -10745,4 +11015,8 @@ ORACLE_SQL = {
     "q6_revenue": SQL_Q6_REVENUE,
     "segment_priority_mix": SQL_SEGMENT_PRIORITY_MIX,
     "daily_ohlc": SQL_DAILY_OHLC,
+    "q3_shipping_priority": SQL_Q3_SHIPPING_PRIORITY,
+    "q4_order_priority": SQL_Q4_ORDER_PRIORITY,
+    "promo_revenue_ratio": SQL_PROMO_REVENUE_RATIO,
+    "returned_customer_revenue": SQL_RETURNED_CUSTOMER_REVENUE,
 }
