@@ -264,7 +264,9 @@ def bench_queries() -> dict:
              "dup_rate_by_length_decile",
              "q6_revenue", "segment_priority_mix", "daily_ohlc",
              "q3_shipping_priority", "q4_order_priority",
-             "promo_revenue_ratio", "returned_customer_revenue"]
+             "promo_revenue_ratio", "returned_customer_revenue",
+             "small_quantity_revenue", "big_orders_having",
+             "part_spend_concentration", "brand_supplier_variety"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -10356,8 +10356,8 @@ def q_q3_shipping_priority(sf_dir: str):
         return o.sort_values(["rev100", "o_orderkey"],
                              ascending=[False, True]).head(10)
 
-    parts = salted_hash_join(li, qual, "o_orderkey",
-                             agg_fn=topk_partial).to_pandas()
+    parts = salted_hash_join(li, qual, "o_orderkey", agg_fn=topk_partial,
+                             hot_keys=np.array([], np.int64)).to_pandas()
     top = parts.sort_values(["rev100", "o_orderkey"],
                             ascending=[False, True]).head(10)
     return pd.DataFrame({
@@ -10419,8 +10419,8 @@ def q_q4_order_priority(sf_dir: str):
         return late.groupby("o_orderpriority", as_index=False).size() \
             .rename(columns={"size": "n"})
 
-    parts = salted_hash_join(li, orders, "o_orderkey",
-                             agg_fn=late_partial).to_pandas()
+    parts = salted_hash_join(li, orders, "o_orderkey", agg_fn=late_partial,
+                             hot_keys=np.array([], np.int64)).to_pandas()
     out = parts.groupby("o_orderpriority", as_index=False)["n"].sum()
     out["n_orders"] = out.pop("n").astype(np.int64)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
@@ -10531,7 +10531,8 @@ def q_returned_customer_revenue(sf_dir: str):
     by_cust = salted_hash_join(
         li, orders, "o_orderkey",
         agg_fn=lambda g: g.groupby("o_custkey", as_index=False)["rev100"]
-        .sum().rename(columns={"o_custkey": "c_custkey"}))
+        .sum().rename(columns={"o_custkey": "c_custkey"}),
+        hot_keys=np.array([], np.int64))
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
 
@@ -10541,8 +10542,10 @@ def q_returned_customer_revenue(sf_dir: str):
         return o.sort_values(["rev100", "c_custkey"],
                              ascending=[False, True]).head(20)
 
-    parts = salted_hash_join(by_cust, cust, "c_custkey",
-                             agg_fn=cust_topk).to_pandas()
+    # by_cust holds <= num_partitions partial rows per custkey (one per
+    # upstream join partition) — structurally bounded, skip detection
+    parts = salted_hash_join(by_cust, cust, "c_custkey", agg_fn=cust_topk,
+                             hot_keys=np.array([], np.int64)).to_pandas()
     top = parts.sort_values(["rev100", "c_custkey"],
                             ascending=[False, True]).head(20)
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
@@ -10572,6 +10575,186 @@ FROM r
 JOIN customer c ON c.c_custkey = r.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 ORDER BY revenue DESC, c.c_custkey LIMIT 20
+"""
+
+
+def q_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape — correlated-average join: revenue of lines whose
+    quantity is below half the AVERAGE quantity of their own part.  One
+    hash-partition of a 3-column lineitem projection by partkey
+    co-locates each part's lines, so the per-part average and the
+    correlated filter happen in one vectorized pass per partition (no
+    self-join materialization); each partition emits a single (cents, n)
+    partial.  l_quantity is integer-valued, so sum/n is
+    order-independent and the 0.5x threshold compare is exact on both
+    engines."""
+    P = 64
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        # Arrow block out: pandas blocks cost ~8x in the sort-shuffle
+        # (see BASELINE.md round-5 pandas-block groupby note)
+        part = pa.array(
+            (t["l_partkey"].to_numpy(zero_copy_only=False) % P)
+            .astype(np.int32))
+        return t.append_column("part", part)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("l_partkey")["l_quantity"].transform("mean")
+        m = g["l_quantity"].to_numpy() < 0.5 * a.to_numpy()
+        cents = np.round(g.loc[m, "l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pd.DataFrame({"cents": [int(cents.sum())], "n": [int(m.sum())]})
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("part").map_groups(per_partition, batch_format="pandas")
+             .to_pandas())
+    return pd.DataFrame({
+        "revenue": [round(int(parts["cents"].sum()) / 100.0, 2)],
+        "n_lines": np.array([int(parts["n"].sum())], np.int64)})
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH a AS (SELECT l_partkey, AVG(l_quantity) AS avg_qty
+           FROM lineitem GROUP BY l_partkey)
+SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN a ON a.l_partkey = l.l_partkey
+WHERE l.l_quantity < 0.5 * a.avg_qty
+"""
+
+
+def q_big_orders_having(sf_dir: str):
+    """TPC-H Q18 shape — GROUP BY ... HAVING on a grouped sum, then a
+    join for the surviving keys: orders whose total line quantity
+    exceeds 200.  The per-orderkey quantity sum starts as a per-block
+    combiner partial; the salted hash join against orders co-locates
+    each orderkey (bounded group, never salted), finalizes the sum and
+    applies the HAVING filter in-partition — only qualifying orders
+    (a tiny fraction) ever leave the join stage."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+        .map_batches(
+            lambda df: df.groupby("l_orderkey", as_index=False)
+            .agg(qty=("l_quantity", "sum"))
+            .rename(columns={"l_orderkey": "o_orderkey"}),
+            batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def having(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.groupby(["o_orderkey", "o_custkey", "o_totalprice"],
+                      as_index=False)["qty"].sum()
+        return o.loc[o["qty"] > 200]
+
+    out = salted_hash_join(li, orders, "o_orderkey", agg_fn=having,
+                           hot_keys=np.array([], np.int64)).to_pandas()
+    out["sum_qty"] = out.pop("qty").round(2)
+    out = out.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["o_orderkey", "o_custkey", "o_totalprice", "sum_qty"]]
+
+
+SQL_BIG_ORDERS_HAVING = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       ROUND(SUM(l.l_quantity), 2) AS sum_qty
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+HAVING SUM(l.l_quantity) > 200
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+"""
+
+
+def q_part_spend_concentration(sf_dir: str):
+    """TPC-H Q11 shape — keys whose share of a GLOBAL total exceeds a
+    threshold: parts whose lineitem spend is more than 1.2x the mean
+    per-part share.  Per-block (partkey, cents) combiner partials hash-
+    partition by partkey for exact per-part sums; the finals table is
+    DIMENSION-sized (one row per part — the part table itself is the
+    lower bound of any correct output), so the global total + threshold
+    filter fold on the driver.  Spend stays in integer cents; only the
+    threshold is a float, so the compare is reproducible."""
+    P = 64
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(),
+                          "cents": cents}) \
+            .groupby("l_partkey", as_index=False)["cents"].sum()
+        g["part"] = (g["l_partkey"].to_numpy(np.int64) % P).astype(np.int32)
+        # Arrow block into the exchange (pandas-block shuffle penalty)
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def finals(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_partkey", as_index=False)["cents"].sum()
+
+    per_part = (ds.map_batches(partial, batch_format="pandas")
+                .groupby("part").map_groups(finals, batch_format="pandas")
+                .to_pandas())
+    total = int(per_part["cents"].sum())
+    thresh = 1.2 * total / len(per_part)
+    keep = per_part.loc[per_part["cents"].to_numpy() > thresh] \
+        .sort_values(["cents", "l_partkey"], ascending=[False, True])
+    return pd.DataFrame({
+        "l_partkey": keep["l_partkey"].to_numpy(np.int64),
+        "spend": np.round(keep["cents"].to_numpy() / 100.0, 2),
+        "share": np.round(keep["cents"].to_numpy() / total, 6),
+    })
+
+
+SQL_PART_SPEND_CONCENTRATION = """
+WITH s AS (SELECT l_partkey,
+                  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+           FROM lineitem GROUP BY l_partkey),
+t AS (SELECT SUM(cents) AS total, COUNT(*) AS np FROM s)
+SELECT s.l_partkey, ROUND(s.cents / 100.0, 2) AS spend,
+       ROUND(s.cents * 1.0 / t.total, 6) AS share
+FROM s, t WHERE s.cents > 1.2 * t.total / t.np
+ORDER BY s.cents DESC, s.l_partkey
+"""
+
+
+def q_brand_supplier_variety(sf_dir: str):
+    """TPC-H Q16 shape — COUNT(DISTINCT supplier) per (brand, type)
+    through the lineitem ⋈ part join.  The probe side pre-shrinks to
+    per-block distinct (partkey, suppkey) pairs (a dedup combiner — the
+    exchange moves pairs, not lines); the salted join attaches brand and
+    type and re-dedups in-partition; the surviving partials are bounded
+    by |brands x types x suppliers| — catalog-sized — so the cross-
+    partition dedup + count folds on the driver."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
+        .map_batches(
+            lambda df: df.drop_duplicates()
+            .rename(columns={"l_partkey": "p_partkey"}),
+            batch_format="pandas")
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
+
+    parts = salted_hash_join(
+        li, part, "p_partkey",
+        agg_fn=lambda g: g[["p_brand", "p_type", "l_suppkey"]]
+        .drop_duplicates()).to_pandas()
+    uniq = parts.drop_duplicates()
+    out = uniq.groupby(["p_brand", "p_type"], as_index=False)["l_suppkey"] \
+        .nunique().rename(columns={"l_suppkey": "supplier_cnt"})
+    out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type"],
+        ascending=[False, True, True]).reset_index(drop=True)
+
+
+SQL_BRAND_SUPPLIER_VARIETY = """
+SELECT p_brand, p_type,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
 """
 
 
@@ -10789,6 +10972,10 @@ QUERIES = {
     "q4_order_priority": q_q4_order_priority,
     "promo_revenue_ratio": q_promo_revenue_ratio,
     "returned_customer_revenue": q_returned_customer_revenue,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "big_orders_having": q_big_orders_having,
+    "part_spend_concentration": q_part_spend_concentration,
+    "brand_supplier_variety": q_brand_supplier_variety,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -11019,4 +11206,8 @@ ORACLE_SQL = {
     "q4_order_priority": SQL_Q4_ORDER_PRIORITY,
     "promo_revenue_ratio": SQL_PROMO_REVENUE_RATIO,
     "returned_customer_revenue": SQL_RETURNED_CUSTOMER_REVENUE,
+    "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
+    "big_orders_having": SQL_BIG_ORDERS_HAVING,
+    "part_spend_concentration": SQL_PART_SPEND_CONCENTRATION,
+    "brand_supplier_variety": SQL_BRAND_SUPPLIER_VARIETY,
 }

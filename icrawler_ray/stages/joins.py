@@ -80,6 +80,7 @@ def salted_hash_join(
     num_partitions: int = 64,
     probe_salt_col: Optional[str] = None,
     agg_fn: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
+    hot_keys: Optional[np.ndarray] = None,
 ) -> rd.Dataset:
     """Inner equi-join ``probe ⋈ build`` on integer column ``key``.
 
@@ -93,8 +94,14 @@ def salted_hash_join(
     ``agg_fn(joined_group_df) -> partial_df`` turns each salted group's
     joined rows into combiner partials (recommended: keeps the stage
     output-sized).  With ``agg_fn=None`` the raw joined rows (probe
-    columns + build columns) are emitted."""
-    hot = _hot_keys(probe, key, hot_threshold, detect_top)
+    columns + build columns) are emitted.
+
+    ``hot_keys``: pass a precomputed sorted int64 array to skip the
+    detection pass — in particular ``hot_keys=np.array([], np.int64)``
+    when the key is STRUCTURALLY bounded (e.g. orderkey: the schema caps
+    lines per order), which saves one full scan of the probe side."""
+    hot = (np.asarray(hot_keys, dtype=np.int64) if hot_keys is not None
+           else _hot_keys(probe, key, hot_threshold, detect_top))
     hot_ref = ray.put(hot)
     s64 = np.int64(salt)
 
