@@ -266,7 +266,9 @@ def bench_queries() -> dict:
              "q3_shipping_priority", "q4_order_priority",
              "promo_revenue_ratio", "returned_customer_revenue",
              "small_quantity_revenue", "big_orders_having",
-             "part_spend_concentration", "brand_supplier_variety"]
+             "part_spend_concentration", "brand_supplier_variety",
+             "rfm_segments", "session_covisit_pairs",
+             "daily_gap_fill", "grouping_sets_events"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

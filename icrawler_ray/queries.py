@@ -10758,6 +10758,233 @@ ORDER BY supplier_cnt DESC, p_brand, p_type
 """
 
 
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation — the canonical CRM cube: per customer
+    recency (days since last order, vs the global max date), frequency
+    (order count) and monetary (lifetime cents), each rank-quartiled,
+    then customers counted per (R,F,M) cell.  Per-customer metrics come
+    from one combiner groupby; the three quartile assignments are three
+    chained functions/seq.py::assign_global_seq rank sorts over the
+    DIMENSION-sized customer table (rank = (metric, custkey), bucket =
+    (rk*4)//n + 1 — ties deterministic); the cell counts reduce via
+    per-block partials so the driver folds at most 64 x blocks rows."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+            "md": t["o_orderdate"].to_pandas(),
+            "cents": np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                              * 100).astype(np.int64)})
+        g = df.groupby("o_custkey", as_index=False).agg(
+            md=("md", "max"), f=("cents", "size"), m=("cents", "sum"))
+        g["f"] = g["f"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    per = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .map_groups(lambda g: g.groupby("o_custkey", as_index=False)
+                       .agg(md=("md", "max"), f=("f", "sum"), m=("m", "sum")),
+                       batch_format="pandas").materialize())
+    n = per.count()
+    gm = per.max("md")  # global latest order date: one scalar aggregate
+
+    def add_rec(df: pd.DataFrame) -> pd.DataFrame:
+        df["rec"] = (gm - df["md"]).dt.days.astype(np.int64)
+        return df.drop(columns="md")
+
+    with_rec = per.map_batches(add_rec, batch_format="pandas")
+    ranked = assign_global_seq(with_rec, ["rec", "o_custkey"], col="rr")
+    ranked = assign_global_seq(ranked, ["f", "o_custkey"], col="fr")
+    ranked = assign_global_seq(ranked, ["m", "o_custkey"], col="mr")
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "r_quartile": (df["rr"].to_numpy(np.int64) * 4) // n + 1,
+            "f_quartile": (df["fr"].to_numpy(np.int64) * 4) // n + 1,
+            "m_quartile": (df["mr"].to_numpy(np.int64) * 4) // n + 1})
+        return out.groupby(["r_quartile", "f_quartile", "m_quartile"],
+                           as_index=False).size().rename(columns={"size": "n"})
+
+    parts = ranked.map_batches(cell_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["r_quartile", "f_quartile", "m_quartile"],
+                        as_index=False)["n"].sum()
+    out["n_customers"] = out.pop("n").astype(np.int64)
+    return out.sort_values(["r_quartile", "f_quartile", "m_quartile"]) \
+        .reset_index(drop=True)
+
+
+SQL_RFM_SEGMENTS = """
+WITH u AS (SELECT o_custkey, MAX(o_orderdate) AS md, COUNT(*) AS f,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS m
+           FROM orders GROUP BY o_custkey),
+g AS (SELECT MAX(o_orderdate) AS gm FROM orders),
+r AS (SELECT date_diff('day', u.md, g.gm) AS rec, u.o_custkey, u.f, u.m
+      FROM u, g),
+k AS (SELECT ROW_NUMBER() OVER (ORDER BY rec, o_custkey) - 1 AS rr,
+             ROW_NUMBER() OVER (ORDER BY f, o_custkey) - 1 AS fr,
+             ROW_NUMBER() OVER (ORDER BY m, o_custkey) - 1 AS mr,
+             COUNT(*) OVER () AS n
+      FROM r)
+SELECT CAST((rr * 4) // n + 1 AS BIGINT) AS r_quartile,
+       CAST((fr * 4) // n + 1 AS BIGINT) AS f_quartile,
+       CAST((mr * 4) // n + 1 AS BIGINT) AS m_quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM k GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_session_covisit_pairs(sf_dir: str):
+    """Sessionized co-visitation mining — the item-to-item signal behind
+    'users who did A in a session also did B': for every 30-min-gap
+    session, the distinct event-type pairs (a < b), counted over all
+    sessions.  Same hash-partition-by-user + in-partition vectorized
+    session walk as q_events_sessionize; pair expansion is a per-
+    partition self-merge of the (session, type) dedup, and only
+    (|types| x |types|)-bounded count partials leave each partition."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pa.array((t["user_id"].to_numpy(zero_copy_only=False) % P)
+                        .astype(np.int32))
+        return t.append_column("part", part)
+
+    def covisit_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap = ((g["ts"].diff() > pd.Timedelta(minutes=30)) & same) | ~same
+        sid = gap.cumsum().to_numpy()  # partition-local session id
+        d = pd.DataFrame({"sid": sid,
+                          "event_type": g["event_type"].to_numpy()}) \
+            .drop_duplicates()
+        pairs = d.merge(d, on="sid", suffixes=("_a", "_b"))
+        pairs = pairs.loc[pairs["event_type_a"] < pairs["event_type_b"]]
+        return pairs.groupby(["event_type_a", "event_type_b"],
+                             as_index=False).size() \
+            .rename(columns={"size": "n", "event_type_a": "type_a",
+                             "event_type_b": "type_b"})
+
+    parts = (ds.map_batches(add_part, batch_format="pyarrow")
+             .groupby("part").map_groups(covisit_part, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby(["type_a", "type_b"], as_index=False)["n"].sum()
+    out["n_sessions"] = out.pop("n").astype(np.int64)
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+SQL_SESSION_COVISIT_PAIRS = """
+WITH f AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+  FROM events),
+s AS (SELECT user_id, event_type,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+d AS (SELECT DISTINCT user_id, sid, event_type FROM s)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.sid = b.sid
+                 AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_daily_gap_fill(sf_dir: str):
+    """Time-series densification: the per-(type, day) count series with
+    MISSING CALENDAR DAYS zero-filled over the global [min, max] day
+    range — what every downstream rolling-window op assumes exists.
+    One combiner pass shrinks events to (type, day) partials; the
+    calendar reindex happens on the driver over the OUTPUT-sized grid
+    (types x days), never over events."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(day=df["ts"].dt.strftime("%Y-%m-%d")) \
+            .groupby(["event_type", "day"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["event_type", "day"], as_index=False)["n"].sum()
+    days = pd.date_range(agg["day"].min(), agg["day"].max(), freq="D") \
+        .strftime("%Y-%m-%d")
+    types = np.sort(agg["event_type"].unique())
+    grid = pd.MultiIndex.from_product([types, days],
+                                      names=["event_type", "day"]).to_frame(
+        index=False)
+    out = grid.merge(agg, on=["event_type", "day"], how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+SQL_DAILY_GAP_FILL = """
+WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT MIN(CAST(day AS DATE)) AS lo, MAX(CAST(day AS DATE)) AS hi FROM d),
+cal AS (SELECT strftime(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)),
+                        '%Y-%m-%d') AS day FROM r),
+t AS (SELECT DISTINCT event_type FROM d)
+SELECT t.event_type, cal.day,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+FROM t CROSS JOIN cal
+LEFT JOIN d ON d.event_type = t.event_type AND d.day = cal.day
+ORDER BY t.event_type, cal.day
+"""
+
+
+def q_grouping_sets_events(sf_dir: str):
+    """GROUPING SETS in one pass: event counts + value totals at FOUR
+    aggregation levels — (type, hour), (type), (hour), grand total —
+    derived from a single (type, hour) combiner sweep (the finest level
+    determines every coarser one, so no extra scans); 'ALL' / -1 mark
+    the rolled-up dimensions.  Integer cents keep the four totals
+    consistent with each other bit-for-bit."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "hour": df["ts"].dt.hour.to_numpy().astype(np.int64),
+            "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64)})
+        return g.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    fine = parts.groupby(["event_type", "hour"], as_index=False).sum()
+    fine["n"] = fine["n"].astype(np.int64)
+    by_type = fine.groupby("event_type", as_index=False)[["n", "cents"]].sum() \
+        .assign(hour=np.int64(-1))
+    by_hour = fine.groupby("hour", as_index=False)[["n", "cents"]].sum() \
+        .assign(event_type="ALL")
+    total = pd.DataFrame({"event_type": ["ALL"], "hour": np.array([-1], np.int64),
+                          "n": [int(fine["n"].sum())],
+                          "cents": [int(fine["cents"].sum())]})
+    out = pd.concat([fine, by_type, by_hour, total], ignore_index=True)
+    out["total_value"] = (out.pop("cents") / 100.0).round(2)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["event_type", "hour", "n", "total_value"]] \
+        .sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+SQL_GROUPING_SETS_EVENTS = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       CAST(COALESCE(hour, -1) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(cents) / 100.0, 2) AS total_value
+FROM (SELECT event_type, EXTRACT(hour FROM ts) AS hour,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events)
+GROUP BY GROUPING SETS ((event_type, hour), (event_type), (hour), ())
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -10976,6 +11203,10 @@ QUERIES = {
     "big_orders_having": q_big_orders_having,
     "part_spend_concentration": q_part_spend_concentration,
     "brand_supplier_variety": q_brand_supplier_variety,
+    "rfm_segments": q_rfm_segments,
+    "session_covisit_pairs": q_session_covisit_pairs,
+    "daily_gap_fill": q_daily_gap_fill,
+    "grouping_sets_events": q_grouping_sets_events,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -11210,4 +11441,8 @@ ORACLE_SQL = {
     "big_orders_having": SQL_BIG_ORDERS_HAVING,
     "part_spend_concentration": SQL_PART_SPEND_CONCENTRATION,
     "brand_supplier_variety": SQL_BRAND_SUPPLIER_VARIETY,
+    "rfm_segments": SQL_RFM_SEGMENTS,
+    "session_covisit_pairs": SQL_SESSION_COVISIT_PAIRS,
+    "daily_gap_fill": SQL_DAILY_GAP_FILL,
+    "grouping_sets_events": SQL_GROUPING_SETS_EVENTS,
 }
