@@ -268,7 +268,9 @@ def bench_queries() -> dict:
              "small_quantity_revenue", "big_orders_having",
              "part_spend_concentration", "brand_supplier_variety",
              "rfm_segments", "session_covisit_pairs",
-             "daily_gap_fill", "grouping_sets_events"]
+             "daily_gap_fill", "grouping_sets_events",
+             "markov_stationary", "brand_top_parts_dense",
+             "measure_profile", "systematic_sample"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -10985,6 +10985,203 @@ ORDER BY 1, 2
 """
 
 
+def q_markov_stationary(sf_dir: str):
+    """Stationary distribution of the user-journey Markov chain by THREE
+    power iterations from uniform — the PageRank-style fixpoint over the
+    event-type transition matrix.  The matrix itself is the
+    q_event_transitions combiner output ((types x types)-bounded
+    partials); the iterations are K x K dense numpy on the driver —
+    output-sized algebra, exactly where a 5x5 fixpoint belongs even at
+    100 TB of events."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    P = 32
+
+    tset = _read(sf_dir, "events", ["event_type"]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas").to_pandas()
+    types = sorted(tset["event_type"].unique().tolist())
+    K = len(types)
+    tmap = {t: i for i, t in enumerate(types)}
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part": (df["user_id"].to_numpy() % P).astype(np.int32),
+            "user_id": df["user_id"],
+            "ts": df["ts"].astype("int64"),
+            "event_id": df["event_id"],
+            "tcode": df["event_type"].map(tmap).astype(np.int16)})
+
+    def trans_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["tcode"].to_numpy()
+        same = u[1:] == u[:-1]
+        pair = t[:-1][same].astype(np.int64) * K + t[1:][same]
+        bc = np.bincount(pair, minlength=K * K)
+        nz = np.flatnonzero(bc)
+        return pd.DataFrame({"pair": nz.astype(np.int64),
+                             "n": bc[nz].astype(np.int64)})
+
+    parts = (ds.map_batches(add_part, batch_format="pandas")
+             .groupby("part").map_groups(trans_part, batch_format="pandas")
+             .to_pandas())
+    counts = parts.groupby("pair")["n"].sum()
+    M = np.zeros((K, K), dtype=np.float64)
+    M[counts.index.to_numpy() // K, counts.index.to_numpy() % K] = \
+        counts.to_numpy()
+    row = M.sum(axis=1, keepdims=True)
+    Pm = np.divide(M, row, out=np.zeros_like(M), where=row > 0)
+    v = np.full(K, 1.0 / K)
+    for _ in range(3):
+        v = v @ Pm
+    return pd.DataFrame({"event_type": types, "prob": np.round(v, 6)})
+
+
+SQL_MARKOV_STATIONARY = """
+WITH pairs AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events),
+c AS (SELECT src, dst, COUNT(*) AS n FROM pairs
+      WHERE dst IS NOT NULL GROUP BY 1, 2),
+p AS (SELECT src, dst, n * 1.0 / SUM(n) OVER (PARTITION BY src) AS p FROM c),
+k AS (SELECT COUNT(DISTINCT event_type) AS k FROM events),
+v0 AS (SELECT DISTINCT event_type AS s, 1.0 / (SELECT k FROM k) AS v
+       FROM events),
+v1 AS (SELECT p.dst AS s, SUM(v0.v * p.p) AS v FROM v0
+       JOIN p ON p.src = v0.s GROUP BY 1),
+v2 AS (SELECT p.dst AS s, SUM(v1.v * p.p) AS v FROM v1
+       JOIN p ON p.src = v1.s GROUP BY 1),
+v3 AS (SELECT p.dst AS s, SUM(v2.v * p.p) AS v FROM v2
+       JOIN p ON p.src = v2.s GROUP BY 1)
+SELECT s AS event_type, ROUND(v, 6) AS prob FROM v3 ORDER BY s
+"""
+
+
+def q_brand_top_parts_dense(sf_dir: str):
+    """DENSE_RANK top-k WITH ties: per brand, every part whose retail
+    price is among the brand's 3 highest DISTINCT prices.  Brands hash
+    into bounded partitions; each partition dense-ranks its brands in
+    one vectorized pandas pass (rank over the price-sorted frame) —
+    the tie-inclusive variant row_number-based top-k can't express."""
+    P = 16
+    ds = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["p_brand"].to_numpy(dtype=object)) % P
+        return df.assign(part=h.astype(np.int32))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("p_brand")["p_retailprice"] \
+            .rank(method="dense", ascending=False)
+        out = g.loc[r <= 3].copy()
+        out["rnk"] = r[r <= 3].astype(np.int64)
+        return out[["p_brand", "p_partkey", "p_retailprice", "rnk"]]
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("part").map_groups(topk, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["p_brand", "rnk", "p_partkey"]) \
+        .reset_index(drop=True)
+
+
+SQL_BRAND_TOP_PARTS_DENSE = """
+SELECT p_brand, p_partkey, p_retailprice, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT p_brand, p_partkey, p_retailprice,
+             DENSE_RANK() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC) AS rnk
+      FROM part)
+WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey
+"""
+
+
+def q_measure_profile(sf_dir: str):
+    """Unpivot/melt profile: the four lineitem measures (quantity,
+    extendedprice, discount, tax) as LONG rows of (measure, min, max,
+    avg, total) from ONE pass — each block emits a 4-row partial, so the
+    melt costs one scan regardless of measure count.  Money and rates
+    are summed as scaled integers (cents / basis points) for exact
+    totals; avg divides the exact sum."""
+    COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    SCALE = {"l_quantity": 1, "l_extendedprice": 100,
+             "l_discount": 100, "l_tax": 100}
+    ds = _read(sf_dir, "lineitem", COLS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in COLS:
+            v = df[c].to_numpy()
+            s = int(np.round(v * SCALE[c]).astype(np.int64).sum())
+            rows.append((c, float(v.min()), float(v.max()), s, len(v)))
+        return pd.DataFrame(rows, columns=["measure", "mn", "mx", "s", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("measure", as_index=False).agg(
+        mn=("mn", "min"), mx=("mx", "max"), s=("s", "sum"), n=("n", "sum"))
+    scale = g["measure"].map(SCALE).to_numpy(np.float64)
+    return pd.DataFrame({
+        "measure": g["measure"],
+        "min_value": np.round(g["mn"].to_numpy(), 6),
+        "max_value": np.round(g["mx"].to_numpy(), 6),
+        "avg_value": np.round(g["s"].to_numpy() / scale
+                              / g["n"].to_numpy(), 6),
+        "total": np.round(g["s"].to_numpy() / scale, 2),
+    }).sort_values("measure").reset_index(drop=True)
+
+
+SQL_MEASURE_PROFILE = """
+WITH m AS (
+  SELECT 'l_quantity' AS measure, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS s, COUNT(*) AS n, 1 AS sc
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', MIN(l_extendedprice), MAX(l_extendedprice),
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)), COUNT(*), 100
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', MIN(l_discount), MAX(l_discount),
+         SUM(CAST(ROUND(l_discount * 100) AS BIGINT)), COUNT(*), 100
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', MIN(l_tax), MAX(l_tax),
+         SUM(CAST(ROUND(l_tax * 100) AS BIGINT)), COUNT(*), 100
+  FROM lineitem)
+SELECT measure, ROUND(mn, 6) AS min_value, ROUND(mx, 6) AS max_value,
+       ROUND(s * 1.0 / sc / n, 6) AS avg_value,
+       ROUND(s * 1.0 / sc, 2) AS total
+FROM m ORDER BY measure
+"""
+
+
+def q_systematic_sample(sf_dir: str):
+    """Systematic (every k-th) sampling over a GLOBAL deterministic
+    order — the stable-across-reruns audit sample: events sorted by
+    (ts, event_id), every 100th row kept.  One distributed sort via
+    functions/seq.py::assign_global_seq (metadata prefix-sum index),
+    then an embarrassingly-parallel modulo filter; output is n/k rows
+    and nothing else reaches the driver."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    ranked = assign_global_seq(ds, ["ts", "event_id"], col="rk")
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pa.array(t["rk"].to_numpy(zero_copy_only=False) % 100 == 0)
+        return t.filter(m).drop_columns("rk")
+
+    out = ranked.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_SYSTEMATIC_SAMPLE = """
+SELECT event_id, ts, event_type
+FROM (SELECT event_id, ts, event_type,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rk
+      FROM events)
+WHERE rk % 100 = 0 ORDER BY event_id
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -11207,6 +11404,10 @@ QUERIES = {
     "session_covisit_pairs": q_session_covisit_pairs,
     "daily_gap_fill": q_daily_gap_fill,
     "grouping_sets_events": q_grouping_sets_events,
+    "markov_stationary": q_markov_stationary,
+    "brand_top_parts_dense": q_brand_top_parts_dense,
+    "measure_profile": q_measure_profile,
+    "systematic_sample": q_systematic_sample,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -11445,4 +11646,8 @@ ORACLE_SQL = {
     "session_covisit_pairs": SQL_SESSION_COVISIT_PAIRS,
     "daily_gap_fill": SQL_DAILY_GAP_FILL,
     "grouping_sets_events": SQL_GROUPING_SETS_EVENTS,
+    "markov_stationary": SQL_MARKOV_STATIONARY,
+    "brand_top_parts_dense": SQL_BRAND_TOP_PARTS_DENSE,
+    "measure_profile": SQL_MEASURE_PROFILE,
+    "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
 }
