@@ -270,7 +270,9 @@ def bench_queries() -> dict:
              "rfm_segments", "session_covisit_pairs",
              "daily_gap_fill", "grouping_sets_events",
              "markov_stationary", "brand_top_parts_dense",
-             "measure_profile", "systematic_sample"]
+             "measure_profile", "systematic_sample",
+             "theilsen_trend", "cusum_changepoint",
+             "conversion_lag_quantiles", "skyline_parts"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -11182,6 +11182,199 @@ WHERE rk % 100 = 0 ORDER BY event_id
 """
 
 
+def q_theilsen_trend(sf_dir: str):
+    """Theil–Sen robust trend: per event type, the MEDIAN of all pairwise
+    daily-count slopes — the outlier-proof alternative to the OLS fit in
+    q_price_size_regression.  Events shrink to (type, day) combiner
+    partials; each type's O(days²) pair expansion runs inside a bounded
+    per-type partition (days, not events, set the cost); the median uses
+    the repo-wide quantile_disc convention (element at ceil(q·n)-1 of the
+    sorted array)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(day=df["ts"].dt.normalize()) \
+            .groupby(["event_type", "day"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    def slope_per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["event_type", "day"], as_index=False)["n"].sum() \
+            .sort_values("day")
+        d = (g["day"] - g["day"].min()).dt.days.to_numpy(np.int64)
+        n = g["n"].to_numpy(np.float64)
+        i, j = np.triu_indices(len(d), k=1)
+        slopes = np.sort((n[j] - n[i]) / (d[j] - d[i]))
+        med = slopes[int(np.ceil(0.5 * len(slopes))) - 1]
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "slope": [round(float(med), 6)],
+                             "n_pairs": np.array([len(slopes)], np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type")
+            .map_groups(slope_per_type, batch_format="pandas"))
+
+
+SQL_THEILSEN_TREND = """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+p AS (SELECT a.event_type,
+             (b.n - a.n) * 1.0 / date_diff('day', a.day, b.day) AS slope
+      FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day)
+SELECT event_type, ROUND(quantile_disc(slope, 0.5), 6) AS slope,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_cusum_changepoint(sf_dir: str):
+    """CUSUM change-point detection: per event type, the day where the
+    cumulative deviation of daily counts from the series mean peaks in
+    magnitude (earliest day on ties) — the standard level-shift locator.
+    One (type, day) combiner pass; the cumulative walk runs per type over
+    the day-ordered series (days-bounded), identical evaluation order on
+    both engines so the float prefix sums agree bit-for-bit."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(day=df["ts"].dt.strftime("%Y-%m-%d")) \
+            .groupby(["event_type", "day"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    def cusum_per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["event_type", "day"], as_index=False)["n"].sum() \
+            .sort_values("day")
+        n = g["n"].to_numpy(np.float64)
+        mean = n.sum() * 1.0 / len(n)
+        c = np.cumsum(n - mean)
+        k = int(np.argmax(np.abs(c)))  # argmax takes the FIRST max: earliest day
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "day": [g["day"].iloc[k]],
+                             "cusum": [round(float(c[k]), 6)]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type")
+            .map_groups(cusum_per_type, batch_format="pandas"))
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, SUM(n) * 1.0 / COUNT(*) AS mean FROM d GROUP BY 1),
+c AS (SELECT d.event_type, d.day,
+             SUM(d.n - m.mean) OVER (PARTITION BY d.event_type ORDER BY d.day
+                                     ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM d JOIN m ON m.event_type = d.event_type)
+SELECT event_type, day, ROUND(cusum, 6) AS cusum
+FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY ABS(cusum) DESC, day) = 1
+ORDER BY event_type
+"""
+
+
+def q_conversion_lag_quantiles(sf_dir: str):
+    """Funnel latency: quantiles of the signup→purchase lag (first signup
+    to first subsequent purchase, per user).  Users hash-partition into
+    bounded fat groups (the sessionize shape); each partition computes
+    first-signup/first-purchase-after vectorized; lags ride as integer
+    microseconds (exact) to a user-cardinality-bounded driver fold using the
+    quantile_disc convention."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["event_type"].isin(["signup", "purchase"])].copy()
+        df["part"] = (df["user_id"].to_numpy() % P).astype(np.int32)
+        return df
+
+    def lags_part(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.loc[g["event_type"] == "signup"] \
+            .groupby("user_id")["ts"].min().rename("s0")
+        p = g.loc[g["event_type"] == "purchase", ["user_id", "ts"]]
+        j = p.merge(s, left_on="user_id", right_index=True)
+        j = j.loc[j["ts"] >= j["s0"]]
+        first = j.groupby("user_id")["ts"].min()
+        lag_us = (first - s[first.index]).to_numpy() \
+            .astype("timedelta64[us]").astype(np.int64)
+        return pd.DataFrame({"lag_us": lag_us})
+
+    lags = (ds.map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(lags_part, batch_format="pandas")
+            .to_pandas())
+    v = np.sort(lags["lag_us"].to_numpy(np.int64))
+    n = len(v)
+    qs = [0.25, 0.5, 0.75, 0.9]
+    picks = [int(v[int(np.ceil(q * n)) - 1]) for q in qs]
+    return pd.DataFrame({
+        "q": qs,
+        "lag_hours": [round(p / 3.6e9, 6) for p in picks],
+        "n_users": np.full(4, n, np.int64)})
+
+
+SQL_CONVERSION_LAG_QUANTILES = """
+WITH s AS (SELECT user_id, MIN(ts) AS s0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS p0
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.s0
+      GROUP BY e.user_id),
+l AS (SELECT CAST(date_diff('microsecond', s.s0, p.p0) AS BIGINT) AS lag_us
+      FROM s JOIN p ON p.user_id = s.user_id),
+a AS (SELECT quantile_disc(lag_us, 0.25) AS q25,
+             quantile_disc(lag_us, 0.5)  AS q50,
+             quantile_disc(lag_us, 0.75) AS q75,
+             quantile_disc(lag_us, 0.9)  AS q90,
+             CAST(COUNT(*) AS BIGINT)    AS n
+      FROM l)
+SELECT 0.25 AS q, ROUND(q25 / 3.6e9, 6) AS lag_hours, n AS n_users FROM a
+UNION ALL SELECT 0.5,  ROUND(q50 / 3.6e9, 6), n FROM a
+UNION ALL SELECT 0.75, ROUND(q75 / 3.6e9, 6), n FROM a
+UNION ALL SELECT 0.9,  ROUND(q90 / 3.6e9, 6), n FROM a
+ORDER BY q
+"""
+
+
+def _skyline_sweep(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized 2-D skyline (minimize price then size): sort by price,
+    per-price-level minimum size must beat the strict prefix minimum."""
+    d = df.sort_values(["p_retailprice", "p_size"], kind="mergesort")
+    price = d["p_retailprice"].to_numpy()
+    size = d["p_size"].to_numpy()
+    new_level = np.r_[True, price[1:] != price[:-1]]
+    gmin = size[new_level]
+    prefix = np.r_[np.inf, np.minimum.accumulate(gmin)[:-1]]
+    keep_level = gmin < prefix
+    level = np.cumsum(new_level) - 1
+    keep = (size == gmin[level]) & keep_level[level]
+    return d.loc[keep]
+
+
+def q_skyline_parts(sf_dir: str):
+    """Skyline (Pareto-frontier) query: parts not dominated on
+    (retailprice, size) — q dominates p when both coordinates are <= and
+    at least one is strict.  Distributed via the classic two-phase
+    algorithm: a per-block LOCAL skyline is a sound combiner (locally
+    dominated ⇒ globally dominated), so only frontier candidates leave
+    each block; the driver sweeps the frontier-sized union once more."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+    cand = ds.map_batches(_skyline_sweep, batch_format="pandas").to_pandas()
+    out = _skyline_sweep(cand)
+    out["p_size"] = out["p_size"].astype(np.int64)
+    return out.sort_values(["p_retailprice", "p_size", "p_partkey"]) \
+        .reset_index(drop=True)[["p_partkey", "p_retailprice", "p_size"]]
+
+
+SQL_SKYLINE_PARTS = """
+SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+ORDER BY p_retailprice, p_size, p_partkey
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -11408,6 +11601,10 @@ QUERIES = {
     "brand_top_parts_dense": q_brand_top_parts_dense,
     "measure_profile": q_measure_profile,
     "systematic_sample": q_systematic_sample,
+    "theilsen_trend": q_theilsen_trend,
+    "cusum_changepoint": q_cusum_changepoint,
+    "conversion_lag_quantiles": q_conversion_lag_quantiles,
+    "skyline_parts": q_skyline_parts,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -11650,4 +11847,8 @@ ORACLE_SQL = {
     "brand_top_parts_dense": SQL_BRAND_TOP_PARTS_DENSE,
     "measure_profile": SQL_MEASURE_PROFILE,
     "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
+    "theilsen_trend": SQL_THEILSEN_TREND,
+    "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
+    "conversion_lag_quantiles": SQL_CONVERSION_LAG_QUANTILES,
+    "skyline_parts": SQL_SKYLINE_PARTS,
 }
