@@ -272,7 +272,9 @@ def bench_queries() -> dict:
              "markov_stationary", "brand_top_parts_dense",
              "measure_profile", "systematic_sample",
              "theilsen_trend", "cusum_changepoint",
-             "conversion_lag_quantiles", "skyline_parts"]
+             "conversion_lag_quantiles", "skyline_parts",
+             "psi_value_drift", "order_streaks",
+             "modal_hour", "price_tier_volume"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

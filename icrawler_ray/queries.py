@@ -11375,6 +11375,259 @@ ORDER BY p_retailprice, p_size, p_partkey
 """
 
 
+def q_psi_value_drift(sf_dir: str):
+    """Population Stability Index between the first and second half of
+    the event stream (split at the midpoint of the global time range,
+    values binned into 10 equal-width buckets over the global [min,
+    max]) — the standard drift gate for feature monitoring, next to the
+    KS audit (q_source_drift) and KL (q_source_kl).  Two combiner
+    passes: one for the four global extremes, one for the 2 x 10 bin
+    counts; the PSI fold is 10 terms on the driver.  Bin shares clamp at
+    1e-6 so empty bins stay finite, identically on both engines."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def extremes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "tmin": [df["ts"].min()], "tmax": [df["ts"].max()],
+            "vmin": [df["value"].min()], "vmax": [df["value"].max()]})
+
+    ex = ds.map_batches(extremes, batch_format="pandas").to_pandas()
+    tmin, tmax = ex["tmin"].min(), ex["tmax"].max()
+    vmin, vmax = float(ex["vmin"].min()), float(ex["vmax"].max())
+    # integer-microsecond midpoint test: interval/2 is NOT portable
+    # (DuckDB divides interval components separately and drops the
+    # odd half-day), so both engines compare 2*(ts-tmin) >= (tmax-tmin)
+    span_us = int((tmax - tmin).to_numpy().astype("timedelta64[us]")
+                  .astype(np.int64))
+
+    def bins(df: pd.DataFrame) -> pd.DataFrame:
+        off = (df["ts"] - tmin).to_numpy().astype("timedelta64[us]") \
+            .astype(np.int64)
+        half = (2 * off >= span_us).astype(np.int64)
+        b = np.minimum(((df["value"].to_numpy() - vmin)
+                        / (vmax - vmin) * 10).astype(np.int64), 9)
+        g = pd.DataFrame({"half": half, "bin": b}) \
+            .groupby(["half", "bin"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return g
+
+    parts = ds.map_batches(bins, batch_format="pandas").to_pandas()
+    cnt = parts.groupby(["half", "bin"])["n"].sum()
+    full = np.zeros((2, 10), dtype=np.float64)
+    for (h, b), n in cnt.items():
+        full[h, b] = n
+    tot = full.sum(axis=1, keepdims=True)
+    p = np.maximum(full / tot, 1e-6)
+    psi = float(np.sum((p[1] - p[0]) * np.log(p[1] / p[0])))
+    return pd.DataFrame({"psi": [round(psi, 6)],
+                         "n_first": np.array([int(tot[0, 0])], np.int64),
+                         "n_second": np.array([int(tot[1, 0])], np.int64)})
+
+
+SQL_PSI_VALUE_DRIFT = """
+WITH x AS (SELECT MIN(ts) AS tmin, MAX(ts) AS tmax,
+                  MIN(value) AS vmin, MAX(value) AS vmax FROM events),
+e AS (SELECT CASE WHEN 2 * date_diff('microsecond', tmin, ts)
+                       >= date_diff('microsecond', tmin, tmax)
+                  THEN 1 ELSE 0 END AS half,
+             LEAST(CAST(FLOOR((value - vmin) / (vmax - vmin) * 10)
+                        AS BIGINT), 9) AS bin
+      FROM events, x),
+c AS (SELECT half, bin, COUNT(*) AS n FROM e GROUP BY 1, 2),
+grid AS (SELECT h.half, b.bin
+         FROM (SELECT UNNEST([0, 1]) AS half) h
+         CROSS JOIN (SELECT UNNEST(range(10)) AS bin) b),
+f AS (SELECT grid.half, grid.bin, COALESCE(c.n, 0) AS n
+      FROM grid LEFT JOIN c ON c.half = grid.half AND c.bin = grid.bin),
+s AS (SELECT half, bin,
+             GREATEST(n * 1.0 / SUM(n) OVER (PARTITION BY half), 1e-6) AS p,
+             SUM(n) OVER (PARTITION BY half) AS tot
+      FROM f)
+SELECT ROUND(SUM((b.p - a.p) * LN(b.p / a.p)), 6) AS psi,
+       CAST(MIN(a.tot) AS BIGINT) AS n_first,
+       CAST(MIN(b.tot) AS BIGINT) AS n_second
+FROM s a JOIN s b ON a.bin = b.bin AND a.half = 0 AND b.half = 1
+"""
+
+
+def q_order_streaks(sf_dir: str):
+    """Gaps-and-islands: each customer's LONGEST strictly-increasing
+    run of order totals (orders in (date, key) sequence), as a streak-
+    length histogram.  Customers hash into bounded fat partitions; the
+    island labeling is the classic vectorized break-cumsum (no per-
+    customer loop); only (max-streak histogram) partials — run-length-
+    bounded — leave each partition."""
+    P = 32
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pa.array((t["o_custkey"].to_numpy(zero_copy_only=False) % P)
+                        .astype(np.int32))
+        return t.append_column("part", part)
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        c = g["o_custkey"].to_numpy()
+        v = g["o_totalprice"].to_numpy()
+        new_cust = np.r_[True, c[1:] != c[:-1]]
+        brk = new_cust | np.r_[True, ~(v[1:] > v[:-1])]
+        grp = np.cumsum(brk)
+        runs = pd.DataFrame({"c": c, "grp": grp}) \
+            .groupby(["c", "grp"], as_index=False).size()
+        best = runs.groupby("c")["size"].max()
+        h = best.value_counts().sort_index()
+        return pd.DataFrame({"streak_len": h.index.to_numpy(np.int64),
+                             "n": h.to_numpy(np.int64)})
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("part").map_groups(streaks, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("streak_len", as_index=False)["n"].sum()
+    out["n_customers"] = out.pop("n").astype(np.int64)
+    return out.sort_values("streak_len").reset_index(drop=True)
+
+
+SQL_ORDER_STREAKS = """
+WITH o AS (
+  SELECT o_custkey,
+         CASE WHEN o_totalprice > lag(o_totalprice) OVER w
+              THEN 0 ELSE 1 END AS brk,
+         ROW_NUMBER() OVER w AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+g AS (SELECT o_custkey,
+             SUM(brk) OVER (PARTITION BY o_custkey ORDER BY rn
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o),
+s AS (SELECT o_custkey, grp, COUNT(*) AS len FROM g GROUP BY 1, 2),
+m AS (SELECT o_custkey, MAX(len) AS best FROM s GROUP BY 1)
+SELECT CAST(best AS BIGINT) AS streak_len,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_modal_hour(sf_dir: str):
+    """Per-group mode with a deterministic tiebreak: each event type's
+    busiest hour-of-day (smallest hour on count ties) and that hour's
+    share of the type's traffic.  One (type, hour) combiner pass; the
+    argmax folds over the (types x 24)-bounded grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "hour": df["ts"].dt.hour.to_numpy().astype(np.int64)}) \
+            .groupby(["event_type", "hour"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["event_type", "hour"], as_index=False)["n"].sum()
+    g = g.sort_values(["event_type", "n", "hour"],
+                      ascending=[True, False, True])
+    top = g.groupby("event_type", as_index=False).head(1)
+    tot = g.groupby("event_type")["n"].sum()
+    return pd.DataFrame({
+        "event_type": top["event_type"].to_numpy(),
+        "modal_hour": top["hour"].to_numpy(np.int64),
+        "n": top["n"].to_numpy(np.int64),
+        "share": np.round(top["n"].to_numpy()
+                          / tot[top["event_type"]].to_numpy(), 6),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+SQL_MODAL_HOUR = """
+WITH c AS (SELECT event_type, EXTRACT(hour FROM ts) AS hour, COUNT(*) AS n
+           FROM events GROUP BY 1, 2)
+SELECT event_type, CAST(hour AS BIGINT) AS modal_hour,
+       CAST(n AS BIGINT) AS n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY event_type), 6) AS share
+FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY n DESC, hour) = 1
+ORDER BY event_type
+"""
+
+
+def q_price_tier_volume(sf_dir: str):
+    """Spend by catalog price tier: part retail prices quartiled by
+    EXACT distributed quantiles (one assign_global_seq rank sort over
+    the part table, rows at rank ceil(q·n)-1 are the thresholds — no
+    driver-side column pull), then lineitem spend rolls up per tier
+    through the salted hash join with a combiner agg.  The composite
+    every pricing dashboard runs: global quantile -> bucketed dimension
+    -> fact join -> rollup."""
+    from icrawler_ray.functions.seq import assign_global_seq
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    n = part.count()
+    ranked = assign_global_seq(part, ["p_retailprice", "p_partkey"],
+                               col="rk").materialize()
+    targets = {int(np.ceil(q * n)) - 1 for q in (0.25, 0.5, 0.75)}
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pa.array(np.isin(t["rk"].to_numpy(zero_copy_only=False),
+                             list(targets)))
+        return t.filter(m)
+
+    th = np.sort(ranked.map_batches(pick, batch_format="pyarrow")
+                 .to_pandas()["p_retailprice"].to_numpy())
+
+    def tier_col(df: pd.DataFrame) -> pd.DataFrame:
+        t = np.searchsorted(th, df["p_retailprice"].to_numpy(),
+                            side="left") + 1
+        return pd.DataFrame({"p_partkey": df["p_partkey"].to_numpy(),
+                             "tier": t.astype(np.int64)})
+
+    tiers = ranked.map_batches(
+        lambda df: tier_col(df), batch_format="pandas")
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "p_partkey": df["l_partkey"].to_numpy(),
+                "cents": np.round(df["l_extendedprice"].to_numpy() * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("tier", as_index=False).agg(
+            cents=("cents", "sum"), n=("cents", "size"))
+
+    parts = salted_hash_join(li, tiers, "p_partkey",
+                             agg_fn=agg).to_pandas()
+    out = parts.groupby("tier", as_index=False)[["cents", "n"]].sum()
+    tot = int(out["cents"].sum())
+    return pd.DataFrame({
+        "tier": out["tier"].astype(np.int64),
+        "revenue": (out["cents"] / 100.0).round(2),
+        "n_lines": out["n"].astype(np.int64),
+        "share": (out["cents"] / tot).round(6),
+    }).sort_values("tier").reset_index(drop=True)
+
+
+SQL_PRICE_TIER_VOLUME = """
+WITH t AS (SELECT quantile_disc(p_retailprice, 0.25) AS t1,
+                  quantile_disc(p_retailprice, 0.5)  AS t2,
+                  quantile_disc(p_retailprice, 0.75) AS t3 FROM part),
+pt AS (SELECT p_partkey,
+              CASE WHEN p_retailprice <= t1 THEN 1
+                   WHEN p_retailprice <= t2 THEN 2
+                   WHEN p_retailprice <= t3 THEN 3 ELSE 4 END AS tier
+       FROM part, t),
+j AS (SELECT pt.tier,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN pt ON pt.p_partkey = l.l_partkey)
+SELECT CAST(tier AS BIGINT) AS tier,
+       ROUND(SUM(cents) / 100.0, 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(cents) * 1.0 / (SELECT SUM(cents) FROM j), 6) AS share
+FROM j GROUP BY tier ORDER BY tier
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -11605,6 +11858,10 @@ QUERIES = {
     "cusum_changepoint": q_cusum_changepoint,
     "conversion_lag_quantiles": q_conversion_lag_quantiles,
     "skyline_parts": q_skyline_parts,
+    "psi_value_drift": q_psi_value_drift,
+    "order_streaks": q_order_streaks,
+    "modal_hour": q_modal_hour,
+    "price_tier_volume": q_price_tier_volume,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -11851,4 +12108,8 @@ ORACLE_SQL = {
     "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
     "conversion_lag_quantiles": SQL_CONVERSION_LAG_QUANTILES,
     "skyline_parts": SQL_SKYLINE_PARTS,
+    "psi_value_drift": SQL_PSI_VALUE_DRIFT,
+    "order_streaks": SQL_ORDER_STREAKS,
+    "modal_hour": SQL_MODAL_HOUR,
+    "price_tier_volume": SQL_PRICE_TIER_VOLUME,
 }
