@@ -274,7 +274,13 @@ def bench_queries() -> dict:
              "theilsen_trend", "cusum_changepoint",
              "conversion_lag_quantiles", "skyline_parts",
              "psi_value_drift", "order_streaks",
-             "modal_hour", "price_tier_volume"]
+             "modal_hour", "price_tier_volume",
+             "copresence_daily", "rle_compression_audit",
+             "weighted_balance", "centered_moving_avg",
+             "fully_shipped_share", "all_quarters_customers",
+             "trimmed_mean_orders", "loo_nation_revenue",
+             "priority_value_kappa", "integrity_audit",
+             "geo_rollup_shares", "range_window_revenue"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -11628,6 +11628,596 @@ FROM j GROUP BY tier ORDER BY tier
 """
 
 
+def q_copresence_daily(sf_dir: str):
+    """Bitmap-index co-presence: per day, how many users produced BOTH a
+    purchase and an error event that day — the set-intersection count a
+    bitmap index answers.  Each block emits (day, user, type-bitmask)
+    partials; masks OR together per (day, user) inside bounded user-hash
+    partitions, and only per-day popcount partials reach the driver.
+    The bitmask OR is the mergeable sketch — no distinct-pair explosion."""
+    P = 32
+    TYPES = {"purchase": 1, "error": 2}
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["event_type"].isin(TYPES)]
+        g = pd.DataFrame({
+            "day": df["ts"].dt.strftime("%Y-%m-%d"),
+            "user_id": df["user_id"].to_numpy(),
+            "mask": df["event_type"].map(TYPES).to_numpy(np.int64)}) \
+            .groupby(["day", "user_id"], as_index=False)["mask"] \
+            .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        g["part"] = (g["user_id"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["day", "user_id"], as_index=False)["mask"] \
+            .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        both = m.loc[m["mask"] == 3]
+        return both.groupby("day", as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(count_part, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("day", as_index=False)["n"].sum()
+    out["n_users"] = out.pop("n").astype(np.int64)
+    return out.sort_values("day").reset_index(drop=True)
+
+
+SQL_COPRESENCE_DAILY = """
+WITH m AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+                  BIT_OR(CASE event_type WHEN 'purchase' THEN 1
+                                         WHEN 'error' THEN 2 END) AS mask
+           FROM events WHERE event_type IN ('purchase', 'error')
+           GROUP BY 1, 2)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM m WHERE mask = 3 GROUP BY day ORDER BY day
+"""
+
+
+def q_rle_compression_audit(sf_dir: str):
+    """Run-length audit of the event-type column in global (ts,
+    event_id) order — the encoder's question 'how well would RLE do?'.
+    Distributed boundary stitch: after one assign_global_seq sort, each
+    block emits its INTERNAL transition count plus its (min_rk, first,
+    last) edge descriptor; the driver orders the block descriptors and
+    adds the cross-block transitions — blocks-sized work, rows never
+    leave the cluster."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    ranked = assign_global_seq(ds, ["ts", "event_id"], col="rk")
+
+    def block_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("rk", kind="mergesort")
+        t = df["event_type"].to_numpy()
+        internal = int((t[1:] != t[:-1]).sum())
+        return pd.DataFrame({"min_rk": [int(df["rk"].iloc[0])],
+                             "first": [t[0]], "last": [t[-1]],
+                             "internal": [internal], "n": [len(t)]})
+
+    parts = ranked.map_batches(block_partial, batch_format="pandas") \
+        .to_pandas().sort_values("min_rk")
+    cross = int((parts["first"].to_numpy()[1:]
+                 != parts["last"].to_numpy()[:-1]).sum())
+    runs = 1 + int(parts["internal"].sum()) + cross
+    n = int(parts["n"].sum())
+    return pd.DataFrame({"n_rows": np.array([n], np.int64),
+                         "n_runs": np.array([runs], np.int64),
+                         "ratio": [round(n / runs, 6)]})
+
+
+SQL_RLE_COMPRESSION_AUDIT = """
+WITH o AS (SELECT event_type,
+                  LAG(event_type) OVER (ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN prev IS NULL OR event_type != prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+       ROUND(COUNT(*) * 1.0 / SUM(CASE WHEN prev IS NULL
+                                        OR event_type != prev
+                                       THEN 1 ELSE 0 END), 6) AS ratio
+FROM o
+"""
+
+
+def q_weighted_balance(sf_dir: str):
+    """Cross-table weighted mean: average customer account balance
+    WEIGHTED by each customer's order count — the engagement-weighted
+    summary a naive per-row mean gets wrong.  Orders shrink to per-
+    custkey count partials; the salted hash join against customer
+    multiplies exact integer cents x counts per partition; one (num,
+    den) partial per partition reaches the driver."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey"]) \
+        .map_batches(
+            lambda df: df.groupby("o_custkey", as_index=False).size()
+            .rename(columns={"size": "w", "o_custkey": "c_custkey"}),
+            batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.groupby(["c_custkey", "c_acctbal"], as_index=False)["w"].sum()
+        cents = np.round(w["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        wt = w["w"].to_numpy(np.int64)
+        return pd.DataFrame({"num": [int((cents * wt).sum())],
+                             "den": [int(wt.sum())]})
+
+    parts = salted_hash_join(orders, cust, "c_custkey", agg_fn=agg,
+                             hot_keys=np.array([], np.int64)).to_pandas()
+    num, den = int(parts["num"].sum()), int(parts["den"].sum())
+    return pd.DataFrame({
+        "weighted_avg_balance": [round(num / 100.0 / den, 6)],
+        "n_orders": np.array([den], np.int64)})
+
+
+SQL_WEIGHTED_BALANCE = """
+WITH w AS (SELECT o_custkey, COUNT(*) AS w FROM orders GROUP BY o_custkey)
+SELECT ROUND(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * w.w)
+             / 100.0 / SUM(w.w), 6) AS weighted_avg_balance,
+       CAST(SUM(w.w) AS BIGINT) AS n_orders
+FROM w JOIN customer c ON c.c_custkey = w.o_custkey
+"""
+
+
+def q_centered_moving_avg(sf_dir: str):
+    """CENTERED 7-row moving average (±3 rows, truncated at the edges)
+    over each type's day-ordered count series — the symmetric smoother
+    (trailing windows lag the signal; q_events_sliding_window is the
+    trailing variant).  Counts reduce to (type, day) combiner partials;
+    the window pass runs per type over the days-bounded series with
+    identical row framing on both engines."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(day=df["ts"].dt.strftime("%Y-%m-%d")) \
+            .groupby(["event_type", "day"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["event_type", "day"], as_index=False)["n"].sum() \
+            .sort_values("day").reset_index(drop=True)
+        n = g["n"].to_numpy(np.int64)
+        cs = np.r_[0, np.cumsum(n)]
+        lo = np.maximum(np.arange(len(n)) - 3, 0)
+        hi = np.minimum(np.arange(len(n)) + 3, len(n) - 1)
+        g["smooth_n"] = np.round((cs[hi + 1] - cs[lo]) / (hi - lo + 1), 6)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(smooth, batch_format="pandas"))
+
+
+SQL_CENTERED_MOVING_AVG = """
+WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+SELECT event_type, day, n,
+       ROUND(AVG(n * 1.0) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+             6) AS smooth_n
+FROM d ORDER BY event_type, day
+"""
+
+
+def q_fully_shipped_share(sf_dir: str):
+    """Universal quantifier (∀-gate): per order priority, the share of
+    orders whose EVERY line shipped within 60 days — the complement of
+    q_q4_order_priority's EXISTS.  ALL(line ≤ cutoff) collapses to
+    max(l_shipdate) ≤ cutoff, so the same per-order max combiner feeds
+    one bounded-key hash join and the gate is a vectorized compare;
+    (priority, ok, n) partials are all that leave the join."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+        .map_batches(
+            lambda df: df.groupby("l_orderkey", as_index=False)
+            .agg(max_ship=("l_shipdate", "max"))
+            .rename(columns={"l_orderkey": "o_orderkey"}),
+            batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.groupby("o_orderkey", as_index=False).agg(
+            max_ship=("max_ship", "max"),
+            o_orderdate=("o_orderdate", "first"),
+            o_orderpriority=("o_orderpriority", "first"))
+        o["ok"] = (o["max_ship"]
+                   <= o["o_orderdate"] + pd.Timedelta(days=60)).astype(np.int64)
+        return o.groupby("o_orderpriority", as_index=False).agg(
+            n_ok=("ok", "sum"), n=("ok", "size"))
+
+    parts = salted_hash_join(li, orders, "o_orderkey", agg_fn=gate,
+                             hot_keys=np.array([], np.int64)).to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False)[["n_ok", "n"]].sum()
+    out["share"] = (out["n_ok"] / out["n"]).round(6)
+    out["n_orders"] = out.pop("n").astype(np.int64)
+    out["n_ok"] = out["n_ok"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)[
+        ["o_orderpriority", "n_ok", "n_orders", "share"]]
+
+
+SQL_FULLY_SHIPPED_SHARE = """
+WITH o AS (
+  SELECT o.o_orderpriority,
+         CASE WHEN MAX(l.l_shipdate) <= o.o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS ok
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate)
+SELECT o_orderpriority, CAST(SUM(ok) AS BIGINT) AS n_ok,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(ok) * 1.0 / COUNT(*), 6) AS share
+FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_all_quarters_customers(sf_dir: str):
+    """Relational division: per market segment, customers with orders in
+    ALL FOUR calendar quarters (any year).  The divisor set is tiny and fixed, so
+    division becomes a 4-bit coverage mask — per-block (custkey, mask)
+    OR-partials, a custkey-partitioned OR-reduce, then mask == 15 gates
+    the count; segment comes from one bounded-key hash join.  No
+    COUNT(DISTINCT ...) exchange, just a mergeable bitmask."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["o_orderdate"].dt.quarter.to_numpy()
+        g = pd.DataFrame({"c_custkey": df["o_custkey"].to_numpy(),
+                          "mask": np.left_shift(1, q - 1).astype(np.int64)}) \
+            .groupby("c_custkey", as_index=False)["mask"] \
+            .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        return g
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(partial, batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def divide(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["c_custkey", "c_mktsegment"], as_index=False)["mask"] \
+            .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        full = m.loc[m["mask"] == 15]
+        return full.groupby("c_mktsegment", as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = salted_hash_join(orders, cust, "c_custkey", agg_fn=divide,
+                             hot_keys=np.array([], np.int64)).to_pandas()
+    out = parts.groupby("c_mktsegment", as_index=False)["n"].sum()
+    out["n_customers"] = out.pop("n").astype(np.int64)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_ALL_QUARTERS_CUSTOMERS = """
+WITH q AS (SELECT o_custkey, COUNT(DISTINCT EXTRACT(quarter FROM o_orderdate))
+                    AS nq
+           FROM orders
+           GROUP BY o_custkey HAVING nq = 4)
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM q JOIN customer c ON c.c_custkey = q.o_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+def q_trimmed_mean_orders(sf_dir: str):
+    """5%-trimmed robust mean of order totals: drop the bottom and top
+    5% by GLOBAL rank (ties broken by orderkey), average the middle 90%
+    in exact integer cents.  One assign_global_seq rank sort; the trim
+    is an embarrassingly-parallel rank-range filter; per-block (sum, n)
+    partials fold on the driver."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "o_orderkey": df["o_orderkey"].to_numpy(),
+                "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+    n = ds.count()
+    lo, hi = int(np.floor(0.05 * n)), n - int(np.floor(0.05 * n))
+    ranked = assign_global_seq(ds, ["cents", "o_orderkey"], col="rk")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["rk"].to_numpy(np.int64) >= lo) \
+            & (df["rk"].to_numpy(np.int64) < hi)
+        return pd.DataFrame({"s": [int(df.loc[m, "cents"].sum())],
+                             "k": [int(m.sum())]})
+
+    parts = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    s, k = int(parts["s"].sum()), int(parts["k"].sum())
+    return pd.DataFrame({
+        "trimmed_mean": [round(s / 100.0 / k, 6)],
+        "n_kept": np.array([k], np.int64),
+        "n_total": np.array([n], np.int64)})
+
+
+SQL_TRIMMED_MEAN_ORDERS = """
+WITH c AS (SELECT o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) - 1 AS rk,
+             COUNT(*) OVER () AS n
+      FROM c),
+k AS (SELECT cents, n FROM r
+      WHERE rk >= FLOOR(0.05 * n) AND rk < n - FLOOR(0.05 * n))
+SELECT ROUND(SUM(cents) / 100.0 / COUNT(*), 6) AS trimmed_mean,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(n) AS BIGINT) AS n_total
+FROM k
+"""
+
+
+def q_loo_nation_revenue(sf_dir: str):
+    """Leave-one-out dependence audit: per nation, total order revenue,
+    the top customer's contribution (max by (cents, custkey)) and the
+    dependence share — 'what fraction walks if the biggest account
+    leaves'.  (nation, custkey) cent sums reduce via combiner partials
+    through the broadcast customer→nation dim (the small side, one
+    ray.put); the per-nation total/argmax folds over the nation-bounded
+    grid.  The LOO aggregate costs ONE pass — total minus max — not a
+    per-customer rescan."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    dim_ref = ray.put(dim[["c_custkey", "n_name"]])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dim_ref)
+        j = df.merge(d, left_on="o_custkey", right_on="c_custkey")
+        j["cents"] = np.round(j["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return j.groupby(["n_name", "o_custkey"], as_index=False)["cents"] \
+            .sum()
+
+    parts = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pandas").to_pandas()
+    per = parts.groupby(["n_name", "o_custkey"], as_index=False)["cents"].sum()
+    per = per.sort_values(["n_name", "cents", "o_custkey"],
+                          ascending=[True, False, True])
+    top = per.groupby("n_name", as_index=False).head(1) \
+        .rename(columns={"cents": "top_cents", "o_custkey": "top_custkey"})
+    tot = per.groupby("n_name", as_index=False)["cents"].sum()
+    out = tot.merge(top[["n_name", "top_custkey", "top_cents"]], on="n_name")
+    return pd.DataFrame({
+        "n_name": out["n_name"],
+        "revenue": (out["cents"] / 100.0).round(2),
+        "top_custkey": out["top_custkey"].astype(np.int64),
+        "loo_revenue": ((out["cents"] - out["top_cents"]) / 100.0).round(2),
+        "dependence": (out["top_cents"] / out["cents"]).round(6),
+    }).sort_values("n_name").reset_index(drop=True)
+
+
+SQL_LOO_NATION_REVENUE = """
+WITH per AS (
+  SELECT n.n_name, o.o_custkey,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, o.o_custkey),
+top AS (SELECT n_name, o_custkey AS top_custkey, cents AS top_cents
+        FROM per
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY n_name
+                                   ORDER BY cents DESC, o_custkey) = 1),
+tot AS (SELECT n_name, SUM(cents) AS cents FROM per GROUP BY n_name)
+SELECT tot.n_name, ROUND(tot.cents / 100.0, 2) AS revenue,
+       top.top_custkey,
+       ROUND((tot.cents - top.top_cents) / 100.0, 2) AS loo_revenue,
+       ROUND(top.top_cents * 1.0 / tot.cents, 6) AS dependence
+FROM tot JOIN top ON top.n_name = tot.n_name
+ORDER BY tot.n_name
+"""
+
+
+def q_priority_value_kappa(sf_dir: str):
+    """Cohen's kappa between two order flags — high-value (totalprice >
+    150k) vs urgent-priority (1-URGENT / 2-HIGH): does priority actually
+    track value beyond chance agreement?  The 2x2 contingency table is a
+    pure combiner (four counts per block); kappa folds on the driver
+    from exact integer cells."""
+    ds = _read(sf_dir, "orders", ["o_totalprice", "o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hi = (df["o_totalprice"].to_numpy() > 150_000.0).astype(np.int64)
+        urg = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]) \
+            .to_numpy().astype(np.int64)
+        cell = hi * 2 + urg
+        bc = np.bincount(cell, minlength=4)
+        return pd.DataFrame({"cell": np.arange(4, dtype=np.int64),
+                             "n": bc.astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    c = parts.groupby("cell")["n"].sum().reindex(range(4), fill_value=0) \
+        .to_numpy(np.float64)
+    n = c.sum()
+    po = (c[0] + c[3]) / n
+    pe = ((c[2] + c[3]) * (c[1] + c[3])
+          + (c[0] + c[1]) * (c[0] + c[2])) / (n * n)
+    kappa = (po - pe) / (1.0 - pe)
+    return pd.DataFrame({
+        "kappa": [round(float(kappa), 6)],
+        "observed_agreement": [round(float(po), 6)],
+        "n_orders": np.array([int(n)], np.int64)})
+
+
+SQL_PRIORITY_VALUE_KAPPA = """
+WITH f AS (SELECT CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS hi,
+                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END AS urg
+           FROM orders),
+c AS (SELECT SUM(CASE WHEN hi = 0 AND urg = 0 THEN 1 ELSE 0 END) * 1.0 AS c00,
+             SUM(CASE WHEN hi = 0 AND urg = 1 THEN 1 ELSE 0 END) * 1.0 AS c01,
+             SUM(CASE WHEN hi = 1 AND urg = 0 THEN 1 ELSE 0 END) * 1.0 AS c10,
+             SUM(CASE WHEN hi = 1 AND urg = 1 THEN 1 ELSE 0 END) * 1.0 AS c11,
+             COUNT(*) * 1.0 AS n
+      FROM f)
+SELECT ROUND(((c00 + c11) / n
+              - ((c10 + c11) * (c01 + c11) + (c00 + c01) * (c00 + c10))
+                / (n * n))
+             / (1.0 - ((c10 + c11) * (c01 + c11)
+                       + (c00 + c01) * (c00 + c10)) / (n * n)), 6) AS kappa,
+       ROUND((c00 + c11) / n, 6) AS observed_agreement,
+       CAST(n AS BIGINT) AS n_orders
+FROM c
+"""
+
+
+def q_integrity_audit(sf_dir: str):
+    """Referential-integrity audit across the orders↔lineitem foreign
+    key — the checksum every ingest pipeline runs before trusting a
+    join: orderkeys present on both sides, childless orders, orphan
+    lines.  Each side shrinks to per-block distinct-key presence
+    partials carrying a side bitmask (1 = orders, 2 = lineitem); a
+    keyspace-partitioned OR-reduce classifies every key in one
+    exchange; only three counters reach the driver."""
+    P = 64
+    orders = _read(sf_dir, "orders", ["o_orderkey"]) \
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"k": df["o_orderkey"].drop_duplicates().to_numpy(),
+                 "mask": np.int64(1)}),
+            batch_format="pandas")
+    lines = _read(sf_dir, "lineitem", ["l_orderkey"]) \
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"k": df["l_orderkey"].drop_duplicates().to_numpy(),
+                 "mask": np.int64(2)}),
+            batch_format="pandas")
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("k")["mask"] \
+            .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        bc = np.bincount(m.to_numpy(), minlength=4)
+        return pd.DataFrame({
+            "matched": [int(bc[3])], "childless": [int(bc[1])],
+            "orphan": [int(bc[2])]})
+
+    both = orders.union(lines).map_batches(
+        lambda df: df.assign(part=(df["k"].to_numpy(np.int64) % P)
+                             .astype(np.int32)),
+        batch_format="pandas")
+    parts = both.groupby("part").map_groups(
+        classify, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "n_matched": np.array([int(parts["matched"].sum())], np.int64),
+        "n_childless_orders": np.array([int(parts["childless"].sum())],
+                                       np.int64),
+        "n_orphan_lines_keys": np.array([int(parts["orphan"].sum())],
+                                        np.int64)})
+
+
+SQL_INTEGRITY_AUDIT = """
+WITH o AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+l AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+j AS (SELECT o.k AS ok, l.k AS lk FROM o FULL OUTER JOIN l ON l.k = o.k)
+SELECT CAST(SUM(CASE WHEN ok IS NOT NULL AND lk IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_childless_orders,
+       CAST(SUM(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan_lines_keys
+FROM j
+"""
+
+
+def q_geo_rollup_shares(sf_dir: str):
+    """Hierarchical percent-of-parent rollup: revenue by region > nation
+    with each nation's share WITHIN its region and each region's share
+    of the grand total — the drill-down tree every BI layer renders.
+    customer→nation→region is the broadcast dim (one ray.put); orders
+    reduce to per-(region, nation) cent partials in the map stage, and
+    both share levels fold over the 25-row grid."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey") \
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim_ref = ray.put(dim[["c_custkey", "n_name", "r_name"]])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dim_ref)
+        j = df.merge(d, left_on="o_custkey", right_on="c_custkey")
+        j["cents"] = np.round(j["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return j.groupby(["r_name", "n_name"], as_index=False)["cents"].sum()
+
+    parts = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["r_name", "n_name"], as_index=False)["cents"].sum()
+    rtot = g.groupby("r_name")["cents"].transform("sum")
+    tot = int(g["cents"].sum())
+    return pd.DataFrame({
+        "r_name": g["r_name"], "n_name": g["n_name"],
+        "revenue": (g["cents"] / 100.0).round(2),
+        "share_in_region": (g["cents"] / rtot).round(6),
+        "region_share_of_total": (rtot / tot).round(6),
+    }).sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+SQL_GEO_ROLLUP_SHARES = """
+WITH g AS (
+  SELECT r.r_name, n.n_name,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, n.n_name)
+SELECT r_name, n_name, ROUND(cents / 100.0, 2) AS revenue,
+       ROUND(cents * 1.0 / SUM(cents) OVER (PARTITION BY r_name), 6)
+         AS share_in_region,
+       ROUND(SUM(cents) OVER (PARTITION BY r_name) * 1.0
+             / SUM(cents) OVER (), 6) AS region_share_of_total
+FROM g ORDER BY r_name, n_name
+"""
+
+
+def q_range_window_revenue(sf_dir: str):
+    """RANGE-frame rolling sum: per order DAY, the revenue of the
+    trailing 7 CALENDAR days — a date-range frame, not a row frame, so
+    calendar gaps shrink the window (contrast q_events_sliding_window's
+    ROWS frame).  Orders reduce to per-day cent partials; the windowed
+    pass runs once over the days-bounded series via two searchsorted
+    prefix-sum lookups."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": df["o_orderdate"].dt.normalize(),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)}).groupby("day", as_index=False)["cents"].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("day", as_index=False)["cents"].sum().sort_values("day")
+    days = g["day"].to_numpy("datetime64[D]").astype(np.int64)
+    cents = g["cents"].to_numpy(np.int64)
+    cs = np.r_[0, np.cumsum(cents)]
+    lo = np.searchsorted(days, days - 6, side="left")
+    trail = cs[np.arange(1, len(days) + 1)] - cs[lo]
+    return pd.DataFrame({
+        "day": g["day"].dt.strftime("%Y-%m-%d").to_numpy(),
+        "revenue": (cents / 100.0).round(2),
+        "trailing_7d": (trail / 100.0).round(2)})
+
+
+SQL_RANGE_WINDOW_REVENUE = """
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       ROUND(cents / 100.0, 2) AS revenue,
+       ROUND(SUM(cents) OVER (ORDER BY day
+                              RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                        AND CURRENT ROW) / 100.0, 2)
+         AS trailing_7d
+FROM d ORDER BY day
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -11862,6 +12452,18 @@ QUERIES = {
     "order_streaks": q_order_streaks,
     "modal_hour": q_modal_hour,
     "price_tier_volume": q_price_tier_volume,
+    "copresence_daily": q_copresence_daily,
+    "rle_compression_audit": q_rle_compression_audit,
+    "weighted_balance": q_weighted_balance,
+    "centered_moving_avg": q_centered_moving_avg,
+    "fully_shipped_share": q_fully_shipped_share,
+    "all_quarters_customers": q_all_quarters_customers,
+    "trimmed_mean_orders": q_trimmed_mean_orders,
+    "loo_nation_revenue": q_loo_nation_revenue,
+    "priority_value_kappa": q_priority_value_kappa,
+    "integrity_audit": q_integrity_audit,
+    "geo_rollup_shares": q_geo_rollup_shares,
+    "range_window_revenue": q_range_window_revenue,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -12112,4 +12714,16 @@ ORACLE_SQL = {
     "order_streaks": SQL_ORDER_STREAKS,
     "modal_hour": SQL_MODAL_HOUR,
     "price_tier_volume": SQL_PRICE_TIER_VOLUME,
+    "copresence_daily": SQL_COPRESENCE_DAILY,
+    "rle_compression_audit": SQL_RLE_COMPRESSION_AUDIT,
+    "weighted_balance": SQL_WEIGHTED_BALANCE,
+    "centered_moving_avg": SQL_CENTERED_MOVING_AVG,
+    "fully_shipped_share": SQL_FULLY_SHIPPED_SHARE,
+    "all_quarters_customers": SQL_ALL_QUARTERS_CUSTOMERS,
+    "trimmed_mean_orders": SQL_TRIMMED_MEAN_ORDERS,
+    "loo_nation_revenue": SQL_LOO_NATION_REVENUE,
+    "priority_value_kappa": SQL_PRIORITY_VALUE_KAPPA,
+    "integrity_audit": SQL_INTEGRITY_AUDIT,
+    "geo_rollup_shares": SQL_GEO_ROLLUP_SHARES,
+    "range_window_revenue": SQL_RANGE_WINDOW_REVENUE,
 }
