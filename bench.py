@@ -280,7 +280,9 @@ def bench_queries() -> dict:
              "fully_shipped_share", "all_quarters_customers",
              "trimmed_mean_orders", "loo_nation_revenue",
              "priority_value_kappa", "integrity_audit",
-             "geo_rollup_shares", "range_window_revenue"]
+             "geo_rollup_shares", "range_window_revenue",
+             "acctbal_ttest", "bounce_rate",
+             "wow_change", "dup_orders_audit"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

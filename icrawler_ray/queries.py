@@ -12218,6 +12218,240 @@ FROM d ORDER BY day
 """
 
 
+def q_acctbal_ttest(sf_dir: str):
+    """Welch two-sample t-test: account balance of HEAVY customers
+    (more than 10 orders) vs the rest — the experiment-readout
+    primitive, fed by an order-count join.  Counts arrive as per-block
+    combiner partials co-partitioned with the customer rows; per-group
+    moments ride as integer cents / exact integer cent-squares so both
+    engines derive the t statistic from identical sums."""
+    P = 64
+    # Arrow blocks into the union->groupby exchange (pandas-block penalty)
+    def cust_block(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "c_custkey": pa.array(df["c_custkey"].to_numpy()),
+            "cents": pa.array(np.round(df["c_acctbal"].to_numpy() * 100)
+                              .astype(np.int64)),
+            "side": pa.array(np.zeros(len(df), np.int64))})
+
+    def count_block(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("o_custkey", as_index=False).size()
+        return pa.table({
+            "c_custkey": pa.array(g["o_custkey"].to_numpy()),
+            "cents": pa.array(g["size"].to_numpy(np.int64)),
+            "side": pa.array(np.ones(len(g), np.int64))})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]) \
+        .map_batches(cust_block, batch_format="pandas")
+    seen = _read(sf_dir, "orders", ["o_custkey"]) \
+        .map_batches(count_block, batch_format="pandas")
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.loc[g["side"] == 1].groupby("c_custkey")["cents"].sum()
+        heavy = set(cnt.index[cnt > 10])
+        c = g.loc[g["side"] == 0]
+        flag = c["c_custkey"].isin(heavy).to_numpy().astype(np.int64)
+        out = []
+        for f in (0, 1):
+            v = c.loc[flag == f, "cents"].to_numpy(np.int64)
+            out.append((f, int(v.sum()), int((v * v).sum()), len(v)))
+        return pd.DataFrame(out, columns=["grp", "s", "ss", "n"])
+
+    both = cust.union(seen).map_batches(
+        lambda t: t.append_column(
+            "part", pa.array((t["c_custkey"].to_numpy(zero_copy_only=False)
+                              % P).astype(np.int32))),
+        batch_format="pyarrow")
+    parts = both.groupby("part").map_groups(
+        moments, batch_format="pandas").to_pandas()
+    g = parts.groupby("grp")[["s", "ss", "n"]].sum()
+    stats = {}
+    for f in (0, 1):
+        s, ss, n = float(g.loc[f, "s"]), float(g.loc[f, "ss"]), int(g.loc[f, "n"])
+        mean = s / n
+        var = (ss - s * s / n) / (n - 1)
+        stats[f] = (mean, var, n)
+    (m0, v0, n0), (m1, v1, n1) = stats[0], stats[1]
+    t = (m1 - m0) / np.sqrt(v1 / n1 + v0 / n0)
+    return pd.DataFrame({
+        "t_stat": [round(float(t), 6)],
+        "mean_heavy": [round(m1 / 100.0, 6)],
+        "mean_light": [round(m0 / 100.0, 6)],
+        "n_heavy": np.array([n1], np.int64),
+        "n_light": np.array([n0], np.int64)})
+
+
+SQL_ACCTBAL_TTEST = """
+WITH oc AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+f AS (SELECT CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS cents,
+             CASE WHEN COALESCE(oc.n, 0) > 10 THEN 1 ELSE 0 END AS grp
+      FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey),
+m AS (SELECT grp, SUM(cents) * 1.0 AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) * 1.0 AS ss,
+             COUNT(*) AS n
+      FROM f GROUP BY grp),
+v AS (SELECT grp, s / n AS mean, (ss - s * s / n) / (n - 1) AS var, n FROM m)
+SELECT ROUND((a.mean - b.mean) / SQRT(a.var / a.n + b.var / b.n), 6)
+         AS t_stat,
+       ROUND(a.mean / 100.0, 6) AS mean_heavy,
+       ROUND(b.mean / 100.0, 6) AS mean_light,
+       CAST(a.n AS BIGINT) AS n_heavy, CAST(b.n AS BIGINT) AS n_light
+FROM v a, v b WHERE a.grp = 1 AND b.grp = 0
+"""
+
+
+def q_bounce_rate(sf_dir: str):
+    """Sessionized bounce rate: share of 30-min-gap sessions containing
+    exactly ONE event, broken out by the session's ENTRY event type —
+    the landing-page diagnostic.  Same bounded user-hash partition +
+    vectorized session walk as q_events_sessionize; per-partition
+    (entry_type, bounced, n) partials are all that move."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pa.array((t["user_id"].to_numpy(zero_copy_only=False) % P)
+                        .astype(np.int32))
+        return t.append_column("part", part)
+
+    def bounce_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap = ((g["ts"].diff() > pd.Timedelta(minutes=30)) & same) | ~same
+        sid = gap.cumsum().to_numpy()
+        d = pd.DataFrame({"sid": sid, "event_type": g["event_type"].to_numpy()})
+        agg = d.groupby("sid").agg(entry=("event_type", "first"),
+                                   n=("event_type", "size"))
+        agg["bounced"] = (agg["n"] == 1).astype(np.int64)
+        return agg.groupby("entry", as_index=False).agg(
+            n_bounced=("bounced", "sum"), n_sessions=("bounced", "size"))
+
+    parts = (ds.map_batches(add_part, batch_format="pyarrow")
+             .groupby("part").map_groups(bounce_part, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("entry", as_index=False)[["n_bounced",
+                                                  "n_sessions"]].sum()
+    out["bounce_rate"] = (out["n_bounced"] / out["n_sessions"]).round(6)
+    out["n_bounced"] = out["n_bounced"].astype(np.int64)
+    out["n_sessions"] = out["n_sessions"].astype(np.int64)
+    return out.rename(columns={"entry": "entry_type"}) \
+        .sort_values("entry_type").reset_index(drop=True)
+
+
+SQL_BOUNCE_RATE = """
+WITH f AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+  FROM events),
+s AS (SELECT user_id, ts, event_id, event_type,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+a AS (SELECT user_id, sid, COUNT(*) AS n,
+             MIN(ts) AS t0
+      FROM s GROUP BY user_id, sid),
+e AS (SELECT s.user_id, s.sid, s.event_type
+      FROM s
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY s.user_id, s.sid
+                                 ORDER BY s.ts, s.event_id) = 1)
+SELECT e.event_type AS entry_type,
+       CAST(SUM(CASE WHEN a.n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounced,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(SUM(CASE WHEN a.n = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS bounce_rate
+FROM a JOIN e ON e.user_id = a.user_id AND e.sid = a.sid
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+def q_wow_change(sf_dir: str):
+    """Week-over-week change by KEYED lag (exact day-7 lookup, not a
+    positional LAG): per (type, day) count vs the same type seven days
+    earlier — calendar gaps yield NULL/absent baselines instead of the
+    wrong row, the trap positional windows fall into.  One combiner
+    pass; the self-merge runs over the (types x days) grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(day=df["ts"].dt.normalize()) \
+            .groupby(["event_type", "day"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["event_type", "day"], as_index=False)["n"].sum()
+    prev = g.assign(day=g["day"] + pd.Timedelta(days=7)) \
+        .rename(columns={"n": "n_prev"})
+    j = g.merge(prev, on=["event_type", "day"], how="inner")
+    j["wow_pct"] = ((j["n"] - j["n_prev"]) / j["n_prev"] * 100).round(6)
+    return pd.DataFrame({
+        "event_type": j["event_type"],
+        "day": j["day"].dt.strftime("%Y-%m-%d"),
+        "n": j["n"].astype(np.int64),
+        "n_prev": j["n_prev"].astype(np.int64),
+        "wow_pct": j["wow_pct"],
+    }).sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+SQL_WOW_CHANGE = """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+           FROM events GROUP BY 1, 2)
+SELECT a.event_type, strftime(a.day, '%Y-%m-%d') AS day,
+       CAST(a.n AS BIGINT) AS n, CAST(b.n AS BIGINT) AS n_prev,
+       ROUND((a.n - b.n) * 100.0 / b.n, 6) AS wow_pct
+FROM d a JOIN d b ON b.event_type = a.event_type
+                 AND b.day = a.day - INTERVAL 7 DAY
+ORDER BY a.event_type, day
+"""
+
+
+def q_dup_orders_audit(sf_dir: str):
+    """Duplicate-payment detector: orders sharing (custkey, totalprice,
+    orderdate) — the double-charge audit.  Composite keys hash into
+    bounded partitions via a per-block (key, count) combiner; only
+    groups whose partial counts can sum past 1 matter, and the audit
+    summary (dup groups, dup orders, largest clique) folds from
+    group-sized partials."""
+    P = 64
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_custkey", "o_totalprice", "o_orderdate"],
+                       as_index=False).size().rename(columns={"size": "n"})
+        g["part"] = (g["o_custkey"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["o_custkey", "o_totalprice", "o_orderdate"],
+                      as_index=False)["n"].sum()
+        dups = m.loc[m["n"] > 1]
+        return pd.DataFrame({
+            "n_groups": [len(dups)],
+            "n_orders": [int(dups["n"].sum())],
+            "max_clique": [int(dups["n"].max()) if len(dups) else 0]})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(audit, batch_format="pandas")
+             .to_pandas())
+    return pd.DataFrame({
+        "n_dup_groups": np.array([int(parts["n_groups"].sum())], np.int64),
+        "n_dup_orders": np.array([int(parts["n_orders"].sum())], np.int64),
+        "max_clique": np.array([int(parts["max_clique"].max())], np.int64)})
+
+
+SQL_DUP_ORDERS_AUDIT = """
+WITH g AS (SELECT o_custkey, o_totalprice, o_orderdate, COUNT(*) AS n
+           FROM orders GROUP BY 1, 2, 3 HAVING COUNT(*) > 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_dup_orders,
+       CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_clique
+FROM g
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -12464,6 +12698,10 @@ QUERIES = {
     "integrity_audit": q_integrity_audit,
     "geo_rollup_shares": q_geo_rollup_shares,
     "range_window_revenue": q_range_window_revenue,
+    "acctbal_ttest": q_acctbal_ttest,
+    "bounce_rate": q_bounce_rate,
+    "wow_change": q_wow_change,
+    "dup_orders_audit": q_dup_orders_audit,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -12726,4 +12964,8 @@ ORACLE_SQL = {
     "integrity_audit": SQL_INTEGRITY_AUDIT,
     "geo_rollup_shares": SQL_GEO_ROLLUP_SHARES,
     "range_window_revenue": SQL_RANGE_WINDOW_REVENUE,
+    "acctbal_ttest": SQL_ACCTBAL_TTEST,
+    "bounce_rate": SQL_BOUNCE_RATE,
+    "wow_change": SQL_WOW_CHANGE,
+    "dup_orders_audit": SQL_DUP_ORDERS_AUDIT,
 }
