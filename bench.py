@@ -282,7 +282,9 @@ def bench_queries() -> dict:
              "priority_value_kappa", "integrity_audit",
              "geo_rollup_shares", "range_window_revenue",
              "acctbal_ttest", "bounce_rate",
-             "wow_change", "dup_orders_audit"]
+             "wow_change", "dup_orders_audit",
+             "seasonality_strength", "value_migration_matrix",
+             "linenumber_gaps", "order_burst_density"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -12452,6 +12452,233 @@ FROM g
 """
 
 
+def q_seasonality_strength(sf_dir: str):
+    """Seasonality strength per event type: 1 - Var(residual)/Var(series)
+    after removing weekday means from the daily-count series — the
+    'how much does day-of-week explain' decomposition.  Daily counts are
+    a (type, day) combiner; the weekday-mean removal and both variances
+    run over the days-bounded series per type, from exact integer count
+    sums so the float algebra matches across engines."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.assign(day=df["ts"].dt.normalize()) \
+            .groupby(["event_type", "day"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return d
+
+    def strength(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["event_type", "day"], as_index=False)["n"].sum()
+        g["dow"] = g["day"].dt.dayofweek
+        n = g["n"].to_numpy(np.float64)
+        mean = n.sum() / len(n)
+        var_tot = ((n - mean) ** 2).sum() / len(n)
+        wmean = g.groupby("dow")["n"].transform("mean").to_numpy()
+        resid = n - wmean
+        rmean = resid.sum() / len(resid)
+        var_res = ((resid - rmean) ** 2).sum() / len(resid)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "strength": [round(float(1.0 - var_res / var_tot), 6)],
+            "n_days": np.array([len(n)], np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(strength,
+                                              batch_format="pandas"))
+
+
+SQL_SEASONALITY_STRENGTH = """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, dayofweek(day) AS dow, AVG(n * 1.0) AS wmean
+      FROM d GROUP BY 1, 2),
+r AS (SELECT d.event_type, d.n * 1.0 AS n, d.n - w.wmean AS resid
+      FROM d JOIN w ON w.event_type = d.event_type
+                    AND w.dow = dayofweek(d.day))
+SELECT event_type,
+       ROUND(1.0 - (AVG(resid * resid) - AVG(resid) * AVG(resid))
+                   / (AVG(n * n) - AVG(n) * AVG(n)), 6) AS strength,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_value_migration_matrix(sf_dir: str):
+    """Quartile migration matrix: each customer's spend quartile in the
+    FIRST half of the order history (orders before 1998-01-01) vs the
+    SECOND, with 0 marking absence from a period — the churn/upsell
+    movement table.  Per-(period, custkey) cent sums reduce via
+    combiner; each period's quartile is one assign_global_seq rank over
+    the period's customer-dimension table; the two labelings align with
+    an outer merge and the 5x5 matrix folds from bounded partials."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    CUT = pd.Timestamp("1998-01-01")
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "period": (df["o_orderdate"] >= CUT).to_numpy()
+            .astype(np.int64),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)})
+        return g.groupby(["period", "o_custkey"], as_index=False)["cents"] \
+            .sum()
+
+    per = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("o_custkey") \
+        .map_groups(lambda g: g.groupby(["period", "o_custkey"],
+                                        as_index=False)["cents"].sum(),
+                    batch_format="pandas").materialize()
+
+    labels = {}
+    for p in (0, 1):
+        sub = per.filter(expr=f"period == {p}").materialize()
+        n = sub.count()
+        ranked = assign_global_seq(sub, ["cents", "o_custkey"], col="rk")
+
+        def quart(df: pd.DataFrame, n=n) -> pd.DataFrame:
+            return pd.DataFrame({
+                "o_custkey": df["o_custkey"].to_numpy(),
+                "q": (df["rk"].to_numpy(np.int64) * 4) // n + 1})
+
+        labels[p] = ranked.map_batches(quart, batch_format="pandas") \
+            .to_pandas()
+
+    m = labels[0].rename(columns={"q": "q_from"}) \
+        .merge(labels[1].rename(columns={"q": "q_to"}),
+               on="o_custkey", how="outer")
+    m["q_from"] = m["q_from"].fillna(0).astype(np.int64)
+    m["q_to"] = m["q_to"].fillna(0).astype(np.int64)
+    out = m.groupby(["q_from", "q_to"], as_index=False).size() \
+        .rename(columns={"size": "n"})
+    out["n_customers"] = out.pop("n").astype(np.int64)
+    return out.sort_values(["q_from", "q_to"]).reset_index(drop=True)
+
+
+SQL_VALUE_MIGRATION_MATRIX = """
+WITH s AS (SELECT o_custkey,
+                  CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                       THEN 1 ELSE 0 END AS period,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1, 2),
+r AS (SELECT period, o_custkey,
+             (ROW_NUMBER() OVER (PARTITION BY period
+                                 ORDER BY cents, o_custkey) - 1) * 4
+             // COUNT(*) OVER (PARTITION BY period) + 1 AS q
+      FROM s),
+a AS (SELECT o_custkey, q FROM r WHERE period = 0),
+b AS (SELECT o_custkey, q FROM r WHERE period = 1)
+SELECT CAST(COALESCE(a.q, 0) AS BIGINT) AS q_from,
+       CAST(COALESCE(b.q, 0) AS BIGINT) AS q_to,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM a FULL OUTER JOIN b ON b.o_custkey = a.o_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_linenumber_gaps(sf_dir: str):
+    """Sequence-integrity audit: orders whose line numbers are not the
+    dense 1..k prefix (max(linenumber) != count or min != 1) — the
+    dropped-row detector for any ingest that shreds parent/child rows.
+    Per-block (orderkey, min, max, n) partials merge exactly in a
+    keyspace-partitioned reduce; one (bad, total) counter pair per
+    partition reaches the driver."""
+    P = 64
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            mn=("l_linenumber", "min"), mx=("l_linenumber", "max"),
+            n=("l_linenumber", "size"))
+        g["part"] = (g["l_orderkey"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("l_orderkey", as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"), n=("n", "sum"))
+        bad = ((m["mn"] != 1) | (m["mx"] != m["n"])).sum()
+        return pd.DataFrame({"bad": [int(bad)], "total": [len(m)]})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(audit, batch_format="pandas")
+             .to_pandas())
+    bad, tot = int(parts["bad"].sum()), int(parts["total"].sum())
+    return pd.DataFrame({
+        "n_bad_orders": np.array([bad], np.int64),
+        "n_orders": np.array([tot], np.int64),
+        "bad_share": [round(bad / tot, 6)]})
+
+
+SQL_LINENUMBER_GAPS = """
+WITH g AS (SELECT l_orderkey, MIN(l_linenumber) AS mn,
+                  MAX(l_linenumber) AS mx, COUNT(*) AS n
+           FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(SUM(CASE WHEN mn != 1 OR mx != n THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CASE WHEN mn != 1 OR mx != n THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS bad_share
+FROM g
+"""
+
+
+def q_order_burst_density(sf_dir: str):
+    """Temporal self-join density: for each customer, the MAX number of
+    their orders inside any ±30-day window centered on one of their own
+    orders, as a histogram — the burst detector behind fraud and promo
+    analysis.  Customers hash into bounded partitions; per customer the
+    windowed counts come from two searchsorted passes over the sorted
+    date array (no quadratic self-join materialization); only histogram
+    partials leave."""
+    P = 32
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pa.array((t["o_custkey"].to_numpy(zero_copy_only=False) % P)
+                        .astype(np.int32))
+        return t.append_column("part", part)
+
+    def density(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate"], kind="mergesort")
+        c = g["o_custkey"].to_numpy()
+        d = g["o_orderdate"].to_numpy("datetime64[D]").astype(np.int64)
+        starts = np.r_[0, np.flatnonzero(c[1:] != c[:-1]) + 1, len(c)]
+        best = []
+        for i in range(len(starts) - 1):
+            dd = d[starts[i]:starts[i + 1]]
+            lo = np.searchsorted(dd, dd - 30, side="left")
+            hi = np.searchsorted(dd, dd + 30, side="right")
+            best.append(int((hi - lo).max()))
+        h = pd.Series(best).value_counts().sort_index()
+        return pd.DataFrame({"burst": h.index.to_numpy(np.int64),
+                             "n": h.to_numpy(np.int64)})
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("part").map_groups(density, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("burst", as_index=False)["n"].sum()
+    out["n_customers"] = out.pop("n").astype(np.int64)
+    return out.sort_values("burst").reset_index(drop=True)
+
+
+SQL_ORDER_BURST_DENSITY = """
+WITH w AS (
+  SELECT a.o_custkey, a.o_orderkey, COUNT(*) AS in_window
+  FROM orders a JOIN orders b
+    ON b.o_custkey = a.o_custkey
+   AND b.o_orderdate >= a.o_orderdate - INTERVAL 30 DAY
+   AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+  GROUP BY a.o_custkey, a.o_orderkey),
+m AS (SELECT o_custkey, MAX(in_window) AS burst FROM w GROUP BY o_custkey)
+SELECT CAST(burst AS BIGINT) AS burst,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM m GROUP BY burst ORDER BY burst
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -12702,6 +12929,10 @@ QUERIES = {
     "bounce_rate": q_bounce_rate,
     "wow_change": q_wow_change,
     "dup_orders_audit": q_dup_orders_audit,
+    "seasonality_strength": q_seasonality_strength,
+    "value_migration_matrix": q_value_migration_matrix,
+    "linenumber_gaps": q_linenumber_gaps,
+    "order_burst_density": q_order_burst_density,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -12968,4 +13199,8 @@ ORACLE_SQL = {
     "bounce_rate": SQL_BOUNCE_RATE,
     "wow_change": SQL_WOW_CHANGE,
     "dup_orders_audit": SQL_DUP_ORDERS_AUDIT,
+    "seasonality_strength": SQL_SEASONALITY_STRENGTH,
+    "value_migration_matrix": SQL_VALUE_MIGRATION_MATRIX,
+    "linenumber_gaps": SQL_LINENUMBER_GAPS,
+    "order_burst_density": SQL_ORDER_BURST_DENSITY,
 }
