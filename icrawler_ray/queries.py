@@ -12679,6 +12679,215 @@ FROM m GROUP BY burst ORDER BY burst
 """
 
 
+def q_busdays_ship_latency(sf_dir: str):
+    """Business-day ship latency: average WEEKDAYS-ONLY days between
+    order and ship per priority — calendar arithmetic that a naive
+    date_diff gets wrong.  Lines pre-aggregate per (orderkey,
+    min-shipdate); one bounded-key hash join attaches the order; the
+    weekday count is vectorized np.busday_count over [order, ship)
+    and only (priority, sum, n) partials leave the join."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+        .map_batches(
+            lambda df: df.groupby("l_orderkey", as_index=False)
+            .agg(ship=("l_shipdate", "min"))
+            .rename(columns={"l_orderkey": "o_orderkey"}),
+            batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def lat(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.groupby("o_orderkey", as_index=False).agg(
+            ship=("ship", "min"), o_orderdate=("o_orderdate", "first"),
+            o_orderpriority=("o_orderpriority", "first"))
+        # the synthetic tables are independent: keep only consistent
+        # (ship >= order) pairs, the audit any real pipeline would run
+        o = o.loc[o["ship"] >= o["o_orderdate"]]
+        bd = np.busday_count(
+            o["o_orderdate"].to_numpy("datetime64[D]"),
+            o["ship"].to_numpy("datetime64[D]"))
+        o = o.assign(bd=bd.astype(np.int64))
+        return o.groupby("o_orderpriority", as_index=False).agg(
+            s=("bd", "sum"), n=("bd", "size"))
+
+    parts = salted_hash_join(li, orders, "o_orderkey", agg_fn=lat,
+                             hot_keys=np.array([], np.int64)).to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False)[["s", "n"]].sum()
+    out["avg_busdays"] = (out["s"] / out["n"]).round(6)
+    out["n_orders"] = out.pop("n").astype(np.int64)
+    return out.drop(columns="s").sort_values("o_orderpriority") \
+        .reset_index(drop=True)
+
+
+SQL_BUSDAYS_SHIP_LATENCY = """
+WITH f AS (SELECT l_orderkey, MIN(l_shipdate) AS ship FROM lineitem
+           GROUP BY l_orderkey),
+d AS (SELECT o.o_orderpriority,
+             (SELECT COUNT(*) FROM UNNEST(generate_series(
+                      CAST(o.o_orderdate AS DATE),
+                      CAST(f.ship AS DATE) - INTERVAL 1 DAY,
+                      INTERVAL 1 DAY)) AS t(day)
+              WHERE isodow(CAST(day AS DATE)) < 6) AS bd
+      FROM orders o JOIN f ON f.l_orderkey = o.o_orderkey
+      WHERE f.ship >= o.o_orderdate)
+SELECT o_orderpriority, ROUND(AVG(bd * 1.0), 6) AS avg_busdays,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_nation_top_names(sf_dir: str):
+    """Ordered STRING_AGG: per nation, the three alphabetically-first
+    customer names joined with '|' — the group-concat pattern reports
+    lean on.  Per-block top-3 name partials (a combiner: the global
+    top-3 is inside the union of block top-3s) ride the broadcast
+    nation dim; the driver re-sorts the (nations x 3)-bounded pool and
+    assembles the strings."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nref = ray.put(nation)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = ray.get(nref)
+        j = df.merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        j = j.sort_values("c_name", kind="mergesort")
+        return j.groupby("n_name", as_index=False).head(3)[
+            ["n_name", "c_name"]]
+
+    parts = _read(sf_dir, "customer", ["c_name", "c_nationkey"]) \
+        .map_batches(partial, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(["n_name", "c_name"], kind="mergesort")
+    top = parts.groupby("n_name", as_index=False).head(3)
+    out = top.groupby("n_name", as_index=False)["c_name"] \
+        .agg(lambda s: "|".join(s))
+    return out.rename(columns={"c_name": "top_names"}) \
+        .sort_values("n_name").reset_index(drop=True)
+
+
+SQL_NATION_TOP_NAMES = """
+WITH r AS (SELECT n.n_name, c.c_name,
+                  ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                     ORDER BY c.c_name) AS rk
+           FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey)
+SELECT n_name, STRING_AGG(c_name, '|' ORDER BY c_name) AS top_names
+FROM r WHERE rk <= 3 GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_gini_mean_difference(sf_dir: str):
+    """Gini mean difference of order totals — the O(n²) mean absolute
+    pairwise gap, computed exactly in O(n log n) as a rank-weighted sum:
+    GMD = 2·Σ(2·rk - n + 1)·x(rk) / (n·(n-1)) over the sorted values.
+    One assign_global_seq sort; per-block Σ(2rk-n+1)·cents partials are
+    exact integers, so the statistic matches bit-for-bit."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "o_orderkey": df["o_orderkey"].to_numpy(),
+                "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+    n = ds.count()
+    ranked = assign_global_seq(ds, ["cents", "o_orderkey"], col="rk")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rk = df["rk"].to_numpy(np.int64)
+        c = df["cents"].to_numpy(np.int64)
+        return pd.DataFrame({"w": [int(((2 * rk - n + 1) * c).sum())]})
+
+    parts = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    w = int(parts["w"].sum())
+    gmd = 2.0 * w / (n * (n - 1))
+    return pd.DataFrame({"gmd": [round(gmd / 100.0, 6)],
+                         "n_orders": np.array([n], np.int64)})
+
+
+SQL_GINI_MEAN_DIFFERENCE = """
+WITH c AS (SELECT o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+r AS (SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) - 1 AS rk,
+             COUNT(*) OVER () AS n
+      FROM c)
+SELECT ROUND(2.0 * SUM((2 * rk - n + 1) * cents) / (MIN(n) * (MIN(n) - 1))
+             / 100.0, 6) AS gmd,
+       CAST(MIN(n) AS BIGINT) AS n_orders
+FROM r
+"""
+
+
+def q_dod_user_jaccard(sf_dir: str):
+    """Day-over-day audience overlap: Jaccard similarity between each
+    day's active-user set and the previous day's — the stickiness
+    chain.  (day, user) presence dedups per block, then users hash into
+    bounded partitions where each user's sorted day list yields its
+    consecutive-day intersection pairs; per-day distinct counts and
+    per-day-pair intersection counts fold over days-bounded grids."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "day": df["ts"].to_numpy("datetime64[D]").astype(np.int64)}) \
+            .drop_duplicates()
+        g["part"] = (g["user_id"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["user_id", "day"]].drop_duplicates() \
+            .sort_values(["user_id", "day"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy(np.int64)
+        active = g.groupby("day", as_index=False).size() \
+            .rename(columns={"size": "n_active"})
+        consec = (u[1:] == u[:-1]) & (d[1:] == d[:-1] + 1)
+        inter = pd.DataFrame({"day": d[1:][consec]}) \
+            .groupby("day", as_index=False).size() \
+            .rename(columns={"size": "n_inter"})
+        return active.merge(inter, on="day", how="outer").fillna(0)
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(per_part, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("day", as_index=False)[["n_active", "n_inter"]].sum()
+    g = g.sort_values("day").reset_index(drop=True)
+    prev = g["n_active"].shift(1)
+    contig = g["day"].diff() == 1
+    j = g.loc[contig].copy()
+    pa_ = prev[contig].to_numpy()
+    j["jaccard"] = (j["n_inter"]
+                    / (pa_ + j["n_active"] - j["n_inter"])).round(6)
+    return pd.DataFrame({
+        "day": pd.to_datetime(j["day"], unit="D").dt.strftime("%Y-%m-%d"),
+        "n_active": j["n_active"].astype(np.int64),
+        "n_inter": j["n_inter"].astype(np.int64),
+        "jaccard": j["jaccard"]}).reset_index(drop=True)
+
+
+SQL_DOD_USER_JACCARD = """
+WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+a AS (SELECT day, COUNT(*) AS n_active FROM p GROUP BY day),
+i AS (SELECT b.day, COUNT(*) AS n_inter
+      FROM p a JOIN p b ON b.user_id = a.user_id
+                       AND b.day = a.day + INTERVAL 1 DAY
+      GROUP BY b.day)
+SELECT strftime(a.day, '%Y-%m-%d') AS day,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       ROUND(COALESCE(i.n_inter, 0) * 1.0
+             / (pr.n_active + a.n_active - COALESCE(i.n_inter, 0)), 6)
+         AS jaccard
+FROM a
+JOIN a pr ON pr.day = a.day - INTERVAL 1 DAY
+LEFT JOIN i ON i.day = a.day
+ORDER BY a.day
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -12933,6 +13142,10 @@ QUERIES = {
     "value_migration_matrix": q_value_migration_matrix,
     "linenumber_gaps": q_linenumber_gaps,
     "order_burst_density": q_order_burst_density,
+    "busdays_ship_latency": q_busdays_ship_latency,
+    "nation_top_names": q_nation_top_names,
+    "gini_mean_difference": q_gini_mean_difference,
+    "dod_user_jaccard": q_dod_user_jaccard,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -13203,4 +13416,8 @@ ORACLE_SQL = {
     "value_migration_matrix": SQL_VALUE_MIGRATION_MATRIX,
     "linenumber_gaps": SQL_LINENUMBER_GAPS,
     "order_burst_density": SQL_ORDER_BURST_DENSITY,
+    "busdays_ship_latency": SQL_BUSDAYS_SHIP_LATENCY,
+    "nation_top_names": SQL_NATION_TOP_NAMES,
+    "gini_mean_difference": SQL_GINI_MEAN_DIFFERENCE,
+    "dod_user_jaccard": SQL_DOD_USER_JACCARD,
 }
