@@ -286,7 +286,9 @@ def bench_queries() -> dict:
              "seasonality_strength", "value_migration_matrix",
              "linenumber_gaps", "order_burst_density",
              "busdays_ship_latency", "nation_top_names",
-             "gini_mean_difference", "dod_user_jaccard"]
+             "gini_mean_difference", "dod_user_jaccard",
+             "session_duration_median", "type_traffic_cosine",
+             "zscore_top_orders", "conversion_cdf"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

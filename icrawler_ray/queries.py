@@ -12888,6 +12888,260 @@ ORDER BY a.day
 """
 
 
+def q_session_duration_median(sf_dir: str):
+    """Median session duration (first-to-last event, 30-min-gap
+    sessions) per ENTRY event type — the dwell-time readout.  The
+    bounded user-hash partition walk emits one (entry, duration-µs) row
+    per session; the per-entry median folds with the quantile_disc
+    convention over the session-bounded table, in exact integer
+    microseconds."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pa.array((t["user_id"].to_numpy(zero_copy_only=False) % P)
+                        .astype(np.int32))
+        return t.append_column("part", part)
+
+    def durations(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap = ((g["ts"].diff() > pd.Timedelta(minutes=30)) & same) | ~same
+        sid = gap.cumsum().to_numpy()
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = pd.DataFrame({"sid": sid, "us": us,
+                          "event_type": g["event_type"].to_numpy()})
+        agg = d.groupby("sid").agg(entry=("event_type", "first"),
+                                   dur=("us", lambda s: s.iloc[-1] - s.iloc[0]))
+        return agg.reset_index(drop=True)
+
+    sess = (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(durations, batch_format="pandas")
+            .to_pandas())
+    rows = []
+    for entry, grp in sess.groupby("entry"):
+        v = np.sort(grp["dur"].to_numpy(np.int64))
+        med = int(v[int(np.ceil(0.5 * len(v))) - 1])
+        rows.append((entry, round(med / 60e6, 6), len(v)))
+    out = pd.DataFrame(rows, columns=["entry_type", "median_minutes",
+                                      "n_sessions"])
+    out["n_sessions"] = out["n_sessions"].astype(np.int64)
+    return out.sort_values("entry_type").reset_index(drop=True)
+
+
+SQL_SESSION_DURATION_MEDIAN = """
+WITH f AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+  FROM events),
+s AS (SELECT user_id, ts, event_id, event_type,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+a AS (SELECT user_id, sid,
+             CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT)
+               AS dur
+      FROM s GROUP BY user_id, sid),
+e AS (SELECT user_id, sid, event_type FROM s
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                 ORDER BY ts, event_id) = 1)
+SELECT e.event_type AS entry_type,
+       ROUND(quantile_disc(a.dur, 0.5) / 60e6, 6) AS median_minutes,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM a JOIN e ON e.user_id = a.user_id AND e.sid = a.sid
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+def q_type_traffic_cosine(sf_dir: str):
+    """Traffic-fingerprint similarity: cosine between event types'
+    168-dimensional hour-of-week count profiles, all pairs — do clicks
+    and errors follow the same weekly rhythm?  (type, hour-of-week)
+    counts are one combiner pass; dot products and norms fold from
+    exact integer counts over the (types x 168) grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        how = (df["ts"].dt.dayofweek * 24 + df["ts"].dt.hour).to_numpy()
+        return pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                             "how": how.astype(np.int64)}) \
+            .groupby(["event_type", "how"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["event_type", "how"])["n"].sum()
+    types = sorted(g.index.get_level_values(0).unique())
+    vecs = {}
+    for t in types:
+        v = np.zeros(168, np.int64)
+        sub = g.loc[t]
+        v[sub.index.to_numpy()] = sub.to_numpy()
+        vecs[t] = v
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            dot = int((vecs[a] * vecs[b]).sum())
+            na = float(np.sqrt(int((vecs[a] ** 2).sum())))
+            nb = float(np.sqrt(int((vecs[b] ** 2).sum())))
+            rows.append((a, b, round(dot / (na * nb), 6)))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "cosine"]) \
+        .sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+SQL_TYPE_TRAFFIC_COSINE = """
+WITH c AS (SELECT event_type,
+                  dayofweek(ts) * 24 + EXTRACT(hour FROM ts) AS how,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+norms AS (SELECT event_type, SQRT(SUM(n * n)) AS nrm FROM c GROUP BY 1)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       ROUND(SUM(a.n * b.n) / (MIN(na.nrm) * MIN(nb.nrm)), 6) AS cosine
+FROM c a
+JOIN c b ON b.event_type > a.event_type AND b.how = a.how
+JOIN norms na ON na.event_type = a.event_type
+JOIN norms nb ON nb.event_type = b.event_type
+GROUP BY a.event_type, b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+def q_zscore_top_orders(sf_dir: str):
+    """Grouped standardization + global top-k: the ten orders most
+    anomalous under their own NATION's value distribution (|z| =
+    |x - μ_nation| / σ_nation).  Nation moments come from exact integer
+    cent partials through the broadcast customer→nation dim; the 25-row
+    stats table broadcasts back and per-block top-10 partials fold on
+    the driver — two passes, no sort of the fact table."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    dim_ref = ray.put(dim[["c_custkey", "n_name"]])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dim_ref)
+        j = df.merge(d, left_on="o_custkey", right_on="c_custkey")
+        c = np.round(j["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        j = j.assign(cents=c, sq=c.astype(object) * c.astype(object))
+        return j.groupby("n_name", as_index=False).agg(
+            s=("cents", "sum"), ss=("sq", "sum"), n=("cents", "size"))
+
+    parts = orders.map_batches(moments, batch_format="pandas").to_pandas()
+    g = parts.groupby("n_name", as_index=False).agg(
+        s=("s", "sum"), ss=("ss", "sum"), n=("n", "sum"))
+    g["mu"] = g["s"].astype(np.float64) / g["n"]
+    g["sd"] = np.sqrt((g["ss"].astype(np.float64)
+                       - g["s"].astype(np.float64) ** 2 / g["n"]) / (g["n"] - 1))
+    stats_ref = ray.put(g[["n_name", "mu", "sd"]])
+
+    def topz(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dim_ref)
+        st = ray.get(stats_ref)
+        j = df.merge(d, left_on="o_custkey", right_on="c_custkey") \
+            .merge(st, on="n_name")
+        c = np.round(j["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        j = j.assign(z=np.abs(c - j["mu"].to_numpy()) / j["sd"].to_numpy())
+        return j.sort_values(["z", "o_orderkey"],
+                             ascending=[False, True]).head(10)[
+            ["o_orderkey", "n_name", "o_totalprice", "z"]]
+
+    pool = orders.map_batches(topz, batch_format="pandas").to_pandas()
+    top = pool.sort_values(["z", "o_orderkey"],
+                           ascending=[False, True]).head(10)
+    top["z"] = top["z"].round(6)
+    return top.reset_index(drop=True)
+
+
+SQL_ZSCORE_TOP_ORDERS = """
+WITH j AS (SELECT o.o_orderkey, n.n_name, o.o_totalprice,
+                  CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders o
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation n ON n.n_nationkey = c.c_nationkey),
+m AS (SELECT n_name, SUM(cents) * 1.0 AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) * 1.0 AS ss,
+             COUNT(*) AS n
+      FROM j GROUP BY n_name),
+st AS (SELECT n_name, s / n AS mu,
+              SQRT((ss - s * s / n) / (n - 1)) AS sd
+       FROM m)
+SELECT j.o_orderkey, j.n_name, j.o_totalprice,
+       ROUND(ABS(j.cents - st.mu) / st.sd, 6) AS z
+FROM j JOIN st ON st.n_name = j.n_name
+ORDER BY ABS(j.cents - st.mu) / st.sd DESC, j.o_orderkey LIMIT 10
+"""
+
+
+def q_conversion_cdf(sf_dir: str):
+    """Conversion CDF: of users who signed up, the share converted
+    (first purchase at or after first signup) within 1, 7, 14 and 30
+    days — the activation curve product teams track.  Reuses the
+    bounded user-hash lag walk of q_conversion_lag_quantiles; the CDF
+    points fold from exact integer-microsecond lags."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["event_type"].isin(["signup", "purchase"])].copy()
+        df["part"] = (df["user_id"].to_numpy() % P).astype(np.int32)
+        return df
+
+    def lags_part(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.loc[g["event_type"] == "signup"] \
+            .groupby("user_id")["ts"].min().rename("s0")
+        p = g.loc[g["event_type"] == "purchase", ["user_id", "ts"]]
+        j = p.merge(s, left_on="user_id", right_index=True)
+        j = j.loc[j["ts"] >= j["s0"]]
+        first = j.groupby("user_id")["ts"].min()
+        lag_us = (first - s[first.index]).to_numpy() \
+            .astype("timedelta64[us]").astype(np.int64)
+        return pd.DataFrame({"n_signup": [int(len(s))],
+                             "lags": [",".join(map(str, sorted(lag_us)))]})
+
+    parts = (ds.map_batches(add_part, batch_format="pandas")
+             .groupby("part").map_groups(lags_part, batch_format="pandas")
+             .to_pandas())
+    n_signup = int(parts["n_signup"].sum())
+    lags = np.sort(np.concatenate([
+        np.array([int(x) for x in s.split(",")], np.int64) if s else
+        np.empty(0, np.int64) for s in parts["lags"]]))
+    DAY_US = 86_400_000_000
+    rows = []
+    for k in (1, 7, 14, 30):
+        conv = int(np.searchsorted(lags, k * DAY_US, side="right"))
+        rows.append((k, conv, round(conv / n_signup, 6)))
+    out = pd.DataFrame(rows, columns=["within_days", "n_converted",
+                                      "share"])
+    out["within_days"] = out["within_days"].astype(np.int64)
+    out["n_converted"] = out["n_converted"].astype(np.int64)
+    return out
+
+
+SQL_CONVERSION_CDF = """
+WITH s AS (SELECT user_id, MIN(ts) AS s0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS p0
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.s0
+      GROUP BY e.user_id),
+l AS (SELECT CAST(date_diff('microsecond', s.s0, p.p0) AS BIGINT) AS lag_us
+      FROM s JOIN p ON p.user_id = s.user_id),
+n AS (SELECT COUNT(*) AS n_signup FROM s),
+k AS (SELECT UNNEST([1, 7, 14, 30]) AS within_days)
+SELECT CAST(k.within_days AS BIGINT) AS within_days,
+       CAST((SELECT COUNT(*) FROM l
+             WHERE lag_us <= k.within_days * CAST(86400000000 AS BIGINT))
+            AS BIGINT) AS n_converted,
+       ROUND((SELECT COUNT(*) FROM l
+              WHERE lag_us <= k.within_days * CAST(86400000000 AS BIGINT))
+             * 1.0 / n.n_signup, 6) AS share
+FROM k, n ORDER BY within_days
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -13146,6 +13400,10 @@ QUERIES = {
     "nation_top_names": q_nation_top_names,
     "gini_mean_difference": q_gini_mean_difference,
     "dod_user_jaccard": q_dod_user_jaccard,
+    "session_duration_median": q_session_duration_median,
+    "type_traffic_cosine": q_type_traffic_cosine,
+    "zscore_top_orders": q_zscore_top_orders,
+    "conversion_cdf": q_conversion_cdf,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -13420,4 +13678,8 @@ ORACLE_SQL = {
     "nation_top_names": SQL_NATION_TOP_NAMES,
     "gini_mean_difference": SQL_GINI_MEAN_DIFFERENCE,
     "dod_user_jaccard": SQL_DOD_USER_JACCARD,
+    "session_duration_median": SQL_SESSION_DURATION_MEDIAN,
+    "type_traffic_cosine": SQL_TYPE_TRAFFIC_COSINE,
+    "zscore_top_orders": SQL_ZSCORE_TOP_ORDERS,
+    "conversion_cdf": SQL_CONVERSION_CDF,
 }
