@@ -288,7 +288,9 @@ def bench_queries() -> dict:
              "busdays_ship_latency", "nation_top_names",
              "gini_mean_difference", "dod_user_jaccard",
              "session_duration_median", "type_traffic_cosine",
-             "zscore_top_orders", "conversion_cdf"]
+             "zscore_top_orders", "conversion_cdf",
+             "weekend_value_qte", "acctbal_ks_two_table",
+             "stale_parts_share", "top_customer_drill"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

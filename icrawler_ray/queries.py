@@ -13142,6 +13142,238 @@ FROM k, n ORDER BY within_days
 """
 
 
+def q_weekend_value_qte(sf_dir: str):
+    """Quantile treatment effect: weekend-vs-weekday purchase VALUE
+    quantile gaps at q = 0.25/0.5/0.75 — distributional uplift where a
+    mean comparison (q_weekend_effect) hides shape changes.  Values ride
+    as integer cents per (is_weekend, cents) count partials; each
+    group's quantile_disc picks fold from the value-cardinality-bounded
+    count table."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["event_type"] == "purchase"]
+        return pd.DataFrame({
+            "wk": (df["ts"].dt.dayofweek >= 5).to_numpy().astype(np.int64),
+            "cents": np.round(df["value"].to_numpy() * 100)
+            .astype(np.int64)}).groupby(["wk", "cents"],
+                                        as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cnt = parts.groupby(["wk", "cents"], as_index=False)["n"].sum()
+    rows = []
+    for q in (0.25, 0.5, 0.75):
+        pick = {}
+        for w in (0, 1):
+            sub = cnt.loc[cnt["wk"] == w].sort_values("cents")
+            c = sub["n"].to_numpy(np.int64).cumsum()
+            k = int(np.ceil(q * c[-1]))
+            pick[w] = int(sub["cents"].to_numpy()[np.searchsorted(c, k)])
+        rows.append((q, round(pick[1] / 100.0, 6),
+                     round(pick[0] / 100.0, 6),
+                     round((pick[1] - pick[0]) / 100.0, 6)))
+    return pd.DataFrame(rows, columns=["q", "weekend_q", "weekday_q",
+                                       "qte"])
+
+
+SQL_WEEKEND_VALUE_QTE = """
+WITH v AS (SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS wk,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+a AS (SELECT quantile_disc(cents, 0.25) AS p25,
+             quantile_disc(cents, 0.5) AS p50,
+             quantile_disc(cents, 0.75) AS p75
+      FROM v WHERE wk = 1),
+b AS (SELECT quantile_disc(cents, 0.25) AS p25,
+             quantile_disc(cents, 0.5) AS p50,
+             quantile_disc(cents, 0.75) AS p75
+      FROM v WHERE wk = 0)
+SELECT 0.25 AS q, ROUND(a.p25 / 100.0, 6) AS weekend_q,
+       ROUND(b.p25 / 100.0, 6) AS weekday_q,
+       ROUND((a.p25 - b.p25) / 100.0, 6) AS qte FROM a, b
+UNION ALL
+SELECT 0.5, ROUND(a.p50 / 100.0, 6), ROUND(b.p50 / 100.0, 6),
+       ROUND((a.p50 - b.p50) / 100.0, 6) FROM a, b
+UNION ALL
+SELECT 0.75, ROUND(a.p75 / 100.0, 6), ROUND(b.p75 / 100.0, 6),
+       ROUND((a.p75 - b.p75) / 100.0, 6) FROM a, b
+ORDER BY q
+"""
+
+
+def q_acctbal_ks_two_table(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov distance BETWEEN TABLES: do
+    supplier and customer account balances follow the same
+    distribution?  Each side shrinks to per-value cent counts (a
+    combiner bounded by the value grid); the D statistic folds from the
+    merged distinct-value CDF table evaluated AFTER each value's ties —
+    the tie convention both engines share."""
+    def side(table: str, col: str, s: int):
+        def partial(df: pd.DataFrame, col=col, s=s) -> pd.DataFrame:
+            return pd.DataFrame({
+                "cents": np.round(df[col].to_numpy() * 100)
+                .astype(np.int64), "side": np.int64(s)}) \
+                .groupby(["side", "cents"], as_index=False).size() \
+                .rename(columns={"size": "n"})
+        return _read(sf_dir, table, [col]) \
+            .map_batches(partial, batch_format="pandas")
+
+    parts = side("customer", "c_acctbal", 0) \
+        .union(side("supplier", "s_acctbal", 1)).to_pandas()
+    cnt = parts.groupby(["side", "cents"], as_index=False)["n"].sum()
+    piv = cnt.pivot_table(index="cents", columns="side", values="n",
+                          fill_value=0, aggfunc="sum").sort_index()
+    c0 = piv[0].to_numpy(np.int64).cumsum()
+    c1 = piv[1].to_numpy(np.int64).cumsum()
+    d = np.abs(c0 / c0[-1] - c1 / c1[-1]).max()
+    return pd.DataFrame({
+        "ks_d": [round(float(d), 6)],
+        "n_customers": np.array([int(c0[-1])], np.int64),
+        "n_suppliers": np.array([int(c1[-1])], np.int64)})
+
+
+SQL_ACCTBAL_KS_TWO_TABLE = """
+WITH u AS (SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents, 0 AS side
+           FROM customer
+           UNION ALL
+           SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT), 1 FROM supplier),
+c AS (SELECT cents,
+             SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n1
+      FROM u GROUP BY cents),
+t AS (SELECT SUM(n0) AS t0, SUM(n1) AS t1 FROM c),
+f AS (SELECT SUM(n0) OVER (ORDER BY cents) * 1.0 / t.t0 AS f0,
+             SUM(n1) OVER (ORDER BY cents) * 1.0 / t.t1 AS f1
+      FROM c, t)
+SELECT ROUND(MAX(ABS(f0 - f1)), 6) AS ks_d,
+       CAST((SELECT t0 FROM t) AS BIGINT) AS n_customers,
+       CAST((SELECT t1 FROM t) AS BIGINT) AS n_suppliers
+FROM f
+"""
+
+
+def q_stale_parts_share(sf_dir: str):
+    """Catalog staleness: parts whose LAST sale is more than a year
+    before the global latest ship date — the dead-stock report.  One
+    argmax-per-key combiner (per-block max shipdate per partkey), a
+    partkey-partitioned max-reduce, and a broadcast global-max compare;
+    the join against part covers never-sold parts too."""
+    P = 64
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_partkey", as_index=False) \
+            .agg(last=("l_shipdate", "max"))
+        g["part"] = (g["l_partkey"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    per = (li.map_batches(partial, batch_format="pandas")
+           .groupby("part")
+           .map_groups(lambda g: g.groupby("l_partkey", as_index=False)
+                       .agg(last=("last", "max")),
+                       batch_format="pandas").materialize())
+    gmax = per.max("last")
+    cut = gmax - pd.Timedelta(days=365)
+    sold = per.map_batches(
+        lambda df: pd.DataFrame({
+            "stale": [int((df["last"] < cut).sum())], "n": [len(df)]}),
+        batch_format="pandas").to_pandas()
+    n_parts = _read(sf_dir, "part", ["p_partkey"]).count()
+    stale_sold = int(sold["stale"].sum())
+    n_sold = int(sold["n"].sum())
+    never = n_parts - n_sold
+    return pd.DataFrame({
+        "n_stale": np.array([stale_sold + never], np.int64),
+        "n_never_sold": np.array([never], np.int64),
+        "n_parts": np.array([n_parts], np.int64),
+        "stale_share": [round((stale_sold + never) / n_parts, 6)]})
+
+
+SQL_STALE_PARTS_SHARE = """
+WITH last AS (SELECT l_partkey, MAX(l_shipdate) AS last FROM lineitem
+              GROUP BY l_partkey),
+g AS (SELECT MAX(l_shipdate) AS gmax FROM lineitem),
+j AS (SELECT p.p_partkey, last.last, g.gmax
+      FROM part p LEFT JOIN last ON last.l_partkey = p.p_partkey, g)
+SELECT CAST(SUM(CASE WHEN last IS NULL
+                       OR last < gmax - INTERVAL 365 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+       CAST(SUM(CASE WHEN last IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_never_sold,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(SUM(CASE WHEN last IS NULL
+                        OR last < gmax - INTERVAL 365 DAY
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS stale_share
+FROM j
+"""
+
+
+def q_top_customer_drill(sf_dir: str):
+    """Two-phase interactive drill-down: find the ten customers with
+    the MOST orders (rank phase), then their lineitem revenue through
+    an orderkey IN-list pushdown (drill phase) — the broadcast-
+    a-tiny-keyset plan every dashboard click executes.  Phase 1 is a
+    count combiner + driver top-10 (ties broken by custkey); phase 2
+    broadcasts the ~top-10 custkeys, filters orders to their orderkeys
+    (also broadcast), and reduces lineitem revenue per customer without
+    any shuffle join."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    parts = orders.map_batches(
+        lambda df: df.groupby("o_custkey", as_index=False).size()
+        .rename(columns={"size": "n"}),
+        batch_format="pandas").to_pandas()
+    cnt = parts.groupby("o_custkey", as_index=False)["n"].sum()
+    top = cnt.sort_values(["n", "o_custkey"],
+                          ascending=[False, True]).head(10)
+    keys_ref = ray.put(set(top["o_custkey"].tolist()))
+
+    ords = orders.map_batches(
+        lambda df: df.loc[df["o_custkey"].isin(ray.get(keys_ref))],
+        batch_format="pandas").to_pandas()
+    omap_ref = ray.put(dict(zip(ords["o_orderkey"], ords["o_custkey"])))
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(omap_ref)
+        df = df.loc[df["l_orderkey"].isin(m)]
+        c = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"o_custkey": df["l_orderkey"].map(m).to_numpy(),
+                          "cents": c, "one": np.int64(1)})
+        return g.groupby("o_custkey", as_index=False).agg(
+            cents=("cents", "sum"), n=("one", "sum"))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]) \
+        .map_batches(rev, batch_format="pandas").to_pandas()
+    g = li.groupby("o_custkey", as_index=False)[["cents", "n"]].sum()
+    out = top.rename(columns={"n": "n_orders"}) \
+        .merge(g.rename(columns={"n": "n_lines"}), on="o_custkey",
+               how="left").fillna(0)
+    return pd.DataFrame({
+        "o_custkey": out["o_custkey"].astype(np.int64),
+        "n_orders": out["n_orders"].astype(np.int64),
+        "revenue": (out["cents"] / 100.0).round(2),
+        "n_lines": out["n_lines"].astype(np.int64),
+    }).sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_TOP_CUSTOMER_DRILL = """
+WITH top AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+             GROUP BY o_custkey
+             ORDER BY n_orders DESC, o_custkey LIMIT 10)
+SELECT t.o_custkey, CAST(t.n_orders AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+             / 100.0, 2) AS revenue,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines
+FROM top t
+JOIN orders o ON o.o_custkey = t.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY t.o_custkey, t.n_orders
+ORDER BY t.o_custkey
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -13404,6 +13636,10 @@ QUERIES = {
     "type_traffic_cosine": q_type_traffic_cosine,
     "zscore_top_orders": q_zscore_top_orders,
     "conversion_cdf": q_conversion_cdf,
+    "weekend_value_qte": q_weekend_value_qte,
+    "acctbal_ks_two_table": q_acctbal_ks_two_table,
+    "stale_parts_share": q_stale_parts_share,
+    "top_customer_drill": q_top_customer_drill,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -13682,4 +13918,8 @@ ORACLE_SQL = {
     "type_traffic_cosine": SQL_TYPE_TRAFFIC_COSINE,
     "zscore_top_orders": SQL_ZSCORE_TOP_ORDERS,
     "conversion_cdf": SQL_CONVERSION_CDF,
+    "weekend_value_qte": SQL_WEEKEND_VALUE_QTE,
+    "acctbal_ks_two_table": SQL_ACCTBAL_KS_TWO_TABLE,
+    "stale_parts_share": SQL_STALE_PARTS_SHARE,
+    "top_customer_drill": SQL_TOP_CUSTOMER_DRILL,
 }
