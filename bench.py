@@ -290,7 +290,9 @@ def bench_queries() -> dict:
              "session_duration_median", "type_traffic_cosine",
              "zscore_top_orders", "conversion_cdf",
              "weekend_value_qte", "acctbal_ks_two_table",
-             "stale_parts_share", "top_customer_drill"]
+             "stale_parts_share", "top_customer_drill",
+             "promo_coverage_days", "new_vs_returning_revenue",
+             "order_cadence_cv", "busiest_days_by_users"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -13374,6 +13374,252 @@ ORDER BY t.o_custkey
 """
 
 
+def q_promo_coverage_days(sf_dir: str):
+    """Interval-union length: each order opens a 7-day exposure window
+    [orderdate, orderdate+7); per customer the DISTINCT days covered by
+    the union of their windows (overlaps merged), averaged by market
+    segment — the dedup every exposure/attribution metric needs.
+    Customers hash into bounded partitions; the union length is the
+    classic sorted-starts sweep (running max of ends), vectorized; the
+    segment rollup folds from (segment, sum, n) partials through the
+    broadcast customer dim."""
+    P = 32
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    dim_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pa.array((t["o_custkey"].to_numpy(zero_copy_only=False) % P)
+                        .astype(np.int32))
+        return t.append_column("part", part)
+
+    def coverage(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate"], kind="mergesort")
+        c = g["o_custkey"].to_numpy()
+        s = g["o_orderdate"].to_numpy("datetime64[D]").astype(np.int64)
+        e = s + 7
+        # island detection: a window starting past the PER-CUSTOMER
+        # running max end opens a new covered stretch (a global cummax
+        # would leak the previous customer's horizon and merge islands)
+        run = pd.Series(e).groupby(c).cummax()
+        prev_end = run.groupby(c).shift(1).fillna(-10**9).to_numpy(np.int64)
+        new_cust = np.r_[True, c[1:] != c[:-1]]
+        new_isle = new_cust | (s > prev_end)
+        isle = np.cumsum(new_isle)
+        d = pd.DataFrame({"c": c, "isle": isle, "s": s, "e": e})
+        spans = d.groupby(["c", "isle"], as_index=False).agg(
+            lo=("s", "min"), hi=("e", "max"))
+        per = (spans["hi"] - spans["lo"]).groupby(spans["c"]).sum()
+        m = ray.get(dim_ref)
+        out = pd.DataFrame({"seg": per.index.map(m), "cov": per.to_numpy()})
+        return out.groupby("seg", as_index=False).agg(
+            s=("cov", "sum"), n=("cov", "size"))
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("part").map_groups(coverage, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("seg", as_index=False)[["s", "n"]].sum()
+    out["avg_covered_days"] = (out["s"] / out["n"]).round(6)
+    out["n_customers"] = out.pop("n").astype(np.int64)
+    return out.drop(columns="s").rename(columns={"seg": "c_mktsegment"}) \
+        .sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_PROMO_COVERAGE_DAYS = """
+WITH w AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
+                  CAST(o_orderdate AS DATE) + INTERVAL 7 DAY AS e
+           FROM orders),
+m AS (SELECT o_custkey, s, e,
+             MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_end
+      FROM w),
+i AS (SELECT o_custkey, s, e,
+             SUM(CASE WHEN prev_end IS NULL OR s > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS isle
+      FROM m),
+sp AS (SELECT o_custkey, isle,
+              date_diff('day', MIN(s), MAX(e)) AS len
+       FROM i GROUP BY o_custkey, isle),
+per AS (SELECT o_custkey, SUM(len) AS cov FROM sp GROUP BY o_custkey)
+SELECT c.c_mktsegment, ROUND(AVG(per.cov * 1.0), 6) AS avg_covered_days,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM per JOIN customer c ON c.c_custkey = per.o_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+def q_new_vs_returning_revenue(sf_dir: str):
+    """Growth accounting: monthly revenue split into NEW customers
+    (first-ever order that month) vs RETURNING — the new-logo /
+    expansion decomposition.  (custkey, month) cent partials co-locate
+    per custkey, where each customer's first month classifies their
+    months locally; only (month, is_new, cents) partials leave the
+    partition."""
+    P = 64
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "month": df["o_orderdate"].dt.strftime("%Y-%m"),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)})
+        g = g.groupby(["o_custkey", "month"], as_index=False)["cents"].sum()
+        g["part"] = (g["o_custkey"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["o_custkey", "month"], as_index=False)["cents"].sum()
+        first = m.groupby("o_custkey")["month"].transform("min")
+        m["is_new"] = (m["month"] == first).astype(np.int64)
+        return m.groupby(["month", "is_new"], as_index=False)["cents"].sum()
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(classify, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby(["month", "is_new"], as_index=False)["cents"].sum()
+    piv = g.pivot_table(index="month", columns="is_new", values="cents",
+                        fill_value=0, aggfunc="sum").sort_index()
+    new_c = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    ret_c = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    tot = new_c + ret_c
+    return pd.DataFrame({
+        "month": piv.index.to_numpy(),
+        "new_revenue": np.round(new_c / 100.0, 2),
+        "returning_revenue": np.round(ret_c / 100.0, 2),
+        "new_share": np.round(new_c / tot, 6)})
+
+
+SQL_NEW_VS_RETURNING_REVENUE = """
+WITH m AS (SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1, 2),
+c AS (SELECT *, CASE WHEN month = MIN(month) OVER (PARTITION BY o_custkey)
+                     THEN 1 ELSE 0 END AS is_new
+      FROM m)
+SELECT month,
+       ROUND(SUM(CASE WHEN is_new = 1 THEN cents ELSE 0 END) / 100.0, 2)
+         AS new_revenue,
+       ROUND(SUM(CASE WHEN is_new = 0 THEN cents ELSE 0 END) / 100.0, 2)
+         AS returning_revenue,
+       ROUND(SUM(CASE WHEN is_new = 1 THEN cents ELSE 0 END) * 1.0
+             / SUM(cents), 6) AS new_share
+FROM c GROUP BY month ORDER BY month
+"""
+
+
+def q_order_cadence_cv(sf_dir: str):
+    """Purchase-cadence regularity: per customer the coefficient of
+    variation of inter-order gaps (needs 3+ orders), averaged by market
+    segment — regular replenishers vs bursty buyers.  The bounded
+    custkey-partition walk computes per-customer gap moments from exact
+    integer day sums; segment averages fold from (segment, sum, n)
+    partials through the broadcast dim."""
+    P = 32
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    dim_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pa.array((t["o_custkey"].to_numpy(zero_copy_only=False) % P)
+                        .astype(np.int32))
+        return t.append_column("part", part)
+
+    def cv_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        c = g["o_custkey"].to_numpy()
+        d = g["o_orderdate"].to_numpy("datetime64[D]").astype(np.int64)
+        same = c[1:] == c[:-1]
+        gaps = pd.DataFrame({"c": c[1:][same],
+                             "gap": (d[1:] - d[:-1])[same]})
+        mom = gaps.groupby("c").agg(s=("gap", "sum"),
+                                    ss=("gap", lambda x: int((x.to_numpy()
+                                                              ** 2).sum())),
+                                    k=("gap", "size"))
+        mom = mom.loc[mom["k"] >= 2]  # 3+ orders => 2+ gaps
+        mean = mom["s"] / mom["k"]
+        var = (mom["ss"] - mom["s"] ** 2 / mom["k"]) / (mom["k"] - 1)
+        cv = np.sqrt(var.to_numpy()) / mean.to_numpy()
+        out = pd.DataFrame({"seg": mom.index.map(ray.get(dim_ref)),
+                            "cv": cv})
+        return out.groupby("seg", as_index=False).agg(s=("cv", "sum"),
+                                                      n=("cv", "size"))
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("part").map_groups(cv_part, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("seg", as_index=False)[["s", "n"]].sum()
+    out["avg_cv"] = (out["s"] / out["n"]).round(6)
+    out["n_customers"] = out.pop("n").astype(np.int64)
+    return out.drop(columns="s").rename(columns={"seg": "c_mktsegment"}) \
+        .sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_ORDER_CADENCE_CV = """
+WITH g AS (SELECT o_custkey,
+                  date_diff('day',
+                            lag(o_orderdate)
+                              OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey),
+                            o_orderdate) AS gap
+           FROM orders),
+m AS (SELECT o_custkey, SUM(gap) * 1.0 AS s,
+             SUM(CAST(gap AS HUGEINT) * gap) * 1.0 AS ss,
+             COUNT(*) AS k
+      FROM g WHERE gap IS NOT NULL GROUP BY o_custkey HAVING COUNT(*) >= 2),
+cv AS (SELECT o_custkey,
+              SQRT((ss - s * s / k) / (k - 1)) / (s / k) AS cv
+       FROM m)
+SELECT c.c_mktsegment, ROUND(AVG(cv.cv), 6) AS avg_cv,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM cv JOIN customer c ON c.c_custkey = cv.o_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+def q_busiest_days_by_users(sf_dir: str):
+    """Exact distinct-count leaderboard: the ten days with the most
+    DISTINCT active users (ties broken by earlier day).  (day, user)
+    presence dedups per block, finishes inside user-keyspace
+    partitions, and per-day count partials fold to the top-10 — exact
+    where q_hll_distinct trades for the sketch."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "day": df["ts"].dt.strftime("%Y-%m-%d")}).drop_duplicates()
+        g["part"] = (g["user_id"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "day"]].drop_duplicates()
+        return d.groupby("day", as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(count_part, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("day", as_index=False)["n"].sum()
+    top = g.sort_values(["n", "day"], ascending=[False, True]).head(10)
+    top["n_users"] = top.pop("n").astype(np.int64)
+    return top.reset_index(drop=True)
+
+
+SQL_BUSIEST_DAYS_BY_USERS = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+ORDER BY n_users DESC, day LIMIT 10
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -13640,6 +13886,10 @@ QUERIES = {
     "acctbal_ks_two_table": q_acctbal_ks_two_table,
     "stale_parts_share": q_stale_parts_share,
     "top_customer_drill": q_top_customer_drill,
+    "promo_coverage_days": q_promo_coverage_days,
+    "new_vs_returning_revenue": q_new_vs_returning_revenue,
+    "order_cadence_cv": q_order_cadence_cv,
+    "busiest_days_by_users": q_busiest_days_by_users,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -13922,4 +14172,8 @@ ORACLE_SQL = {
     "acctbal_ks_two_table": SQL_ACCTBAL_KS_TWO_TABLE,
     "stale_parts_share": SQL_STALE_PARTS_SHARE,
     "top_customer_drill": SQL_TOP_CUSTOMER_DRILL,
+    "promo_coverage_days": SQL_PROMO_COVERAGE_DAYS,
+    "new_vs_returning_revenue": SQL_NEW_VS_RETURNING_REVENUE,
+    "order_cadence_cv": SQL_ORDER_CADENCE_CV,
+    "busiest_days_by_users": SQL_BUSIEST_DAYS_BY_USERS,
 }
