@@ -292,7 +292,9 @@ def bench_queries() -> dict:
              "weekend_value_qte", "acctbal_ks_two_table",
              "stale_parts_share", "top_customer_drill",
              "promo_coverage_days", "new_vs_returning_revenue",
-             "order_cadence_cv", "busiest_days_by_users"]
+             "order_cadence_cv", "busiest_days_by_users",
+             "qq_acctbal", "value_moments_by_type",
+             "updown_runs", "source_lang_cramers_v"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -13620,6 +13620,244 @@ ORDER BY n_users DESC, day LIMIT 10
 """
 
 
+def q_qq_acctbal(sf_dir: str):
+    """Q–Q alignment table: customer vs supplier account-balance
+    quantiles at five probe points — the distribution-matching readout
+    behind the KS gate (q_acctbal_ks_two_table tells you THAT they
+    differ; this shows WHERE).  Per-value cent-count combiners bound
+    each side by its value grid; both quantile ladders fold with the
+    repo quantile_disc convention."""
+    def counts(table: str, col: str):
+        def partial(df: pd.DataFrame, col=col) -> pd.DataFrame:
+            return pd.DataFrame({
+                "cents": np.round(df[col].to_numpy() * 100)
+                .astype(np.int64)}).groupby("cents", as_index=False) \
+                .size().rename(columns={"size": "n"})
+        p = _read(sf_dir, table, [col]) \
+            .map_batches(partial, batch_format="pandas").to_pandas()
+        return p.groupby("cents", as_index=False)["n"].sum() \
+            .sort_values("cents")
+
+    c, s = counts("customer", "c_acctbal"), counts("supplier", "s_acctbal")
+    rows = []
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        pick = {}
+        for name, t in (("c", c), ("s", s)):
+            cum = t["n"].to_numpy(np.int64).cumsum()
+            k = int(np.ceil(q * cum[-1]))
+            pick[name] = int(t["cents"].to_numpy()[np.searchsorted(cum, k)])
+        rows.append((q, round(pick["c"] / 100.0, 6),
+                     round(pick["s"] / 100.0, 6),
+                     round((pick["c"] - pick["s"]) / 100.0, 6)))
+    return pd.DataFrame(rows, columns=["q", "customer_q", "supplier_q",
+                                       "gap"])
+
+
+SQL_QQ_ACCTBAL = """
+WITH c AS (SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+s AS (SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS cents FROM supplier),
+q AS (SELECT UNNEST([0.1, 0.25, 0.5, 0.75, 0.9]) AS q),
+cc AS (SELECT quantile_disc(cents, 0.1) AS q10,
+              quantile_disc(cents, 0.25) AS q25,
+              quantile_disc(cents, 0.5) AS q50,
+              quantile_disc(cents, 0.75) AS q75,
+              quantile_disc(cents, 0.9) AS q90 FROM c),
+ss AS (SELECT quantile_disc(cents, 0.1) AS q10,
+              quantile_disc(cents, 0.25) AS q25,
+              quantile_disc(cents, 0.5) AS q50,
+              quantile_disc(cents, 0.75) AS q75,
+              quantile_disc(cents, 0.9) AS q90 FROM s)
+SELECT q.q,
+       ROUND(CASE q.q WHEN 0.1 THEN cc.q10 WHEN 0.25 THEN cc.q25
+                      WHEN 0.5 THEN cc.q50 WHEN 0.75 THEN cc.q75
+                      ELSE cc.q90 END / 100.0, 6) AS customer_q,
+       ROUND(CASE q.q WHEN 0.1 THEN ss.q10 WHEN 0.25 THEN ss.q25
+                      WHEN 0.5 THEN ss.q50 WHEN 0.75 THEN ss.q75
+                      ELSE ss.q90 END / 100.0, 6) AS supplier_q,
+       ROUND((CASE q.q WHEN 0.1 THEN cc.q10 WHEN 0.25 THEN cc.q25
+                       WHEN 0.5 THEN cc.q50 WHEN 0.75 THEN cc.q75
+                       ELSE cc.q90 END
+              - CASE q.q WHEN 0.1 THEN ss.q10 WHEN 0.25 THEN ss.q25
+                         WHEN 0.5 THEN ss.q50 WHEN 0.75 THEN ss.q75
+                         ELSE ss.q90 END) / 100.0, 6) AS gap
+FROM q, cc, ss ORDER BY q.q
+"""
+
+
+def q_value_moments_by_type(sf_dir: str):
+    """Higher-moment profile: mean, sd, SKEWNESS and excess KURTOSIS of
+    event values per type, from exact integer power sums — per-block
+    partials carry Σc, Σc², Σc³, Σc⁴ as arbitrary-precision Python ints
+    (c⁴ overflows int64 at scale), so both engines evaluate the moment
+    formulas from literally identical sums."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, grp in df.groupby("event_type"):
+            c = np.round(grp["value"].to_numpy() * 100).astype(np.int64)
+            ci = [int(x) for x in c]
+            rows.append((t, sum(ci), sum(x * x for x in ci),
+                         sum(x ** 3 for x in ci), sum(x ** 4 for x in ci),
+                         len(ci)))
+        return pd.DataFrame(rows, columns=["event_type", "s1", "s2", "s3",
+                                           "s4", "n"]).astype(
+            {"s1": object, "s2": object, "s3": object, "s4": object})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for t, grp in parts.groupby("event_type"):
+        s1, s2 = int(grp["s1"].sum()), int(grp["s2"].sum())
+        s3, s4 = int(grp["s3"].sum()), int(grp["s4"].sum())
+        n = int(grp["n"].sum())
+        m = s1 / n
+        m2 = s2 / n - m * m
+        m3 = s3 / n - 3 * m * s2 / n + 2 * m ** 3
+        m4 = s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n - 3 * m ** 4
+        rows.append((t, round(m / 100.0, 6),
+                     round(np.sqrt(m2) / 100.0, 6),
+                     round(m3 / m2 ** 1.5, 6),
+                     round(m4 / (m2 * m2) - 3.0, 6), n))
+    out = pd.DataFrame(rows, columns=["event_type", "mean", "sd",
+                                      "skew", "ex_kurtosis", "n"])
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_VALUE_MOMENTS_BY_TYPE = """
+WITH c AS (SELECT event_type,
+                  CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)
+                    AS cents
+           FROM events),
+m AS (SELECT event_type, SUM(cents) AS s1, SUM(cents * cents) AS s2,
+             SUM(cents * cents * cents) AS s3,
+             SUM(cents * cents * cents * cents) AS s4, COUNT(*) AS n
+      FROM c GROUP BY event_type),
+k AS (SELECT event_type, n,
+             s1 * 1.0 / n AS mu,
+             s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n) AS m2,
+             s3 * 1.0 / n - 3 * (s1 * 1.0 / n) * (s2 * 1.0 / n)
+               + 2 * POWER(s1 * 1.0 / n, 3) AS m3,
+             s4 * 1.0 / n - 4 * (s1 * 1.0 / n) * (s3 * 1.0 / n)
+               + 6 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s2 * 1.0 / n)
+               - 3 * POWER(s1 * 1.0 / n, 4) AS m4
+      FROM m)
+SELECT event_type, ROUND(mu / 100.0, 6) AS mean,
+       ROUND(SQRT(m2) / 100.0, 6) AS sd,
+       ROUND(m3 / POWER(m2, 1.5), 6) AS skew,
+       ROUND(m4 / (m2 * m2) - 3.0, 6) AS ex_kurtosis,
+       CAST(n AS BIGINT) AS n
+FROM k ORDER BY event_type
+"""
+
+
+def q_updown_runs(sf_dir: str):
+    """Runs test for trend randomness: per event type, the number of
+    maximal runs of consecutive daily-count INCREASES/DECREASES (flat
+    days break runs), plus the up-step share — white noise scores near
+    2/3 expected run length, trends score long runs.  One (type, day)
+    combiner; the sign walk runs over each type's day-ordered series."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(day=df["ts"].dt.strftime("%Y-%m-%d")) \
+            .groupby(["event_type", "day"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["event_type", "day"], as_index=False)["n"].sum() \
+            .sort_values("day")
+        n = g["n"].to_numpy(np.int64)
+        sign = np.sign(n[1:] - n[:-1])
+        nz = sign[sign != 0]
+        n_runs = int(1 + (nz[1:] != nz[:-1]).sum()) if len(nz) else 0
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_runs": np.array([n_runs], np.int64),
+            "n_steps": np.array([len(sign)], np.int64),
+            "up_share": [round(float((sign > 0).sum() / len(sign)), 6)]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(runs, batch_format="pandas"))
+
+
+SQL_UPDOWN_RUNS = """
+WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, day,
+             SIGN(n - lag(n) OVER (PARTITION BY event_type ORDER BY day))
+               AS sg
+      FROM d),
+nz AS (SELECT event_type, day, sg,
+              lag(sg) OVER (PARTITION BY event_type ORDER BY day) AS prev
+       FROM (SELECT * FROM s WHERE sg IS NOT NULL AND sg != 0)),
+r AS (SELECT event_type,
+             1 + SUM(CASE WHEN prev IS NOT NULL AND sg != prev
+                          THEN 1 ELSE 0 END) AS n_runs
+      FROM nz GROUP BY event_type),
+t AS (SELECT event_type, COUNT(*) AS n_steps,
+             SUM(CASE WHEN sg > 0 THEN 1 ELSE 0 END) AS ups
+      FROM s WHERE sg IS NOT NULL GROUP BY event_type)
+SELECT t.event_type, CAST(r.n_runs AS BIGINT) AS n_runs,
+       CAST(t.n_steps AS BIGINT) AS n_steps,
+       ROUND(t.ups * 1.0 / t.n_steps, 6) AS up_share
+FROM t JOIN r ON r.event_type = t.event_type
+ORDER BY t.event_type
+"""
+
+
+def q_source_lang_cramers_v(sf_dir: str):
+    """Cramér's V between document SOURCE and LANGUAGE — is the corpus
+    mix independent of provenance?  The (source, lang) contingency is
+    one combiner over documents; χ² and V fold from the grid with
+    margins derived on the driver (grid-bounded, never doc-bounded)."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "lang"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["source", "lang"], as_index=False)["n"].sum()
+    piv = g.pivot_table(index="source", columns="lang", values="n",
+                        fill_value=0, aggfunc="sum")
+    obs = piv.to_numpy(np.float64)
+    n = obs.sum()
+    exp = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0, keepdims=True) / n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    k = min(obs.shape[0] - 1, obs.shape[1] - 1)
+    v = float(np.sqrt(chi2 / (n * k)))
+    return pd.DataFrame({
+        "chi2": [round(chi2, 6)], "cramers_v": [round(v, 6)],
+        "n_docs": np.array([int(n)], np.int64)})
+
+
+SQL_SOURCE_LANG_CRAMERS_V = """
+WITH c AS (SELECT source, lang, COUNT(*) * 1.0 AS n FROM documents
+           GROUP BY 1, 2),
+grid AS (SELECT s.source, l.lang, COALESCE(c.n, 0) AS n
+         FROM (SELECT DISTINCT source FROM documents) s
+         CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+         LEFT JOIN c ON c.source = s.source AND c.lang = l.lang),
+m AS (SELECT source, lang, n,
+             SUM(n) OVER (PARTITION BY source) AS rs,
+             SUM(n) OVER (PARTITION BY lang) AS cs,
+             SUM(n) OVER () AS tot
+      FROM grid),
+x AS (SELECT SUM((n - rs * cs / tot) * (n - rs * cs / tot)
+                 / (rs * cs / tot)) AS chi2,
+             MIN(tot) AS n,
+             (SELECT COUNT(DISTINCT source) FROM documents) AS nr,
+             (SELECT COUNT(DISTINCT lang) FROM documents) AS nc
+      FROM m)
+SELECT ROUND(chi2, 6) AS chi2,
+       ROUND(SQRT(chi2 / (n * LEAST(nr - 1, nc - 1))), 6) AS cramers_v,
+       CAST(n AS BIGINT) AS n_docs
+FROM x
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -13890,6 +14128,10 @@ QUERIES = {
     "new_vs_returning_revenue": q_new_vs_returning_revenue,
     "order_cadence_cv": q_order_cadence_cv,
     "busiest_days_by_users": q_busiest_days_by_users,
+    "qq_acctbal": q_qq_acctbal,
+    "value_moments_by_type": q_value_moments_by_type,
+    "updown_runs": q_updown_runs,
+    "source_lang_cramers_v": q_source_lang_cramers_v,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -14176,4 +14418,8 @@ ORACLE_SQL = {
     "new_vs_returning_revenue": SQL_NEW_VS_RETURNING_REVENUE,
     "order_cadence_cv": SQL_ORDER_CADENCE_CV,
     "busiest_days_by_users": SQL_BUSIEST_DAYS_BY_USERS,
+    "qq_acctbal": SQL_QQ_ACCTBAL,
+    "value_moments_by_type": SQL_VALUE_MOMENTS_BY_TYPE,
+    "updown_runs": SQL_UPDOWN_RUNS,
+    "source_lang_cramers_v": SQL_SOURCE_LANG_CRAMERS_V,
 }
