@@ -294,7 +294,9 @@ def bench_queries() -> dict:
              "promo_coverage_days", "new_vs_returning_revenue",
              "order_cadence_cv", "busiest_days_by_users",
              "qq_acctbal", "value_moments_by_type",
-             "updown_runs", "source_lang_cramers_v"]
+             "updown_runs", "source_lang_cramers_v",
+             "participation_ratio", "vocab_jaccard_langs",
+             "region_balance_imbalance", "props_k_value_curve"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -13858,6 +13858,226 @@ FROM x
 """
 
 
+def q_participation_ratio(sf_dir: str):
+    """Effective dimensionality of the embedding cloud: participation
+    ratio PR = tr(C)² / ||C||²_F of the covariance matrix — the
+    eigendecomposition-free spectral health check (PR ≈ how many
+    dimensions carry variance).  Each block emits Σx (64) and the
+    Gram partial ΣxxT (64x64) — fixed-size mergeable sketches — so the
+    driver algebra is D² regardless of row count."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+        g = X.T @ X
+        return pd.DataFrame({
+            "s": [",".join(repr(v) for v in X.sum(axis=0))],
+            "g": [",".join(repr(v) for v in g.ravel())],
+            "n": [len(X)]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    D = 64
+    s = np.zeros(D)
+    g = np.zeros(D * D)
+    for _, r in parts.iterrows():
+        s += np.array([float(x) for x in r["s"].split(",")])
+        g += np.array([float(x) for x in r["g"].split(",")])
+    n = int(parts["n"].sum())
+    mu = s / n
+    C = g.reshape(D, D) / n - np.outer(mu, mu)
+    pr = float(np.trace(C) ** 2 / (C * C).sum())
+    return pd.DataFrame({"participation_ratio": [round(pr, 6)],
+                         "trace": [round(float(np.trace(C)), 6)],
+                         "n_vectors": np.array([n], np.int64)})
+
+
+SQL_PARTICIPATION_RATIO = """
+WITH x AS (SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS v
+           FROM embeddings CROSS JOIN range(1, 65) i(i)),
+mu AS (SELECT i, AVG(v) AS m FROM x GROUP BY i),
+cov AS (SELECT a.i AS i, b.i AS j,
+               AVG(a.v * b.v) - MIN(ma.m) * MIN(mb.m) AS c
+        FROM x a
+        JOIN x b ON b.vec_id = a.vec_id
+        JOIN mu ma ON ma.i = a.i
+        JOIN mu mb ON mb.i = b.i
+        GROUP BY a.i, b.i),
+t AS (SELECT SUM(CASE WHEN i = j THEN c ELSE 0 END) AS tr,
+             SUM(c * c) AS fro,
+             (SELECT COUNT(*) FROM embeddings) AS n
+      FROM cov)
+SELECT ROUND(tr * tr / fro, 6) AS participation_ratio,
+       ROUND(tr, 6) AS trace,
+       CAST(n AS BIGINT) AS n_vectors
+FROM t
+"""
+
+
+def q_vocab_jaccard_langs(sf_dir: str):
+    """Cross-language vocabulary overlap: pairwise Jaccard between each
+    language's word set.  Per-block distinct (word, lang) partials
+    hash-partition by WORD, where each word's language bitmask ORs
+    together; per-mask popcount partials give every pairwise
+    intersection and union without materializing any vocab set twice."""
+    P = 32
+    langs_df = _read(sf_dir, "documents", ["lang"]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas").to_pandas()
+    langs = sorted(langs_df["lang"].unique())
+    lmap = {l: i for i, l in enumerate(langs)}
+    lref = ray.put(lmap)
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lref)
+        words = df["text"].str.split()
+        out = pd.DataFrame({
+            "word": np.concatenate(words.to_numpy()),
+            "mask": np.repeat([np.int64(1) << m[l] for l in df["lang"]],
+                              words.str.len().to_numpy())})
+        g = out.groupby("word", as_index=False)["mask"] \
+            .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        g["part"] = (pd.util.hash_array(g["word"].to_numpy(dtype=object))
+                     % P).astype(np.int32)
+        return g
+
+    def mask_counts(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("word")["mask"] \
+            .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        return m.value_counts().rename_axis("mask").reset_index(name="n")
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(mask_counts, batch_format="pandas")
+             .to_pandas())
+    cnt = parts.groupby("mask")["n"].sum()
+    rows = []
+    for i, a in enumerate(langs):
+        for b in langs[i + 1:]:
+            ba, bb = 1 << lmap[a], 1 << lmap[b]
+            inter = int(cnt[(cnt.index.to_numpy() & ba).astype(bool)
+                            & (cnt.index.to_numpy() & bb).astype(bool)].sum())
+            size_a = int(cnt[(cnt.index.to_numpy() & ba).astype(bool)].sum())
+            size_b = int(cnt[(cnt.index.to_numpy() & bb).astype(bool)].sum())
+            rows.append((a, b, inter,
+                         round(inter / (size_a + size_b - inter), 6)))
+    return pd.DataFrame(rows, columns=["lang_a", "lang_b", "n_shared",
+                                       "jaccard"]) \
+        .astype({"n_shared": np.int64}) \
+        .sort_values(["lang_a", "lang_b"]).reset_index(drop=True)
+
+
+SQL_VOCAB_JACCARD_LANGS = """
+WITH w AS (SELECT DISTINCT lang, UNNEST(string_split(text, ' ')) AS word
+           FROM documents),
+v AS (SELECT lang, COUNT(DISTINCT word) AS sz FROM w GROUP BY lang),
+i AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+             COUNT(DISTINCT a.word) AS n_shared
+      FROM w a JOIN w b ON b.word = a.word AND b.lang > a.lang
+      GROUP BY a.lang, b.lang)
+SELECT i.lang_a, i.lang_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+       ROUND(i.n_shared * 1.0 / (va.sz + vb.sz - i.n_shared), 6) AS jaccard
+FROM i JOIN v va ON va.lang = i.lang_a
+JOIN v vb ON vb.lang = i.lang_b
+ORDER BY i.lang_a, i.lang_b
+"""
+
+
+def q_region_balance_imbalance(sf_dir: str):
+    """Two-dimension comparison rollup: per REGION, the average
+    customer account balance minus the average supplier balance — the
+    buy-side/sell-side imbalance.  Both fact-lite tables reduce through
+    their broadcast nation→region dims as exact cent partials; the gap
+    folds over the 5-row region grid."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")
+    dref = ray.put(dict(zip(dim["n_nationkey"], dim["r_name"])))
+
+    def side(table: str, key: str, bal: str):
+        def partial(df: pd.DataFrame, key=key, bal=bal) -> pd.DataFrame:
+            m = ray.get(dref)
+            r = df[key].map(m)
+            cents = np.round(df[bal].to_numpy() * 100).astype(np.int64)
+            return pd.DataFrame({"r_name": r, "cents": cents}) \
+                .groupby("r_name", as_index=False) \
+                .agg(s=("cents", "sum"), n=("cents", "size"))
+        return _read(sf_dir, table, [key, bal]) \
+            .map_batches(partial, batch_format="pandas").to_pandas() \
+            .groupby("r_name", as_index=False).sum()
+
+    c = side("customer", "c_nationkey", "c_acctbal")
+    s = side("supplier", "s_nationkey", "s_acctbal")
+    j = c.merge(s, on="r_name", suffixes=("_c", "_s"))
+    j["cust_avg"] = (j["s_c"] / j["n_c"] / 100.0).round(6)
+    j["supp_avg"] = (j["s_s"] / j["n_s"] / 100.0).round(6)
+    j["imbalance"] = (j["cust_avg"] - j["supp_avg"]).round(6)
+    return j[["r_name", "cust_avg", "supp_avg", "imbalance"]] \
+        .sort_values("r_name").reset_index(drop=True)
+
+
+SQL_REGION_BALANCE_IMBALANCE = """
+WITH c AS (SELECT r.r_name,
+                  SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS s,
+                  COUNT(*) AS n
+           FROM customer c
+           JOIN nation n ON n.n_nationkey = c.c_nationkey
+           JOIN region r ON r.r_regionkey = n.n_regionkey
+           GROUP BY r.r_name),
+s AS (SELECT r.r_name,
+             SUM(CAST(ROUND(su.s_acctbal * 100) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM supplier su
+      JOIN nation n ON n.n_nationkey = su.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name)
+SELECT c.r_name,
+       ROUND(c.s * 1.0 / c.n / 100.0, 6) AS cust_avg,
+       ROUND(s.s * 1.0 / s.n / 100.0, 6) AS supp_avg,
+       ROUND(c.s * 1.0 / c.n / 100.0 - s.s * 1.0 / s.n / 100.0, 6)
+         AS imbalance
+FROM c JOIN s ON s.r_name = c.r_name
+ORDER BY c.r_name
+"""
+
+
+def q_props_k_value_curve(sf_dir: str):
+    """JSON predicate pushdown: the event value curve over the embedded
+    props key k, bucketed into ten k-deciles of its [0, 100) range —
+    extract-then-aggregate over a semi-structured column.  Extraction is
+    one vectorized regex per block; (bucket, cents, n) combiner partials
+    fold to the 10-row curve."""
+    ds = _read(sf_dir, "events", ["props", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k":\s*(\d+)', expand=False) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "bucket": np.minimum(k.to_numpy() // 10, 9),
+            "cents": np.round(df["value"].to_numpy() * 100)
+            .astype(np.int64)}).groupby("bucket", as_index=False).agg(
+            s=("cents", "sum"), n=("cents", "size"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("bucket", as_index=False)[["s", "n"]].sum()
+    g["avg_value"] = (g["s"] / g["n"] / 100.0).round(6)
+    g["n"] = g["n"].astype(np.int64)
+    g["bucket"] = g["bucket"].astype(np.int64)
+    return g[["bucket", "avg_value", "n"]].sort_values("bucket") \
+        .reset_index(drop=True)
+
+
+SQL_PROPS_K_VALUE_CURVE = """
+WITH e AS (SELECT LEAST(CAST(json_extract(props, '$.k') AS BIGINT) // 10, 9)
+               AS bucket,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       ROUND(SUM(cents) * 1.0 / COUNT(*) / 100.0, 6) AS avg_value,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -14132,6 +14352,10 @@ QUERIES = {
     "value_moments_by_type": q_value_moments_by_type,
     "updown_runs": q_updown_runs,
     "source_lang_cramers_v": q_source_lang_cramers_v,
+    "participation_ratio": q_participation_ratio,
+    "vocab_jaccard_langs": q_vocab_jaccard_langs,
+    "region_balance_imbalance": q_region_balance_imbalance,
+    "props_k_value_curve": q_props_k_value_curve,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -14422,4 +14646,8 @@ ORACLE_SQL = {
     "value_moments_by_type": SQL_VALUE_MOMENTS_BY_TYPE,
     "updown_runs": SQL_UPDOWN_RUNS,
     "source_lang_cramers_v": SQL_SOURCE_LANG_CRAMERS_V,
+    "participation_ratio": SQL_PARTICIPATION_RATIO,
+    "vocab_jaccard_langs": SQL_VOCAB_JACCARD_LANGS,
+    "region_balance_imbalance": SQL_REGION_BALANCE_IMBALANCE,
+    "props_k_value_curve": SQL_PROPS_K_VALUE_CURVE,
 }
