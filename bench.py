@@ -296,7 +296,9 @@ def bench_queries() -> dict:
              "qq_acctbal", "value_moments_by_type",
              "updown_runs", "source_lang_cramers_v",
              "participation_ratio", "vocab_jaccard_langs",
-             "region_balance_imbalance", "props_k_value_curve"]
+             "region_balance_imbalance", "props_k_value_curve",
+             "nation_trade_matrix", "spend_hhi_by_segment",
+             "discount_by_basket_size", "qty_discount_heat"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

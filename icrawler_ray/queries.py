@@ -14078,6 +14078,213 @@ FROM e GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_nation_trade_matrix(sf_dir: str):
+    """TPC-H Q7 shape — the international trade matrix: lineitem revenue
+    by (supplier nation, customer nation) pairs.  The only exchange is
+    the bounded-orderkey hash join attaching o_custkey to the revenue
+    combiner; both nation lookups are broadcast dims applied inside the
+    join's agg_fn, so the output grid (25x25) is the reduce state."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cmap_ref = ray.put(dict(zip(cust["c_custkey"],
+                                cust["c_nationkey"].map(nmap))))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    smap_ref = ray.put(dict(zip(supp["s_suppkey"],
+                                supp["s_nationkey"].map(nmap))))
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(smap_ref)
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        g = pd.DataFrame({"o_orderkey": df["l_orderkey"].to_numpy(),
+                          "supp_nation": df["l_suppkey"].map(sm).to_numpy(),
+                          "cents": cents})
+        return g.groupby(["o_orderkey", "supp_nation"],
+                         as_index=False)["cents"].sum()
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice"]) \
+        .map_batches(li_partial, batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(cmap_ref)
+        g = g.assign(cust_nation=g["o_custkey"].map(cm))
+        return g.groupby(["supp_nation", "cust_nation"],
+                         as_index=False)["cents"].sum()
+
+    parts = salted_hash_join(li, orders, "o_orderkey", agg_fn=agg,
+                             hot_keys=np.array([], np.int64)).to_pandas()
+    out = parts.groupby(["supp_nation", "cust_nation"],
+                        as_index=False)["cents"].sum()
+    out["revenue"] = (out.pop("cents") / 100.0).round(2)
+    return out.sort_values(["supp_nation", "cust_nation"]) \
+        .reset_index(drop=True)
+
+
+SQL_NATION_TRADE_MATRIX = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+             / 100.0, 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+GROUP BY ns.n_name, nc.n_name
+ORDER BY supp_nation, cust_nation
+"""
+
+
+def q_spend_hhi_by_segment(sf_dir: str):
+    """Entity-level concentration: each customer's Herfindahl index of
+    spend across order priorities (1 = all eggs in one priority),
+    averaged by market segment — micro-diversification the global Gini
+    can't see.  (custkey, priority) cent partials finalize inside
+    custkey partitions where the HHI is a vectorized share-square sum;
+    segment averages fold through the broadcast dim."""
+    P = 32
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    dim_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "prio": df["o_orderpriority"].to_numpy(),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)})
+        g = g.groupby(["o_custkey", "prio"], as_index=False)["cents"].sum()
+        g["part"] = (g["o_custkey"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def hhi(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["o_custkey", "prio"], as_index=False)["cents"].sum()
+        tot = m.groupby("o_custkey")["cents"].transform("sum")
+        share = m["cents"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+        h = pd.DataFrame({"c": m["o_custkey"].to_numpy(),
+                          "sq": share * share}).groupby("c")["sq"].sum()
+        seg = h.index.map(ray.get(dim_ref))
+        return pd.DataFrame({"seg": seg, "h": h.to_numpy()}) \
+            .groupby("seg", as_index=False).agg(s=("h", "sum"),
+                                                n=("h", "size"))
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(hhi, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("seg", as_index=False)[["s", "n"]].sum()
+    out["avg_hhi"] = (out["s"] / out["n"]).round(6)
+    out["n_customers"] = out.pop("n").astype(np.int64)
+    return out.drop(columns="s").rename(columns={"seg": "c_mktsegment"}) \
+        .sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_SPEND_HHI_BY_SEGMENT = """
+WITH m AS (SELECT o_custkey, o_orderpriority,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1, 2),
+sh AS (SELECT o_custkey,
+              cents * 1.0 / SUM(cents) OVER (PARTITION BY o_custkey)
+                AS share
+       FROM m),
+h AS (SELECT o_custkey, SUM(share * share) AS hhi FROM sh
+      GROUP BY o_custkey)
+SELECT c.c_mktsegment, ROUND(AVG(h.hhi), 6) AS avg_hhi,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM h JOIN customer c ON c.c_custkey = h.o_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+def q_discount_by_basket_size(sf_dir: str):
+    """Interaction curve: average discount (basis points) by ORDER SIZE
+    class (lines per order) — do bigger baskets get better terms?
+    Per-order (n_lines, bp sum) combiner partials finalize in orderkey
+    partitions; the curve folds over the lines-per-order-bounded grid."""
+    P = 64
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bp = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"o": df["l_orderkey"].to_numpy(), "bp": bp}) \
+            .groupby("o", as_index=False).agg(s=("bp", "sum"),
+                                              k=("bp", "size"))
+        g["part"] = (g["o"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def curve(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("o", as_index=False)[["s", "k"]].sum()
+        return m.groupby("k", as_index=False).agg(bp=("s", "sum"),
+                                                  lines=("k", "sum"),
+                                                  n=("k", "size"))
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(curve, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("k", as_index=False)[["bp", "lines", "n"]].sum()
+    out["avg_discount_bp"] = (out["bp"] / out["lines"]).round(6)
+    return pd.DataFrame({
+        "basket_lines": out["k"].astype(np.int64),
+        "n_orders": out["n"].astype(np.int64),
+        "avg_discount_bp": out["avg_discount_bp"],
+    }).sort_values("basket_lines").reset_index(drop=True)
+
+
+SQL_DISCOUNT_BY_BASKET_SIZE = """
+WITH o AS (SELECT l_orderkey,
+                  SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS bp,
+                  COUNT(*) AS k
+           FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(k AS BIGINT) AS basket_lines,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(bp) * 1.0 / SUM(k), 6) AS avg_discount_bp
+FROM o GROUP BY k ORDER BY basket_lines
+"""
+
+
+def q_qty_discount_heat(sf_dir: str):
+    """Two-band contingency heat: line share within each QUANTITY band
+    across DISCOUNT bands — the pricing-policy fingerprint.  One
+    (qty_band, disc_bp) count combiner; row-normalized shares fold over
+    the bands grid."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.minimum((df["l_quantity"].to_numpy(np.int64) - 1) // 10, 4)
+        bp = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"qty_band": q, "disc_bp": bp}) \
+            .groupby(["qty_band", "disc_bp"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["qty_band", "disc_bp"], as_index=False)["n"].sum()
+    tot = g.groupby("qty_band")["n"].transform("sum")
+    g["share"] = (g["n"] / tot).round(6)
+    g["n"] = g["n"].astype(np.int64)
+    g["qty_band"] = g["qty_band"].astype(np.int64)
+    g["disc_bp"] = g["disc_bp"].astype(np.int64)
+    return g.sort_values(["qty_band", "disc_bp"]).reset_index(drop=True)
+
+
+SQL_QTY_DISCOUNT_HEAT = """
+WITH b AS (SELECT LEAST((CAST(l_quantity AS BIGINT) - 1) // 10, 4)
+               AS qty_band,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_bp
+      FROM lineitem)
+SELECT CAST(qty_band AS BIGINT) AS qty_band,
+       CAST(disc_bp AS BIGINT) AS disc_bp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) * 1.0
+             / SUM(COUNT(*)) OVER (PARTITION BY qty_band), 6) AS share
+FROM b GROUP BY qty_band, disc_bp ORDER BY qty_band, disc_bp
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -14356,6 +14563,10 @@ QUERIES = {
     "vocab_jaccard_langs": q_vocab_jaccard_langs,
     "region_balance_imbalance": q_region_balance_imbalance,
     "props_k_value_curve": q_props_k_value_curve,
+    "nation_trade_matrix": q_nation_trade_matrix,
+    "spend_hhi_by_segment": q_spend_hhi_by_segment,
+    "discount_by_basket_size": q_discount_by_basket_size,
+    "qty_discount_heat": q_qty_discount_heat,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -14650,4 +14861,8 @@ ORACLE_SQL = {
     "vocab_jaccard_langs": SQL_VOCAB_JACCARD_LANGS,
     "region_balance_imbalance": SQL_REGION_BALANCE_IMBALANCE,
     "props_k_value_curve": SQL_PROPS_K_VALUE_CURVE,
+    "nation_trade_matrix": SQL_NATION_TRADE_MATRIX,
+    "spend_hhi_by_segment": SQL_SPEND_HHI_BY_SEGMENT,
+    "discount_by_basket_size": SQL_DISCOUNT_BY_BASKET_SIZE,
+    "qty_discount_heat": SQL_QTY_DISCOUNT_HEAT,
 }
