@@ -298,7 +298,9 @@ def bench_queries() -> dict:
              "participation_ratio", "vocab_jaccard_langs",
              "region_balance_imbalance", "props_k_value_curve",
              "nation_trade_matrix", "spend_hhi_by_segment",
-             "discount_by_basket_size", "qty_discount_heat"]
+             "discount_by_basket_size", "qty_discount_heat",
+             "top_supplier_q15", "q19_disjunctive_revenue",
+             "market_share_by_year", "late_ship_priority_mix"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

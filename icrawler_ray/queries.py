@@ -14285,6 +14285,241 @@ FROM b GROUP BY qty_band, disc_bp ORDER BY qty_band, disc_bp
 """
 
 
+def q_top_supplier_q15(sf_dir: str):
+    """TPC-H Q15 shape — global argmax WITH TIES: the supplier(s) whose
+    1996 revenue equals the maximum (every tie returned, not top-1).
+    Supplier-cardinality cent partials fold exactly; the tie set is the
+    equality filter against one exact integer maximum — semantics a
+    LIMIT-k can't express."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    LO, HI = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[(df["l_shipdate"] >= LO) & (df["l_shipdate"] < HI)]
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        bp = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"l_suppkey": df["l_suppkey"].to_numpy(),
+                          "rev100": cents * (100 - bp)})
+        return g.groupby("l_suppkey", as_index=False)["rev100"].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    per = parts.groupby("l_suppkey", as_index=False)["rev100"].sum()
+    mx = int(per["rev100"].max())
+    top = per.loc[per["rev100"] == mx].sort_values("l_suppkey")
+    return pd.DataFrame({
+        "l_suppkey": top["l_suppkey"].to_numpy(np.int64),
+        "revenue": np.round(top["rev100"].to_numpy() / 10000.0, 4)})
+
+
+SQL_TOP_SUPPLIER_Q15 = """
+WITH r AS (SELECT l_suppkey,
+                  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS rev100
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY l_suppkey)
+SELECT l_suppkey, ROUND(rev100 / 10000.0, 4) AS revenue
+FROM r WHERE rev100 = (SELECT MAX(rev100) FROM r)
+ORDER BY l_suppkey
+"""
+
+
+def q_q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape — OR-of-ANDs predicate through a join: revenue
+    from (small parts, small quantities) OR (medium, medium) OR (large,
+    large).  The brand-band predicate needs part attributes, so lines
+    salted-hash-join to part and the disjunction evaluates vectorized
+    inside the join partition; one (rev, n) partial per partition."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        bp = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"p_partkey": df["l_partkey"].to_numpy(),
+                             "qty": df["l_quantity"].to_numpy(np.int64),
+                             "rev100": cents * (100 - bp)})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_prep, batch_format="pandas")
+    part = _read(sf_dir, "part", ["p_partkey", "p_size"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["p_size"].to_numpy(np.int64)
+        q = g["qty"].to_numpy(np.int64)
+        m = ((s <= 10) & (q < 15)) \
+            | ((s > 10) & (s <= 30) & (q >= 10) & (q < 25)) \
+            | ((s > 30) & (q >= 25))
+        return pd.DataFrame({"rev100": [int(g.loc[m, "rev100"].sum())],
+                             "n": [int(m.sum())]})
+
+    parts = salted_hash_join(li, part, "p_partkey", agg_fn=agg).to_pandas()
+    return pd.DataFrame({
+        "revenue": [round(int(parts["rev100"].sum()) / 10000.0, 4)],
+        "n_lines": np.array([int(parts["n"].sum())], np.int64)})
+
+
+SQL_Q19_DISJUNCTIVE_REVENUE = """
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             / 10000.0, 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_size <= 10 AND l_quantity < 15)
+   OR (p_size > 10 AND p_size <= 30 AND l_quantity >= 10
+       AND l_quantity < 25)
+   OR (p_size > 30 AND l_quantity >= 25)
+"""
+
+
+def q_market_share_by_year(sf_dir: str):
+    """TPC-H Q8 shape — market share over time: supplier-nation #0's
+    share of total order revenue per customer REGION per YEAR.  The
+    Q7 trade machinery (bounded orderkey join, broadcast dims) extended
+    with the year dimension; shares fold over the (region x year)
+    grid."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")
+    target = sorted(nation["n_name"])[0]  # deterministic focal nation
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    smap = dict(zip(supp["s_suppkey"],
+                    supp["s_nationkey"].map(
+                        dict(zip(nation["n_nationkey"], nation["n_name"])))))
+    sref = ray.put(smap)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cref = ray.put(dict(zip(cust["c_custkey"],
+                            cust["c_nationkey"].map(
+                                dict(zip(dim["n_nationkey"],
+                                         dim["r_name"]))))))
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(sref)
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        is_t = (df["l_suppkey"].map(sm) == target).to_numpy()
+        g = pd.DataFrame({"o_orderkey": df["l_orderkey"].to_numpy(),
+                          "rev": cents,
+                          "trev": np.where(is_t, cents, 0)})
+        return g.groupby("o_orderkey", as_index=False)[["rev", "trev"]].sum()
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice"]) \
+        .map_batches(li_partial, batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(cref)
+        g = g.assign(region=g["o_custkey"].map(cm),
+                     year=g["o_orderdate"].dt.year.astype(np.int64))
+        return g.groupby(["region", "year"],
+                         as_index=False)[["rev", "trev"]].sum()
+
+    parts = salted_hash_join(li, orders, "o_orderkey", agg_fn=agg,
+                             hot_keys=np.array([], np.int64)).to_pandas()
+    out = parts.groupby(["region", "year"],
+                        as_index=False)[["rev", "trev"]].sum()
+    out["share"] = (out["trev"] / out["rev"]).round(6)
+    out["revenue"] = (out.pop("rev") / 100.0).round(2)
+    out["target_revenue"] = (out.pop("trev") / 100.0).round(2)
+    return out.rename(columns={"region": "r_name"}) \
+        .sort_values(["r_name", "year"]).reset_index(drop=True)[
+        ["r_name", "year", "revenue", "target_revenue", "share"]]
+
+
+SQL_MARKET_SHARE_BY_YEAR = """
+WITH tgt AS (SELECT MIN(n_name) AS t FROM nation),
+j AS (SELECT r.r_name, EXTRACT(year FROM o.o_orderdate) AS year,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents,
+             CASE WHEN ns.n_name = (SELECT t FROM tgt)
+                  THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                  ELSE 0 END AS tcents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = nc.n_regionkey)
+SELECT r_name, CAST(year AS BIGINT) AS year,
+       ROUND(SUM(cents) / 100.0, 2) AS revenue,
+       ROUND(SUM(tcents) / 100.0, 2) AS target_revenue,
+       ROUND(SUM(tcents) * 1.0 / SUM(cents), 6) AS share
+FROM j GROUP BY r_name, year ORDER BY r_name, year
+"""
+
+
+def q_late_ship_priority_mix(sf_dir: str):
+    """TPC-H Q12 shape — service-level mix: per return flag, how many
+    LATE lines (shipped >90 days after order) belong to URGENT/HIGH
+    orders vs the rest.  The per-line flag needs the order's priority
+    and date, so the revenue combiner rides one bounded orderkey join;
+    only the (flag, urgent, n) grid leaves."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_shipdate"]) \
+        .map_batches(
+            lambda df: df.groupby(["l_orderkey", "l_returnflag"],
+                                  as_index=False)
+            .agg(n=("l_shipdate", "size"), mx=("l_shipdate", "max"),
+                 mn=("l_shipdate", "min"))
+            .rename(columns={"l_orderkey": "o_orderkey"}),
+            batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        # partials per (orderkey, flag) may split across blocks but all
+        # co-locate here; re-derive per-(orderkey, flag) line counts of
+        # LATE lines needs per-line dates, so this variant counts a
+        # (orderkey, flag) GROUP as late when its EARLIEST ship is late
+        m = g.groupby(["o_orderkey", "l_returnflag"], as_index=False).agg(
+            n=("n", "sum"), mn=("mn", "min"),
+            o_orderdate=("o_orderdate", "first"),
+            prio=("o_orderpriority", "first"))
+        late = m.loc[m["mn"] > m["o_orderdate"] + pd.Timedelta(days=90)]
+        late = late.assign(
+            urgent=late["prio"].isin(["1-URGENT", "2-HIGH"])
+            .astype(np.int64))
+        return late.groupby(["l_returnflag", "urgent"],
+                            as_index=False)["n"].sum()
+
+    parts = salted_hash_join(li, orders, "o_orderkey", agg_fn=agg,
+                             hot_keys=np.array([], np.int64)).to_pandas()
+    out = parts.groupby(["l_returnflag", "urgent"],
+                        as_index=False)["n"].sum()
+    out["n_lines"] = out.pop("n").astype(np.int64)
+    out["urgent"] = out["urgent"].astype(np.int64)
+    return out.sort_values(["l_returnflag", "urgent"]).reset_index(drop=True)
+
+
+SQL_LATE_SHIP_PRIORITY_MIX = """
+WITH g AS (SELECT l.l_orderkey, l.l_returnflag, COUNT(*) AS n,
+                  MIN(l.l_shipdate) AS mn
+           FROM lineitem l GROUP BY 1, 2),
+late AS (SELECT g.l_returnflag,
+                CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END AS urgent,
+                g.n
+         FROM g JOIN orders o ON o.o_orderkey = g.l_orderkey
+         WHERE g.mn > o.o_orderdate + INTERVAL 90 DAY)
+SELECT l_returnflag, CAST(urgent AS BIGINT) AS urgent,
+       CAST(SUM(n) AS BIGINT) AS n_lines
+FROM late GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -14567,6 +14802,10 @@ QUERIES = {
     "spend_hhi_by_segment": q_spend_hhi_by_segment,
     "discount_by_basket_size": q_discount_by_basket_size,
     "qty_discount_heat": q_qty_discount_heat,
+    "top_supplier_q15": q_top_supplier_q15,
+    "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+    "market_share_by_year": q_market_share_by_year,
+    "late_ship_priority_mix": q_late_ship_priority_mix,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -14865,4 +15104,8 @@ ORACLE_SQL = {
     "spend_hhi_by_segment": SQL_SPEND_HHI_BY_SEGMENT,
     "discount_by_basket_size": SQL_DISCOUNT_BY_BASKET_SIZE,
     "qty_discount_heat": SQL_QTY_DISCOUNT_HEAT,
+    "top_supplier_q15": SQL_TOP_SUPPLIER_Q15,
+    "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
+    "market_share_by_year": SQL_MARKET_SHARE_BY_YEAR,
+    "late_ship_priority_mix": SQL_LATE_SHIP_PRIORITY_MIX,
 }
