@@ -300,7 +300,9 @@ def bench_queries() -> dict:
              "nation_trade_matrix", "spend_hhi_by_segment",
              "discount_by_basket_size", "qty_discount_heat",
              "top_supplier_q15", "q19_disjunctive_revenue",
-             "market_share_by_year", "late_ship_priority_mix"]
+             "market_share_by_year", "late_ship_priority_mix",
+             "dominant_suppliers", "month_end_loading",
+             "first_order_premium", "price_dispersion_cells"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -14520,6 +14520,223 @@ FROM late GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20-flavoured within-group share gate: (part, supplier)
+    pairs where one supplier moved MORE THAN HALF of the part's total
+    quantity — single-source risk.  (part, supp) quantity combiners
+    co-locate per partkey, where the >50% gate is one vectorized
+    transform-sum compare; only counters leave each partition."""
+    P = 64
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False) \
+            .agg(qty=("l_quantity", "sum"))
+        g["part"] = (g["l_partkey"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["l_partkey", "l_suppkey"], as_index=False)["qty"] \
+            .sum()
+        tot = m.groupby("l_partkey")["qty"].transform("sum")
+        dom = m.loc[m["qty"] * 2 > tot]
+        return pd.DataFrame({
+            "n_dominant": [len(dom)],
+            "n_parts": [m["l_partkey"].nunique()]})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(gate, batch_format="pandas")
+             .to_pandas())
+    nd, npart = int(parts["n_dominant"].sum()), int(parts["n_parts"].sum())
+    return pd.DataFrame({
+        "n_dominant_pairs": np.array([nd], np.int64),
+        "n_parts": np.array([npart], np.int64),
+        "dominated_share": [round(nd / npart, 6)]})
+
+
+SQL_DOMINANT_SUPPLIERS = """
+WITH m AS (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+           FROM lineitem GROUP BY 1, 2),
+t AS (SELECT l_partkey, l_suppkey, qty,
+             SUM(qty) OVER (PARTITION BY l_partkey) AS tot
+      FROM m)
+SELECT CAST(SUM(CASE WHEN qty * 2 > tot THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dominant_pairs,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       ROUND(SUM(CASE WHEN qty * 2 > tot THEN 1 ELSE 0 END) * 1.0
+             / COUNT(DISTINCT l_partkey), 6) AS dominated_share
+FROM t
+"""
+
+
+def q_month_end_loading(sf_dir: str):
+    """Calendar-position revenue loading: per month, the revenue share
+    booked in the LAST THREE calendar days — the quota-stuffing
+    fingerprint.  One (month, is_tail, cents) combiner pass (the
+    month-end test is vectorized calendar arithmetic); shares fold over
+    the months grid."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"]
+        tail = (d.dt.days_in_month - d.dt.day) < 3
+        return pd.DataFrame({
+            "month": d.dt.strftime("%Y-%m"),
+            "tail": tail.to_numpy().astype(np.int64),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)}) \
+            .groupby(["month", "tail"], as_index=False)["cents"].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["month", "tail"], as_index=False)["cents"].sum()
+    piv = g.pivot_table(index="month", columns="tail", values="cents",
+                        fill_value=0, aggfunc="sum").sort_index()
+    tail_c = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    rest_c = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    tot = tail_c + rest_c
+    return pd.DataFrame({
+        "month": piv.index.to_numpy(),
+        "tail_revenue": np.round(tail_c / 100.0, 2),
+        "tail_share": np.round(tail_c / tot, 6)})
+
+
+SQL_MONTH_END_LOADING = """
+WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                  CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                      last_day(CAST(o_orderdate AS DATE)))
+                            < 3
+                       THEN 1 ELSE 0 END AS tail,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT month,
+       ROUND(SUM(CASE WHEN tail = 1 THEN cents ELSE 0 END) / 100.0, 2)
+         AS tail_revenue,
+       ROUND(SUM(CASE WHEN tail = 1 THEN cents ELSE 0 END) * 1.0
+             / SUM(cents), 6) AS tail_share
+FROM o GROUP BY month ORDER BY month
+"""
+
+
+def q_first_order_premium(sf_dir: str):
+    """First-purchase premium: per market segment, the average FIRST
+    order value vs the average of all REPEAT orders — the
+    acquisition-vs-retention value gap.  The first order (earliest
+    (date, orderkey)) resolves inside custkey partitions from per-block
+    argmin partials; exact cent sums per (segment, is_first) fold
+    through the broadcast dim."""
+    P = 32
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    dim_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pa.array((t["o_custkey"].to_numpy(zero_copy_only=False) % P)
+                        .astype(np.int32))
+        return t.append_column("part", part)
+
+    def split(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        first = ~g["o_custkey"].duplicated()
+        cents = np.round(g["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        seg = g["o_custkey"].map(ray.get(dim_ref))
+        return pd.DataFrame({"seg": seg.to_numpy(),
+                             "is_first": first.to_numpy().astype(np.int64),
+                             "cents": cents}) \
+            .groupby(["seg", "is_first"], as_index=False).agg(
+            s=("cents", "sum"), n=("cents", "size"))
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("part").map_groups(split, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby(["seg", "is_first"], as_index=False)[["s", "n"]].sum()
+    piv_s = g.pivot_table(index="seg", columns="is_first", values="s",
+                          fill_value=0, aggfunc="sum")
+    piv_n = g.pivot_table(index="seg", columns="is_first", values="n",
+                          fill_value=0, aggfunc="sum")
+    first_avg = piv_s[1].to_numpy() / piv_n[1].to_numpy() / 100.0
+    rep_avg = piv_s[0].to_numpy() / piv_n[0].to_numpy() / 100.0
+    return pd.DataFrame({
+        "c_mktsegment": piv_s.index.to_numpy(),
+        "first_avg": np.round(first_avg, 6),
+        "repeat_avg": np.round(rep_avg, 6),
+        "premium": np.round(first_avg - rep_avg, 6)}) \
+        .sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_FIRST_ORDER_PREMIUM = """
+WITH o AS (SELECT o_custkey,
+                  CASE WHEN ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate,
+                                                        o_orderkey) = 1
+                       THEN 1 ELSE 0 END AS is_first,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+g AS (SELECT c.c_mktsegment, o.is_first, SUM(o.cents) AS s, COUNT(*) AS n
+      FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2)
+SELECT a.c_mktsegment,
+       ROUND(a.s * 1.0 / a.n / 100.0, 6) AS first_avg,
+       ROUND(b.s * 1.0 / b.n / 100.0, 6) AS repeat_avg,
+       ROUND(a.s * 1.0 / a.n / 100.0 - b.s * 1.0 / b.n / 100.0, 6)
+         AS premium
+FROM g a JOIN g b ON b.c_mktsegment = a.c_mktsegment
+WHERE a.is_first = 1 AND b.is_first = 0
+ORDER BY a.c_mktsegment
+"""
+
+
+def q_price_dispersion_cells(sf_dir: str):
+    """Within-cell price dispersion: the coefficient of variation of
+    retail price inside each (brand, size) catalog cell, averaged with
+    cell-size weights — how consistent is like-for-like pricing?
+    Exact integer moment partials per cell; the weighted fold runs over
+    the catalog-bounded cell grid."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["p_retailprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        g = df.assign(cents=cents, sq=cents * cents)
+        return g.groupby(["p_brand", "p_size"], as_index=False).agg(
+            s=("cents", "sum"), ss=("sq", "sum"), n=("cents", "size"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["p_brand", "p_size"], as_index=False)[
+        ["s", "ss", "n"]].sum()
+    g = g.loc[g["n"] >= 2]
+    mean = g["s"].to_numpy(np.float64) / g["n"].to_numpy()
+    var = (g["ss"].to_numpy(np.float64)
+           - g["s"].to_numpy(np.float64) ** 2 / g["n"].to_numpy()) \
+        / (g["n"].to_numpy() - 1)
+    cv = np.sqrt(var) / mean
+    w = g["n"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "avg_cv": [round(float((cv * w).sum() / w.sum()), 6)],
+        "n_cells": np.array([len(g)], np.int64),
+        "n_parts": np.array([int(w.sum())], np.int64)})
+
+
+SQL_PRICE_DISPERSION_CELLS = """
+WITH m AS (SELECT p_brand, p_size,
+                  SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) * 1.0
+                    AS s,
+                  SUM(CAST(CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                           AS HUGEINT)
+                      * CAST(ROUND(p_retailprice * 100) AS BIGINT)) * 1.0
+                    AS ss,
+                  COUNT(*) AS n
+           FROM part GROUP BY 1, 2),
+cv AS (SELECT SQRT((ss - s * s / n) / (n - 1)) / (s / n) AS cv, n
+       FROM m WHERE n >= 2)
+SELECT ROUND(SUM(cv * n) / SUM(n), 6) AS avg_cv,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n) AS BIGINT) AS n_parts
+FROM cv
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -14806,6 +15023,10 @@ QUERIES = {
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "market_share_by_year": q_market_share_by_year,
     "late_ship_priority_mix": q_late_ship_priority_mix,
+    "dominant_suppliers": q_dominant_suppliers,
+    "month_end_loading": q_month_end_loading,
+    "first_order_premium": q_first_order_premium,
+    "price_dispersion_cells": q_price_dispersion_cells,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -15108,4 +15329,8 @@ ORACLE_SQL = {
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "market_share_by_year": SQL_MARKET_SHARE_BY_YEAR,
     "late_ship_priority_mix": SQL_LATE_SHIP_PRIORITY_MIX,
+    "dominant_suppliers": SQL_DOMINANT_SUPPLIERS,
+    "month_end_loading": SQL_MONTH_END_LOADING,
+    "first_order_premium": SQL_FIRST_ORDER_PREMIUM,
+    "price_dispersion_cells": SQL_PRICE_DISPERSION_CELLS,
 }
