@@ -302,7 +302,9 @@ def bench_queries() -> dict:
              "top_supplier_q15", "q19_disjunctive_revenue",
              "market_share_by_year", "late_ship_priority_mix",
              "dominant_suppliers", "month_end_loading",
-             "first_order_premium", "price_dispersion_cells"]
+             "first_order_premium", "price_dispersion_cells",
+             "type_xcorr_lag", "active_day_streaks",
+             "brand_name_token_mode", "priority_lift_chart"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -14737,6 +14737,241 @@ FROM cv
 """
 
 
+def q_type_xcorr_lag(sf_dir: str):
+    """Cross-correlation scan: Pearson r between the click and purchase
+    daily-count series at lags −3..+3 days, with the best (|r|-max,
+    smallest-lag tiebreak) flagged — does one stream LEAD the other?
+    One (type, day) combiner; each lag's correlation is a keyed
+    day+lag join over the days-bounded grids, from exact integer count
+    sums."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["event_type"].isin(["click", "purchase"])]
+        return df.assign(day=df["ts"].to_numpy("datetime64[D]")
+                         .astype(np.int64)) \
+            .groupby(["event_type", "day"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["event_type", "day"], as_index=False)["n"].sum()
+    a = g.loc[g["event_type"] == "click", ["day", "n"]]
+    b = g.loc[g["event_type"] == "purchase", ["day", "n"]]
+    rows = []
+    for lag in range(-3, 4):
+        j = a.merge(b.assign(day=b["day"] + lag), on="day",
+                    suffixes=("_a", "_b"))
+        x = j["n_a"].to_numpy(np.int64)
+        y = j["n_b"].to_numpy(np.int64)
+        k = len(j)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, syy = int((x * x).sum()), int((y * y).sum())
+        sxy = int((x * y).sum())
+        r = (k * sxy - sx * sy) / np.sqrt(
+            (k * sxx - sx * sx) * (k * syy - sy * sy))
+        rows.append((lag, round(float(r), 6), k))
+    out = pd.DataFrame(rows, columns=["lag", "r", "n_days"])
+    best = out.loc[out["r"].abs().round(6).idxmax(), "lag"]
+    out["is_best"] = (out["lag"] == best)
+    out["lag"] = out["lag"].astype(np.int64)
+    out["n_days"] = out["n_days"].astype(np.int64)
+    return out
+
+
+SQL_TYPE_XCORR_LAG = """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1, 2),
+a AS (SELECT day, n FROM d WHERE event_type = 'click'),
+b AS (SELECT day, n FROM d WHERE event_type = 'purchase'),
+lags AS (SELECT UNNEST(range(-3, 4)) AS lag),
+j AS (SELECT l.lag, a.n AS x, b.n AS y
+      FROM lags l
+      JOIN a ON TRUE
+      JOIN b ON b.day + l.lag * INTERVAL 1 DAY = a.day),
+c AS (SELECT lag, COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM j GROUP BY lag),
+r AS (SELECT lag, k,
+             ROUND((k * sxy - sx * sy)
+                   / SQRT((k * sxx - sx * sx) * 1.0
+                          * (k * syy - sy * sy)), 6) AS r
+      FROM c),
+best AS (SELECT lag AS best_lag FROM r
+         QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(r) DESC, lag) = 1)
+SELECT CAST(r.lag AS BIGINT) AS lag, r.r,
+       CAST(r.k AS BIGINT) AS n_days,
+       r.lag = (SELECT best_lag FROM best) AS is_best
+FROM r ORDER BY r.lag
+"""
+
+
+def q_active_day_streaks(sf_dir: str):
+    """Calendar-contiguity islands: each user's LONGEST run of
+    CONSECUTIVE active days, as a histogram — the engagement-streak
+    metric (value-monotonic islands are q_order_streaks; this is the
+    date-adjacency variant).  (user, day) presence dedups per block,
+    finishes in user partitions where the day-diff==1 break-cumsum
+    labels islands vectorized."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "day": df["ts"].to_numpy("datetime64[D]").astype(np.int64)}) \
+            .drop_duplicates()
+        g["part"] = (g["user_id"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["user_id", "day"]].drop_duplicates() \
+            .sort_values(["user_id", "day"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy(np.int64)
+        brk = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)]
+        isle = np.cumsum(brk)
+        runs = pd.DataFrame({"u": u, "isle": isle}) \
+            .groupby(["u", "isle"], as_index=False).size()
+        best = runs.groupby("u")["size"].max()
+        h = best.value_counts().sort_index()
+        return pd.DataFrame({"streak_days": h.index.to_numpy(np.int64),
+                             "n": h.to_numpy(np.int64)})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(streaks, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("streak_days", as_index=False)["n"].sum()
+    out["n_users"] = out.pop("n").astype(np.int64)
+    return out.sort_values("streak_days").reset_index(drop=True)
+
+
+SQL_ACTIVE_DAY_STREAKS = """
+WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+g AS (SELECT user_id, day,
+             CASE WHEN day = lag(day) OVER (PARTITION BY user_id
+                                            ORDER BY day)
+                            + INTERVAL 1 DAY
+                  THEN 0 ELSE 1 END AS brk
+      FROM p),
+i AS (SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS isle
+      FROM g),
+s AS (SELECT user_id, isle, COUNT(*) AS len FROM i GROUP BY 1, 2),
+m AS (SELECT user_id, MAX(len) AS best FROM s GROUP BY 1)
+SELECT CAST(best AS BIGINT) AS streak_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_brand_name_token_mode(sf_dir: str):
+    """Per-brand catalog vocabulary mode: the most frequent part-name
+    TOKEN per brand (lexicographic tiebreak) with its share — string
+    tokenization + grouped argmax in one combiner pass over the
+    (brand, token) grid."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_name"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["p_name"].str.split()
+        out = pd.DataFrame({
+            "p_brand": np.repeat(df["p_brand"].to_numpy(),
+                                 toks.str.len().to_numpy()),
+            "token": np.concatenate(toks.to_numpy())})
+        return out.groupby(["p_brand", "token"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["p_brand", "token"], as_index=False)["n"].sum()
+    g = g.sort_values(["p_brand", "n", "token"],
+                      ascending=[True, False, True])
+    top = g.groupby("p_brand", as_index=False).head(1)
+    tot = g.groupby("p_brand")["n"].sum()
+    return pd.DataFrame({
+        "p_brand": top["p_brand"].to_numpy(),
+        "token": top["token"].to_numpy(),
+        "n": top["n"].to_numpy(np.int64),
+        "share": np.round(top["n"].to_numpy()
+                          / tot[top["p_brand"]].to_numpy(), 6)}) \
+        .sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_BRAND_NAME_TOKEN_MODE = """
+WITH t AS (SELECT p_brand, UNNEST(string_split(p_name, ' ')) AS token
+           FROM part),
+c AS (SELECT p_brand, token, COUNT(*) AS n FROM t GROUP BY 1, 2)
+SELECT p_brand, token, CAST(n AS BIGINT) AS n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY p_brand), 6) AS share
+FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY p_brand
+                           ORDER BY n DESC, token) = 1
+ORDER BY p_brand
+"""
+
+
+def q_priority_lift_chart(sf_dir: str):
+    """Decile lift chart: treating order value as a scorer for 'is the
+    order urgent?', the urgent-rate lift per value decile vs the base
+    rate — the model-evaluation readout (cousin of q_nb_calibration).
+    One assign_global_seq rank (value desc via ascending rank on
+    negated cents — ties by orderkey), then (decile, urgent, n)
+    combiner partials."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderpriority"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "o_orderkey": df["o_orderkey"].to_numpy(),
+                "neg_cents": -np.round(df["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64),
+                "urgent": df["o_orderpriority"]
+                .isin(["1-URGENT", "2-HIGH"]).to_numpy()
+                .astype(np.int64)}),
+            batch_format="pandas")
+    n = ds.count()
+    ranked = assign_global_seq(ds, ["neg_cents", "o_orderkey"], col="rk")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dec = (df["rk"].to_numpy(np.int64) * 10) // n + 1
+        return pd.DataFrame({"decile": dec,
+                             "urgent": df["urgent"].to_numpy(np.int64)}) \
+            .groupby("decile", as_index=False).agg(
+            u=("urgent", "sum"), k=("urgent", "size"))
+
+    parts = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("decile", as_index=False)[["u", "k"]].sum()
+    base = g["u"].sum() / g["k"].sum()
+    g["urgent_rate"] = (g["u"] / g["k"]).round(6)
+    g["lift"] = (g["u"] / g["k"] / base).round(6)
+    return pd.DataFrame({
+        "decile": g["decile"].astype(np.int64),
+        "n_orders": g["k"].astype(np.int64),
+        "urgent_rate": g["urgent_rate"],
+        "lift": g["lift"]}).sort_values("decile").reset_index(drop=True)
+
+
+SQL_PRIORITY_LIFT_CHART = """
+WITH o AS (SELECT o_orderkey,
+                  -CAST(ROUND(o_totalprice * 100) AS BIGINT) AS neg_cents,
+                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END AS urgent
+           FROM orders),
+r AS (SELECT urgent,
+             (ROW_NUMBER() OVER (ORDER BY neg_cents, o_orderkey) - 1) * 10
+             // COUNT(*) OVER () + 1 AS decile
+      FROM o),
+g AS (SELECT decile, SUM(urgent) AS u, COUNT(*) AS k FROM r
+      GROUP BY decile),
+b AS (SELECT SUM(u) * 1.0 / SUM(k) AS base FROM g)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(k AS BIGINT) AS n_orders,
+       ROUND(u * 1.0 / k, 6) AS urgent_rate,
+       ROUND(u * 1.0 / k / (SELECT base FROM b), 6) AS lift
+FROM g ORDER BY decile
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -15027,6 +15262,10 @@ QUERIES = {
     "month_end_loading": q_month_end_loading,
     "first_order_premium": q_first_order_premium,
     "price_dispersion_cells": q_price_dispersion_cells,
+    "type_xcorr_lag": q_type_xcorr_lag,
+    "active_day_streaks": q_active_day_streaks,
+    "brand_name_token_mode": q_brand_name_token_mode,
+    "priority_lift_chart": q_priority_lift_chart,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -15333,4 +15572,8 @@ ORACLE_SQL = {
     "month_end_loading": SQL_MONTH_END_LOADING,
     "first_order_premium": SQL_FIRST_ORDER_PREMIUM,
     "price_dispersion_cells": SQL_PRICE_DISPERSION_CELLS,
+    "type_xcorr_lag": SQL_TYPE_XCORR_LAG,
+    "active_day_streaks": SQL_ACTIVE_DAY_STREAKS,
+    "brand_name_token_mode": SQL_BRAND_NAME_TOKEN_MODE,
+    "priority_lift_chart": SQL_PRIORITY_LIFT_CHART,
 }
