@@ -304,7 +304,9 @@ def bench_queries() -> dict:
              "dominant_suppliers", "month_end_loading",
              "first_order_premium", "price_dispersion_cells",
              "type_xcorr_lag", "active_day_streaks",
-             "brand_name_token_mode", "priority_lift_chart"]
+             "brand_name_token_mode", "priority_lift_chart",
+             "name_key_consistency", "order_total_reconciliation",
+             "hour_boundary_share", "peak_hour_stability"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

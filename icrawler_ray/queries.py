@@ -14972,6 +14972,205 @@ FROM g ORDER BY decile
 """
 
 
+def q_name_key_consistency(sf_dir: str):
+    """Parse-and-validate audit: does the numeric suffix of c_name agree
+    with c_custkey?  The denormalized-field drift check every ingest
+    runs.  One vectorized regex-extract + compare per block; three
+    counters fold."""
+    ds = _read(sf_dir, "customer", ["c_name", "c_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        suffix = df["c_name"].str.extract(r"#(\d+)$", expand=False)
+        parsed = pd.to_numeric(suffix, errors="coerce")
+        ok = (parsed == df["c_custkey"]).fillna(False)
+        return pd.DataFrame({"n": [len(df)],
+                             "n_match": [int(ok.sum())],
+                             "n_unparseable": [int(parsed.isna().sum())]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    m = int(parts["n_match"].sum())
+    return pd.DataFrame({
+        "n_customers": np.array([n], np.int64),
+        "n_match": np.array([m], np.int64),
+        "n_unparseable": np.array([int(parts["n_unparseable"].sum())],
+                                  np.int64),
+        "match_share": [round(m / n, 6)]})
+
+
+SQL_NAME_KEY_CONSISTENCY = """
+WITH p AS (SELECT c_custkey,
+                  TRY_CAST(regexp_extract(c_name, '#(\\d+)$', 1) AS BIGINT)
+                    AS parsed
+           FROM customer)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN parsed = c_custkey THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_match,
+       CAST(SUM(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unparseable,
+       ROUND(SUM(CASE WHEN parsed = c_custkey THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS match_share
+FROM p
+"""
+
+
+def q_order_total_reconciliation(sf_dir: str):
+    """Financial reconciliation: per order, the header o_totalprice vs
+    the sum of its line extended prices — match share and average
+    absolute gap.  (These synthetic tables are independently generated,
+    so the audit REPORTS the drift rather than asserting zero — which
+    is exactly what a reconciliation job does.)  Per-order line-cent
+    combiners ride one bounded-key hash join; gap stats fold from exact
+    integer cents."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "o_orderkey": df["l_orderkey"].to_numpy(),
+                "lc": np.round(df["l_extendedprice"].to_numpy() * 100)
+                .astype(np.int64)})
+            .groupby("o_orderkey", as_index=False)["lc"].sum(),
+            batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def gap(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.groupby("o_orderkey", as_index=False).agg(
+            lc=("lc", "sum"), tp=("o_totalprice", "first"))
+        hc = np.round(o["tp"].to_numpy() * 100).astype(np.int64)
+        d = np.abs(hc - o["lc"].to_numpy(np.int64))
+        return pd.DataFrame({"n": [len(o)], "n_exact": [int((d == 0).sum())],
+                             "abs_gap": [int(d.sum())]})
+
+    parts = salted_hash_join(li, orders, "o_orderkey", agg_fn=gap,
+                             hot_keys=np.array([], np.int64)).to_pandas()
+    n = int(parts["n"].sum())
+    ex = int(parts["n_exact"].sum())
+    return pd.DataFrame({
+        "n_orders": np.array([n], np.int64),
+        "n_exact_match": np.array([ex], np.int64),
+        "match_share": [round(ex / n, 6)],
+        "avg_abs_gap": [round(int(parts["abs_gap"].sum()) / n / 100.0, 6)]})
+
+
+SQL_ORDER_TOTAL_RECONCILIATION = """
+WITH l AS (SELECT l_orderkey,
+                  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS lc
+           FROM lineitem GROUP BY l_orderkey),
+j AS (SELECT ABS(CAST(ROUND(o.o_totalprice * 100) AS BIGINT) - l.lc) AS d
+      FROM orders o JOIN l ON l.l_orderkey = o.o_orderkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_match,
+       ROUND(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS match_share,
+       ROUND(SUM(d) * 1.0 / COUNT(*) / 100.0, 6) AS avg_abs_gap
+FROM j
+"""
+
+
+def q_hour_boundary_share(sf_dir: str):
+    """Machine-traffic fingerprint: the share of each event type landing
+    within ±5 minutes of an hour boundary — cron jobs cluster there,
+    humans don't.  One (type, near, n) combiner; the minute-of-hour test
+    is vectorized calendar arithmetic."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        minute = df["ts"].dt.minute.to_numpy()
+        near = ((minute < 5) | (minute >= 55)).astype(np.int64)
+        return pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                             "near": near}) \
+            .groupby("event_type", as_index=False).agg(
+            n_near=("near", "sum"), n=("near", "size"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("event_type", as_index=False)[["n_near", "n"]].sum()
+    g["boundary_share"] = (g["n_near"] / g["n"]).round(6)
+    g["n_near"] = g["n_near"].astype(np.int64)
+    g["n"] = g["n"].astype(np.int64)
+    return g.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_HOUR_BOUNDARY_SHARE = """
+SELECT event_type,
+       CAST(SUM(CASE WHEN EXTRACT(minute FROM ts) < 5
+                       OR EXTRACT(minute FROM ts) >= 55
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(CASE WHEN EXTRACT(minute FROM ts) < 5
+                        OR EXTRACT(minute FROM ts) >= 55
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS boundary_share
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_peak_hour_stability(sf_dir: str):
+    """Peak stability: per event type, how often the WEEKLY peak hour
+    (argmax count per ISO week, tie → smallest hour) lands on the
+    type's overall modal peak — rhythm consistency over time.  One
+    (type, week, hour) combiner; both argmax folds run over the bounded
+    (type x weeks x 24) grid."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        iso = df["ts"].dt.isocalendar()
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "week": (iso["year"].to_numpy(np.int64) * 100
+                     + iso["week"].to_numpy(np.int64)),
+            "hour": df["ts"].dt.hour.to_numpy().astype(np.int64)}) \
+            .groupby(["event_type", "week", "hour"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["event_type", "week", "hour"],
+                      as_index=False)["n"].sum()
+    g = g.sort_values(["event_type", "week", "n", "hour"],
+                      ascending=[True, True, False, True])
+    wk_peak = g.groupby(["event_type", "week"], as_index=False).head(1)
+    overall = g.groupby(["event_type", "hour"], as_index=False)["n"].sum() \
+        .sort_values(["event_type", "n", "hour"],
+                     ascending=[True, False, True]) \
+        .groupby("event_type", as_index=False).head(1) \
+        .rename(columns={"hour": "modal_hour"})[["event_type", "modal_hour"]]
+    j = wk_peak.merge(overall, on="event_type")
+    j["hit"] = (j["hour"] == j["modal_hour"]).astype(np.int64)
+    out = j.groupby(["event_type", "modal_hour"], as_index=False).agg(
+        n_weeks=("hit", "size"), n_hits=("hit", "sum"))
+    out["stability"] = (out["n_hits"] / out["n_weeks"]).round(6)
+    out["modal_hour"] = out["modal_hour"].astype(np.int64)
+    out["n_weeks"] = out["n_weeks"].astype(np.int64)
+    out["n_hits"] = out["n_hits"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_PEAK_HOUR_STABILITY = """
+WITH c AS (SELECT event_type,
+                  EXTRACT(isoyear FROM ts) * 100 + EXTRACT(week FROM ts)
+                    AS week,
+                  EXTRACT(hour FROM ts) AS hour, COUNT(*) AS n
+           FROM events GROUP BY 1, 2, 3),
+wk AS (SELECT event_type, week, hour FROM c
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, week
+                                  ORDER BY n DESC, hour) = 1),
+ov AS (SELECT event_type, hour AS modal_hour
+       FROM (SELECT event_type, hour, SUM(n) AS n FROM c GROUP BY 1, 2)
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, hour) = 1)
+SELECT wk.event_type, CAST(ov.modal_hour AS BIGINT) AS modal_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_weeks,
+       CAST(SUM(CASE WHEN wk.hour = ov.modal_hour THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN wk.hour = ov.modal_hour THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS stability
+FROM wk JOIN ov ON ov.event_type = wk.event_type
+GROUP BY wk.event_type, ov.modal_hour
+ORDER BY wk.event_type
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -15266,6 +15465,10 @@ QUERIES = {
     "active_day_streaks": q_active_day_streaks,
     "brand_name_token_mode": q_brand_name_token_mode,
     "priority_lift_chart": q_priority_lift_chart,
+    "name_key_consistency": q_name_key_consistency,
+    "order_total_reconciliation": q_order_total_reconciliation,
+    "hour_boundary_share": q_hour_boundary_share,
+    "peak_hour_stability": q_peak_hour_stability,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -15576,4 +15779,8 @@ ORACLE_SQL = {
     "active_day_streaks": SQL_ACTIVE_DAY_STREAKS,
     "brand_name_token_mode": SQL_BRAND_NAME_TOKEN_MODE,
     "priority_lift_chart": SQL_PRIORITY_LIFT_CHART,
+    "name_key_consistency": SQL_NAME_KEY_CONSISTENCY,
+    "order_total_reconciliation": SQL_ORDER_TOTAL_RECONCILIATION,
+    "hour_boundary_share": SQL_HOUR_BOUNDARY_SHARE,
+    "peak_hour_stability": SQL_PEAK_HOUR_STABILITY,
 }
