@@ -306,7 +306,9 @@ def bench_queries() -> dict:
              "type_xcorr_lag", "active_day_streaks",
              "brand_name_token_mode", "priority_lift_chart",
              "name_key_consistency", "order_total_reconciliation",
-             "hour_boundary_share", "peak_hour_stability"]
+             "hour_boundary_share", "peak_hour_stability",
+             "centroid_confusion", "spearman_freq_value",
+             "unit_price_extremes", "revenue_drawdown"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -15171,6 +15171,245 @@ ORDER BY wk.event_type
 """
 
 
+def q_centroid_confusion(sf_dir: str):
+    """Nearest-centroid confusion matrix: assign every embedding to its
+    closest LABEL centroid (squared L2, label-id tiebreak) and count
+    (true label, assigned label) — the separability readout behind
+    q_knn_label_accuracy.  Centroids come from one (label, Σv, n)
+    combiner; assignment is a vectorized |v|² − 2v·C + |c|² argmin per
+    block against the broadcast centroid matrix; the confusion grid is
+    labels²-bounded."""
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def cpartial(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+        g = pd.DataFrame({"label": df["label"].to_numpy()})
+        rows = []
+        for lab, idx in g.groupby("label").groups.items():
+            sub = X[np.asarray(idx)]
+            rows.append((lab, ",".join(repr(v) for v in sub.sum(axis=0)),
+                         len(sub)))
+        return pd.DataFrame(rows, columns=["label", "s", "n"])
+
+    parts = ds.map_batches(cpartial, batch_format="pandas").to_pandas()
+    labels = sorted(parts["label"].unique())
+    cents = {}
+    for lab in labels:
+        sub = parts.loc[parts["label"] == lab]
+        s = np.zeros(64)
+        for v in sub["s"]:
+            s += np.array([float(x) for x in v.split(",")])
+        cents[lab] = s / int(sub["n"].sum())
+    C = np.stack([cents[l] for l in labels])
+    cref = ray.put((labels, C))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        labs, C = ray.get(cref)
+        X = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+        d = (X * X).sum(1, keepdims=True) - 2 * X @ C.T \
+            + (C * C).sum(1)[None, :]
+        a = np.argmin(d, axis=1)  # first min: label-order tiebreak
+        return pd.DataFrame({"true_label": df["label"].to_numpy(),
+                             "assigned": np.asarray(labs)[a]}) \
+            .groupby(["true_label", "assigned"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    out = ds.map_batches(assign, batch_format="pandas").to_pandas()
+    g = out.groupby(["true_label", "assigned"], as_index=False)["n"].sum()
+    g["n"] = g["n"].astype(np.int64)
+    return g.sort_values(["true_label", "assigned"]).reset_index(drop=True)
+
+
+SQL_CENTROID_CONFUSION = """
+WITH x AS (SELECT vec_id, label, i.i AS i,
+                  CAST(embedding[i.i] AS DOUBLE) AS v
+           FROM embeddings CROSS JOIN range(1, 65) i(i)),
+c AS (SELECT label AS clabel, i, AVG(v) AS cv FROM x GROUP BY 1, 2),
+d AS (SELECT x.vec_id, x.label AS true_label, c.clabel,
+             SUM((x.v - c.cv) * (x.v - c.cv)) AS dist
+      FROM x JOIN c ON c.i = x.i
+      GROUP BY x.vec_id, x.label, c.clabel),
+a AS (SELECT vec_id, true_label, clabel AS assigned FROM d
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, clabel) = 1)
+SELECT true_label, assigned, CAST(COUNT(*) AS BIGINT) AS n
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_spearman_freq_value(sf_dir: str):
+    """Rank correlation (Spearman with deterministic ROW_NUMBER
+    tiebreaks): do customers who order MORE OFTEN also spend MORE per
+    lifetime?  Per-customer (count, cents) combiner, two
+    assign_global_seq rank sorts over the customer dimension, then
+    Pearson of the two exact integer rank vectors."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "o_custkey": df["o_custkey"].to_numpy(),
+                "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64), "k": np.int64(1)})
+            .groupby("o_custkey", as_index=False).agg(
+                cents=("cents", "sum"), k=("k", "sum")),
+            batch_format="pandas")
+    per = ds.groupby("o_custkey") \
+        .map_groups(lambda g: g.groupby("o_custkey", as_index=False)
+                    .agg(cents=("cents", "sum"), k=("k", "sum")),
+                    batch_format="pandas").materialize()
+    n = per.count()
+    r1 = assign_global_seq(per, ["k", "o_custkey"], col="rk_freq")
+    r2 = assign_global_seq(r1, ["cents", "o_custkey"], col="rk_val")
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["rk_freq"].to_numpy(np.int64)
+        b = df["rk_val"].to_numpy(np.int64)
+        return pd.DataFrame({"sab": [int((a * b).sum())],
+                             "sa": [int(a.sum())], "sb": [int(b.sum())],
+                             "saa": [int((a * a).sum())],
+                             "sbb": [int((b * b).sum())]})
+
+    p = r2.map_batches(moments, batch_format="pandas").to_pandas()
+    sab, sa, sb = int(p["sab"].sum()), int(p["sa"].sum()), int(p["sb"].sum())
+    saa, sbb = int(p["saa"].sum()), int(p["sbb"].sum())
+    rho = (n * sab - sa * sb) / np.sqrt((n * saa - sa * sa)
+                                        * 1.0 * (n * sbb - sb * sb))
+    return pd.DataFrame({"spearman_rho": [round(float(rho), 6)],
+                         "n_customers": np.array([n], np.int64)})
+
+
+SQL_SPEARMAN_FREQ_VALUE = """
+WITH per AS (SELECT o_custkey, COUNT(*) AS k,
+                    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+             FROM orders GROUP BY o_custkey),
+r AS (SELECT (ROW_NUMBER() OVER (ORDER BY k, o_custkey) - 1) AS a,
+             (ROW_NUMBER() OVER (ORDER BY cents, o_custkey) - 1) AS b,
+             COUNT(*) OVER () AS n
+      FROM per)
+SELECT ROUND((MIN(n) * SUM(a * b) - SUM(a) * SUM(b))
+             / SQRT((MIN(n) * SUM(a * a) - SUM(a) * SUM(a)) * 1.0
+                    * (MIN(n) * SUM(b * b) - SUM(b) * SUM(b))), 6)
+         AS spearman_rho,
+       CAST(MIN(n) AS BIGINT) AS n_customers
+FROM r
+"""
+
+
+def q_unit_price_extremes(sf_dir: str):
+    """Grouped argmin/argmax with tiebreaks: each brand's cheapest and
+    priciest part by catalog retail price per size unit (price/size,
+    partkey tiebreak) — the outlier-sku surfacing query.  Per-block
+    per-brand candidate partials (a block's argmin/argmax are the only
+    possible global winners) fold over the brands grid."""
+    ds = _read(sf_dir, "part",
+               ["p_brand", "p_partkey", "p_retailprice", "p_size"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(unit=df["p_retailprice"].to_numpy()
+                       / df["p_size"].to_numpy())
+        lo = df.sort_values(["p_brand", "unit", "p_partkey"],
+                            kind="mergesort") \
+            .groupby("p_brand", as_index=False).head(1)
+        hi = df.sort_values(["p_brand", "unit", "p_partkey"],
+                            ascending=[True, False, True],
+                            kind="mergesort") \
+            .groupby("p_brand", as_index=False).head(1)
+        return pd.concat([lo, hi], ignore_index=True)[
+            ["p_brand", "p_partkey", "unit"]]
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    lo = parts.sort_values(["p_brand", "unit", "p_partkey"],
+                           kind="mergesort") \
+        .groupby("p_brand", as_index=False).head(1) \
+        .rename(columns={"p_partkey": "cheapest_part", "unit": "min_unit"})
+    hi = parts.sort_values(["p_brand", "unit", "p_partkey"],
+                           ascending=[True, False, True], kind="mergesort") \
+        .groupby("p_brand", as_index=False).head(1) \
+        .rename(columns={"p_partkey": "priciest_part", "unit": "max_unit"})
+    out = lo.merge(hi, on="p_brand")
+    out["min_unit"] = out["min_unit"].round(6)
+    out["max_unit"] = out["max_unit"].round(6)
+    out["cheapest_part"] = out["cheapest_part"].astype(np.int64)
+    out["priciest_part"] = out["priciest_part"].astype(np.int64)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_UNIT_PRICE_EXTREMES = """
+WITH u AS (SELECT p_brand, p_partkey,
+                  p_retailprice / p_size AS unit
+           FROM part),
+lo AS (SELECT p_brand, p_partkey AS cheapest_part,
+              ROUND(unit, 6) AS min_unit
+       FROM u QUALIFY ROW_NUMBER() OVER (PARTITION BY p_brand
+                                         ORDER BY unit, p_partkey) = 1),
+hi AS (SELECT p_brand, p_partkey AS priciest_part,
+              ROUND(unit, 6) AS max_unit
+       FROM u QUALIFY ROW_NUMBER() OVER (PARTITION BY p_brand
+                                         ORDER BY unit DESC,
+                                                  p_partkey) = 1)
+SELECT lo.p_brand, lo.cheapest_part, lo.min_unit,
+       hi.priciest_part, hi.max_unit
+FROM lo JOIN hi ON hi.p_brand = lo.p_brand
+ORDER BY lo.p_brand
+"""
+
+
+def q_revenue_drawdown(sf_dir: str):
+    """Maximum drawdown of the cumulative daily revenue vs its running
+    MEAN-DAY baseline: treat daily revenue minus the global mean as the
+    return stream; the deepest peak-to-trough drop of its cumulative sum
+    (earliest trough on ties) — the risk metric ported to ops data.
+    (type, day) combiner partials; the walk runs once over the
+    days-bounded series with exact integer cents."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": df["o_orderdate"].dt.strftime("%Y-%m-%d"),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)}).groupby("day", as_index=False)["cents"].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("day", as_index=False)["cents"].sum() \
+        .sort_values("day").reset_index(drop=True)
+    c = g["cents"].to_numpy(np.int64)
+    n = len(c)
+    # integer-exact detrended cumsum: n*cum_t - t*total (scaled by n)
+    tot = int(c.sum())
+    cum = np.cumsum(c)
+    detr = n * cum - (np.arange(1, n + 1, dtype=np.int64)) * tot
+    peak = np.maximum.accumulate(detr)
+    dd = peak - detr
+    k = int(np.argmax(dd))  # first max: earliest trough
+    return pd.DataFrame({
+        "max_drawdown": [round(int(dd[k]) / n / 100.0, 2)],
+        "trough_day": [g["day"].iloc[k]],
+        "n_days": np.array([n], np.int64)})
+
+
+SQL_REVENUE_DRAWDOWN = """
+WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+s AS (SELECT day, cents,
+             SUM(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS cum,
+             ROW_NUMBER() OVER (ORDER BY day) AS t,
+             COUNT(*) OVER () AS n, SUM(cents) OVER () AS tot
+      FROM d),
+w AS (SELECT day, n, n * cum - t * tot AS detr FROM s),
+p AS (SELECT day, n,
+             MAX(detr) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - detr
+               AS dd
+      FROM w)
+SELECT ROUND(dd * 1.0 / n / 100.0, 2) AS max_drawdown,
+       day AS trough_day, CAST(n AS BIGINT) AS n_days
+FROM p
+QUALIFY ROW_NUMBER() OVER (ORDER BY dd DESC, day) = 1
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -15469,6 +15708,10 @@ QUERIES = {
     "order_total_reconciliation": q_order_total_reconciliation,
     "hour_boundary_share": q_hour_boundary_share,
     "peak_hour_stability": q_peak_hour_stability,
+    "centroid_confusion": q_centroid_confusion,
+    "spearman_freq_value": q_spearman_freq_value,
+    "unit_price_extremes": q_unit_price_extremes,
+    "revenue_drawdown": q_revenue_drawdown,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -15783,4 +16026,8 @@ ORACLE_SQL = {
     "order_total_reconciliation": SQL_ORDER_TOTAL_RECONCILIATION,
     "hour_boundary_share": SQL_HOUR_BOUNDARY_SHARE,
     "peak_hour_stability": SQL_PEAK_HOUR_STABILITY,
+    "centroid_confusion": SQL_CENTROID_CONFUSION,
+    "spearman_freq_value": SQL_SPEARMAN_FREQ_VALUE,
+    "unit_price_extremes": SQL_UNIT_PRICE_EXTREMES,
+    "revenue_drawdown": SQL_REVENUE_DRAWDOWN,
 }
