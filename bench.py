@@ -308,7 +308,9 @@ def bench_queries() -> dict:
              "name_key_consistency", "order_total_reconciliation",
              "hour_boundary_share", "peak_hour_stability",
              "centroid_confusion", "spearman_freq_value",
-             "unit_price_extremes", "revenue_drawdown"]
+             "unit_price_extremes", "revenue_drawdown",
+             "next_day_return_rate", "discount_by_linenumber",
+             "round_price_share", "revenue_masd"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

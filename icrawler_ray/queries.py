@@ -15410,6 +15410,194 @@ QUALIFY ROW_NUMBER() OVER (ORDER BY dd DESC, day) = 1
 """
 
 
+def q_next_day_return_rate(sf_dir: str):
+    """Action-conditioned retention: given a user did event type T on
+    day D, how often were they active on day D+1 — which actions
+    predict coming back?  (user, day, type-bit) presence partials
+    OR-reduce inside user partitions, where next-day membership is one
+    sorted searchsorted per user set; (type, returned, n) partials
+    fold."""
+    P = 32
+    tset = _read(sf_dir, "events", ["event_type"]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas").to_pandas()
+    types = sorted(tset["event_type"].unique())
+    tmap = {t: i for i, t in enumerate(types)}
+    tref = ray.put(tmap)
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(tref)
+        g = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "day": df["ts"].to_numpy("datetime64[D]").astype(np.int64),
+            "mask": df["event_type"].map(m).map(lambda i: 1 << i)
+            .astype(np.int64)}) \
+            .groupby(["user_id", "day"], as_index=False)["mask"] \
+            .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        g["part"] = (g["user_id"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def rates(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "day"], as_index=False)["mask"] \
+            .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        m = m.sort_values(["user_id", "day"], kind="mergesort")
+        u = m["user_id"].to_numpy()
+        d = m["day"].to_numpy(np.int64)
+        ret = np.r_[(u[1:] == u[:-1]) & (d[1:] == d[:-1] + 1), False] \
+            .astype(np.int64)
+        masks = m["mask"].to_numpy(np.int64)
+        rows = []
+        K = len(ray.get(tref))
+        for i in range(K):
+            has = (masks >> i) & 1
+            rows.append((i, int((has * ret).sum()), int(has.sum())))
+        return pd.DataFrame(rows, columns=["tcode", "n_ret", "n"])
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(rates, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("tcode", as_index=False)[["n_ret", "n"]].sum()
+    return pd.DataFrame({
+        "event_type": [types[i] for i in g["tcode"]],
+        "n_user_days": g["n"].astype(np.int64),
+        "n_returned": g["n_ret"].astype(np.int64),
+        "return_rate": (g["n_ret"] / g["n"]).round(6),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+SQL_NEXT_DAY_RETURN_RATE = """
+WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+           FROM events),
+act AS (SELECT DISTINCT user_id, day FROM p)
+SELECT p.event_type,
+       CAST(COUNT(DISTINCT (p.user_id, p.day)) AS BIGINT) AS n_user_days,
+       CAST(COUNT(DISTINCT CASE WHEN n.user_id IS NOT NULL
+                                THEN (p.user_id, p.day) END) AS BIGINT)
+         AS n_returned,
+       ROUND(COUNT(DISTINCT CASE WHEN n.user_id IS NOT NULL
+                                 THEN (p.user_id, p.day) END) * 1.0
+             / COUNT(DISTINCT (p.user_id, p.day)), 6) AS return_rate
+FROM p LEFT JOIN act n ON n.user_id = p.user_id
+                      AND n.day = p.day + INTERVAL 1 DAY
+GROUP BY p.event_type ORDER BY p.event_type
+"""
+
+
+def q_discount_by_linenumber(sf_dir: str):
+    """Position effect: average discount (bp) by LINE NUMBER within the
+    order — is the first line of an order treated differently from the
+    seventh?  A pure (linenumber, bp, n) combiner over the
+    lines-per-order-bounded grid."""
+    ds = _read(sf_dir, "lineitem", ["l_linenumber", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bp = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"l_linenumber":
+                             df["l_linenumber"].to_numpy(np.int64),
+                             "bp": bp}) \
+            .groupby("l_linenumber", as_index=False).agg(
+            s=("bp", "sum"), n=("bp", "size"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("l_linenumber", as_index=False)[["s", "n"]].sum()
+    g["avg_discount_bp"] = (g["s"] / g["n"]).round(6)
+    g["n_lines"] = g.pop("n").astype(np.int64)
+    return g.drop(columns="s").sort_values("l_linenumber") \
+        .reset_index(drop=True)
+
+
+SQL_DISCOUNT_BY_LINENUMBER = """
+SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) * 1.0
+             / COUNT(*), 6) AS avg_discount_bp,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
+"""
+
+
+def q_round_price_share(sf_dir: str):
+    """Psychological-pricing fingerprint: the share of catalog prices
+    ending in .00 and .99 per brand — list-price policy detection via
+    cent-modulo.  One (brand, ending-class, n) combiner over the
+    brands grid."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["p_retailprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        e = cents % 100
+        return pd.DataFrame({
+            "p_brand": df["p_brand"].to_numpy(),
+            "z": (e == 0).astype(np.int64),
+            "n9": (e == 99).astype(np.int64)}) \
+            .groupby("p_brand", as_index=False).agg(
+            n_00=("z", "sum"), n_99=("n9", "sum"), n=("z", "size"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("p_brand", as_index=False)[["n_00", "n_99", "n"]].sum()
+    g["share_00"] = (g["n_00"] / g["n"]).round(6)
+    g["share_99"] = (g["n_99"] / g["n"]).round(6)
+    for c in ("n_00", "n_99", "n"):
+        g[c] = g[c].astype(np.int64)
+    return g.sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_ROUND_PRICE_SHARE = """
+WITH e AS (SELECT p_brand,
+                  CAST(ROUND(p_retailprice * 100) AS BIGINT) % 100 AS tail
+           FROM part)
+SELECT p_brand,
+       CAST(SUM(CASE WHEN tail = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_00,
+       CAST(SUM(CASE WHEN tail = 99 THEN 1 ELSE 0 END) AS BIGINT) AS n_99,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(CASE WHEN tail = 0 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS share_00,
+       ROUND(SUM(CASE WHEN tail = 99 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS share_99
+FROM e GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_revenue_masd(sf_dir: str):
+    """Robust revenue volatility: the MEDIAN and mean of |day-over-day
+    revenue changes| (median absolute successive difference) — spike-
+    proof where a stddev is not.  Per-day cent combiners; the successive
+    diffs and the quantile_disc median fold over the days-bounded
+    series."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": df["o_orderdate"].dt.strftime("%Y-%m-%d"),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)}).groupby("day", as_index=False)["cents"].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("day", as_index=False)["cents"].sum() \
+        .sort_values("day")
+    c = g["cents"].to_numpy(np.int64)
+    d = np.abs(np.diff(c))
+    v = np.sort(d)
+    med = int(v[int(np.ceil(0.5 * len(v))) - 1])
+    return pd.DataFrame({
+        "masd": [round(med / 100.0, 2)],
+        "mean_abs_diff": [round(int(d.sum()) / len(d) / 100.0, 6)],
+        "n_diffs": np.array([len(d)], np.int64)})
+
+
+SQL_REVENUE_MASD = """
+WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+s AS (SELECT ABS(cents - lag(cents) OVER (ORDER BY day)) AS ad FROM d)
+SELECT ROUND(quantile_disc(ad, 0.5) / 100.0, 2) AS masd,
+       ROUND(SUM(ad) * 1.0 / COUNT(*) / 100.0, 6) AS mean_abs_diff,
+       CAST(COUNT(*) AS BIGINT) AS n_diffs
+FROM s WHERE ad IS NOT NULL
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -15712,6 +15900,10 @@ QUERIES = {
     "spearman_freq_value": q_spearman_freq_value,
     "unit_price_extremes": q_unit_price_extremes,
     "revenue_drawdown": q_revenue_drawdown,
+    "next_day_return_rate": q_next_day_return_rate,
+    "discount_by_linenumber": q_discount_by_linenumber,
+    "round_price_share": q_round_price_share,
+    "revenue_masd": q_revenue_masd,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -16030,4 +16222,8 @@ ORACLE_SQL = {
     "spearman_freq_value": SQL_SPEARMAN_FREQ_VALUE,
     "unit_price_extremes": SQL_UNIT_PRICE_EXTREMES,
     "revenue_drawdown": SQL_REVENUE_DRAWDOWN,
+    "next_day_return_rate": SQL_NEXT_DAY_RETURN_RATE,
+    "discount_by_linenumber": SQL_DISCOUNT_BY_LINENUMBER,
+    "round_price_share": SQL_ROUND_PRICE_SHARE,
+    "revenue_masd": SQL_REVENUE_MASD,
 }
