@@ -310,7 +310,9 @@ def bench_queries() -> dict:
              "centroid_confusion", "spearman_freq_value",
              "unit_price_extremes", "revenue_drawdown",
              "next_day_return_rate", "discount_by_linenumber",
-             "round_price_share", "revenue_masd"]
+             "round_price_share", "revenue_masd",
+             "lines_anova_f", "leader_margin_by_nation",
+             "above_avg_discount_share", "same_day_reorders"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

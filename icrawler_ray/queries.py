@@ -15598,6 +15598,229 @@ FROM s WHERE ad IS NOT NULL
 """
 
 
+def q_lines_anova_f(sf_dir: str):
+    """One-way ANOVA: does lines-per-order differ across order
+    priorities?  F = between-group / within-group mean square, derived
+    entirely from exact integer (sum, sumsq, n) moments — a per-order
+    line-count combiner joined once to priorities, then group moments
+    fold over the 5-group grid."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"]) \
+        .map_batches(
+            lambda df: df.groupby("l_orderkey", as_index=False).size()
+            .rename(columns={"size": "k", "l_orderkey": "o_orderkey"}),
+            batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.groupby(["o_orderkey", "o_orderpriority"],
+                      as_index=False)["k"].sum()
+        v = o["k"].to_numpy(np.int64)
+        o = o.assign(sq=v * v)
+        return o.groupby("o_orderpriority", as_index=False).agg(
+            s=("k", "sum"), ss=("sq", "sum"), n=("k", "size"))
+
+    parts = salted_hash_join(li, orders, "o_orderkey", agg_fn=moments,
+                             hot_keys=np.array([], np.int64)).to_pandas()
+    g = parts.groupby("o_orderpriority", as_index=False)[
+        ["s", "ss", "n"]].sum()
+    S, N = int(g["s"].sum()), int(g["n"].sum())
+    k = len(g)
+    gm = S / N
+    ssb = float((g["s"] ** 2 / g["n"]).sum() - S * S / N)
+    ssw = float(g["ss"].sum() - (g["s"] ** 2 / g["n"]).sum())
+    f = (ssb / (k - 1)) / (ssw / (N - k))
+    return pd.DataFrame({
+        "f_stat": [round(f, 6)], "grand_mean": [round(gm, 6)],
+        "n_orders": np.array([N], np.int64),
+        "n_groups": np.array([k], np.int64)})
+
+
+SQL_LINES_ANOVA_F = """
+WITH o AS (SELECT l.l_orderkey, ord.o_orderpriority, COUNT(*) AS k
+           FROM lineitem l JOIN orders ord
+             ON ord.o_orderkey = l.l_orderkey
+           GROUP BY 1, 2),
+m AS (SELECT o_orderpriority, SUM(k) * 1.0 AS s,
+             SUM(CAST(k AS HUGEINT) * k) * 1.0 AS ss, COUNT(*) AS n
+      FROM o GROUP BY 1),
+t AS (SELECT SUM(s) AS S, SUM(n) AS N, COUNT(*) AS kg,
+             SUM(s * s / n) AS sb, SUM(ss) AS sst
+      FROM m)
+SELECT ROUND(((sb - S * S / N) / (kg - 1))
+             / ((sst - sb) / (N - kg)), 6) AS f_stat,
+       ROUND(S / N, 6) AS grand_mean,
+       CAST(N AS BIGINT) AS n_orders,
+       CAST(kg AS BIGINT) AS n_groups
+FROM t
+"""
+
+
+def q_leader_margin_by_nation(sf_dir: str):
+    """Leadership margin: per nation, the revenue gap between its #1
+    and #2 customers (cents-exact, custkey tiebreaks) — one step past
+    the leave-one-out audit.  Per-(nation, custkey) combiner partials
+    through the broadcast dim; per-block top-2 partials are the only
+    candidates the driver needs."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    dim_ref = ray.put(dict(zip(dim["c_custkey"], dim["n_name"])))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(dim_ref)
+        g = pd.DataFrame({
+            "n_name": df["o_custkey"].map(m).to_numpy(),
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)})
+        return g.groupby(["n_name", "o_custkey"], as_index=False)["cents"] \
+            .sum()
+
+    parts = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pandas").to_pandas()
+    per = parts.groupby(["n_name", "o_custkey"], as_index=False)["cents"] \
+        .sum().sort_values(["n_name", "cents", "o_custkey"],
+                           ascending=[True, False, True])
+    top2 = per.groupby("n_name", as_index=False).head(2)
+    first = top2.groupby("n_name", as_index=False).head(1) \
+        .rename(columns={"cents": "c1", "o_custkey": "leader"})
+    second = top2.groupby("n_name", as_index=False).tail(1) \
+        .rename(columns={"cents": "c2"})
+    out = first.merge(second[["n_name", "c2"]], on="n_name")
+    return pd.DataFrame({
+        "n_name": out["n_name"],
+        "leader": out["leader"].astype(np.int64),
+        "margin": ((out["c1"] - out["c2"]) / 100.0).round(2),
+        "margin_share": ((out["c1"] - out["c2"]) / out["c1"]).round(6),
+    }).sort_values("n_name").reset_index(drop=True)
+
+
+SQL_LEADER_MARGIN_BY_NATION = """
+WITH per AS (
+  SELECT n.n_name, o.o_custkey,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2),
+r AS (SELECT n_name, o_custkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY cents DESC, o_custkey) AS rk
+      FROM per)
+SELECT a.n_name, a.o_custkey AS leader,
+       ROUND((a.cents - b.cents) / 100.0, 2) AS margin,
+       ROUND((a.cents - b.cents) * 1.0 / a.cents, 6) AS margin_share
+FROM r a JOIN r b ON b.n_name = a.n_name AND a.rk = 1 AND b.rk = 2
+ORDER BY a.n_name
+"""
+
+
+def q_above_avg_discount_share(sf_dir: str):
+    """Compare-to-own-group-mean window: the share of lines whose
+    discount exceeds THEIR OWN ORDER's average discount, by return
+    flag — the within-entity-relative predicate (a global threshold
+    can't express it).  Per-(order, flag) partials co-locate per
+    orderkey; the comparison is exact (line bp x k > order bp-sum)."""
+    P = 64
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(bp=np.round(df["l_discount"].to_numpy() * 100)
+                      .astype(np.int64))
+        g["part"] = (g["l_orderkey"].to_numpy(np.int64) % P).astype(np.int32)
+        return g[["part", "l_orderkey", "l_returnflag", "bp"]]
+
+    def share(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("l_orderkey")["bp"].transform("sum")
+        k = g.groupby("l_orderkey")["bp"].transform("size")
+        above = (g["bp"] * k > tot).to_numpy().astype(np.int64)
+        return pd.DataFrame({"l_returnflag": g["l_returnflag"].to_numpy(),
+                             "above": above}) \
+            .groupby("l_returnflag", as_index=False).agg(
+            n_above=("above", "sum"), n=("above", "size"))
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(share, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("l_returnflag", as_index=False)[["n_above", "n"]].sum()
+    g["above_share"] = (g["n_above"] / g["n"]).round(6)
+    g["n_above"] = g["n_above"].astype(np.int64)
+    g["n"] = g["n"].astype(np.int64)
+    return g.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_ABOVE_AVG_DISCOUNT_SHARE = """
+WITH l AS (SELECT l_returnflag,
+                  CAST(ROUND(l_discount * 100) AS BIGINT) AS bp,
+                  SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                    OVER (PARTITION BY l_orderkey) AS tot,
+                  COUNT(*) OVER (PARTITION BY l_orderkey) AS k
+           FROM lineitem)
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN bp * k > tot THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(CASE WHEN bp * k > tot THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS above_share
+FROM l GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_same_day_reorders(sf_dir: str):
+    """Same-day reorder detection: customers placing 2+ orders on one
+    calendar day — burst purchasing at day granularity.  (custkey, day)
+    count combiners finalize per custkey partition; three counters
+    fold."""
+    P = 64
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "day": df["o_orderdate"].to_numpy("datetime64[D]")
+            .astype(np.int64)}) \
+            .groupby(["o_custkey", "day"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["part"] = (g["o_custkey"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["o_custkey", "day"], as_index=False)["n"].sum()
+        multi = m.loc[m["n"] > 1]
+        return pd.DataFrame({
+            "n_multi_days": [len(multi)],
+            "n_custs": [int(multi["o_custkey"].nunique())],
+            "n_cust_total": [int(m["o_custkey"].nunique())]})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(audit, batch_format="pandas")
+             .to_pandas())
+    nc = int(parts["n_custs"].sum())
+    tot = int(parts["n_cust_total"].sum())
+    return pd.DataFrame({
+        "n_multi_order_days": np.array([int(parts["n_multi_days"].sum())],
+                                       np.int64),
+        "n_customers_with_bursts": np.array([nc], np.int64),
+        "burst_customer_share": [round(nc / tot, 6)]})
+
+
+SQL_SAME_DAY_REORDERS = """
+WITH d AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+                  COUNT(*) AS n
+           FROM orders GROUP BY 1, 2)
+SELECT CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_order_days,
+       CAST(COUNT(DISTINCT CASE WHEN n > 1 THEN o_custkey END) AS BIGINT)
+         AS n_customers_with_bursts,
+       ROUND(COUNT(DISTINCT CASE WHEN n > 1 THEN o_custkey END) * 1.0
+             / COUNT(DISTINCT o_custkey), 6) AS burst_customer_share
+FROM d
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -15904,6 +16127,10 @@ QUERIES = {
     "discount_by_linenumber": q_discount_by_linenumber,
     "round_price_share": q_round_price_share,
     "revenue_masd": q_revenue_masd,
+    "lines_anova_f": q_lines_anova_f,
+    "leader_margin_by_nation": q_leader_margin_by_nation,
+    "above_avg_discount_share": q_above_avg_discount_share,
+    "same_day_reorders": q_same_day_reorders,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -16226,4 +16453,8 @@ ORACLE_SQL = {
     "discount_by_linenumber": SQL_DISCOUNT_BY_LINENUMBER,
     "round_price_share": SQL_ROUND_PRICE_SHARE,
     "revenue_masd": SQL_REVENUE_MASD,
+    "lines_anova_f": SQL_LINES_ANOVA_F,
+    "leader_margin_by_nation": SQL_LEADER_MARGIN_BY_NATION,
+    "above_avg_discount_share": SQL_ABOVE_AVG_DISCOUNT_SHARE,
+    "same_day_reorders": SQL_SAME_DAY_REORDERS,
 }
