@@ -312,7 +312,9 @@ def bench_queries() -> dict:
              "next_day_return_rate", "discount_by_linenumber",
              "round_price_share", "revenue_masd",
              "lines_anova_f", "leader_margin_by_nation",
-             "above_avg_discount_share", "same_day_reorders"]
+             "above_avg_discount_share", "same_day_reorders",
+             "mannwhitney_weekend", "qty_uniformity_gof",
+             "heaps_law_fit", "theil_decomposition"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -15821,6 +15821,246 @@ FROM d
 """
 
 
+def q_mannwhitney_weekend(sf_dir: str):
+    """Mann–Whitney U (rank-sum) test: weekend vs weekday purchase
+    values — the nonparametric sibling of q_acctbal_ttest and
+    q_weekend_value_qte.  U folds EXACTLY from the per-value count
+    grids of both groups (2U = 2·Σ n1(v)·cum_n2(<v) + Σ n1(v)·n2(v),
+    integer arithmetic handles ties as midranks), so no row-level rank
+    shuffle ever happens."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["event_type"] == "purchase"]
+        return pd.DataFrame({
+            "wk": (df["ts"].dt.dayofweek >= 5).to_numpy().astype(np.int64),
+            "cents": np.round(df["value"].to_numpy() * 100)
+            .astype(np.int64)}).groupby(["wk", "cents"],
+                                        as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cnt = parts.groupby(["wk", "cents"], as_index=False)["n"].sum()
+    piv = cnt.pivot_table(index="cents", columns="wk", values="n",
+                          fill_value=0, aggfunc="sum").sort_index()
+    n1 = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    n0 = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    cum0_below = np.r_[0, np.cumsum(n0)[:-1]]
+    two_u = 2 * int((n1 * cum0_below).sum()) + int((n1 * n0).sum())
+    N1, N0 = int(n1.sum()), int(n0.sum())
+    mu = N1 * N0  # 2*E[U]
+    # normal approx z with tie-corrected variance, exact integer inputs
+    N = N1 + N0
+    t = (n0 + n1).astype(np.int64)
+    tie_term = int((t ** 3 - t).sum())
+    var_u = N1 * N0 / 12.0 * ((N + 1) - tie_term / (N * (N - 1.0)))
+    z = (two_u - mu) / (2.0 * np.sqrt(var_u))
+    return pd.DataFrame({
+        "u_stat": [round(two_u / 2.0, 2)],
+        "z": [round(float(z), 6)],
+        "n_weekend": np.array([N1], np.int64),
+        "n_weekday": np.array([N0], np.int64)})
+
+
+SQL_MANNWHITNEY_WEEKEND = """
+WITH v AS (SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS wk,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT cents,
+             SUM(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS n0
+      FROM v GROUP BY cents),
+w AS (SELECT n1, n0,
+             COALESCE(SUM(n0) OVER (ORDER BY cents
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0) AS cum0
+      FROM c),
+t AS (SELECT SUM(2 * n1 * cum0 + n1 * n0) AS two_u,
+             SUM(n1) AS N1, SUM(n0) AS N0,
+             SUM((n1 + n0) * (n1 + n0) * (n1 + n0) - (n1 + n0))
+               AS tie_term
+      FROM w)
+SELECT ROUND(two_u / 2.0, 2) AS u_stat,
+       ROUND((two_u - N1 * N0)
+             / (2.0 * SQRT(N1 * N0 / 12.0
+                           * ((N1 + N0 + 1)
+                              - tie_term * 1.0
+                                / ((N1 + N0) * (N1 + N0 - 1.0))))), 6)
+         AS z,
+       CAST(N1 AS BIGINT) AS n_weekend, CAST(N0 AS BIGINT) AS n_weekday
+FROM t
+"""
+
+
+def q_qty_uniformity_gof(sf_dir: str):
+    """Chi-squared goodness-of-fit: are line quantities uniform over
+    their observed 1..50 support?  One value-count combiner; the GOF
+    statistic folds from exact integer counts against the uniform
+    expectation."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy(np.int64)
+        return pd.DataFrame({"q": q}).groupby("q", as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("q", as_index=False)["n"].sum()
+    k = int(g["q"].max() - g["q"].min() + 1)
+    n = int(g["n"].sum())
+    exp = n / k
+    obs = np.zeros(k, np.int64)
+    obs[g["q"].to_numpy(np.int64) - int(g["q"].min())] = g["n"].to_numpy()
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    return pd.DataFrame({
+        "chi2": [round(chi2, 6)],
+        "dof": np.array([k - 1], np.int64),
+        "n_lines": np.array([n], np.int64)})
+
+
+SQL_QTY_UNIFORMITY_GOF = """
+WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS n
+           FROM lineitem GROUP BY 1),
+m AS (SELECT MAX(q) - MIN(q) + 1 AS k, SUM(n) AS tot,
+             MIN(q) AS qmin FROM c),
+grid AS (SELECT m.qmin + g.i AS q, m.k, m.tot
+         FROM m CROSS JOIN (SELECT UNNEST(range(0, 1000)) AS i) g
+         WHERE g.i < m.k),
+f AS (SELECT grid.k, grid.tot, COALESCE(c.n, 0) AS n
+      FROM grid LEFT JOIN c ON c.q = grid.q)
+SELECT ROUND(SUM((n - tot * 1.0 / k) * (n - tot * 1.0 / k)
+                 / (tot * 1.0 / k)), 6) AS chi2,
+       CAST(MIN(k) - 1 AS BIGINT) AS dof,
+       CAST(MIN(tot) AS BIGINT) AS n_lines
+FROM f
+"""
+
+
+def q_heaps_law_fit(sf_dir: str):
+    """Heaps' law: vocabulary growth V(k) ≈ c·k^β over the doc_id-ordered
+    corpus, fit by log–log OLS at ten checkpoints.  The distributed core
+    is an ARGMIN-PER-WORD reduce (first doc_id containing each word — a
+    per-block min combiner + word-partitioned min), after which V(k) is
+    a cumulative histogram of first occurrences — no sequential corpus
+    scan."""
+    P = 32
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split()
+        g = pd.DataFrame({
+            "word": np.concatenate(words.to_numpy()),
+            "first": np.repeat(df["doc_id"].to_numpy(),
+                               words.str.len().to_numpy())}) \
+            .groupby("word", as_index=False)["first"].min()
+        g["part"] = (pd.util.hash_array(g["word"].to_numpy(dtype=object))
+                     % P).astype(np.int32)
+        return g
+
+    def finals(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("word", as_index=False)["first"].min()
+        return m.groupby("first", as_index=False).size() \
+            .rename(columns={"size": "n_new"})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(finals, batch_format="pandas")
+             .to_pandas())
+    newv = parts.groupby("first", as_index=False)["n_new"].sum() \
+        .sort_values("first")
+    ids = newv["first"].to_numpy(np.int64)
+    cum = newv["n_new"].to_numpy(np.int64).cumsum()
+    ks = [max(1, (n_docs * (i + 1)) // 10) for i in range(10)]
+    V = [int(cum[np.searchsorted(ids, k, side="right") - 1])
+         if np.searchsorted(ids, k, side="right") > 0 else 0 for k in ks]
+    x = np.log(np.array(ks, np.float64))
+    y = np.log(np.array(V, np.float64))
+    n = 10.0
+    beta = (n * (x * y).sum() - x.sum() * y.sum()) \
+        / (n * (x * x).sum() - x.sum() ** 2)
+    return pd.DataFrame({
+        "beta": [round(float(beta), 6)],
+        "vocab_final": np.array([V[-1]], np.int64),
+        "n_docs": np.array([n_docs], np.int64)})
+
+
+SQL_HEAPS_LAW_FIT = """
+WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS word, doc_id
+           FROM documents),
+f AS (SELECT word, MIN(doc_id) AS first FROM w GROUP BY word),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+ks AS (SELECT GREATEST(1, (nd.n_docs * i.i) // 10) AS k
+       FROM nd CROSS JOIN (SELECT UNNEST(range(1, 11)) AS i) i),
+v AS (SELECT ks.k, LN(GREATEST(1, (SELECT COUNT(*) FROM f
+                                   WHERE f.first <= ks.k))) AS ly,
+             LN(ks.k) AS lx
+      FROM ks),
+o AS (SELECT COUNT(*) * 1.0 AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+      FROM v)
+SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+       CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS vocab_final,
+       CAST((SELECT n_docs FROM nd) AS BIGINT) AS n_docs
+FROM o
+"""
+
+
+def q_theil_decomposition(sf_dir: str):
+    """Theil-T inequality decomposition: total value inequality across
+    events split into BETWEEN-type and WITHIN-type components — which
+    slice of the disparity does the type dimension explain?  Per-type
+    (Σx, Σ x·ln x, n) partials; ln x evaluates per distinct cent value
+    via a value-grid combiner so both engines sum identical terms."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "cents": np.round(df["value"].to_numpy() * 100)
+            .astype(np.int64)}).groupby(["event_type", "cents"],
+                                        as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["event_type", "cents"], as_index=False)["n"].sum()
+    g = g.loc[g["cents"] > 0].sort_values(["event_type", "cents"])
+    x = g["cents"].to_numpy(np.int64).astype(np.float64)
+    n = g["n"].to_numpy(np.int64).astype(np.float64)
+    g = g.assign(sx=n * x, sxl=n * x * np.log(x))
+    per = g.groupby("event_type", as_index=False).agg(
+        sx=("sx", "sum"), sxl=("sxl", "sum"), k=("n", "sum"))
+    SX, K = float(per["sx"].sum()), float(per["k"].sum())
+    mu = SX / K
+    t_total = float((per["sxl"].sum()) / SX - np.log(mu))
+    mu_g = per["sx"].to_numpy() / per["k"].to_numpy()
+    share = per["sx"].to_numpy() / SX
+    t_between = float((share * np.log(mu_g / mu)).sum())
+    return pd.DataFrame({
+        "theil_total": [round(t_total, 6)],
+        "theil_between": [round(t_between, 6)],
+        "within_share": [round((t_total - t_between) / t_total, 6)]})
+
+
+SQL_THEIL_DECOMPOSITION = """
+WITH c AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                  COUNT(*) AS n
+           FROM events WHERE ROUND(value * 100) > 0 GROUP BY 1, 2),
+p AS (SELECT event_type, SUM(n * cents * 1.0) AS sx,
+             SUM(n * cents * LN(cents * 1.0)) AS sxl,
+             SUM(n) AS k
+      FROM c GROUP BY event_type),
+t AS (SELECT SUM(sx) AS SX, SUM(k) AS K, SUM(sxl) AS SXL FROM p),
+b AS (SELECT SUM(p.sx / t.SX * LN((p.sx / p.k) / (t.SX / t.K)))
+               AS t_between
+      FROM p, t)
+SELECT ROUND(t.SXL / t.SX - LN(t.SX / t.K), 6) AS theil_total,
+       ROUND(b.t_between, 6) AS theil_between,
+       ROUND((t.SXL / t.SX - LN(t.SX / t.K) - b.t_between)
+             / (t.SXL / t.SX - LN(t.SX / t.K)), 6) AS within_share
+FROM t, b
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -16131,6 +16371,10 @@ QUERIES = {
     "leader_margin_by_nation": q_leader_margin_by_nation,
     "above_avg_discount_share": q_above_avg_discount_share,
     "same_day_reorders": q_same_day_reorders,
+    "mannwhitney_weekend": q_mannwhitney_weekend,
+    "qty_uniformity_gof": q_qty_uniformity_gof,
+    "heaps_law_fit": q_heaps_law_fit,
+    "theil_decomposition": q_theil_decomposition,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -16457,4 +16701,8 @@ ORACLE_SQL = {
     "leader_margin_by_nation": SQL_LEADER_MARGIN_BY_NATION,
     "above_avg_discount_share": SQL_ABOVE_AVG_DISCOUNT_SHARE,
     "same_day_reorders": SQL_SAME_DAY_REORDERS,
+    "mannwhitney_weekend": SQL_MANNWHITNEY_WEEKEND,
+    "qty_uniformity_gof": SQL_QTY_UNIFORMITY_GOF,
+    "heaps_law_fit": SQL_HEAPS_LAW_FIT,
+    "theil_decomposition": SQL_THEIL_DECOMPOSITION,
 }
