@@ -314,7 +314,9 @@ def bench_queries() -> dict:
              "lines_anova_f", "leader_margin_by_nation",
              "above_avg_discount_share", "same_day_reorders",
              "mannwhitney_weekend", "qty_uniformity_gof",
-             "heaps_law_fit", "theil_decomposition"]
+             "heaps_law_fit", "theil_decomposition",
+             "linear_attribution", "qty_discount_kendall",
+             "value_by_session_position", "part_keyword_revenue"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -16061,6 +16061,247 @@ FROM t, b
 """
 
 
+def q_linear_attribution(sf_dir: str):
+    """Linear multi-touch attribution: every purchase's value splits
+    EQUALLY across all session events up to and including it (30-min
+    sessions), credit totaled per touched event type — the marketing
+    attribution primitive.  Session walks run in bounded user-hash
+    partitions; the within-session credit expansion is a prefix-rank
+    self-merge per partition; only (type, credit-µcents) partials
+    leave."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df["user_id"].to_numpy() % P).astype(np.int32)
+        return df
+
+    def credit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap = ((g["ts"].diff() > pd.Timedelta(minutes=30)) & same) | ~same
+        sid = gap.cumsum().to_numpy()
+        pos = pd.Series(np.arange(len(g))).groupby(sid).cumcount() \
+            .to_numpy() + 1
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        d = pd.DataFrame({"sid": sid, "pos": pos,
+                          "event_type": g["event_type"].to_numpy(),
+                          "cents": cents,
+                          "is_p": (g["event_type"] == "purchase")
+                          .to_numpy()})
+        purch = d.loc[d["is_p"], ["sid", "pos", "cents"]] \
+            .rename(columns={"pos": "ppos"})
+        j = d[["sid", "pos", "event_type"]].merge(purch, on="sid")
+        j = j.loc[j["pos"] <= j["ppos"]]
+        # exact microcents: value*100*10000 // ppos keeps integers, and
+        # both engines use the same floor division
+        j["credit"] = (j["cents"].to_numpy(np.int64) * 10000
+                       // j["ppos"].to_numpy(np.int64))
+        return j.groupby("event_type", as_index=False)["credit"].sum()
+
+    parts = (ds.map_batches(add_part, batch_format="pandas")
+             .groupby("part").map_groups(credit, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("event_type", as_index=False)["credit"].sum()
+    # integer half-away-from-zero to cents: np.round is half-EVEN and
+    # lands on .465-style boundaries differently than SQL ROUND
+    g["credited_value"] = ((g.pop("credit").to_numpy(np.int64) + 5000)
+                           // 10000) / 100.0
+    return g.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_LINEAR_ATTRIBUTION = """
+WITH f AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+  FROM events),
+s0 AS (SELECT user_id, ts, event_id, event_type, cents,
+              SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+       FROM f),
+s AS (SELECT user_id, event_type, cents, sid,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS pos
+      FROM s0),
+p AS (SELECT user_id, sid, pos AS ppos, cents FROM s
+      WHERE event_type = 'purchase'),
+j AS (SELECT a.event_type, p.cents * 10000 // p.ppos AS credit
+      FROM s a JOIN p ON p.user_id = a.user_id AND p.sid = a.sid
+                     AND a.pos <= p.ppos)
+SELECT event_type,
+       ((SUM(credit) + 5000) // 10000) / 100.0 AS credited_value
+FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_qty_discount_kendall(sf_dir: str):
+    """Within-order concordance (Kendall tau-a over bounded groups): do
+    bigger line quantities get bigger discounts INSIDE the same order?
+    Pairs expand per order in orderkey partitions (≤ C(7,2) per group —
+    structurally bounded); concordant/discordant counts fold to one
+    tau."""
+    P = 64
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o": df["l_orderkey"].to_numpy(),
+            "ln": df["l_linenumber"].to_numpy(np.int64),
+            "q": df["l_quantity"].to_numpy(np.int64),
+            "bp": np.round(df["l_discount"].to_numpy() * 100)
+            .astype(np.int64)})
+        g["part"] = (g["o"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        j = g.merge(g, on="o", suffixes=("_a", "_b"))
+        j = j.loc[j["ln_a"] < j["ln_b"]]
+        dq = np.sign(j["q_b"].to_numpy() - j["q_a"].to_numpy())
+        db = np.sign(j["bp_b"].to_numpy() - j["bp_a"].to_numpy())
+        prod = dq * db
+        return pd.DataFrame({"conc": [int((prod > 0).sum())],
+                             "disc": [int((prod < 0).sum())],
+                             "pairs": [len(j)]})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(pairs, batch_format="pandas")
+             .to_pandas())
+    c, d = int(parts["conc"].sum()), int(parts["disc"].sum())
+    n = int(parts["pairs"].sum())
+    return pd.DataFrame({
+        "kendall_tau_a": [round((c - d) / n, 6)],
+        "n_concordant": np.array([c], np.int64),
+        "n_discordant": np.array([d], np.int64),
+        "n_pairs": np.array([n], np.int64)})
+
+
+SQL_QTY_DISCOUNT_KENDALL = """
+WITH p AS (
+  SELECT SIGN(b.l_quantity - a.l_quantity)
+         * SIGN(CAST(ROUND(b.l_discount * 100) AS BIGINT)
+                - CAST(ROUND(a.l_discount * 100) AS BIGINT)) AS prod
+  FROM lineitem a JOIN lineitem b
+    ON b.l_orderkey = a.l_orderkey AND a.l_linenumber < b.l_linenumber)
+SELECT ROUND((SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END)
+              - SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END)) * 1.0
+             / COUNT(*), 6) AS kendall_tau_a,
+       CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_concordant,
+       CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discordant,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p
+"""
+
+
+def q_value_by_session_position(sf_dir: str):
+    """Within-session ordinal effect: average event value by position in
+    the session (1st, 2nd, ..., capped at 5+) — do sessions warm up or
+    decay?  The session walk assigns positions vectorized in bounded
+    user partitions; (position, cents, n) partials fold over six rows."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df["user_id"].to_numpy() % P).astype(np.int32)
+        return df
+
+    def bypos(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap = ((g["ts"].diff() > pd.Timedelta(minutes=30)) & same) | ~same
+        sid = gap.cumsum().to_numpy()
+        pos = pd.Series(np.arange(len(g))).groupby(sid).cumcount() \
+            .to_numpy() + 1
+        pos = np.minimum(pos, 5)
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"pos": pos, "cents": cents}) \
+            .groupby("pos", as_index=False).agg(s=("cents", "sum"),
+                                                n=("cents", "size"))
+
+    parts = (ds.map_batches(add_part, batch_format="pandas")
+             .groupby("part").map_groups(bypos, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("pos", as_index=False)[["s", "n"]].sum()
+    g["avg_value"] = (g["s"] / g["n"] / 100.0).round(6)
+    g["n_events"] = g.pop("n").astype(np.int64)
+    g["pos"] = g["pos"].astype(np.int64)
+    return g.drop(columns="s").sort_values("pos").reset_index(drop=True)
+
+
+SQL_VALUE_BY_SESSION_POSITION = """
+WITH f AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+  FROM events),
+s0 AS (SELECT user_id, ts, event_id, cents,
+              SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+       FROM f),
+s AS (SELECT cents,
+             LEAST(ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                      ORDER BY ts, event_id), 5) AS pos
+      FROM s0)
+SELECT CAST(pos AS BIGINT) AS pos,
+       ROUND(SUM(cents) * 1.0 / COUNT(*) / 100.0, 6) AS avg_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY pos ORDER BY pos
+"""
+
+
+def q_part_keyword_revenue(sf_dir: str):
+    """LIKE-predicate pushdown through a join: lineitem revenue for
+    parts whose NAME contains 'bolt', per brand — the string-predicate
+    dimension filter.  The matching partkey set shrinks at the part
+    scan (predicate pushdown), rides the salted join as the build side,
+    and only (brand, rev, n) partials leave."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_name"]) \
+        .map_batches(
+            lambda df: df.loc[df["p_name"].str.contains("bolt"),
+                              ["p_partkey", "p_brand"]],
+            batch_format="pandas")
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "p_partkey": df["l_partkey"].to_numpy(),
+                "cents": np.round(df["l_extendedprice"].to_numpy() * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("p_brand", as_index=False).agg(
+            s=("cents", "sum"), n=("cents", "size"))
+
+    parts = salted_hash_join(li, part, "p_partkey", agg_fn=agg).to_pandas()
+    g = parts.groupby("p_brand", as_index=False)[["s", "n"]].sum()
+    g["revenue"] = (g.pop("s") / 100.0).round(2)
+    g["n_lines"] = g.pop("n").astype(np.int64)
+    return g.sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_PART_KEYWORD_REVENUE = """
+SELECT p.p_brand,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+             / 100.0, 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY p.p_brand ORDER BY p.p_brand
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -16375,6 +16616,10 @@ QUERIES = {
     "qty_uniformity_gof": q_qty_uniformity_gof,
     "heaps_law_fit": q_heaps_law_fit,
     "theil_decomposition": q_theil_decomposition,
+    "linear_attribution": q_linear_attribution,
+    "qty_discount_kendall": q_qty_discount_kendall,
+    "value_by_session_position": q_value_by_session_position,
+    "part_keyword_revenue": q_part_keyword_revenue,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -16705,4 +16950,8 @@ ORACLE_SQL = {
     "qty_uniformity_gof": SQL_QTY_UNIFORMITY_GOF,
     "heaps_law_fit": SQL_HEAPS_LAW_FIT,
     "theil_decomposition": SQL_THEIL_DECOMPOSITION,
+    "linear_attribution": SQL_LINEAR_ATTRIBUTION,
+    "qty_discount_kendall": SQL_QTY_DISCOUNT_KENDALL,
+    "value_by_session_position": SQL_VALUE_BY_SESSION_POSITION,
+    "part_keyword_revenue": SQL_PART_KEYWORD_REVENUE,
 }
