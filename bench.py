@@ -316,7 +316,9 @@ def bench_queries() -> dict:
              "mannwhitney_weekend", "qty_uniformity_gof",
              "heaps_law_fit", "theil_decomposition",
              "linear_attribution", "qty_discount_kendall",
-             "value_by_session_position", "part_keyword_revenue"]
+             "value_by_session_position", "part_keyword_revenue",
+             "error_then_purchase_rate", "reactivated_customers",
+             "lexical_sophistication", "wau_trend"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -16302,6 +16302,251 @@ GROUP BY p.p_brand ORDER BY p.p_brand
 """
 
 
+def q_error_then_purchase_rate(sf_dir: str):
+    """Within-session precedence: the share of purchases that happen
+    AFTER at least one error in the same session — does friction kill
+    or precede conversion?  The session walk tracks a running
+    seen-error flag per session (vectorized prefix-OR via cummax);
+    (preceded, n) counters fold."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df["user_id"].to_numpy() % P).astype(np.int32)
+        return df
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap = ((g["ts"].diff() > pd.Timedelta(minutes=30)) & same) | ~same
+        sid = gap.cumsum().to_numpy()
+        # prefix-OR of 'error seen STRICTLY BEFORE this row' per session
+        is_err = (g["event_type"] == "error").to_numpy().astype(np.int64)
+        err_cum = pd.Series(is_err).groupby(sid).cumsum().to_numpy()
+        seen_before = (err_cum - is_err) > 0
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        return pd.DataFrame({
+            "n_preceded": [int((is_p & seen_before).sum())],
+            "n_purchases": [int(is_p.sum())]})
+
+    parts = (ds.map_batches(add_part, batch_format="pandas")
+             .groupby("part").map_groups(walk, batch_format="pandas")
+             .to_pandas())
+    p = int(parts["n_preceded"].sum())
+    n = int(parts["n_purchases"].sum())
+    return pd.DataFrame({
+        "n_preceded": np.array([p], np.int64),
+        "n_purchases": np.array([n], np.int64),
+        "preceded_share": [round(p / n, 6)]})
+
+
+SQL_ERROR_THEN_PURCHASE_RATE = """
+WITH f AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+  FROM events),
+s AS (SELECT user_id, ts, event_id, event_type,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+w AS (SELECT event_type,
+             COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                              END)
+                        OVER (PARTITION BY user_id, sid
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS err_before
+      FROM s)
+SELECT CAST(SUM(CASE WHEN event_type = 'purchase' AND err_before > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_preceded,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' AND err_before > 0
+                      THEN 1 ELSE 0 END) * 1.0
+             / SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+             6) AS preceded_share
+FROM w
+"""
+
+
+def q_reactivated_customers(sf_dir: str):
+    """Dormancy reactivation: customers who went quiet for more than 180
+    days and then ordered again — the win-back denominator.  Per-
+    customer gap scans run vectorized in bounded custkey partitions;
+    (reactivated, total) counters fold."""
+    P = 32
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pa.array((t["o_custkey"].to_numpy(zero_copy_only=False) % P)
+                        .astype(np.int32))
+        return t.append_column("part", part)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        c = g["o_custkey"].to_numpy()
+        d = g["o_orderdate"].to_numpy("datetime64[D]").astype(np.int64)
+        same = c[1:] == c[:-1]
+        big_gap = (d[1:] - d[:-1] > 180) & same
+        react = pd.DataFrame({"c": c[1:][big_gap]})["c"].nunique()
+        return pd.DataFrame({"n_react": [int(react)],
+                             "n_cust": [int(pd.unique(c).size)]})
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("part").map_groups(scan, batch_format="pandas")
+             .to_pandas())
+    r = int(parts["n_react"].sum())
+    n = int(parts["n_cust"].sum())
+    return pd.DataFrame({
+        "n_reactivated": np.array([r], np.int64),
+        "n_customers": np.array([n], np.int64),
+        "reactivation_share": [round(r / n, 6)]})
+
+
+SQL_REACTIVATED_CUSTOMERS = """
+WITH g AS (SELECT o_custkey,
+                  date_diff('day',
+                            lag(o_orderdate)
+                              OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey),
+                            o_orderdate) AS gap
+           FROM orders)
+SELECT CAST(COUNT(DISTINCT CASE WHEN gap > 180 THEN o_custkey END)
+            AS BIGINT) AS n_reactivated,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       ROUND(COUNT(DISTINCT CASE WHEN gap > 180 THEN o_custkey END) * 1.0
+             / COUNT(DISTINCT o_custkey), 6) AS reactivation_share
+FROM g
+"""
+
+
+def q_lexical_sophistication(sf_dir: str):
+    """Lexical sophistication: the token-weighted mean GLOBAL FREQUENCY
+    RANK of each language's tokens (higher mean rank = rarer
+    vocabulary).  Global term ranks come from one word-count combiner +
+    assign_global_seq over the vocabulary (vocab-sized, not
+    corpus-sized); per-lang token streams then look the rank up from
+    the broadcast vocab map."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def wc(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split()
+        return pd.DataFrame({"word": np.concatenate(words.to_numpy())}) \
+            .groupby("word", as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    vocab = ds.map_batches(wc, batch_format="pandas") \
+        .groupby("word").sum("n").materialize()
+    ranked = assign_global_seq(vocab, ["sum(n)", "word"], col="rk",
+                               descending=True).to_pandas()
+    rmap_ref = ray.put(dict(zip(ranked["word"], ranked["rk"])))
+
+    def per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(rmap_ref)
+        words = df["text"].str.split()
+        out = pd.DataFrame({
+            "lang": np.repeat(df["lang"].to_numpy(),
+                              words.str.len().to_numpy()),
+            "rk": pd.Series(np.concatenate(words.to_numpy())).map(m)
+            .to_numpy(np.int64)})
+        return out.groupby("lang", as_index=False).agg(s=("rk", "sum"),
+                                                       n=("rk", "size"))
+
+    parts = ds.map_batches(per_lang, batch_format="pandas").to_pandas()
+    g = parts.groupby("lang", as_index=False)[["s", "n"]].sum()
+    g["mean_rank"] = (g["s"] / g["n"]).round(6)
+    g["n_tokens"] = g.pop("n").astype(np.int64)
+    return g.drop(columns="s").sort_values("lang").reset_index(drop=True)
+
+
+SQL_LEXICAL_SOPHISTICATION = """
+WITH w AS (SELECT lang, UNNEST(string_split(text, ' ')) AS word
+           FROM documents),
+v AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+r AS (SELECT word,
+             ROW_NUMBER() OVER (ORDER BY n DESC, word DESC) - 1 AS rk
+      FROM v)
+SELECT w.lang, ROUND(SUM(r.rk) * 1.0 / COUNT(*), 6) AS mean_rank,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM w JOIN r ON r.word = w.word
+GROUP BY w.lang ORDER BY w.lang
+"""
+
+
+def q_wau_trend(sf_dir: str):
+    """Weekly-active-users trend with inference: exact WAU per ISO week,
+    OLS slope over week index AND its t-statistic — is growth
+    significant or noise?  Distinct users per week come from (week,
+    user) presence dedup partials finished in user partitions; the
+    regression algebra folds from exact integer sums over the
+    weeks-bounded series."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        iso = df["ts"].dt.isocalendar()
+        g = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "week": (iso["year"].to_numpy(np.int64) * 100
+                     + iso["week"].to_numpy(np.int64))}).drop_duplicates()
+        g["part"] = (g["user_id"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "week"]].drop_duplicates()
+        return d.groupby("week", as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(counts, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("week", as_index=False)["n"].sum().sort_values("week")
+    y = g["n"].to_numpy(np.int64).astype(np.float64)
+    x = np.arange(len(y), dtype=np.float64)
+    n = float(len(y))
+    sxx = (x * x).sum() - x.sum() ** 2 / n
+    sxy = (x * y).sum() - x.sum() * y.sum() / n
+    beta = sxy / sxx
+    alpha = (y.sum() - beta * x.sum()) / n
+    resid = y - alpha - beta * x
+    se = np.sqrt((resid * resid).sum() / (n - 2) / sxx)
+    return pd.DataFrame({
+        "slope": [round(float(beta), 6)],
+        "t_stat": [round(float(beta / se), 6)],
+        "n_weeks": np.array([int(n)], np.int64)})
+
+
+SQL_WAU_TREND = """
+WITH w AS (SELECT EXTRACT(isoyear FROM ts) * 100 + EXTRACT(week FROM ts)
+               AS week,
+             COUNT(DISTINCT user_id) AS n
+      FROM events GROUP BY 1),
+x AS (SELECT (ROW_NUMBER() OVER (ORDER BY week) - 1) * 1.0 AS x,
+             n * 1.0 AS y
+      FROM w),
+m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM x),
+b AS (SELECT n, (sxy - sx * sy / n) / (sxx - sx * sx / n) AS beta,
+             sxx - sx * sx / n AS vx,
+             syy - sy * sy / n
+               - POWER(sxy - sx * sy / n, 2) / (sxx - sx * sx / n)
+               AS ssr
+      FROM m)
+SELECT ROUND(beta, 6) AS slope,
+       ROUND(beta / SQRT(ssr / (n - 2) / vx), 6) AS t_stat,
+       CAST(n AS BIGINT) AS n_weeks
+FROM b
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -16620,6 +16865,10 @@ QUERIES = {
     "qty_discount_kendall": q_qty_discount_kendall,
     "value_by_session_position": q_value_by_session_position,
     "part_keyword_revenue": q_part_keyword_revenue,
+    "error_then_purchase_rate": q_error_then_purchase_rate,
+    "reactivated_customers": q_reactivated_customers,
+    "lexical_sophistication": q_lexical_sophistication,
+    "wau_trend": q_wau_trend,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -16954,4 +17203,8 @@ ORACLE_SQL = {
     "qty_discount_kendall": SQL_QTY_DISCOUNT_KENDALL,
     "value_by_session_position": SQL_VALUE_BY_SESSION_POSITION,
     "part_keyword_revenue": SQL_PART_KEYWORD_REVENUE,
+    "error_then_purchase_rate": SQL_ERROR_THEN_PURCHASE_RATE,
+    "reactivated_customers": SQL_REACTIVATED_CUSTOMERS,
+    "lexical_sophistication": SQL_LEXICAL_SOPHISTICATION,
+    "wau_trend": SQL_WAU_TREND,
 }
