@@ -318,7 +318,9 @@ def bench_queries() -> dict:
              "linear_attribution", "qty_discount_kendall",
              "value_by_session_position", "part_keyword_revenue",
              "error_then_purchase_rate", "reactivated_customers",
-             "lexical_sophistication", "wau_trend"]
+             "lexical_sophistication", "wau_trend",
+             "activity_halflife", "user_value_autocorr",
+             "top_token_burstiness", "dom_ordering_profile"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

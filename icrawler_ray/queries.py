@@ -16547,6 +16547,216 @@ FROM b
 """
 
 
+def q_activity_halflife(sf_dir: str):
+    """Activity half-life: for each user with 4+ events, the fraction of
+    their first-to-last lifespan elapsed when their MEDIAN event fires
+    (≈0.5 for steady users, small for front-loaded ones); the median of
+    that fraction across users.  Per-user walks run in bounded
+    partitions with exact integer-µs ratios carried as (num, den)
+    pairs; the cross-user median uses the quantile_disc convention over
+    the user-bounded fraction table."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df["user_id"].to_numpy() % P).astype(np.int32)
+        return df
+
+    def halflife(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # vectorized group-boundary indexing: no per-user Python loop
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(u)])
+        keep = counts >= 4
+        s, k = starts[keep], counts[keep]
+        med = us[s + np.ceil(k / 2).astype(np.int64) - 1]
+        frac = (med - us[s]) / (us[s + k - 1] - us[s])
+        return pd.DataFrame({"frac": np.round(frac, 9)})
+
+    fr = (ds.map_batches(add_part, batch_format="pandas")
+          .groupby("part").map_groups(halflife, batch_format="pandas")
+          .to_pandas())
+    v = np.sort(fr["frac"].to_numpy())
+    med = v[int(np.ceil(0.5 * len(v))) - 1]
+    return pd.DataFrame({"median_half_fraction": [round(float(med), 6)],
+                         "n_users": np.array([len(v)], np.int64)})
+
+
+SQL_ACTIVITY_HALFLIFE = """
+WITH r AS (SELECT user_id, ts,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rk,
+                  COUNT(*) OVER (PARTITION BY user_id) AS n,
+                  MIN(ts) OVER (PARTITION BY user_id) AS t0,
+                  MAX(ts) OVER (PARTITION BY user_id) AS t1
+           FROM events),
+m AS (SELECT ROUND(date_diff('microsecond', t0, ts) * 1.0
+                   / date_diff('microsecond', t0, t1), 9) AS frac
+      FROM r WHERE n >= 4 AND rk = CAST(CEIL(n / 2.0) AS BIGINT))
+SELECT ROUND(quantile_disc(frac, 0.5), 6) AS median_half_fraction,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM m
+"""
+
+
+def q_user_value_autocorr(sf_dir: str):
+    """Within-entity serial dependence: pooled lag-1 Pearson correlation
+    between CONSECUTIVE same-user event values — do users streak high or
+    alternate?  Consecutive (x, y) cent pairs form inside bounded user
+    partitions after one sort; the correlation folds from exact integer
+    product sums."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df["user_id"].to_numpy() % P).astype(np.int32)
+        return df
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        c = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        same = u[1:] == u[:-1]
+        x, y = c[:-1][same], c[1:][same]
+        return pd.DataFrame({
+            "k": [len(x)], "sx": [int(x.sum())], "sy": [int(y.sum())],
+            "sxx": [int((x * x).sum())], "syy": [int((y * y).sum())],
+            "sxy": [int((x * y).sum())]})
+
+    p = (ds.map_batches(add_part, batch_format="pandas")
+         .groupby("part").map_groups(moments, batch_format="pandas")
+         .to_pandas())
+    k = int(p["k"].sum())
+    sx, sy = int(p["sx"].sum()), int(p["sy"].sum())
+    sxx, syy, sxy = int(p["sxx"].sum()), int(p["syy"].sum()), \
+        int(p["sxy"].sum())
+    r = (k * sxy - sx * sy) / np.sqrt((k * sxx - sx * sx) * 1.0
+                                      * (k * syy - sy * sy))
+    return pd.DataFrame({"lag1_r": [round(float(r), 6)],
+                         "n_pairs": np.array([k], np.int64)})
+
+
+SQL_USER_VALUE_AUTOCORR = """
+WITH s AS (SELECT user_id,
+                  CAST(ROUND(value * 100) AS BIGINT) AS y,
+                  lag(CAST(ROUND(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS x
+           FROM events),
+p AS (SELECT x, y FROM s WHERE x IS NOT NULL),
+m AS (SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM p)
+SELECT ROUND((k * sxy - sx * sy)
+             / SQRT((k * sxx - sx * sx) * 1.0 * (k * syy - sy * sy)), 6)
+         AS lag1_r,
+       CAST(k AS BIGINT) AS n_pairs
+FROM m
+"""
+
+
+def q_top_token_burstiness(sf_dir: str):
+    """Burstiness of the single most frequent corpus token: the
+    variance-to-mean ratio of its PER-DOCUMENT count (including
+    zero-count docs — the trap naive joins miss).  The global argmax
+    token comes from one word-count combiner; per-doc counts of that
+    token reduce to exact (Σc, Σc², n-docs) moments with the zero mass
+    folded in arithmetically."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def wc(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split()
+        return pd.DataFrame({"word": np.concatenate(words.to_numpy())}) \
+            .groupby("word", as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    vocab = ds.map_batches(wc, batch_format="pandas").to_pandas() \
+        .groupby("word", as_index=False)["n"].sum() \
+        .sort_values(["n", "word"], ascending=[False, True])
+    top = vocab["word"].iloc[0]
+    tref = ray.put(top)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(tref)
+        cnt = df["text"].str.split().map(lambda ws: ws.count(t)) \
+            .to_numpy(np.int64)
+        cnt = cnt[cnt > 0]
+        return pd.DataFrame({"s": [int(cnt.sum())],
+                             "ss": [int((cnt * cnt).sum())],
+                             "k": [len(cnt)]})
+
+    p = ds.map_batches(per_doc, batch_format="pandas").to_pandas()
+    s, ss = int(p["s"].sum()), int(p["ss"].sum())
+    mean = s / n_docs
+    var = ss / n_docs - mean * mean  # zero-docs contribute 0 to s, ss
+    return pd.DataFrame({
+        "token": [top], "vmr": [round(var / mean, 6)],
+        "mean_per_doc": [round(mean, 6)],
+        "n_docs": np.array([n_docs], np.int64)})
+
+
+SQL_TOP_TOKEN_BURSTINESS = """
+WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+           FROM documents),
+v AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word
+      ORDER BY n DESC, word LIMIT 1),
+c AS (SELECT w.doc_id, COUNT(*) AS k FROM w JOIN v ON v.word = w.word
+      GROUP BY w.doc_id),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+m AS (SELECT SUM(k) * 1.0 AS s, SUM(k * k) * 1.0 AS ss FROM c)
+SELECT (SELECT word FROM v) AS token,
+       ROUND((ss / nd.n_docs - POWER(s / nd.n_docs, 2))
+             / (s / nd.n_docs), 6) AS vmr,
+       ROUND(s / nd.n_docs, 6) AS mean_per_doc,
+       CAST(nd.n_docs AS BIGINT) AS n_docs
+FROM m, nd
+"""
+
+
+def q_dom_ordering_profile(sf_dir: str):
+    """Day-of-month ordering profile: order count and revenue share per
+    calendar day 1..31 — payday/billing-cycle fingerprints.  One
+    (dom, n, cents) combiner over the 31-row grid."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dom": df["o_orderdate"].dt.day.to_numpy().astype(np.int64),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)}).groupby("dom", as_index=False).agg(
+            n=("cents", "size"), s=("cents", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("dom", as_index=False)[["n", "s"]].sum()
+    tot_n, tot_s = int(g["n"].sum()), int(g["s"].sum())
+    return pd.DataFrame({
+        "dom": g["dom"].astype(np.int64),
+        "n_orders": g["n"].astype(np.int64),
+        "order_share": (g["n"] / tot_n).round(6),
+        "revenue_share": (g["s"] / tot_s).round(6),
+    }).sort_values("dom").reset_index(drop=True)
+
+
+SQL_DOM_ORDERING_PROFILE = """
+WITH d AS (SELECT EXTRACT(day FROM o_orderdate) AS dom,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT CAST(dom AS BIGINT) AS dom,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS order_share,
+       ROUND(SUM(cents) * 1.0 / SUM(SUM(cents)) OVER (), 6)
+         AS revenue_share
+FROM d GROUP BY dom ORDER BY dom
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -16869,6 +17079,10 @@ QUERIES = {
     "reactivated_customers": q_reactivated_customers,
     "lexical_sophistication": q_lexical_sophistication,
     "wau_trend": q_wau_trend,
+    "activity_halflife": q_activity_halflife,
+    "user_value_autocorr": q_user_value_autocorr,
+    "top_token_burstiness": q_top_token_burstiness,
+    "dom_ordering_profile": q_dom_ordering_profile,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -17207,4 +17421,8 @@ ORACLE_SQL = {
     "reactivated_customers": SQL_REACTIVATED_CUSTOMERS,
     "lexical_sophistication": SQL_LEXICAL_SOPHISTICATION,
     "wau_trend": SQL_WAU_TREND,
+    "activity_halflife": SQL_ACTIVITY_HALFLIFE,
+    "user_value_autocorr": SQL_USER_VALUE_AUTOCORR,
+    "top_token_burstiness": SQL_TOP_TOKEN_BURSTINESS,
+    "dom_ordering_profile": SQL_DOM_ORDERING_PROFILE,
 }
