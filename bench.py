@@ -320,7 +320,9 @@ def bench_queries() -> dict:
              "error_then_purchase_rate", "reactivated_customers",
              "lexical_sophistication", "wau_trend",
              "activity_halflife", "user_value_autocorr",
-             "top_token_burstiness", "dom_ordering_profile"]
+             "top_token_burstiness", "dom_ordering_profile",
+             "value_by_tenure", "dominant_type_users",
+             "gini_by_segment", "order_priority_transition"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -16757,6 +16757,223 @@ FROM d GROUP BY dom ORDER BY dom
 """
 
 
+def q_value_by_tenure(sf_dir: str):
+    """Entity-age effect: average order value by the customer's TENURE
+    at order time (months since their first order: 0, 1–3, 4–12, 13+)
+    — do relationships deepen or decay?  First-order dates resolve
+    inside custkey partitions (per-block min partials), tenure
+    classifies vectorized, and (bucket, cents, n) partials fold."""
+    P = 32
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pa.array((t["o_custkey"].to_numpy(zero_copy_only=False) % P)
+                        .astype(np.int32))
+        return t.append_column("part", part)
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("o_custkey")["o_orderdate"].transform("min")
+        months = ((g["o_orderdate"].to_numpy("datetime64[M]")
+                   .astype(np.int64))
+                  - (first.to_numpy().astype("datetime64[M]")
+                     .astype(np.int64)))
+        bucket = np.select([months == 0, months <= 3, months <= 12],
+                           [0, 1, 2], default=3).astype(np.int64)
+        cents = np.round(g["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        return pd.DataFrame({"bucket": bucket, "cents": cents}) \
+            .groupby("bucket", as_index=False).agg(s=("cents", "sum"),
+                                                   n=("cents", "size"))
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("part").map_groups(classify, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("bucket", as_index=False)[["s", "n"]].sum()
+    g["avg_value"] = (g["s"] / g["n"] / 100.0).round(6)
+    g["n_orders"] = g.pop("n").astype(np.int64)
+    g["bucket"] = g["bucket"].astype(np.int64)
+    return g.drop(columns="s").sort_values("bucket").reset_index(drop=True)
+
+
+SQL_VALUE_BY_TENURE = """
+WITH f AS (SELECT o_custkey, MIN(o_orderdate) AS first FROM orders
+           GROUP BY o_custkey),
+t AS (SELECT (EXTRACT(year FROM o.o_orderdate) * 12
+              + EXTRACT(month FROM o.o_orderdate))
+             - (EXTRACT(year FROM f.first) * 12
+                + EXTRACT(month FROM f.first)) AS months,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN f ON f.o_custkey = o.o_custkey),
+b AS (SELECT CASE WHEN months = 0 THEN 0 WHEN months <= 3 THEN 1
+                  WHEN months <= 12 THEN 2 ELSE 3 END AS bucket, cents
+      FROM t)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       ROUND(SUM(cents) * 1.0 / COUNT(*) / 100.0, 6) AS avg_value,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q_dominant_type_users(sf_dir: str):
+    """Behavioral plurality: each user's TOP event type (count argmax,
+    lexicographic tiebreak) — users counted per winning type, plus the
+    average share that winner covers.  Per-(user, type) count combiners
+    finish inside user partitions; the plurality argmax is grouped and
+    vectorized; (type, n, share-sum) partials fold."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["part"] = (g["user_id"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def dominance(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        tot = m.groupby("user_id")["n"].transform("sum")
+        m = m.assign(tot=tot)
+        m = m.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True])
+        top = m.groupby("user_id", as_index=False).head(1)
+        top = top.assign(share=top["n"] / top["tot"])
+        return top.groupby("event_type", as_index=False).agg(
+            n_users=("share", "size"), share_sum=("share", "sum"))
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(dominance, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("event_type", as_index=False)[
+        ["n_users", "share_sum"]].sum()
+    out["avg_top_share"] = (out.pop("share_sum") / out["n_users"]).round(6)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_DOMINANT_TYPE_USERS = """
+WITH m AS (SELECT user_id, event_type, COUNT(*) AS n FROM events
+           GROUP BY 1, 2),
+t AS (SELECT user_id, event_type, n,
+             SUM(n) OVER (PARTITION BY user_id) AS tot
+      FROM m),
+top AS (SELECT user_id, event_type, n, tot FROM t
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) = 1)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(SUM(n * 1.0 / tot) / COUNT(*), 6) AS avg_top_share
+FROM top GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_gini_by_segment(sf_dir: str):
+    """Grouped Gini: revenue inequality of customer lifetime values
+    WITHIN each market segment — which segment is winner-take-all?
+    Segments are a bounded partition key, so each partition ranks its
+    own customers vectorized and the exact rank-weighted Gini sum
+    (integer cents) folds per segment — no global sort."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    dim_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)}) \
+            .groupby("o_custkey", as_index=False)["cents"].sum()
+        g["seg"] = g["o_custkey"].map(ray.get(dim_ref))
+        return g
+
+    per = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("seg").map_groups(
+        lambda g: g.groupby(["seg", "o_custkey"], as_index=False)["cents"]
+        .sum(), batch_format="pandas")
+
+    def gini_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cents", "o_custkey"], kind="mergesort")
+        c = g["cents"].to_numpy(np.int64)
+        k = len(c)
+        rk = np.arange(1, k + 1, dtype=np.int64)
+        srn = int((rk * c).sum())
+        tot = int(c.sum())
+        gini = 2.0 * srn / (k * tot) - (k + 1.0) / k
+        return pd.DataFrame({"c_mktsegment": [g["seg"].iloc[0]],
+                             "gini": [round(gini, 6)],
+                             "n_customers": np.array([k], np.int64)})
+
+    return per.groupby("seg").map_groups(gini_part, batch_format="pandas")
+
+
+SQL_GINI_BY_SEGMENT = """
+WITH per AS (SELECT c.c_mktsegment, o.o_custkey,
+                    SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                      AS cents
+             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+             GROUP BY 1, 2),
+r AS (SELECT c_mktsegment, cents,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY cents, o_custkey) AS rk
+      FROM per)
+SELECT c_mktsegment,
+       ROUND(2.0 * SUM(rk * cents) / (COUNT(*) * SUM(cents))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_order_priority_transition(sf_dir: str):
+    """Per-customer priority Markov matrix: transition counts between
+    CONSECUTIVE order priorities (orders in (date, key) sequence) with
+    row-normalized probabilities — does urgency persist?  The
+    event-transition machinery applied to the orders table: bounded
+    custkey partitions, vectorized shift-pairs, (from, to) grid
+    partials."""
+    P = 32
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pa.array((t["o_custkey"].to_numpy(zero_copy_only=False) % P)
+                        .astype(np.int32))
+        return t.append_column("part", part)
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        c = g["o_custkey"].to_numpy()
+        p = g["o_orderpriority"].to_numpy()
+        same = c[1:] == c[:-1]
+        return pd.DataFrame({"p_from": p[:-1][same],
+                             "p_to": p[1:][same]}) \
+            .groupby(["p_from", "p_to"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("part").map_groups(trans, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby(["p_from", "p_to"], as_index=False)["n"].sum()
+    tot = g.groupby("p_from")["n"].transform("sum")
+    g["p_trans"] = (g["n"] / tot).round(6)
+    g["n"] = g["n"].astype(np.int64)
+    return g.sort_values(["p_from", "p_to"]).reset_index(drop=True)
+
+
+SQL_ORDER_PRIORITY_TRANSITION = """
+WITH s AS (SELECT o_custkey, o_orderpriority AS p_to,
+                  lag(o_orderpriority)
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS p_from
+           FROM orders)
+SELECT p_from, p_to, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) * 1.0
+             / SUM(COUNT(*)) OVER (PARTITION BY p_from), 6) AS p_trans
+FROM s WHERE p_from IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -17083,6 +17300,10 @@ QUERIES = {
     "user_value_autocorr": q_user_value_autocorr,
     "top_token_burstiness": q_top_token_burstiness,
     "dom_ordering_profile": q_dom_ordering_profile,
+    "value_by_tenure": q_value_by_tenure,
+    "dominant_type_users": q_dominant_type_users,
+    "gini_by_segment": q_gini_by_segment,
+    "order_priority_transition": q_order_priority_transition,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -17425,4 +17646,8 @@ ORACLE_SQL = {
     "user_value_autocorr": SQL_USER_VALUE_AUTOCORR,
     "top_token_burstiness": SQL_TOP_TOKEN_BURSTINESS,
     "dom_ordering_profile": SQL_DOM_ORDERING_PROFILE,
+    "value_by_tenure": SQL_VALUE_BY_TENURE,
+    "dominant_type_users": SQL_DOMINANT_TYPE_USERS,
+    "gini_by_segment": SQL_GINI_BY_SEGMENT,
+    "order_priority_transition": SQL_ORDER_PRIORITY_TRANSITION,
 }
