@@ -322,7 +322,9 @@ def bench_queries() -> dict:
              "activity_halflife", "user_value_autocorr",
              "top_token_burstiness", "dom_ordering_profile",
              "value_by_tenure", "dominant_type_users",
-             "gini_by_segment", "order_priority_transition"]
+             "gini_by_segment", "order_priority_transition",
+             "first_dow_ltv", "weekend_audience_overlap",
+             "monthly_arpu"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -16974,6 +16974,158 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_first_dow_ltv(sf_dir: str):
+    """Acquisition-attribute cohorts: average customer LIFETIME value by
+    the WEEKDAY of their first order — does acquisition day predict
+    quality?  First-order weekday and lifetime cents both resolve
+    inside custkey partitions (min-argmin + sum combiners); the 7-row
+    cohort fold is exact."""
+    P = 32
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pa.array((t["o_custkey"].to_numpy(zero_copy_only=False) % P)
+                        .astype(np.int32))
+        return t.append_column("part", part)
+
+    def cohort(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        cents = np.round(g["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        d = pd.DataFrame({"c": g["o_custkey"].to_numpy(),
+                          "dow": g["o_orderdate"].dt.dayofweek.to_numpy()
+                          .astype(np.int64),
+                          "cents": cents})
+        per = d.groupby("c", as_index=False).agg(
+            dow=("dow", "first"), ltv=("cents", "sum"))
+        return per.groupby("dow", as_index=False).agg(
+            s=("ltv", "sum"), n=("ltv", "size"))
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("part").map_groups(cohort, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("dow", as_index=False)[["s", "n"]].sum()
+    g["avg_ltv"] = (g["s"] / g["n"] / 100.0).round(6)
+    g["n_customers"] = g.pop("n").astype(np.int64)
+    g["dow"] = g["dow"].astype(np.int64)
+    return g.drop(columns="s").sort_values("dow").reset_index(drop=True)
+
+
+SQL_FIRST_DOW_LTV = """
+WITH f AS (SELECT o_custkey,
+                  isodow(MIN(o_orderdate)) - 1 AS dow,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS ltv
+           FROM orders GROUP BY o_custkey)
+SELECT CAST(dow AS BIGINT) AS dow,
+       ROUND(SUM(ltv) * 1.0 / COUNT(*) / 100.0, 6) AS avg_ltv,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM f GROUP BY dow ORDER BY dow
+"""
+
+
+def q_weekend_audience_overlap(sf_dir: str):
+    """Audience-overlap bitmask: users active on weekends only, weekdays
+    only, and both — plus the Jaccard of the two audiences.  One
+    per-user 2-bit presence OR across user partitions; three popcounts
+    fold."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        wk = (df["ts"].dt.dayofweek >= 5).to_numpy()
+        g = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "mask": np.where(wk, np.int64(1), np.int64(2))}) \
+            .groupby("user_id", as_index=False)["mask"] \
+            .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        g["part"] = (g["user_id"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def popcount(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id")["mask"] \
+            .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        bc = np.bincount(m.to_numpy(), minlength=4)
+        return pd.DataFrame({"wk_only": [int(bc[1])],
+                             "wd_only": [int(bc[2])],
+                             "both": [int(bc[3])]})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(popcount, batch_format="pandas")
+             .to_pandas())
+    a, b, c = (int(parts["wk_only"].sum()), int(parts["wd_only"].sum()),
+               int(parts["both"].sum()))
+    return pd.DataFrame({
+        "weekend_only": np.array([a], np.int64),
+        "weekday_only": np.array([b], np.int64),
+        "both": np.array([c], np.int64),
+        "jaccard": [round(c / (a + b + c), 6)]})
+
+
+SQL_WEEKEND_AUDIENCE_OVERLAP = """
+WITH m AS (SELECT user_id,
+                  BIT_OR(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 2 END)
+                    AS mask
+           FROM events GROUP BY user_id)
+SELECT CAST(SUM(CASE WHEN mask = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS weekend_only,
+       CAST(SUM(CASE WHEN mask = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS weekday_only,
+       CAST(SUM(CASE WHEN mask = 3 THEN 1 ELSE 0 END) AS BIGINT) AS both,
+       ROUND(SUM(CASE WHEN mask = 3 THEN 1 ELSE 0 END) * 1.0 / COUNT(*),
+             6) AS jaccard
+FROM m
+"""
+
+
+def q_monthly_arpu(sf_dir: str):
+    """ARPU trend: monthly order revenue divided by that month's
+    DISTINCT ordering customers — the unit-economics series.  Revenue
+    cents and distinct-customer presence both shrink to per-(month,
+    custkey) combiner partials finished in custkey partitions; the
+    month grid folds exactly."""
+    P = 32
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "month": df["o_orderdate"].dt.strftime("%Y-%m"),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)}) \
+            .groupby(["o_custkey", "month"], as_index=False)["cents"].sum()
+        g["part"] = (g["o_custkey"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["o_custkey", "month"], as_index=False)["cents"].sum()
+        return m.groupby("month", as_index=False).agg(
+            s=("cents", "sum"), n=("cents", "size"))
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("part").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("month", as_index=False)[["s", "n"]].sum()
+    g["arpu"] = (g["s"] / g["n"] / 100.0).round(6)
+    g["n_customers"] = g.pop("n").astype(np.int64)
+    g["revenue"] = (g.pop("s") / 100.0).round(2)
+    return g.sort_values("month").reset_index(drop=True)[
+        ["month", "revenue", "n_customers", "arpu"]]
+
+
+SQL_MONTHLY_ARPU = """
+WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                  o_custkey,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1, 2)
+SELECT month, ROUND(SUM(cents) / 100.0, 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(cents) * 1.0 / COUNT(*) / 100.0, 6) AS arpu
+FROM m GROUP BY month ORDER BY month
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -17304,6 +17456,9 @@ QUERIES = {
     "dominant_type_users": q_dominant_type_users,
     "gini_by_segment": q_gini_by_segment,
     "order_priority_transition": q_order_priority_transition,
+    "first_dow_ltv": q_first_dow_ltv,
+    "weekend_audience_overlap": q_weekend_audience_overlap,
+    "monthly_arpu": q_monthly_arpu,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -17650,4 +17805,7 @@ ORACLE_SQL = {
     "dominant_type_users": SQL_DOMINANT_TYPE_USERS,
     "gini_by_segment": SQL_GINI_BY_SEGMENT,
     "order_priority_transition": SQL_ORDER_PRIORITY_TRANSITION,
+    "first_dow_ltv": SQL_FIRST_DOW_LTV,
+    "weekend_audience_overlap": SQL_WEEKEND_AUDIENCE_OVERLAP,
+    "monthly_arpu": SQL_MONTHLY_ARPU,
 }
