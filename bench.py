@@ -324,7 +324,8 @@ def bench_queries() -> dict:
              "value_by_tenure", "dominant_type_users",
              "gini_by_segment", "order_priority_transition",
              "first_dow_ltv", "weekend_audience_overlap",
-             "monthly_arpu"]
+             "monthly_arpu", "name_component_mi",
+             "high_value_streak", "order_gap_survival"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -17126,6 +17126,170 @@ FROM m GROUP BY month ORDER BY month
 """
 
 
+def q_name_component_mi(sf_dir: str):
+    """Mutual information between the two catalog-name components
+    (adjective, noun of p_name) — are name parts combined independently
+    or is the catalog templated?  One (tok1, tok2) contingency combiner;
+    MI and the normalized variant fold over the component grid."""
+    ds = _read(sf_dir, "part", ["p_name"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["p_name"].str.split(" ", n=1, expand=True)
+        return pd.DataFrame({"t1": parts[0].to_numpy(),
+                             "t2": parts[1].to_numpy()}) \
+            .groupby(["t1", "t2"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["t1", "t2"], as_index=False)["n"].sum()
+    n = g["n"].sum()
+    p12 = g["n"].to_numpy(np.int64) / n
+    p1 = g.groupby("t1")["n"].transform("sum").to_numpy(np.int64) / n
+    p2 = g.groupby("t2")["n"].transform("sum").to_numpy(np.int64) / n
+    mi = float((p12 * np.log(p12 / (p1 * p2))).sum())
+    return pd.DataFrame({
+        "mi_nats": [round(mi, 6)],
+        "n_pairs": np.array([len(g)], np.int64),
+        "n_parts": np.array([int(n)], np.int64)})
+
+
+SQL_NAME_COMPONENT_MI = """
+WITH s AS (SELECT string_split(p_name, ' ')[1] AS t1,
+                  string_split(p_name, ' ')[2] AS t2
+           FROM part),
+c AS (SELECT t1, t2, COUNT(*) AS n FROM s GROUP BY 1, 2),
+m AS (SELECT t1, t2, n,
+             SUM(n) OVER (PARTITION BY t1) AS n1,
+             SUM(n) OVER (PARTITION BY t2) AS n2,
+             SUM(n) OVER () AS tot
+      FROM c)
+SELECT ROUND(SUM(n * 1.0 / tot
+                 * LN((n * 1.0 / tot)
+                      / ((n1 * 1.0 / tot) * (n2 * 1.0 / tot)))), 6)
+         AS mi_nats,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(tot) AS BIGINT) AS n_parts
+FROM m
+"""
+
+
+def q_high_value_streak(sf_dir: str):
+    """Global hot-streak islands: the longest run of CONSECUTIVE
+    calendar days with revenue above the all-days median (and how many
+    such above-median islands exist).  Daily cent combiners; the median
+    uses quantile_disc; the island walk runs once over the days-bounded
+    series."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": df["o_orderdate"].to_numpy("datetime64[D]")
+            .astype(np.int64),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)}).groupby("day", as_index=False)["cents"].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("day", as_index=False)["cents"].sum() \
+        .sort_values("day")
+    c = g["cents"].to_numpy(np.int64)
+    d = g["day"].to_numpy(np.int64)
+    v = np.sort(c)
+    med = int(v[int(np.ceil(0.5 * len(v))) - 1])
+    hot = c > med
+    # islands: hot runs broken by calendar gaps OR cold days
+    brk = np.r_[True, (d[1:] != d[:-1] + 1)]
+    isle = np.cumsum(brk | ~np.r_[True, hot[:-1]])
+    runs = pd.DataFrame({"isle": isle[hot]}).groupby("isle").size()
+    return pd.DataFrame({
+        "longest_streak": np.array([int(runs.max()) if len(runs) else 0],
+                                   np.int64),
+        "n_streaks": np.array([len(runs)], np.int64),
+        "n_hot_days": np.array([int(hot.sum())], np.int64),
+        "median_daily": [round(med / 100.0, 2)]})
+
+
+SQL_HIGH_VALUE_STREAK = """
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+m AS (SELECT quantile_disc(cents, 0.5) AS med FROM d),
+s AS (SELECT day, cents > (SELECT med FROM m) AS hot,
+             CASE WHEN day = lag(day) OVER (ORDER BY day)
+                            + INTERVAL 1 DAY
+                    AND lag(cents > (SELECT med FROM m))
+                          OVER (ORDER BY day)
+                  THEN 0 ELSE 1 END AS brk
+      FROM d),
+i AS (SELECT hot, SUM(brk) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS isle
+      FROM s),
+r AS (SELECT isle, COUNT(*) AS len FROM i WHERE hot GROUP BY isle)
+SELECT CAST(COALESCE(MAX(len), 0) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(COALESCE(SUM(len), 0) AS BIGINT) AS n_hot_days,
+       ROUND((SELECT med FROM m) / 100.0, 2) AS median_daily
+FROM r
+"""
+
+
+def q_order_gap_survival(sf_dir: str):
+    """Survival curve of inter-order gaps: the share of gaps exceeding
+    7 / 30 / 60 / 90 / 180 days — the churn-hazard view of purchase
+    cadence.  Gaps form inside custkey partitions; the survival points
+    fold from exact integer day counts."""
+    P = 32
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pa.array((t["o_custkey"].to_numpy(zero_copy_only=False) % P)
+                        .astype(np.int32))
+        return t.append_column("part", part)
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        c = g["o_custkey"].to_numpy()
+        d = g["o_orderdate"].to_numpy("datetime64[D]").astype(np.int64)
+        same = c[1:] == c[:-1]
+        gp = (d[1:] - d[:-1])[same]
+        row = {"n": [len(gp)]}
+        for k in (7, 30, 60, 90, 180):
+            row[f"gt{k}"] = [int((gp > k).sum())]
+        return pd.DataFrame(row)
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("part").map_groups(gaps, batch_format="pandas")
+             .to_pandas())
+    n = int(parts["n"].sum())
+    rows = []
+    for k in (7, 30, 60, 90, 180):
+        s = int(parts[f"gt{k}"].sum())
+        rows.append((k, s, round(s / n, 6)))
+    out = pd.DataFrame(rows, columns=["days", "n_exceeding", "survival"])
+    out["days"] = out["days"].astype(np.int64)
+    out["n_exceeding"] = out["n_exceeding"].astype(np.int64)
+    return out
+
+
+SQL_ORDER_GAP_SURVIVAL = """
+WITH g AS (SELECT date_diff('day',
+                            lag(o_orderdate)
+                              OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey),
+                            o_orderdate) AS gap
+           FROM orders),
+v AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+k AS (SELECT UNNEST([7, 30, 60, 90, 180]) AS days)
+SELECT CAST(k.days AS BIGINT) AS days,
+       CAST((SELECT COUNT(*) FROM v WHERE gap > k.days) AS BIGINT)
+         AS n_exceeding,
+       ROUND((SELECT COUNT(*) FROM v WHERE gap > k.days) * 1.0
+             / (SELECT COUNT(*) FROM v), 6) AS survival
+FROM k ORDER BY days
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -17459,6 +17623,9 @@ QUERIES = {
     "first_dow_ltv": q_first_dow_ltv,
     "weekend_audience_overlap": q_weekend_audience_overlap,
     "monthly_arpu": q_monthly_arpu,
+    "name_component_mi": q_name_component_mi,
+    "high_value_streak": q_high_value_streak,
+    "order_gap_survival": q_order_gap_survival,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -17808,4 +17975,7 @@ ORACLE_SQL = {
     "first_dow_ltv": SQL_FIRST_DOW_LTV,
     "weekend_audience_overlap": SQL_WEEKEND_AUDIENCE_OVERLAP,
     "monthly_arpu": SQL_MONTHLY_ARPU,
+    "name_component_mi": SQL_NAME_COMPONENT_MI,
+    "high_value_streak": SQL_HIGH_VALUE_STREAK,
+    "order_gap_survival": SQL_ORDER_GAP_SURVIVAL,
 }
