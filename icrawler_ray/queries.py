@@ -11304,6 +11304,9 @@ def q_conversion_lag_quantiles(sf_dir: str):
     v = np.sort(lags["lag_us"].to_numpy(np.int64))
     n = len(v)
     qs = [0.25, 0.5, 0.75, 0.9]
+    if n == 0:  # no converting users in this slice: well-defined zeros
+        return pd.DataFrame({"q": qs, "lag_hours": [0.0] * 4,
+                             "n_users": np.zeros(4, np.int64)})
     picks = [int(v[int(np.ceil(q * n)) - 1]) for q in qs]
     return pd.DataFrame({
         "q": qs,
@@ -13104,7 +13107,7 @@ def q_conversion_cdf(sf_dir: str):
     parts = (ds.map_batches(add_part, batch_format="pandas")
              .groupby("part").map_groups(lags_part, batch_format="pandas")
              .to_pandas())
-    n_signup = int(parts["n_signup"].sum())
+    n_signup = max(int(parts["n_signup"].sum()), 1)  # guard empty slice
     lags = np.sort(np.concatenate([
         np.array([int(x) for x in s.split(",")], np.int64) if s else
         np.empty(0, np.int64) for s in parts["lags"]]))
@@ -15578,6 +15581,9 @@ def q_revenue_masd(sf_dir: str):
         .sort_values("day")
     c = g["cents"].to_numpy(np.int64)
     d = np.abs(np.diff(c))
+    if len(d) == 0:  # single-day slice: degenerate but well-defined
+        return pd.DataFrame({"masd": [0.0], "mean_abs_diff": [0.0],
+                             "n_diffs": np.zeros(1, np.int64)})
     v = np.sort(d)
     med = int(v[int(np.ceil(0.5 * len(v))) - 1])
     return pd.DataFrame({
@@ -16175,7 +16181,7 @@ def q_qty_discount_kendall(sf_dir: str):
     c, d = int(parts["conc"].sum()), int(parts["disc"].sum())
     n = int(parts["pairs"].sum())
     return pd.DataFrame({
-        "kendall_tau_a": [round((c - d) / n, 6)],
+        "kendall_tau_a": [round((c - d) / n, 6) if n else 0.0],
         "n_concordant": np.array([c], np.int64),
         "n_discordant": np.array([d], np.int64),
         "n_pairs": np.array([n], np.int64)})
@@ -16338,7 +16344,7 @@ def q_error_then_purchase_rate(sf_dir: str):
     return pd.DataFrame({
         "n_preceded": np.array([p], np.int64),
         "n_purchases": np.array([n], np.int64),
-        "preceded_share": [round(p / n, 6)]})
+        "preceded_share": [round(p / n, 6) if n else 0.0]})
 
 
 SQL_ERROR_THEN_PURCHASE_RATE = """
@@ -16511,6 +16517,9 @@ def q_wau_trend(sf_dir: str):
     y = g["n"].to_numpy(np.int64).astype(np.float64)
     x = np.arange(len(y), dtype=np.float64)
     n = float(len(y))
+    if n < 3:  # need 3+ weeks for a slope t-stat
+        return pd.DataFrame({"slope": [0.0], "t_stat": [0.0],
+                             "n_weeks": np.array([int(n)], np.int64)})
     sxx = (x * x).sum() - x.sum() ** 2 / n
     sxy = (x * y).sum() - x.sum() * y.sum() / n
     beta = sxy / sxx
