@@ -325,7 +325,9 @@ def bench_queries() -> dict:
              "gini_by_segment", "order_priority_transition",
              "first_dow_ltv", "weekend_audience_overlap",
              "monthly_arpu", "name_component_mi",
-             "high_value_streak", "order_gap_survival"]
+             "high_value_streak", "order_gap_survival",
+             "vocab_gini", "repeat_rate_by_first_type",
+             "brand_revenue_cr4"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -17299,6 +17299,170 @@ FROM k ORDER BY days
 """
 
 
+def q_vocab_gini(sf_dir: str):
+    """Vocabulary inequality: the exact Gini coefficient of corpus term
+    frequencies — one number for how head-heavy the token distribution
+    is (complements q_zipf_slope's fit and q_head_mass_terms' budget).
+    Term counts reduce via the word-count combiner; the rank-weighted
+    Gini sum runs over the VOCAB-sized table via one assign_global_seq
+    sort."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def wc(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split()
+        return pd.DataFrame({"word": np.concatenate(words.to_numpy())}) \
+            .groupby("word", as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    vocab = ds.map_batches(wc, batch_format="pandas") \
+        .groupby("word").sum("n").materialize()
+    k = vocab.count()
+    ranked = assign_global_seq(vocab, ["sum(n)", "word"], col="rk")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rk = df["rk"].to_numpy(np.int64) + 1
+        n = df["sum(n)"].to_numpy(np.int64)
+        return pd.DataFrame({"srn": [int((rk * n).sum())],
+                             "tot": [int(n.sum())]})
+
+    p = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    srn, tot = int(p["srn"].sum()), int(p["tot"].sum())
+    gini = 2.0 * srn / (k * tot) - (k + 1.0) / k
+    return pd.DataFrame({"gini": [round(gini, 6)],
+                         "vocab_size": np.array([k], np.int64),
+                         "n_tokens": np.array([tot], np.int64)})
+
+
+SQL_VOCAB_GINI = """
+WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+v AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, word) AS rk,
+             COUNT(*) OVER () AS k
+      FROM v)
+SELECT ROUND(2.0 * SUM(rk * n) / (MIN(k) * SUM(n))
+             - (MIN(k) + 1.0) / MIN(k), 6) AS gini,
+       CAST(MIN(k) AS BIGINT) AS vocab_size,
+       CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM r
+"""
+
+
+def q_repeat_rate_by_first_type(sf_dir: str):
+    """Acquisition-action quality: the share of users who come back on
+    a LATER calendar day, split by their very FIRST event's type —
+    which first actions create repeat visitors?  First-event type and
+    distinct-day counts both resolve inside user partitions from
+    per-block argmin/dedup partials; the (type, repeat, n) grid
+    folds."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df["user_id"].to_numpy() % P).astype(np.int32)
+        return df
+
+    def rate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = g.groupby("user_id", as_index=False).head(1)[
+            ["user_id", "event_type"]]
+        days = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "day": g["ts"].to_numpy("datetime64[D]").astype(np.int64)}) \
+            .drop_duplicates().groupby("user_id").size().rename("nd")
+        j = first.merge(days, left_on="user_id", right_index=True)
+        j["repeat"] = (j["nd"] >= 2).astype(np.int64)
+        return j.groupby("event_type", as_index=False).agg(
+            n_repeat=("repeat", "sum"), n=("repeat", "size"))
+
+    parts = (ds.map_batches(add_part, batch_format="pandas")
+             .groupby("part").map_groups(rate, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("event_type", as_index=False)[["n_repeat", "n"]].sum()
+    g["repeat_rate"] = (g["n_repeat"] / g["n"]).round(6)
+    g["n_repeat"] = g["n_repeat"].astype(np.int64)
+    g["n_users"] = g.pop("n").astype(np.int64)
+    return g.rename(columns={"event_type": "first_type"}) \
+        .sort_values("first_type").reset_index(drop=True)
+
+
+SQL_REPEAT_RATE_BY_FIRST_TYPE = """
+WITH f AS (SELECT user_id, event_type FROM events
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) = 1),
+d AS (SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS nd
+      FROM events GROUP BY user_id)
+SELECT f.event_type AS first_type,
+       CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS repeat_rate
+FROM f JOIN d ON d.user_id = f.user_id
+GROUP BY f.event_type ORDER BY first_type
+"""
+
+
+def q_brand_revenue_cr4(sf_dir: str):
+    """Four-firm concentration ratio: within each part TYPE, the revenue
+    share of the top four BRANDS — the market-structure metric.
+    Lineitem revenue joins part through the salted hash join with a
+    (type, brand) combiner agg; the CR4 fold runs over the catalog-
+    bounded grid with cents-exact top-4 selection (brand tiebreak)."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "p_partkey": df["l_partkey"].to_numpy(),
+                "cents": np.round(df["l_extendedprice"].to_numpy() * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+    part = _read(sf_dir, "part", ["p_partkey", "p_type", "p_brand"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["p_type", "p_brand"], as_index=False)["cents"] \
+            .sum()
+
+    parts = salted_hash_join(li, part, "p_partkey", agg_fn=agg).to_pandas()
+    g = parts.groupby(["p_type", "p_brand"], as_index=False)["cents"].sum()
+    g = g.sort_values(["p_type", "cents", "p_brand"],
+                      ascending=[True, False, True])
+    top4 = g.groupby("p_type", as_index=False).head(4) \
+        .groupby("p_type", as_index=False)["cents"].sum() \
+        .rename(columns={"cents": "top4"})
+    tot = g.groupby("p_type", as_index=False)["cents"].sum()
+    out = tot.merge(top4, on="p_type")
+    out["cr4"] = (out["top4"] / out["cents"]).round(6)
+    out["revenue"] = (out.pop("cents") / 100.0).round(2)
+    out["top4_revenue"] = (out.pop("top4") / 100.0).round(2)
+    return out.sort_values("p_type").reset_index(drop=True)[
+        ["p_type", "revenue", "top4_revenue", "cr4"]]
+
+
+SQL_BRAND_REVENUE_CR4 = """
+WITH g AS (SELECT p.p_type, p.p_brand,
+                  SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS cents
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           GROUP BY 1, 2),
+r AS (SELECT p_type, p_brand, cents,
+             ROW_NUMBER() OVER (PARTITION BY p_type
+                                ORDER BY cents DESC, p_brand) AS rk
+      FROM g)
+SELECT p_type,
+       ROUND(SUM(cents) / 100.0, 2) AS revenue,
+       ROUND(SUM(CASE WHEN rk <= 4 THEN cents ELSE 0 END) / 100.0, 2)
+         AS top4_revenue,
+       ROUND(SUM(CASE WHEN rk <= 4 THEN cents ELSE 0 END) * 1.0
+             / SUM(cents), 6) AS cr4
+FROM r GROUP BY p_type ORDER BY p_type
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -17635,6 +17799,9 @@ QUERIES = {
     "name_component_mi": q_name_component_mi,
     "high_value_streak": q_high_value_streak,
     "order_gap_survival": q_order_gap_survival,
+    "vocab_gini": q_vocab_gini,
+    "repeat_rate_by_first_type": q_repeat_rate_by_first_type,
+    "brand_revenue_cr4": q_brand_revenue_cr4,
     "doc_fingerprint": q_doc_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "benford_audit": q_benford_audit,
@@ -17987,4 +18154,7 @@ ORACLE_SQL = {
     "name_component_mi": SQL_NAME_COMPONENT_MI,
     "high_value_streak": SQL_HIGH_VALUE_STREAK,
     "order_gap_survival": SQL_ORDER_GAP_SURVIVAL,
+    "vocab_gini": SQL_VOCAB_GINI,
+    "repeat_rate_by_first_type": SQL_REPEAT_RATE_BY_FIRST_TYPE,
+    "brand_revenue_cr4": SQL_BRAND_REVENUE_CR4,
 }
