@@ -17463,6 +17463,264 @@ FROM r GROUP BY p_type ORDER BY p_type
 """
 
 
+def q_markov_entropy_rate(sf_dir: str):
+    """Entropy rate of the empirical event-type Markov chain — the
+    bits-per-step predictability measure behind journey-model capacity
+    planning: H = -sum_s pi(s) sum_t P(t|s) log2 P(t|s) with pi the
+    empirical source distribution of transitions.
+
+    Scale shape: the event_transitions exchange (users hash into bounded
+    fat partitions, int8 type codes ship instead of strings, per-
+    partition bincount over type^2 cells); the entropy fold runs over
+    the (types^2)-bounded transition matrix on the driver."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    P = 32
+
+    tset = _read(sf_dir, "events", ["event_type"]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas").to_pandas()
+    types = sorted(tset["event_type"].unique().tolist())
+    K = len(types)
+    tmap = {t: i for i, t in enumerate(types)}
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part": (df["user_id"].to_numpy() % P).astype(np.int32),
+            "user_id": df["user_id"],
+            "ts": df["ts"].astype("int64"),
+            "event_id": df["event_id"],
+            "tcode": df["event_type"].map(tmap).astype(np.int16),
+        })
+
+    def trans_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["tcode"].to_numpy()
+        same = u[1:] == u[:-1]
+        pair = t[:-1][same].astype(np.int64) * K + t[1:][same]
+        bc = np.bincount(pair, minlength=K * K)
+        nz = np.flatnonzero(bc)
+        return pd.DataFrame({"pair": nz.astype(np.int64),
+                             "n": bc[nz].astype(np.int64)})
+
+    parts = (ds.map_batches(add_part, batch_format="pandas")
+             .groupby("part").map_groups(trans_part, batch_format="pandas")
+             ).to_pandas()
+    agg = parts.groupby("pair", as_index=False)["n"].sum()
+    if agg.empty:
+        return pd.DataFrame({"n_states": [0], "n_transitions": [0],
+                             "entropy_rate": [0.0]})
+    n = agg["n"].to_numpy(dtype=np.float64)
+    prev = (agg["pair"] // K).to_numpy()
+    row_tot = np.bincount(prev, weights=n, minlength=K)
+    grand = n.sum()
+    h = -np.sum(n * np.log2(n / row_tot[prev])) / grand
+    return pd.DataFrame({
+        "n_states": [int(np.count_nonzero(row_tot))],
+        "n_transitions": [int(grand)],
+        "entropy_rate": [round(float(h), 6)],
+    })
+
+
+SQL_MARKOV_ENTROPY_RATE = """
+WITH o AS (SELECT event_type AS prev,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events),
+c AS (SELECT prev, nxt, COUNT(*) AS n FROM o WHERE nxt IS NOT NULL
+      GROUP BY 1, 2),
+s AS (SELECT prev, SUM(n) AS tot FROM c GROUP BY 1),
+g AS (SELECT SUM(n) AS grand FROM c)
+SELECT (SELECT COUNT(*) FROM s) AS n_states,
+       CAST(g.grand AS BIGINT) AS n_transitions,
+       ROUND(-SUM(c.n * LOG2(c.n * 1.0 / s.tot)) / g.grand, 6)
+         AS entropy_rate
+FROM c JOIN s USING (prev), g GROUP BY g.grand
+"""
+
+
+def q_supplier_tier_volume(sf_dir: str):
+    """Supplier account-balance quartile tiers vs shipped volume — the
+    'do healthy suppliers carry the load' procurement audit.  Tier
+    assignment is the distributed dense-rank primitive over (acctbal,
+    suppkey) (functions/seq.py — sort is the only shuffle, driver sees
+    one count per block); lineitem volume folds through the salted hash
+    join with hot-key detection skipped (suppkey fan-in is schema-
+    bounded: lines per supplier does not grow with a supplier's row)."""
+    from icrawler_ray.functions.seq import assign_global_seq
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    n_sup = sup.count()
+    ranked = assign_global_seq(sup, ["s_acctbal", "s_suppkey"], col="rank")
+
+    def to_tier(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "s_suppkey": df["s_suppkey"].to_numpy(),
+            "tier": (df["rank"].to_numpy(dtype=np.int64) * 4 // n_sup + 1)
+            .astype(np.int32)})
+
+    tiers = ranked.map_batches(to_tier, batch_format="pandas")
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_quantity", "l_extendedprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "s_suppkey": df["l_suppkey"].to_numpy(),
+                "qty": df["l_quantity"].to_numpy(),
+                "cents": np.round(df["l_extendedprice"].to_numpy() * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("tier", as_index=False).agg(
+            qty=("qty", "sum"), cents=("cents", "sum"))
+
+    j = salted_hash_join(li, tiers, "s_suppkey", agg_fn=agg,
+                         hot_keys=np.array([], np.int64)).to_pandas()
+    vol = j.groupby("tier", as_index=False).agg(
+        qty=("qty", "sum"), cents=("cents", "sum"))
+    nsup = tiers.map_batches(
+        lambda df: df.groupby("tier", as_index=False).size()
+        .rename(columns={"size": "n"}), batch_format="pandas").to_pandas() \
+        .groupby("tier", as_index=False)["n"].sum()
+    out = nsup.merge(vol, on="tier", how="left")
+    grand = out["cents"].sum()
+    out["n_suppliers"] = out.pop("n").astype("int64")
+    out["total_qty"] = out["qty"].round(2)
+    out["revenue"] = (out["cents"] / 100.0).round(2)
+    out["revenue_share"] = (out["cents"] / grand).round(6)
+    return out.sort_values("tier").reset_index(drop=True)[
+        ["tier", "n_suppliers", "total_qty", "revenue", "revenue_share"]]
+
+
+SQL_SUPPLIER_TIER_VOLUME = """
+WITH s AS (SELECT s_suppkey,
+                  CAST((ROW_NUMBER() OVER (ORDER BY s_acctbal, s_suppkey)
+                        - 1) * 4 // (SELECT COUNT(*) FROM supplier) + 1
+                       AS INT) AS tier
+           FROM supplier),
+ns AS (SELECT tier, COUNT(*) AS n_suppliers FROM s GROUP BY 1),
+j AS (SELECT s.tier, SUM(l.l_quantity) AS qty,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem l JOIN s ON s.s_suppkey = l.l_suppkey GROUP BY 1),
+g AS (SELECT SUM(cents) AS grand FROM j)
+SELECT ns.tier, ns.n_suppliers, ROUND(j.qty, 2) AS total_qty,
+       ROUND(j.cents / 100.0, 2) AS revenue,
+       ROUND(j.cents * 1.0 / g.grand, 6) AS revenue_share
+FROM ns JOIN j USING (tier), g ORDER BY ns.tier
+"""
+
+
+def q_user_hour_entropy(sf_dir: str):
+    """Temporal-habit entropy: each user's Shannon entropy over their
+    hour-of-day activity histogram, reduced to the population mean and
+    the share of single-hour (zero-entropy) users — the bot-vs-human
+    rhythm diagnostic.
+
+    Scale shape: users hash into bounded fat partitions; each partition
+    computes per-user entropies vectorized ((user, hour) bincount →
+    per-user p·log2 p fold) and emits a THREE-number partial; the
+    driver adds partials."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    P = 32
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part": (df["user_id"].to_numpy() % P).astype(np.int32),
+            "user_id": df["user_id"],
+            "hr": df["ts"].dt.hour.astype(np.int8),
+        })
+
+    def ent_part(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "hr"]).size().reset_index(name="n")
+        tot = c.groupby("user_id")["n"].transform("sum").to_numpy(np.float64)
+        p = c["n"].to_numpy(np.float64) / tot
+        term = pd.Series(-p * np.log2(p), index=c["user_id"].to_numpy())
+        ent = term.groupby(level=0).sum()
+        return pd.DataFrame({"n_users": [float(len(ent))],
+                             "sum_ent": [float(ent.sum())],
+                             "n_zero": [float((ent <= 0).sum())]})
+
+    parts = (ds.map_batches(add_part, batch_format="pandas")
+             .groupby("part").map_groups(ent_part, batch_format="pandas")
+             ).to_pandas()
+    nu, se, nz = parts["n_users"].sum(), parts["sum_ent"].sum(), \
+        parts["n_zero"].sum()
+    if nu == 0:
+        return pd.DataFrame({"n_users": [0], "avg_entropy": [0.0],
+                             "zero_share": [0.0]})
+    return pd.DataFrame({
+        "n_users": [int(nu)],
+        "avg_entropy": [round(se / nu, 6)],
+        "zero_share": [round(nz / nu, 6)],
+    })
+
+
+SQL_USER_HOUR_ENTROPY = """
+WITH h AS (SELECT user_id, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+t AS (SELECT user_id, SUM(n) AS tot FROM h GROUP BY 1),
+e AS (SELECT h.user_id,
+             -SUM(h.n * 1.0 / t.tot * LOG2(h.n * 1.0 / t.tot)) AS ent
+      FROM h JOIN t USING (user_id) GROUP BY 1)
+SELECT COUNT(*) AS n_users, ROUND(AVG(ent), 6) AS avg_entropy,
+       ROUND(AVG(CASE WHEN ent <= 0 THEN 1.0 ELSE 0.0 END), 6)
+         AS zero_share
+FROM e
+"""
+
+
+def q_brand_discount_elasticity(sf_dir: str):
+    """Per-brand Pearson correlation between discount and quantity —
+    the price-elasticity proxy a merchandiser reads before repricing.
+    Lineitem joins part through the salted hash join whose agg_fn emits
+    per-brand sufficient-statistic partials (n, Σx, Σy, Σxx, Σyy, Σxy);
+    the corr closes in one brand-cardinality-bounded driver fold, so
+    the exchange never ships raw rows."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_discount", "l_quantity"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "p_partkey": df["l_partkey"].to_numpy(),
+                "x": df["l_discount"].to_numpy(),
+                "y": df["l_quantity"].to_numpy()}),
+            batch_format="pandas")
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        x, y = g["x"].to_numpy(), g["y"].to_numpy()
+        return g.assign(n=1.0, sx=x, sy=y, sxx=x * x, syy=y * y,
+                        sxy=x * y) \
+            .groupby("p_brand", as_index=False)[
+                ["n", "sx", "sy", "sxx", "syy", "sxy"]].sum()
+
+    parts = salted_hash_join(li, part, "p_partkey", agg_fn=agg).to_pandas()
+    g = parts.groupby("p_brand", as_index=False)[
+        ["n", "sx", "sy", "sxx", "syy", "sxy"]].sum()
+    n = g["n"].to_numpy()
+    cov = n * g["sxy"].to_numpy() - g["sx"].to_numpy() * g["sy"].to_numpy()
+    vx = n * g["sxx"].to_numpy() - g["sx"].to_numpy() ** 2
+    vy = n * g["syy"].to_numpy() - g["sy"].to_numpy() ** 2
+    denom = np.sqrt(vx * vy)
+    corr = np.divide(cov, denom, out=np.full(len(g), np.nan),
+                     where=denom > 0)
+    return pd.DataFrame({
+        "p_brand": g["p_brand"],
+        "n_lines": n.astype(np.int64),
+        "corr_discount_qty": np.round(corr, 6),
+    }).sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_BRAND_DISCOUNT_ELASTICITY = """
+SELECT p.p_brand,
+       COUNT(*) AS n_lines,
+       ROUND(CORR(l.l_discount, l.l_quantity), 6) AS corr_discount_qty
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -17811,6 +18069,10 @@ QUERIES = {
     "crawl_flickr": q_crawl_flickr,
     "crawl_greedy": q_crawl_greedy,
     "frontier_seen_filter": q_frontier_seen_filter,
+    "markov_entropy_rate": q_markov_entropy_rate,
+    "supplier_tier_volume": q_supplier_tier_volume,
+    "user_hour_entropy": q_user_hour_entropy,
+    "brand_discount_elasticity": q_brand_discount_elasticity,
 }
 
 ORACLE_SQL = {
@@ -18157,4 +18419,8 @@ ORACLE_SQL = {
     "vocab_gini": SQL_VOCAB_GINI,
     "repeat_rate_by_first_type": SQL_REPEAT_RATE_BY_FIRST_TYPE,
     "brand_revenue_cr4": SQL_BRAND_REVENUE_CR4,
+    "markov_entropy_rate": SQL_MARKOV_ENTROPY_RATE,
+    "supplier_tier_volume": SQL_SUPPLIER_TIER_VOLUME,
+    "user_hour_entropy": SQL_USER_HOUR_ENTROPY,
+    "brand_discount_elasticity": SQL_BRAND_DISCOUNT_ELASTICITY,
 }
