@@ -17721,6 +17721,220 @@ GROUP BY p.p_brand ORDER BY p.p_brand
 """
 
 
+def q_hurst_rs(sf_dir: str):
+    """Hurst exponent of the daily-revenue series via rescaled-range
+    (R/S) analysis at window sizes 8/16/32 — the long-memory diagnostic
+    behind capacity forecasting (H>0.5 = trending, <0.5 = mean-
+    reverting).  Daily revenue reduces through cents-exact combiner
+    partials (the series is calendar-bounded — ~2.4k days regardless of
+    SF — so the R/S fold is driver-side output-sized numpy)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"day": df["o_orderdate"].dt.normalize(),
+                             "cents": cents}) \
+            .groupby("day", as_index=False)["cents"].sum()
+
+    daily = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby("day", as_index=False)["cents"].sum().sort_values("day")
+    x = daily["cents"].to_numpy(dtype=np.float64) / 100.0
+    out = {"n_days": [int(len(x))]}
+    logs_n, logs_rs = [], []
+    for n in (8, 16, 32):
+        k = len(x) // n
+        rs_vals = []
+        for w in range(k):
+            seg = x[w * n:(w + 1) * n]
+            mu = seg.mean()
+            z = np.cumsum(seg - mu)
+            sd = seg.std()  # population std, matches STDDEV_POP
+            if sd > 0:
+                rs_vals.append((z.max() - z.min()) / sd)
+        mrs = float(np.mean(rs_vals)) if rs_vals else float("nan")
+        out[f"rs_{n}"] = [round(mrs, 6)]
+        if rs_vals:
+            logs_n.append(np.log2(n))
+            logs_rs.append(np.log2(mrs))
+    if len(logs_n) >= 2:
+        ln, lr = np.asarray(logs_n), np.asarray(logs_rs)
+        h = float(np.sum((ln - ln.mean()) * (lr - lr.mean()))
+                  / np.sum((ln - ln.mean()) ** 2))
+    else:
+        h = float("nan")
+    out["hurst"] = [round(h, 6)]
+    return pd.DataFrame(out)[["n_days", "rs_8", "rs_16", "rs_32", "hurst"]]
+
+
+SQL_HURST_RS = """
+WITH d AS (SELECT o_orderdate AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+                    AS rev
+           FROM orders GROUP BY 1),
+r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY day) - 1 AS idx FROM d),
+s AS (SELECT * FROM (VALUES (8), (16), (32)) AS t(n)),
+w AS (SELECT s.n, r.idx // s.n AS win, r.idx % s.n AS pos, r.rev
+      FROM r, s),
+f AS (SELECT n, win FROM w GROUP BY n, win HAVING COUNT(*) = n),
+m AS (SELECT w.n, w.win, AVG(w.rev) AS mu, STDDEV_POP(w.rev) AS sd
+      FROM w JOIN f USING (n, win) GROUP BY 1, 2),
+z AS (SELECT w.n, w.win, m.sd,
+             SUM(w.rev - m.mu) OVER (PARTITION BY w.n, w.win
+                                     ORDER BY w.pos) AS zz
+      FROM w JOIN m ON m.n = w.n AND m.win = w.win),
+rs AS (SELECT n, win, (MAX(zz) - MIN(zz)) / ANY_VALUE(sd) AS rsv
+       FROM z WHERE sd > 0 GROUP BY 1, 2),
+a AS (SELECT n, AVG(rsv) AS mrs FROM rs GROUP BY 1)
+SELECT (SELECT COUNT(*) FROM d) AS n_days,
+       ROUND(MAX(CASE WHEN n = 8 THEN mrs END), 6) AS rs_8,
+       ROUND(MAX(CASE WHEN n = 16 THEN mrs END), 6) AS rs_16,
+       ROUND(MAX(CASE WHEN n = 32 THEN mrs END), 6) AS rs_32,
+       ROUND(COVAR_POP(LOG2(n), LOG2(mrs)) / VAR_POP(LOG2(n)), 6)
+         AS hurst
+FROM a
+"""
+
+
+def q_exit_type_share(sf_dir: str):
+    """Exit-event profile: for each event type, how many users END their
+    recorded journey on it, that type's share of all exits, and the mean
+    value of those final events — the churn-surface counterpart of the
+    first-touch analytics.  Users hash into bounded fat partitions; each
+    partition takes the per-user (ts, event_id)-max row vectorized and
+    emits type-cardinality partials."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+    P = 32
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(part=(df["user_id"].to_numpy() % P).astype(np.int32))
+        return df
+
+    def last_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        last = g.groupby("user_id", as_index=False).tail(1)
+        return last.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size"), sum_value=("value", "sum"))
+
+    parts = (ds.map_batches(add_part, batch_format="pandas")
+             .groupby("part").map_groups(last_part, batch_format="pandas")
+             ).to_pandas()
+    g = parts.groupby("event_type", as_index=False).agg(
+        n_users=("n_users", "sum"), sum_value=("sum_value", "sum"))
+    tot = g["n_users"].sum()
+    g["exit_share"] = (g["n_users"] / tot).round(6)
+    g["avg_exit_value"] = (g["sum_value"] / g["n_users"]).round(6)
+    g["n_users"] = g["n_users"].astype("int64")
+    return g.sort_values("event_type").reset_index(drop=True)[
+        ["event_type", "n_users", "exit_share", "avg_exit_value"]]
+
+
+SQL_EXIT_TYPE_SHARE = """
+WITH l AS (SELECT user_id, event_type, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC)
+                    AS rk
+           FROM events),
+e AS (SELECT event_type, COUNT(*) AS n_users, SUM(value) AS sv
+      FROM l WHERE rk = 1 GROUP BY 1),
+g AS (SELECT SUM(n_users) AS tot FROM e)
+SELECT e.event_type, e.n_users,
+       ROUND(e.n_users * 1.0 / g.tot, 6) AS exit_share,
+       ROUND(e.sv / e.n_users, 6) AS avg_exit_value
+FROM e, g ORDER BY e.event_type
+"""
+
+
+def q_order_value_cv_by_nation(sf_dir: str):
+    """Coefficient of variation of order value per customer nation —
+    the heterogeneity read behind market-specific pricing.  Orders fold
+    to per-customer partials, the salted hash join attaches nationkey
+    with an agg_fn that reduces straight to per-nation sufficient
+    statistics (n, Σ, Σ²), and the nation-name map (25 rows) joins on
+    the driver."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "c_custkey": df["o_custkey"].to_numpy(),
+                "v": df["o_totalprice"].to_numpy()}),
+            batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["v"].to_numpy()
+        return g.assign(n=1.0, s=v, ss=v * v) \
+            .groupby("c_nationkey", as_index=False)[["n", "s", "ss"]].sum()
+
+    parts = salted_hash_join(orders, cust, "c_custkey", agg_fn=agg,
+                             hot_keys=np.array([], np.int64)).to_pandas()
+    g = parts.groupby("c_nationkey", as_index=False)[["n", "s", "ss"]].sum()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    g = g.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    n, s, ss = g["n"].to_numpy(), g["s"].to_numpy(), g["ss"].to_numpy()
+    mean = s / n
+    var = np.maximum(ss / n - mean ** 2, 0.0)  # population variance
+    return pd.DataFrame({
+        "n_name": g["n_name"],
+        "n_orders": n.astype(np.int64),
+        "avg_value": np.round(mean, 2),
+        "cv": np.round(np.sqrt(var) / mean, 6),
+    }).sort_values("n_name").reset_index(drop=True)
+
+
+SQL_ORDER_VALUE_CV_BY_NATION = """
+SELECT n.n_name,
+       COUNT(*) AS n_orders,
+       ROUND(AVG(o.o_totalprice), 2) AS avg_value,
+       ROUND(STDDEV_POP(o.o_totalprice) / AVG(o.o_totalprice), 6) AS cv
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
+def q_char_class_profile(sf_dir: str):
+    """Character-class density per source: digit-char ratio and
+    uppercase-char ratio over each source's corpus — the OCR-noise /
+    boilerplate fingerprint used to tune cleaning rules per provenance.
+    Pure map-side combiner: each batch counts digits/uppers/chars per
+    source vectorized (pandas str.count on compiled classes) and the
+    reduce is source-cardinality-bounded."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": df["source"],
+            "chars": df["text"].str.len().astype("int64"),
+            "digits": df["text"].str.count(r"[0-9]").astype("int64"),
+            "uppers": df["text"].str.count(r"[A-Z]").astype("int64"),
+            "docs": 1,
+        }).groupby("source", as_index=False).sum()
+
+    g = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby("source", as_index=False).sum()
+    g["digit_ratio"] = (g["digits"] / g["chars"]).round(6)
+    g["upper_ratio"] = (g["uppers"] / g["chars"]).round(6)
+    g["n_docs"] = g.pop("docs").astype("int64")
+    g["n_chars"] = g.pop("chars").astype("int64")
+    return g.sort_values("source").reset_index(drop=True)[
+        ["source", "n_docs", "n_chars", "digit_ratio", "upper_ratio"]]
+
+
+SQL_CHAR_CLASS_PROFILE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+       ROUND(SUM(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) * 1.0)
+             / SUM(LENGTH(text)), 6) AS digit_ratio,
+       ROUND(SUM(LENGTH(REGEXP_REPLACE(text, '[^A-Z]', '', 'g')) * 1.0)
+             / SUM(LENGTH(text)), 6) AS upper_ratio
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -18073,6 +18287,10 @@ QUERIES = {
     "supplier_tier_volume": q_supplier_tier_volume,
     "user_hour_entropy": q_user_hour_entropy,
     "brand_discount_elasticity": q_brand_discount_elasticity,
+    "hurst_rs": q_hurst_rs,
+    "exit_type_share": q_exit_type_share,
+    "order_value_cv_by_nation": q_order_value_cv_by_nation,
+    "char_class_profile": q_char_class_profile,
 }
 
 ORACLE_SQL = {
@@ -18423,4 +18641,8 @@ ORACLE_SQL = {
     "supplier_tier_volume": SQL_SUPPLIER_TIER_VOLUME,
     "user_hour_entropy": SQL_USER_HOUR_ENTROPY,
     "brand_discount_elasticity": SQL_BRAND_DISCOUNT_ELASTICITY,
+    "hurst_rs": SQL_HURST_RS,
+    "exit_type_share": SQL_EXIT_TYPE_SHARE,
+    "order_value_cv_by_nation": SQL_ORDER_VALUE_CV_BY_NATION,
+    "char_class_profile": SQL_CHAR_CLASS_PROFILE,
 }
