@@ -17935,6 +17935,218 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_acf_daily_revenue(sf_dir: str):
+    """Autocorrelation function of the daily-revenue series at lags
+    1..7 — the weekly-memory fingerprint a forecaster reads before
+    picking model order.  Daily revenue reduces through cents-exact
+    combiner partials; the series is calendar-bounded, so the lagged
+    Pearson folds are driver-side numpy over (n - lag) pairs (rank-
+    adjacent days, matching the SQL's ROW_NUMBER join)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"day": df["o_orderdate"].dt.normalize(),
+                             "cents": cents}) \
+            .groupby("day", as_index=False)["cents"].sum()
+
+    daily = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby("day", as_index=False)["cents"].sum().sort_values("day")
+    x = daily["cents"].to_numpy(dtype=np.float64) / 100.0
+    rows = []
+    for lag in range(1, 8):
+        if len(x) <= lag + 1:
+            rows.append((lag, 0, float("nan")))
+            continue
+        a, b = x[:-lag], x[lag:]
+        n = len(a)
+        cov = n * np.dot(a, b) - a.sum() * b.sum()
+        va = n * np.dot(a, a) - a.sum() ** 2
+        vb = n * np.dot(b, b) - b.sum() ** 2
+        acf = cov / np.sqrt(va * vb) if va > 0 and vb > 0 else float("nan")
+        rows.append((lag, n, round(float(acf), 6)))
+    return pd.DataFrame(rows, columns=["lag", "n_pairs", "acf"])
+
+
+SQL_ACF_DAILY_REVENUE = """
+WITH d AS (SELECT o_orderdate AS day,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+                    AS rev
+           FROM orders GROUP BY 1),
+r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS idx FROM d),
+l AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) AS t(lag))
+SELECT l.lag, COUNT(*) AS n_pairs,
+       ROUND(CORR(a.rev, b.rev), 6) AS acf
+FROM l JOIN r a ON TRUE JOIN r b ON b.idx = a.idx + l.lag
+GROUP BY l.lag ORDER BY l.lag
+"""
+
+
+#: truncated-EWMA smoothing: horizon (days) and decay per day
+EWMA_HORIZON_DAYS = 30
+EWMA_DECAY = 0.8
+
+
+def q_ewma_daily_value(sf_dir: str):
+    """Per-type exponentially weighted moving average of daily event
+    value over the trailing 30 days (decay 0.8/day, truncated — the
+    streaming smoother behind alerting baselines).  Daily (type, day)
+    totals reduce through combiner partials — a (types × 30)-bounded
+    table — and the weighted fold closes on the driver."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    maxd = ds.map_batches(
+        lambda df: pd.DataFrame({"d": [df["ts"].max()]}),
+        batch_format="pandas").to_pandas()["d"].max().normalize()
+    lo = maxd - pd.Timedelta(days=EWMA_HORIZON_DAYS - 1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.normalize()
+        m = day >= lo
+        if not m.any():
+            return pd.DataFrame({"event_type": pd.Series([], dtype=str),
+                                 "day": pd.Series([], dtype="datetime64[us]"),
+                                 "v": pd.Series([], dtype=float)})
+        sub = pd.DataFrame({"event_type": df["event_type"][m],
+                            "day": day[m], "v": df["value"][m]})
+        return sub.groupby(["event_type", "day"], as_index=False)["v"].sum()
+
+    g = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby(["event_type", "day"], as_index=False)["v"].sum()
+    lag = (maxd - g["day"]).dt.days.to_numpy()
+    w = EWMA_DECAY ** lag
+    g = g.assign(wv=w * g["v"].to_numpy(), w=w)
+    out = g.groupby("event_type", as_index=False).agg(
+        n_days=("day", "size"), wv=("wv", "sum"), w=("w", "sum"))
+    out["ewma_value"] = (out["wv"] / out["w"]).round(6)
+    out["n_days"] = out["n_days"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)[
+        ["event_type", "n_days", "ewma_value"]]
+
+
+SQL_EWMA_DAILY_VALUE = """
+WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS maxd FROM events),
+d AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(value) AS v
+      FROM events, mx
+      WHERE CAST(ts AS DATE) >= maxd - INTERVAL 29 DAY
+      GROUP BY 1, 2)
+SELECT d.event_type, COUNT(*) AS n_days,
+       ROUND(SUM(d.v * POWER(0.8, DATE_DIFF('day', d.day, mx.maxd)))
+             / SUM(POWER(0.8, DATE_DIFF('day', d.day, mx.maxd))), 6)
+         AS ewma_value
+FROM d, mx GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+def q_prefix_dup_rate(sf_dir: str):
+    """Boilerplate detector: share of documents whose first 64
+    characters are shared with another doc of the SAME source — the
+    template-page signal that precedes prefix-stripping rules.  Prefixes
+    hash-partition (pandas siphash, the doc_fingerprint pattern) so
+    group counting is local; partials are source-cardinality-bounded."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    P = 32
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        pref = df["text"].str.slice(0, 64)
+        part = (pd.util.hash_array(pref.to_numpy(dtype=object)) % P) \
+            .astype(np.int32)
+        return pd.DataFrame({"part": part, "source": df["source"],
+                             "pref": pref})
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["source", "pref"], as_index=False).size()
+        return pd.DataFrame({
+            "source": c["source"],
+            "docs": c["size"],
+            "dup_docs": np.where(c["size"] > 1, c["size"], 0),
+        }).groupby("source", as_index=False).sum()
+
+    g = (ds.map_batches(add_part, batch_format="pandas")
+         .groupby("part").map_groups(count_part, batch_format="pandas")
+         ).to_pandas().groupby("source", as_index=False).sum()
+    g["dup_share"] = (g["dup_docs"] / g["docs"]).round(6)
+    g["n_docs"] = g.pop("docs").astype("int64")
+    g["n_dup_docs"] = g.pop("dup_docs").astype("int64")
+    return g.sort_values("source").reset_index(drop=True)[
+        ["source", "n_docs", "n_dup_docs", "dup_share"]]
+
+
+SQL_PREFIX_DUP_RATE = """
+WITH p AS (SELECT source, SUBSTR(text, 1, 64) AS pref FROM documents),
+c AS (SELECT source, pref, COUNT(*) AS n FROM p GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       ROUND(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) * 1.0 / SUM(n), 6)
+         AS dup_share
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+def q_pair_cosine_hist(sf_dir: str):
+    """Corpus-similarity profile: histogram (bin width 0.1) of cosine
+    similarity between consecutive-id embedding pairs (i, i+1) — the
+    cheap global read on embedding-space temperature before picking
+    near-dup thresholds.  Each row ships to keys vec_id and vec_id-1
+    (the offset self-join as ONE hash exchange); cosines fold per
+    partition into 20-bin partials."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    P = 32
+
+    def fan(df: pd.DataFrame) -> pd.DataFrame:
+        vid = df["vec_id"].to_numpy()
+        out = pd.concat([
+            pd.DataFrame({"key": vid, "side": np.int8(0),
+                          "embedding": df["embedding"]}),
+            pd.DataFrame({"key": vid - 1, "side": np.int8(1),
+                          "embedding": df["embedding"]}),
+        ])
+        out["part"] = (out["key"].to_numpy() % P).astype(np.int32)
+        return out[out["key"] >= 0]
+
+    def cos_part(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("key")["side"].transform("size")
+        g = g[c == 2].sort_values(["key", "side"])
+        if g.empty:
+            return pd.DataFrame({"bin": pd.Series([], dtype=np.int32),
+                                 "n": pd.Series([], dtype=np.int64)})
+        a = np.stack(g["embedding"].to_numpy()[0::2]).astype(np.float64)
+        b = np.stack(g["embedding"].to_numpy()[1::2]).astype(np.float64)
+        cos = np.sum(a * b, axis=1) / (
+            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+        bins = np.clip(np.floor(np.round(cos, 6) * 10), -10, 9) \
+            .astype(np.int32)
+        u, n = np.unique(bins, return_counts=True)
+        return pd.DataFrame({"bin": u, "n": n.astype(np.int64)})
+
+    g = (ds.map_batches(fan, batch_format="pandas")
+         .groupby("part").map_groups(cos_part, batch_format="pandas")
+         ).to_pandas().groupby("bin", as_index=False)["n"].sum()
+    tot = g["n"].sum()
+    g["share"] = (g["n"] / tot).round(6)
+    g["lo"] = (g["bin"] / 10.0).round(1)
+    g["n"] = g["n"].astype("int64")
+    return g.sort_values("bin").reset_index(drop=True)[
+        ["lo", "n", "share"]]
+
+
+SQL_PAIR_COSINE_HIST = """
+WITH p AS (SELECT a.vec_id,
+                  list_cosine_similarity(a.embedding, b.embedding) AS cos
+           FROM embeddings a JOIN embeddings b
+             ON b.vec_id = a.vec_id + 1),
+b AS (SELECT GREATEST(-10, LEAST(9,
+               CAST(FLOOR(ROUND(cos, 6) * 10) AS INT))) AS bin
+      FROM p),
+c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY 1),
+g AS (SELECT SUM(n) AS tot FROM c)
+SELECT ROUND(c.bin / 10.0, 1) AS lo, c.n,
+       ROUND(c.n * 1.0 / g.tot, 6) AS share
+FROM c, g ORDER BY c.bin
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -18291,6 +18503,10 @@ QUERIES = {
     "exit_type_share": q_exit_type_share,
     "order_value_cv_by_nation": q_order_value_cv_by_nation,
     "char_class_profile": q_char_class_profile,
+    "acf_daily_revenue": q_acf_daily_revenue,
+    "ewma_daily_value": q_ewma_daily_value,
+    "prefix_dup_rate": q_prefix_dup_rate,
+    "pair_cosine_hist": q_pair_cosine_hist,
 }
 
 ORACLE_SQL = {
@@ -18645,4 +18861,8 @@ ORACLE_SQL = {
     "exit_type_share": SQL_EXIT_TYPE_SHARE,
     "order_value_cv_by_nation": SQL_ORDER_VALUE_CV_BY_NATION,
     "char_class_profile": SQL_CHAR_CLASS_PROFILE,
+    "acf_daily_revenue": SQL_ACF_DAILY_REVENUE,
+    "ewma_daily_value": SQL_EWMA_DAILY_VALUE,
+    "prefix_dup_rate": SQL_PREFIX_DUP_RATE,
+    "pair_cosine_hist": SQL_PAIR_COSINE_HIST,
 }
