@@ -18147,6 +18147,198 @@ FROM c, g ORDER BY c.bin
 """
 
 
+def q_orders_per_customer_hist(sf_dir: str):
+    """Frequency-of-frequencies: how many customers placed exactly k
+    orders (k capped at 10+), INCLUDING the zero-order customers the
+    orders table never mentions — the engagement-curve read that needs
+    the left-outer shape.  Per-customer counts fold through combiner
+    partials keyed by custkey hash; zero-order mass is total customers
+    minus distinct purchasers (two scalar reductions, no join)."""
+    P = 32
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size()
+        g["part"] = (g["o_custkey"].to_numpy() % P).astype(np.int32)
+        return g
+
+    def hist_part(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("o_custkey", as_index=False)["size"].sum()
+        k = np.minimum(c["size"].to_numpy(), 10)
+        u, n = np.unique(k, return_counts=True)
+        return pd.DataFrame({"k": u.astype(np.int64),
+                             "n_customers": n.astype(np.int64)})
+
+    hist = (orders.map_batches(partial, batch_format="pandas")
+            .groupby("part").map_groups(hist_part, batch_format="pandas")
+            ).to_pandas().groupby("k", as_index=False)["n_customers"].sum()
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    zero = n_cust - int(hist["n_customers"].sum())
+    out = (pd.concat([pd.DataFrame({"k": [0], "n_customers": [zero]}), hist])
+           if zero > 0 else hist)
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["share"] = (out["n_customers"] / n_cust).round(6)
+    return out.sort_values("k").reset_index(drop=True)
+
+
+SQL_ORDERS_PER_CUSTOMER_HIST = """
+WITH pc AS (SELECT c.c_custkey, COUNT(o.o_orderkey) AS cnt
+            FROM customer c LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey
+            GROUP BY 1),
+h AS (SELECT LEAST(cnt, 10) AS k, COUNT(*) AS n_customers
+      FROM pc GROUP BY 1),
+g AS (SELECT SUM(n_customers) AS tot FROM h)
+SELECT CAST(h.k AS BIGINT) AS k, h.n_customers,
+       ROUND(h.n_customers * 1.0 / g.tot, 6) AS share
+FROM h, g ORDER BY h.k
+"""
+
+
+def q_brand_price_size_slopes(sf_dir: str):
+    """Grouped OLS: per-brand slope and intercept of retailprice ~ size
+    — the hedonic 'what does a size unit cost under each brand' read.
+    Pure map-side sufficient statistics (n, Σx, Σy, Σxx, Σxy) per brand
+    reduce to a brand-cardinality fold; no shuffle ships raw rows."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["p_size"].to_numpy(dtype=np.float64)
+        y = df["p_retailprice"].to_numpy(dtype=np.float64)
+        return df.assign(n=1.0, sx=x, sy=y, sxx=x * x, sxy=x * y) \
+            .groupby("p_brand", as_index=False)[
+                ["n", "sx", "sy", "sxx", "sxy"]].sum()
+
+    g = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby("p_brand", as_index=False).sum()
+    n = g["n"].to_numpy()
+    den = n * g["sxx"].to_numpy() - g["sx"].to_numpy() ** 2
+    slope = np.divide(
+        n * g["sxy"].to_numpy() - g["sx"].to_numpy() * g["sy"].to_numpy(),
+        den, out=np.full(len(g), np.nan), where=den != 0)
+    intercept = (g["sy"].to_numpy() - slope * g["sx"].to_numpy()) / n
+    return pd.DataFrame({
+        "p_brand": g["p_brand"],
+        "n_parts": n.astype(np.int64),
+        "slope": np.round(slope, 6),
+        "intercept": np.round(intercept, 6),
+    }).sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_BRAND_PRICE_SIZE_SLOPES = """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       ROUND(REGR_SLOPE(p_retailprice, p_size), 6) AS slope,
+       ROUND(REGR_INTERCEPT(p_retailprice, p_size), 6) AS intercept
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_sentence_stats_by_lang(sf_dir: str):
+    """Sentence-segmentation profile per language: terminator count
+    ('.', '!', '?') and mean chars-per-sentence over docs that have at
+    least one terminator — the readability prior for per-language
+    cleaning.  Map-side combiner partials only; the reduce is lang-
+    cardinality-bounded."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        terms = df["text"].str.count(r"[.!?]").astype("int64")
+        chars = df["text"].str.len().astype("int64")
+        has = terms > 0
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "docs": 1,
+            "seg_docs": has.astype("int64"),
+            "terms": terms,
+            "seg_chars": np.where(has, chars, 0),
+        }).groupby("lang", as_index=False).sum()
+
+    g = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby("lang", as_index=False).sum()
+    g["avg_sentence_len"] = np.where(
+        g["terms"] > 0, g["seg_chars"] / g["terms"], np.nan).round(6)
+    g["avg_sentences"] = np.where(
+        g["seg_docs"] > 0, g["terms"] / g["seg_docs"], np.nan).round(6)
+    g["n_docs"] = g.pop("docs").astype("int64")
+    g["n_segmented"] = g.pop("seg_docs").astype("int64")
+    return g.sort_values("lang").reset_index(drop=True)[
+        ["lang", "n_docs", "n_segmented", "avg_sentences",
+         "avg_sentence_len"]]
+
+
+SQL_SENTENCE_STATS_BY_LANG = """
+WITH t AS (SELECT lang, LENGTH(text) AS chars,
+                  LENGTH(text)
+                  - LENGTH(REGEXP_REPLACE(text, '[.!?]', '', 'g'))
+                    AS terms
+           FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN terms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_segmented,
+       ROUND(SUM(terms) * 1.0
+             / SUM(CASE WHEN terms > 0 THEN 1 ELSE 0 END), 6)
+         AS avg_sentences,
+       ROUND(SUM(CASE WHEN terms > 0 THEN chars ELSE 0 END) * 1.0
+             / SUM(terms), 6) AS avg_sentence_len
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+def q_session_size_hist(sf_dir: str):
+    """Distribution of events-per-session (30-min inactivity sessions,
+    size capped at 10+) — the sequence-length histogram that sizes
+    packing buffers for training tapes.  The sessionize exchange (users
+    hash to bounded fat partitions, vectorized gap-cumsum walk) closes
+    into a 10-bucket partial per partition."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    P = 32
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["part"] = (df["user_id"].to_numpy() % P).astype(np.int32)
+        return df
+
+    def hist_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        new = ((g["ts"].diff() > pd.Timedelta(minutes=30)) & same) | ~same
+        sid = new.cumsum().to_numpy()
+        sizes = np.bincount(sid)[1:]  # session ids start at 1
+        k = np.minimum(sizes[sizes > 0], 10)
+        u, n = np.unique(k, return_counts=True)
+        return pd.DataFrame({"k": u.astype(np.int64),
+                             "n_sessions": n.astype(np.int64)})
+
+    g = (ds.map_batches(add_part, batch_format="pandas")
+         .groupby("part").map_groups(hist_part, batch_format="pandas")
+         ).to_pandas().groupby("k", as_index=False)["n_sessions"].sum()
+    tot = g["n_sessions"].sum()
+    g["n_sessions"] = g["n_sessions"].astype("int64")
+    g["share"] = (g["n_sessions"] / tot).round(6)
+    return g.sort_values("k").reset_index(drop=True)
+
+
+SQL_SESSION_SIZE_HIST = """
+WITH f AS (SELECT user_id, ts,
+                  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts)
+                            > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events),
+s AS (SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+z AS (SELECT user_id, sid, COUNT(*) AS sz FROM s GROUP BY 1, 2),
+h AS (SELECT LEAST(sz, 10) AS k, COUNT(*) AS n_sessions
+      FROM z GROUP BY 1),
+g AS (SELECT SUM(n_sessions) AS tot FROM h)
+SELECT CAST(h.k AS BIGINT) AS k, h.n_sessions,
+       ROUND(h.n_sessions * 1.0 / g.tot, 6) AS share
+FROM h, g ORDER BY h.k
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -18507,6 +18699,10 @@ QUERIES = {
     "ewma_daily_value": q_ewma_daily_value,
     "prefix_dup_rate": q_prefix_dup_rate,
     "pair_cosine_hist": q_pair_cosine_hist,
+    "orders_per_customer_hist": q_orders_per_customer_hist,
+    "brand_price_size_slopes": q_brand_price_size_slopes,
+    "sentence_stats_by_lang": q_sentence_stats_by_lang,
+    "session_size_hist": q_session_size_hist,
 }
 
 ORACLE_SQL = {
@@ -18865,4 +19061,8 @@ ORACLE_SQL = {
     "ewma_daily_value": SQL_EWMA_DAILY_VALUE,
     "prefix_dup_rate": SQL_PREFIX_DUP_RATE,
     "pair_cosine_hist": SQL_PAIR_COSINE_HIST,
+    "orders_per_customer_hist": SQL_ORDERS_PER_CUSTOMER_HIST,
+    "brand_price_size_slopes": SQL_BRAND_PRICE_SIZE_SLOPES,
+    "sentence_stats_by_lang": SQL_SENTENCE_STATS_BY_LANG,
+    "session_size_hist": SQL_SESSION_SIZE_HIST,
 }
