@@ -18339,6 +18339,243 @@ FROM h, g ORDER BY h.k
 """
 
 
+def q_odds_ratio_weekend_purchase(sf_dir: str):
+    """2×2 odds-ratio analysis: odds of an event being a purchase on a
+    weekend vs a weekday, with the log-OR standard error (Woolf) — the
+    case/control framing of the weekend-effect question.  Pure map-side
+    fold: each batch emits the four cell counts; the driver closes the
+    2×2 arithmetic."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        we = df["ts"].dt.dayofweek >= 5
+        pur = df["event_type"].eq("purchase")
+        return pd.DataFrame({
+            "a": [int((we & pur).sum())],      # weekend purchase
+            "b": [int((we & ~pur).sum())],     # weekend other
+            "c": [int((~we & pur).sum())],     # weekday purchase
+            "d": [int((~we & ~pur).sum())],    # weekday other
+        })
+
+    t = ds.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    a, b, c, d = (float(t["a"]), float(t["b"]), float(t["c"]), float(t["d"]))
+    if min(a, b, c, d) <= 0:
+        orr, se = float("nan"), float("nan")
+    else:
+        orr = (a * d) / (b * c)
+        se = float(np.sqrt(1 / a + 1 / b + 1 / c + 1 / d))
+    return pd.DataFrame({
+        "weekend_purchase": [int(a)], "weekend_other": [int(b)],
+        "weekday_purchase": [int(c)], "weekday_other": [int(d)],
+        "odds_ratio": [round(orr, 6)], "log_or_se": [round(se, 6)],
+    })
+
+
+SQL_ODDS_RATIO_WEEKEND_PURCHASE = """
+WITH t AS (SELECT
+    SUM(CASE WHEN DAYOFWEEK(ts) IN (0, 6)
+              AND event_type = 'purchase' THEN 1 ELSE 0 END) AS a,
+    SUM(CASE WHEN DAYOFWEEK(ts) IN (0, 6)
+              AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS b,
+    SUM(CASE WHEN DAYOFWEEK(ts) NOT IN (0, 6)
+              AND event_type = 'purchase' THEN 1 ELSE 0 END) AS c,
+    SUM(CASE WHEN DAYOFWEEK(ts) NOT IN (0, 6)
+              AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS d
+  FROM events)
+SELECT CAST(a AS BIGINT) AS weekend_purchase,
+       CAST(b AS BIGINT) AS weekend_other,
+       CAST(c AS BIGINT) AS weekday_purchase,
+       CAST(d AS BIGINT) AS weekday_other,
+       ROUND(a * d * 1.0 / (b * c), 6) AS odds_ratio,
+       ROUND(SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d), 6) AS log_or_se
+FROM t
+"""
+
+
+def q_nation_whale_share(sf_dir: str):
+    """Whale concentration per market: within each customer nation, the
+    revenue share held by the top decile of purchasing customers
+    (ceil(n/10) best spenders) — the account-management prioritization
+    read.  Per-customer revenue folds through the salted join combiner;
+    the per-nation sort runs inside nation-keyed fat partitions
+    (customer-cardinality-bounded, never lineitem-sized)."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "c_custkey": df["o_custkey"].to_numpy(),
+                "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["c_nationkey", "c_custkey"], as_index=False)[
+            "cents"].sum()
+
+    percust = salted_hash_join(orders, cust, "c_custkey", agg_fn=agg,
+                               hot_keys=np.array([], np.int64))
+
+    def whale_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["c_nationkey", "c_custkey"], as_index=False)[
+            "cents"].sum()
+        rows = []
+        for nk, sub in g.groupby("c_nationkey"):
+            v = np.sort(sub["cents"].to_numpy())[::-1]
+            k = -(-len(v) // 10)  # ceil(n/10)
+            rows.append((nk, len(v), int(v[:k].sum()), int(v.sum())))
+        return pd.DataFrame(rows, columns=["c_nationkey", "n_buyers",
+                                           "top_cents", "tot_cents"])
+
+    g = percust.groupby("c_nationkey") \
+        .map_groups(whale_part, batch_format="pandas").to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    g = g.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    g["whale_share"] = (g["top_cents"] / g["tot_cents"]).round(6)
+    g["revenue"] = (g["tot_cents"] / 100.0).round(2)
+    g["n_buyers"] = g["n_buyers"].astype("int64")
+    return g.sort_values("n_name").reset_index(drop=True)[
+        ["n_name", "n_buyers", "revenue", "whale_share"]]
+
+
+SQL_NATION_WHALE_SHARE = """
+WITH pc AS (SELECT c.c_nationkey, o.o_custkey,
+                   SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                     AS cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2),
+r AS (SELECT c_nationkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents DESC, o_custkey) AS rk,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM pc)
+SELECT nn.n_name,
+       CAST(ANY_VALUE(r.n) AS BIGINT) AS n_buyers,
+       ROUND(SUM(r.cents) / 100.0, 2) AS revenue,
+       ROUND(SUM(CASE WHEN r.rk <= CEIL(r.n / 10.0) THEN r.cents
+                      ELSE 0 END) * 1.0 / SUM(r.cents), 6) AS whale_share
+FROM r JOIN nation nn ON nn.n_nationkey = r.c_nationkey
+GROUP BY nn.n_name ORDER BY nn.n_name
+"""
+
+
+def q_nation_rank_stability(sf_dir: str):
+    """Market-rank stability: Spearman rank correlation of nation
+    revenue between each adjacent pair of order years — 'does the
+    league table persist'.  Revenue folds to (year × nation) combiner
+    partials (calendar × 25 bounded); the rank correlations close on
+    the driver."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "c_custkey": df["o_custkey"].to_numpy(),
+                "yr": df["o_orderdate"].dt.year.astype(np.int32),
+                "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["yr", "c_nationkey"], as_index=False)[
+            "cents"].sum()
+
+    g = salted_hash_join(orders, cust, "c_custkey", agg_fn=agg,
+                         hot_keys=np.array([], np.int64)).to_pandas() \
+        .groupby(["yr", "c_nationkey"], as_index=False)["cents"].sum()
+    rows = []
+    years = sorted(g["yr"].unique())
+    for y0, y1 in zip(years, years[1:]):
+        a = g[g["yr"] == y0].set_index("c_nationkey")["cents"]
+        b = g[g["yr"] == y1].set_index("c_nationkey")["cents"]
+        common = a.index.intersection(b.index)
+        if len(common) < 2:
+            continue
+        # rank by revenue desc, nationkey asc tiebreak — matches SQL
+        def rk(s):
+            df = s.loc[common].reset_index()
+            df = df.sort_values(["cents", "c_nationkey"],
+                                ascending=[False, True])
+            df["r"] = np.arange(1, len(df) + 1, dtype=np.float64)
+            return df.set_index("c_nationkey")["r"]
+        ra, rb = rk(a), rk(b)
+        x = ra.loc[common].to_numpy()
+        y = rb.loc[common].to_numpy()
+        n = float(len(common))
+        cov = n * np.dot(x, y) - x.sum() * y.sum()
+        vx = n * np.dot(x, x) - x.sum() ** 2
+        vy = n * np.dot(y, y) - y.sum() ** 2
+        rho = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else float("nan")
+        rows.append((int(y0), int(y1), int(n), round(float(rho), 6)))
+    return pd.DataFrame(rows, columns=["year_a", "year_b", "n_nations",
+                                       "spearman"])
+
+
+SQL_NATION_RANK_STABILITY = """
+WITH g AS (SELECT EXTRACT(year FROM o.o_orderdate) AS yr, c.c_nationkey,
+                  SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS cents
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY 1, 2),
+p AS (SELECT a.yr AS year_a, b.yr AS year_b, a.c_nationkey,
+             a.cents AS ca, b.cents AS cb
+      FROM g a JOIN g b ON b.yr = a.yr + 1
+                       AND b.c_nationkey = a.c_nationkey),
+r AS (SELECT year_a, year_b,
+             ROW_NUMBER() OVER (PARTITION BY year_a
+                                ORDER BY ca DESC, c_nationkey) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY year_a
+                                ORDER BY cb DESC, c_nationkey) AS rb
+      FROM p)
+SELECT CAST(year_a AS INT) AS year_a, CAST(year_b AS INT) AS year_b,
+       COUNT(*) AS n_nations, ROUND(CORR(ra, rb), 6) AS spearman
+FROM r GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY year_a
+"""
+
+
+def q_name_verbosity_premium(sf_dir: str):
+    """Is verbosity priced?  Mean retail price by number of tokens in
+    the part name, plus each bucket's share of the catalog — the
+    metadata-hygiene read on whether longer names systematically carry
+    higher-priced parts.  Pure map-side combiner; the reduce is token-
+    count-bounded."""
+    ds = _read(sf_dir, "part", ["p_name", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ntok = (df["p_name"].str.count(" ") + 1).astype("int64")
+        return pd.DataFrame({
+            "n_tokens": ntok, "n_parts": 1,
+            "sum_price": df["p_retailprice"].to_numpy(),
+        }).groupby("n_tokens", as_index=False).sum()
+
+    g = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby("n_tokens", as_index=False).sum()
+    tot = g["n_parts"].sum()
+    g["avg_price"] = (g["sum_price"] / g["n_parts"]).round(6)
+    g["catalog_share"] = (g["n_parts"] / tot).round(6)
+    g["n_parts"] = g["n_parts"].astype("int64")
+    return g.sort_values("n_tokens").reset_index(drop=True)[
+        ["n_tokens", "n_parts", "catalog_share", "avg_price"]]
+
+
+SQL_NAME_VERBOSITY_PREMIUM = """
+WITH t AS (SELECT LENGTH(p_name)
+                  - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS n_tokens,
+                  p_retailprice
+           FROM part),
+g AS (SELECT n_tokens, COUNT(*) AS n_parts, AVG(p_retailprice) AS ap
+      FROM t GROUP BY 1),
+s AS (SELECT SUM(n_parts) AS tot FROM g)
+SELECT CAST(g.n_tokens AS BIGINT) AS n_tokens, g.n_parts,
+       ROUND(g.n_parts * 1.0 / s.tot, 6) AS catalog_share,
+       ROUND(g.ap, 6) AS avg_price
+FROM g, s ORDER BY g.n_tokens
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -18703,6 +18940,10 @@ QUERIES = {
     "brand_price_size_slopes": q_brand_price_size_slopes,
     "sentence_stats_by_lang": q_sentence_stats_by_lang,
     "session_size_hist": q_session_size_hist,
+    "odds_ratio_weekend_purchase": q_odds_ratio_weekend_purchase,
+    "nation_whale_share": q_nation_whale_share,
+    "nation_rank_stability": q_nation_rank_stability,
+    "name_verbosity_premium": q_name_verbosity_premium,
 }
 
 ORACLE_SQL = {
@@ -19065,4 +19306,8 @@ ORACLE_SQL = {
     "brand_price_size_slopes": SQL_BRAND_PRICE_SIZE_SLOPES,
     "sentence_stats_by_lang": SQL_SENTENCE_STATS_BY_LANG,
     "session_size_hist": SQL_SESSION_SIZE_HIST,
+    "odds_ratio_weekend_purchase": SQL_ODDS_RATIO_WEEKEND_PURCHASE,
+    "nation_whale_share": SQL_NATION_WHALE_SHARE,
+    "nation_rank_stability": SQL_NATION_RANK_STABILITY,
+    "name_verbosity_premium": SQL_NAME_VERBOSITY_PREMIUM,
 }
