@@ -18576,6 +18576,242 @@ FROM g, s ORDER BY g.n_tokens
 """
 
 
+def q_abc_classification(sf_dir: str):
+    """Inventory ABC analysis: parts ranked by revenue, class A = the
+    head making up 80% of cumulative revenue, B = next 15%, C = tail —
+    the stocking-policy segmentation.  Per-part revenue folds through
+    the salted join combiner; class assignment reuses the distributed
+    rank+running-total primitive (one sort, driver sees one (count,
+    sum) pair per block), so no driver-side pass over parts."""
+    from icrawler_ray.functions.seq import assign_global_seq_and_cumsum
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "p_partkey": df["l_partkey"].to_numpy(),
+                "cents": np.round(df["l_extendedprice"].to_numpy() * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+    part = _read(sf_dir, "part", ["p_partkey"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("p_partkey", as_index=False)["cents"].sum()
+
+    percust = salted_hash_join(li, part, "p_partkey", agg_fn=agg) \
+        .map_batches(lambda df: df.groupby("p_partkey", as_index=False)
+                     ["cents"].sum(), batch_format="pandas")
+    total = int(percust.map_batches(
+        lambda df: pd.DataFrame({"s": [df["cents"].sum()]}),
+        batch_format="pandas").to_pandas()["s"].sum())
+    ranked = assign_global_seq_and_cumsum(
+        percust, ["cents", "p_partkey"], weight_col="cents",
+        cum_col="cum_before", descending=True)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        cum = df["cum_before"].to_numpy() + df["cents"].to_numpy()
+        cls = np.where(cum <= 0.80 * total, "A",
+                       np.where(cum <= 0.95 * total, "B", "C"))
+        return pd.DataFrame({"cls": cls, "n_parts": 1,
+                             "cents": df["cents"].to_numpy()}) \
+            .groupby("cls", as_index=False).sum()
+
+    g = ranked.map_batches(classify, batch_format="pandas").to_pandas() \
+        .groupby("cls", as_index=False).sum()
+    g["revenue_share"] = (g["cents"] / total).round(6)
+    g["revenue"] = (g["cents"] / 100.0).round(2)
+    g["n_parts"] = g["n_parts"].astype("int64")
+    return g.sort_values("cls").reset_index(drop=True)[
+        ["cls", "n_parts", "revenue", "revenue_share"]]
+
+
+SQL_ABC_CLASSIFICATION = """
+WITH pr AS (SELECT l_partkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     AS cents
+            FROM lineitem GROUP BY 1),
+r AS (SELECT cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cents) OVER () AS tot
+      FROM pr),
+c AS (SELECT CASE WHEN cum <= 0.80 * tot THEN 'A'
+                  WHEN cum <= 0.95 * tot THEN 'B'
+                  ELSE 'C' END AS cls,
+             cents, tot
+      FROM r)
+SELECT cls, COUNT(*) AS n_parts,
+       ROUND(SUM(cents) / 100.0, 2) AS revenue,
+       ROUND(SUM(cents) * 1.0 / ANY_VALUE(tot), 6) AS revenue_share
+FROM c GROUP BY cls ORDER BY cls
+"""
+
+
+def q_supplier_nation_tax(sf_dir: str):
+    """Tax incidence by supplier nation: quantity-weighted mean tax
+    rate and total revenue sourced from each supplier country — the
+    landed-cost geography read.  Lineitem folds through the salted join
+    combiner keyed by supplier, partials keyed by nationkey; the
+    25-row nation name map joins on the driver."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_quantity", "l_tax", "l_extendedprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "s_suppkey": df["l_suppkey"].to_numpy(),
+                "q": df["l_quantity"].to_numpy(),
+                "qt": df["l_quantity"].to_numpy() * df["l_tax"].to_numpy(),
+                "cents": np.round(df["l_extendedprice"].to_numpy() * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("s_nationkey", as_index=False)[
+            ["q", "qt", "cents"]].sum()
+
+    g = salted_hash_join(li, sup, "s_suppkey", agg_fn=agg,
+                         hot_keys=np.array([], np.int64)).to_pandas() \
+        .groupby("s_nationkey", as_index=False)[["q", "qt", "cents"]].sum()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    g = g.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    g["wavg_tax"] = (g["qt"] / g["q"]).round(6)
+    g["revenue"] = (g["cents"] / 100.0).round(2)
+    g["total_qty"] = g["q"].round(2)
+    return g.sort_values("n_name").reset_index(drop=True)[
+        ["n_name", "total_qty", "revenue", "wavg_tax"]]
+
+
+SQL_SUPPLIER_NATION_TAX = """
+SELECT n.n_name,
+       ROUND(SUM(l.l_quantity), 2) AS total_qty,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+             / 100.0, 2) AS revenue,
+       ROUND(SUM(l.l_quantity * l.l_tax) / SUM(l.l_quantity), 6)
+         AS wavg_tax
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
+def q_debtor_revenue_share(sf_dir: str):
+    """Credit-risk exposure: per market segment, the share of order
+    revenue placed by customers with NEGATIVE account balance — the
+    receivables red-flag board.  Per-customer order revenue folds
+    through the salted join combiner whose build side carries (segment,
+    is-debtor); partials are (segment × 2)-bounded."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "c_custkey": df["o_custkey"].to_numpy(),
+                "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "c_custkey": df["c_custkey"].to_numpy(),
+                "c_mktsegment": df["c_mktsegment"],
+                "debtor": (df["c_acctbal"].to_numpy() < 0)}),
+            batch_format="pandas")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["c_mktsegment", "debtor"], as_index=False)[
+            "cents"].sum()
+
+    g = salted_hash_join(orders, cust, "c_custkey", agg_fn=agg,
+                         hot_keys=np.array([], np.int64)).to_pandas() \
+        .groupby(["c_mktsegment", "debtor"], as_index=False)["cents"].sum()
+    piv = g.pivot_table(index="c_mktsegment", columns="debtor",
+                        values="cents", aggfunc="sum", fill_value=0)
+    piv = piv.reindex(columns=[False, True], fill_value=0)
+    out = pd.DataFrame({
+        "c_mktsegment": piv.index,
+        "revenue": ((piv[False] + piv[True]) / 100.0).round(2).to_numpy(),
+        "debtor_revenue": (piv[True] / 100.0).round(2).to_numpy(),
+        "debtor_share": (piv[True] / (piv[False] + piv[True])).round(6)
+        .to_numpy(),
+    })
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_DEBTOR_REVENUE_SHARE = """
+SELECT c.c_mktsegment,
+       ROUND(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS revenue,
+       ROUND(SUM(CASE WHEN c.c_acctbal < 0
+                      THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) / 100.0, 2) AS debtor_revenue,
+       ROUND(SUM(CASE WHEN c.c_acctbal < 0
+                      THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) * 1.0
+             / SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 6)
+         AS debtor_share
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+def q_interarrival_cv_by_type(sf_dir: str):
+    """Burstiness of each event type's GLOBAL arrival process: the
+    coefficient of variation of inter-arrival times (CV≈1 Poisson,
+    >1 bursty) over type-ordered timestamps.  Types hash to partitions
+    (each type's stream sorts within ONE fat group — type cardinality
+    is bounded); per-type sufficient statistics of the diffs close on
+    the driver."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id"])
+
+    def cv_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "ts", "event_id"],
+                          kind="mergesort")
+        t = g["ts"].astype("int64").to_numpy(dtype=np.float64)
+        et = g["event_type"].to_numpy()
+        same = et[1:] == et[:-1]
+        d = (t[1:] - t[:-1])[same] / 1e6  # seconds
+        key = pd.Series(et[1:][same])
+        sub = pd.DataFrame({"event_type": key, "n": 1.0, "s": d,
+                            "ss": d * d})
+        return sub.groupby("event_type", as_index=False)[
+            ["n", "s", "ss"]].sum()
+
+    g = ds.map_batches(
+        lambda df: df.assign(part=(pd.util.hash_array(
+            df["event_type"].to_numpy(dtype=object)) % 8)
+            .astype(np.int32)), batch_format="pandas") \
+        .groupby("part").map_groups(cv_part, batch_format="pandas") \
+        .to_pandas().groupby("event_type", as_index=False)[
+            ["n", "s", "ss"]].sum()
+    n, s, ss = g["n"].to_numpy(), g["s"].to_numpy(), g["ss"].to_numpy()
+    mean = s / n
+    var = np.maximum(ss / n - mean ** 2, 0.0)
+    return pd.DataFrame({
+        "event_type": g["event_type"],
+        "n_gaps": n.astype(np.int64),
+        "mean_gap_s": np.round(mean, 6),
+        "cv": np.round(np.sqrt(var) / mean, 6),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+SQL_INTERARRIVAL_CV_BY_TYPE = """
+WITH d AS (SELECT event_type,
+                  EPOCH(ts - LAG(ts) OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id))
+                    AS gap
+           FROM events)
+SELECT event_type, COUNT(gap) AS n_gaps,
+       ROUND(AVG(gap), 6) AS mean_gap_s,
+       ROUND(STDDEV_POP(gap) / AVG(gap), 6) AS cv
+FROM d WHERE gap IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -18944,6 +19180,10 @@ QUERIES = {
     "nation_whale_share": q_nation_whale_share,
     "nation_rank_stability": q_nation_rank_stability,
     "name_verbosity_premium": q_name_verbosity_premium,
+    "abc_classification": q_abc_classification,
+    "supplier_nation_tax": q_supplier_nation_tax,
+    "debtor_revenue_share": q_debtor_revenue_share,
+    "interarrival_cv_by_type": q_interarrival_cv_by_type,
 }
 
 ORACLE_SQL = {
@@ -19310,4 +19550,8 @@ ORACLE_SQL = {
     "nation_whale_share": SQL_NATION_WHALE_SHARE,
     "nation_rank_stability": SQL_NATION_RANK_STABILITY,
     "name_verbosity_premium": SQL_NAME_VERBOSITY_PREMIUM,
+    "abc_classification": SQL_ABC_CLASSIFICATION,
+    "supplier_nation_tax": SQL_SUPPLIER_NATION_TAX,
+    "debtor_revenue_share": SQL_DEBTOR_REVENUE_SHARE,
+    "interarrival_cv_by_type": SQL_INTERARRIVAL_CV_BY_TYPE,
 }
