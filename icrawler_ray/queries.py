@@ -18812,6 +18812,243 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_region_monthly_cv(sf_dir: str):
+    """Regional seasonality: per region, the coefficient of variation
+    of monthly order revenue — which markets swing hardest.  Orders
+    fold through the salted join combiner to (nationkey × month)
+    cents partials (calendar × 25 bounded); the nation→region map (25
+    rows) and the CV fold close on the driver."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "c_custkey": df["o_custkey"].to_numpy(),
+                "month": df["o_orderdate"].dt.strftime("%Y-%m"),
+                "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["c_nationkey", "month"], as_index=False)[
+            "cents"].sum()
+
+    g = salted_hash_join(orders, cust, "c_custkey", agg_fn=agg,
+                         hot_keys=np.array([], np.int64)).to_pandas() \
+        .groupby(["c_nationkey", "month"], as_index=False)["cents"].sum()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]) \
+        .to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    g = g.merge(nat, left_on="c_nationkey", right_on="n_nationkey") \
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey") \
+        .groupby(["r_name", "month"], as_index=False)["cents"].sum()
+    rows = []
+    for rn, sub in g.groupby("r_name"):
+        x = sub["cents"].to_numpy(dtype=np.float64) / 100.0
+        mu = x.mean()
+        cv = float(x.std() / mu) if mu != 0 else float("nan")
+        rows.append((rn, len(x), round(mu, 2), round(cv, 6)))
+    return pd.DataFrame(rows, columns=["r_name", "n_months",
+                                       "avg_monthly_revenue", "cv"]) \
+        .sort_values("r_name").reset_index(drop=True)
+
+
+SQL_REGION_MONTHLY_CV = """
+WITH m AS (SELECT r.r_name, STRFTIME(o.o_orderdate, '%Y-%m') AS month,
+                  SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    / 100.0 AS rev
+           FROM orders o
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation n ON n.n_nationkey = c.c_nationkey
+           JOIN region r ON r.r_regionkey = n.n_regionkey
+           GROUP BY 1, 2)
+SELECT r_name, COUNT(*) AS n_months,
+       ROUND(AVG(rev), 2) AS avg_monthly_revenue,
+       ROUND(STDDEV_POP(rev) / AVG(rev), 6) AS cv
+FROM m GROUP BY r_name ORDER BY r_name
+"""
+
+
+#: effective-price quantile cut points
+EFF_PRICE_QUANTS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_effective_price_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of the effective line price
+    extendedprice × (1−discount) × (1+tax) — the landed-price
+    distribution read.  The price is carried as an exact integer in
+    micro-dollar units (cents × discount-bp × tax-bp), the dataset
+    sorts ONCE via the global-seq primitive, and the q-th value is the
+    row whose dense rank equals ceil(q·n)−1 (percentile_disc) — no
+    driver-side histogram, so an unbounded value domain stays scale-
+    safe."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_extendedprice", "l_discount", "l_tax"])
+
+    def to_micro(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        dbp = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        tbp = np.round(df["l_tax"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"eff": cents * (100 - dbp) * (100 + tbp)})
+
+    eff = ds.map_batches(to_micro, batch_format="pandas")
+    n = eff.count()
+    targets = sorted({int(np.ceil(q * n)) - 1 for q in EFF_PRICE_QUANTS})
+    ranked = assign_global_seq(eff, ["eff"], col="rank")
+    tarr = np.asarray(targets, dtype=np.int64)
+    hits = ranked.map_batches(
+        lambda df: df[np.isin(df["rank"].to_numpy(), tarr)],
+        batch_format="pandas").to_pandas().set_index("rank")["eff"]
+    rows = [{"q": float(q),
+             "eff_price": round(int(hits[int(np.ceil(q * n)) - 1]) / 1e6, 6)}
+            for q in EFF_PRICE_QUANTS]
+    return pd.DataFrame(rows)
+
+
+SQL_EFFECTIVE_PRICE_QUANTILES = "\nUNION ALL\n".join(
+    f"""SELECT CAST({q} AS DOUBLE) AS q,
+       ROUND(quantile_disc(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+             * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)), {q})
+             / 1000000.0, 6) AS eff_price FROM lineitem"""
+    for q in EFF_PRICE_QUANTS)
+
+
+def q_rounding_drift_audit(sf_dir: str):
+    """Numeric-hygiene audit: if order totals were rounded to whole
+    dollars (half-up on exact integer cents — no float ties), how much
+    would the books drift per priority class?  Pure map-side integer
+    fold: signed drift and absolute drift in cents reduce per
+    priority."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        drift = (cents + 50) // 100 * 100 - cents
+        return pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "n_orders": 1, "drift": drift, "abs_drift": np.abs(drift),
+        }).groupby("o_orderpriority", as_index=False).sum()
+
+    g = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby("o_orderpriority", as_index=False).sum()
+    g["net_drift_dollars"] = (g.pop("drift") / 100.0).round(2)
+    g["mean_abs_drift_cents"] = (g.pop("abs_drift") / g["n_orders"]) \
+        .round(6)
+    g["n_orders"] = g["n_orders"].astype("int64")
+    return g.sort_values("o_orderpriority").reset_index(drop=True)[
+        ["o_orderpriority", "n_orders", "net_drift_dollars",
+         "mean_abs_drift_cents"]]
+
+
+SQL_ROUNDING_DRIFT_AUDIT = """
+WITH t AS (SELECT o_orderpriority,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+d AS (SELECT o_orderpriority,
+             (cents + 50) // 100 * 100 - cents AS drift
+      FROM t)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(drift) / 100.0, 2) AS net_drift_dollars,
+       ROUND(AVG(ABS(drift)), 6) AS mean_abs_drift_cents
+FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_dual_elite_customers(sf_dir: str):
+    """Power-user intersection: customers in the top decile by BOTH
+    order count and total spend (percentile_disc thresholds on integer
+    metrics), counted per market segment — the loyalty-program target
+    list.  Per-customer metrics fold through custkey-hash combiners;
+    the spend threshold comes from the distributed-sort rank primitive,
+    the count threshold from a (count-domain-bounded) histogram; elite
+    flags then join segment through the salted join."""
+    from icrawler_ray.functions.seq import assign_global_seq
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    P = 32
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(cents=np.round(df["o_totalprice"].to_numpy() * 100)
+                      .astype(np.int64), cnt=1) \
+            .groupby("o_custkey", as_index=False)[["cnt", "cents"]].sum()
+        g["part"] = (g["o_custkey"].to_numpy() % P).astype(np.int32)
+        return g
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_custkey", as_index=False)[["cnt", "cents"]].sum()
+        return out
+
+    percust = (orders.map_batches(partial, batch_format="pandas")
+               .groupby("part").map_groups(merge_part,
+                                           batch_format="pandas"))
+    n = percust.count()
+    k = int(np.ceil(0.9 * n)) - 1
+    # count threshold: bounded-domain histogram combiner
+    cnt_hist = percust.map_batches(
+        lambda df: df.groupby("cnt", as_index=False).size(),
+        batch_format="pandas").to_pandas() \
+        .groupby("cnt")["size"].sum().sort_index()
+    cum = cnt_hist.cumsum().to_numpy()
+    cnt90 = int(cnt_hist.index.to_numpy()[np.searchsorted(cum, k + 1)])
+    # spend threshold: one distributed sort, pick global rank k
+    ranked = assign_global_seq(
+        percust.map_batches(lambda df: df[["cents"]],
+                            batch_format="pandas"),
+        ["cents"], col="rank")
+    rev90 = int(ranked.map_batches(
+        lambda df: df[df["rank"].to_numpy() == k],
+        batch_format="pandas").to_pandas()["cents"].iloc[0])
+
+    elite = percust.map_batches(
+        lambda df: pd.DataFrame({
+            "c_custkey": df["o_custkey"].to_numpy(),
+            "elite": ((df["cnt"].to_numpy() >= cnt90)
+                      & (df["cents"].to_numpy() >= rev90))}),
+        batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("c_mktsegment", as_index=False).agg(
+            n_buyers=("elite", "size"), n_elite=("elite", "sum"))
+
+    g = salted_hash_join(elite, cust, "c_custkey", agg_fn=agg,
+                         hot_keys=np.array([], np.int64)).to_pandas() \
+        .groupby("c_mktsegment", as_index=False)[["n_buyers", "n_elite"]] \
+        .sum()
+    g["elite_share"] = (g["n_elite"] / g["n_buyers"]).round(6)
+    g[["n_buyers", "n_elite"]] = g[["n_buyers", "n_elite"]].astype("int64")
+    return g.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_DUAL_ELITE_CUSTOMERS = """
+WITH pc AS (SELECT o_custkey, COUNT(*) AS cnt,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     AS cents
+            FROM orders GROUP BY 1),
+th AS (SELECT quantile_disc(cnt, 0.9) AS c90,
+              quantile_disc(cents, 0.9) AS r90
+       FROM pc),
+e AS (SELECT pc.o_custkey,
+             (pc.cnt >= th.c90 AND pc.cents >= th.r90) AS elite
+      FROM pc, th)
+SELECT c.c_mktsegment, COUNT(*) AS n_buyers,
+       CAST(SUM(CASE WHEN e.elite THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_elite,
+       ROUND(SUM(CASE WHEN e.elite THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS elite_share
+FROM e JOIN customer c ON c.c_custkey = e.o_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -19184,6 +19421,10 @@ QUERIES = {
     "supplier_nation_tax": q_supplier_nation_tax,
     "debtor_revenue_share": q_debtor_revenue_share,
     "interarrival_cv_by_type": q_interarrival_cv_by_type,
+    "region_monthly_cv": q_region_monthly_cv,
+    "effective_price_quantiles": q_effective_price_quantiles,
+    "rounding_drift_audit": q_rounding_drift_audit,
+    "dual_elite_customers": q_dual_elite_customers,
 }
 
 ORACLE_SQL = {
@@ -19554,4 +19795,8 @@ ORACLE_SQL = {
     "supplier_nation_tax": SQL_SUPPLIER_NATION_TAX,
     "debtor_revenue_share": SQL_DEBTOR_REVENUE_SHARE,
     "interarrival_cv_by_type": SQL_INTERARRIVAL_CV_BY_TYPE,
+    "region_monthly_cv": SQL_REGION_MONTHLY_CV,
+    "effective_price_quantiles": SQL_EFFECTIVE_PRICE_QUANTILES,
+    "rounding_drift_audit": SQL_ROUNDING_DRIFT_AUDIT,
+    "dual_elite_customers": SQL_DUAL_ELITE_CUSTOMERS,
 }
