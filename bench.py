@@ -327,7 +327,21 @@ def bench_queries() -> dict:
              "monthly_arpu", "name_component_mi",
              "high_value_streak", "order_gap_survival",
              "vocab_gini", "repeat_rate_by_first_type",
-             "brand_revenue_cr4"]
+             "brand_revenue_cr4",
+             "markov_entropy_rate", "supplier_tier_volume",
+             "user_hour_entropy", "brand_discount_elasticity",
+             "hurst_rs", "exit_type_share",
+             "order_value_cv_by_nation", "char_class_profile",
+             "acf_daily_revenue", "ewma_daily_value",
+             "prefix_dup_rate", "pair_cosine_hist",
+             "orders_per_customer_hist", "brand_price_size_slopes",
+             "sentence_stats_by_lang", "session_size_hist",
+             "odds_ratio_weekend_purchase", "nation_whale_share",
+             "nation_rank_stability", "name_verbosity_premium",
+             "abc_classification", "supplier_nation_tax",
+             "debtor_revenue_share", "interarrival_cv_by_type",
+             "region_monthly_cv", "effective_price_quantiles",
+             "rounding_drift_audit", "dual_elite_customers"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
