@@ -341,7 +341,9 @@ def bench_queries() -> dict:
              "abc_classification", "supplier_nation_tax",
              "debtor_revenue_share", "interarrival_cv_by_type",
              "region_monthly_cv", "effective_price_quantiles",
-             "rounding_drift_audit", "dual_elite_customers"]
+             "rounding_drift_audit", "dual_elite_customers",
+             "bh_fdr_weekend_nation", "burrows_delta",
+             "log_odds_terms", "lsh_recall_at_k"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

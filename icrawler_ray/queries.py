@@ -19049,6 +19049,295 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """
 
 
+# Abramowitz & Stegun 7.1.26 erfc polynomial — evaluated IDENTICALLY in
+# numpy (here) and in DuckDB SQL (inline arithmetic + exp) so the
+# two-sided normal p-value p = erfc(|z|/sqrt(2)) matches bit-for-bit up
+# to the last ulp of exp().
+_AS_ERFC = (0.254829592, -0.284496736, 1.421413741,
+            -1.453152027, 1.061405429)
+
+
+def _erfc_as(x: np.ndarray) -> np.ndarray:
+    a1, a2, a3, a4, a5 = _AS_ERFC
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    return ((a1 * t + a2 * t ** 2 + a3 * t ** 3 + a4 * t ** 4
+             + a5 * t ** 5) * np.exp(-x * x))
+
+
+def q_bh_fdr_weekend_nation(sf_dir: str):
+    """Multiple-testing correction over grouped experiments: a per-nation
+    Welch test of weekend vs weekday order value, then Benjamini–Hochberg
+    step-up at FDR alpha=0.10 across the 25 nations — the batched-readout
+    primitive of any experimentation pipeline (don't cherry-pick the one
+    'significant' market out of 25 uncorrected tests).  Order values fold
+    to per-(nation, weekend) sufficient statistics through the salted
+    customer join (Σ cents exact int64; Σ cents² in float64, whose
+    ~1e-10 relative error is far below the 6dp output rounding); the BH
+    rank/threshold math runs on the m=25-row result.  p-values use the
+    A&S 7.1.26 erfc polynomial so the DuckDB oracle reproduces them."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_totalprice", "o_orderdate"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "c_custkey": df["o_custkey"].to_numpy(),
+                "wk": (pd.to_datetime(df["o_orderdate"]).dt.dayofweek >= 5)
+                .to_numpy().astype(np.int64),
+                "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64)}),
+            batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["cents"].to_numpy(np.float64)
+        return g.assign(n=1, s=g["cents"], ss=v * v) \
+            .groupby(["c_nationkey", "wk"], as_index=False)[
+                ["n", "s", "ss"]].sum()
+
+    parts = salted_hash_join(orders, cust, "c_custkey", agg_fn=agg,
+                             hot_keys=np.array([], np.int64)).to_pandas()
+    g = parts.groupby(["c_nationkey", "wk"], as_index=False)[
+        ["n", "s", "ss"]].sum()
+    piv = g.pivot_table(index="c_nationkey", columns="wk",
+                        values=["n", "s", "ss"], fill_value=0,
+                        aggfunc="sum")
+    n1 = piv[("n", 1)].to_numpy(np.float64)
+    n0 = piv[("n", 0)].to_numpy(np.float64)
+    m1 = piv[("s", 1)].to_numpy(np.float64) / n1
+    m0 = piv[("s", 0)].to_numpy(np.float64) / n0
+    v1 = (piv[("ss", 1)].to_numpy(np.float64) - n1 * m1 * m1) / (n1 - 1)
+    v0 = (piv[("ss", 0)].to_numpy(np.float64) - n0 * m0 * m0) / (n0 - 1)
+    z = (m1 - m0) / np.sqrt(v1 / n1 + v0 / n0)
+    p = np.round(_erfc_as(np.abs(z) / np.sqrt(2.0)), 10)
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = pd.DataFrame({"c_nationkey": piv.index.to_numpy(),
+                        "z": np.round(z, 6), "p": p}) \
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    out = out.sort_values(["p", "n_name"], kind="mergesort") \
+        .reset_index(drop=True)
+    m = len(out)
+    rank = np.arange(1, m + 1, dtype=np.float64)
+    passing = np.nonzero(out["p"].to_numpy() <= rank * 0.10 / m)[0]
+    istar = int(passing.max()) + 1 if len(passing) else 0
+    out["rejected"] = (np.arange(m) < istar).astype(np.int64)
+    return out[["n_name", "z", "p", "rejected"]] \
+        .sort_values("n_name").reset_index(drop=True)
+
+
+def _sql_bh_fdr() -> str:
+    a1, a2, a3, a4, a5 = _AS_ERFC
+    return f"""
+WITH f AS (SELECT c.c_nationkey,
+                  CASE WHEN isodow(o.o_orderdate) >= 6 THEN 1 ELSE 0 END
+                    AS wk,
+                  CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+m AS (SELECT c_nationkey, wk, COUNT(*) * 1.0 AS n, SUM(cents) * 1.0 AS s,
+             SUM(CAST(cents AS DOUBLE) * cents) AS ss
+      FROM f GROUP BY 1, 2),
+w AS (SELECT a.c_nationkey,
+             (a.s / a.n - b.s / b.n)
+               / SQRT((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n
+                      + (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n) AS z
+      FROM m a JOIN m b ON b.c_nationkey = a.c_nationkey
+      WHERE a.wk = 1 AND b.wk = 0),
+pv AS (SELECT n.n_name, ROUND(w.z, 6) AS z,
+              ROUND(({a1} * (1.0 / (1.0 + 0.3275911 * ABS(w.z) / SQRT(2.0)))
+                     + {a2} * POW(1.0 / (1.0 + 0.3275911 * ABS(w.z) / SQRT(2.0)), 2)
+                     + {a3} * POW(1.0 / (1.0 + 0.3275911 * ABS(w.z) / SQRT(2.0)), 3)
+                     + {a4} * POW(1.0 / (1.0 + 0.3275911 * ABS(w.z) / SQRT(2.0)), 4)
+                     + {a5} * POW(1.0 / (1.0 + 0.3275911 * ABS(w.z) / SQRT(2.0)), 5))
+                    * EXP(-(ABS(w.z) / SQRT(2.0)) * (ABS(w.z) / SQRT(2.0))), 10)
+                AS p
+       FROM w JOIN nation n ON n.n_nationkey = w.c_nationkey),
+r AS (SELECT n_name, z, p,
+             ROW_NUMBER() OVER (ORDER BY p, n_name) AS rk,
+             COUNT(*) OVER () AS m FROM pv),
+istar AS (SELECT COALESCE(MAX(CASE WHEN p <= rk * 0.10 / m
+                                   THEN rk END), 0) AS i FROM r)
+SELECT r.n_name, r.z, r.p,
+       CAST(CASE WHEN r.rk <= istar.i THEN 1 ELSE 0 END AS BIGINT)
+         AS rejected
+FROM r, istar ORDER BY r.n_name
+"""
+
+
+SQL_BH_FDR_WEEKEND_NATION = _sql_bh_fdr()
+
+
+def q_burrows_delta(sf_dir: str):
+    """Burrows' Delta stylometric distance between the five document
+    sources: z-score each source's relative frequency of the corpus'
+    top-40 terms (population std across sources), then Delta(a,b) is the
+    mean |z_a - z_b| over the terms — the provenance-drift fingerprint
+    that flags a source whose register shifted.  Per-batch (source,
+    term, count) combiner partials bound the exchange at
+    distinct-terms-per-block; the final reduce is vocab x 5 sources
+    (a web-scale vocabulary hash-partitions it instead, cf. q_top_terms);
+    all stats derive from exact integer counts."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[["source"]].join(
+            df["text"].str.split(" ").rename("term")).explode("term")
+        return t.groupby(["source", "term"], sort=False).size() \
+            .rename("n").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    c = parts.groupby(["source", "term"], as_index=False)["n"].sum()
+    totals = c.groupby("source")["n"].sum()
+    gl = c.groupby("term", as_index=False)["n"].sum() \
+        .sort_values(["n", "term"], ascending=[False, True],
+                     kind="mergesort").head(40)
+    top = c[c["term"].isin(set(gl["term"]))]
+    piv = top.pivot_table(index="term", columns="source", values="n",
+                          fill_value=0, aggfunc="sum").sort_index()
+    sources = sorted(totals.index)
+    f = piv[sources].to_numpy(np.float64) / totals[sources].to_numpy(np.float64)
+    mu = f.mean(axis=1, keepdims=True)
+    sd = f.std(axis=1, keepdims=True)  # population std across sources
+    zs = (f - mu) / sd
+    rows = []
+    for i, a in enumerate(sources):
+        for j, b in enumerate(sources):
+            if a < b:
+                rows.append((a, b,
+                             round(float(np.abs(zs[:, i] - zs[:, j]).mean()), 6)))
+    return pd.DataFrame(rows, columns=["source_a", "source_b", "delta"]) \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+SQL_BURROWS_DELTA = """
+WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+c AS (SELECT source, term, COUNT(*) AS n FROM t GROUP BY 1, 2),
+tot AS (SELECT source, SUM(n) AS tok FROM c GROUP BY 1),
+top AS (SELECT term FROM c GROUP BY term
+        ORDER BY SUM(n) DESC, term ASC LIMIT 40),
+grid AS (SELECT tot.source, top.term, tot.tok FROM tot CROSS JOIN top),
+f AS (SELECT g.source, g.term, COALESCE(c.n, 0) * 1.0 / g.tok AS f
+      FROM grid g LEFT JOIN c ON c.source = g.source AND c.term = g.term),
+z AS (SELECT source, term,
+             (f - AVG(f) OVER (PARTITION BY term))
+               / STDDEV_POP(f) OVER (PARTITION BY term) AS z
+      FROM f)
+SELECT a.source AS source_a, b.source AS source_b,
+       ROUND(AVG(ABS(a.z - b.z)), 6) AS delta
+FROM z a JOIN z b ON b.term = a.term AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_log_odds_terms(sf_dir: str):
+    """Monroe et al. informative-Dirichlet log-odds: the terms most
+    distinctive of English documents vs the rest of the corpus, scored by
+    z = delta / sqrt(1/(y1+a_w) + 1/(y2+a_w)) with the corpus itself as
+    the prior (a_w = a0 * cnt_w / total, a0=1000) — the vocabulary-drift
+    readout that, unlike TF-IDF, is variance-aware (rare terms don't
+    dominate).  (group, term, count) combiner partials bound the
+    exchange; every score folds from exact integer counts so the DuckDB
+    oracle is bit-identical up to LN ulps."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "grp": (df["lang"] == "en").to_numpy().astype(np.int64)}) \
+            .join(df["text"].str.split(" ").rename("term")).explode("term")
+        return t.groupby(["grp", "term"], sort=False).size() \
+            .rename("n").reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    c = parts.groupby(["grp", "term"], as_index=False)["n"].sum()
+    piv = c.pivot_table(index="term", columns="grp", values="n",
+                        fill_value=0, aggfunc="sum").sort_index()
+    y1 = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(np.float64)
+    y0 = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(np.float64)
+    n1, n0 = y1.sum(), y0.sum()
+    a0 = 1000.0
+    aw = a0 * (y1 + y0) / (n1 + n0)
+    d = (np.log((y1 + aw) / (n1 + a0 - y1 - aw))
+         - np.log((y0 + aw) / (n0 + a0 - y0 - aw)))
+    z = d / np.sqrt(1.0 / (y1 + aw) + 1.0 / (y0 + aw))
+    out = pd.DataFrame({"term": piv.index.to_numpy(),
+                        "y_en": y1.astype(np.int64),
+                        "y_rest": y0.astype(np.int64),
+                        "z": np.round(z, 6)})
+    out = out.sort_values(["z", "term"], ascending=[False, True],
+                          kind="mergesort").head(12).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "term", "y_en", "y_rest", "z"]]
+
+
+SQL_LOG_ODDS_TERMS = """
+WITH t AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+                  unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT term,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) * 1.0 AS y1,
+             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) * 1.0 AS y0
+      FROM t GROUP BY term),
+g AS (SELECT SUM(y1) AS n1, SUM(y0) AS n0 FROM c),
+s AS (SELECT c.term, c.y1, c.y0,
+             1000.0 * (c.y1 + c.y0) / (g.n1 + g.n0) AS aw, g.n1, g.n0
+      FROM c, g),
+z AS (SELECT term, y1, y0,
+             (LN((y1 + aw) / (n1 + 1000.0 - y1 - aw))
+              - LN((y0 + aw) / (n0 + 1000.0 - y0 - aw)))
+               / SQRT(1.0 / (y1 + aw) + 1.0 / (y0 + aw)) AS z
+      FROM s)
+SELECT ROW_NUMBER() OVER (ORDER BY z DESC, term ASC) AS rank,
+       term, CAST(y1 AS BIGINT) AS y_en, CAST(y0 AS BIGINT) AS y_rest,
+       ROUND(z, 6) AS z
+FROM z ORDER BY z DESC, term ASC LIMIT 12
+"""
+
+
+def q_lsh_recall_at_k(sf_dir: str):
+    """ANN quality evaluation: recall@5 of the single-probe LSH path
+    against the brute-force exact top-5, per query — the accuracy dial a
+    100 TB deployment reads before trading the exhaustive scan for
+    buckets.  Both paths are the existing oracle-green operators
+    (stages/similarity.py); the evaluation join is output-sized.  The
+    SQL oracle composes the two queries' own exact SQL replicas."""
+    from icrawler_ray.stages.similarity import (brute_force_topk,
+                                                lsh_bucketed_topk)
+
+    head = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .sort("vec_id").limit(3).to_pandas()
+    queries = np.asarray(head["embedding"].tolist(), dtype=np.float64)
+    qids = head["vec_id"].to_numpy()
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    exact = brute_force_topk(ds, queries, k=5, query_ids=qids)
+    ds2 = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    approx = lsh_bucketed_topk(ds2, queries, k=5, query_ids=qids)
+    hits = exact.merge(approx, on=["query_id", "vec_id"], how="inner") \
+        .groupby("query_id").size()
+    n_lsh = approx.groupby("query_id").size()
+    out = pd.DataFrame({"query_id": qids})
+    out["n_lsh"] = out["query_id"].map(n_lsh).fillna(0).astype(np.int64)
+    out["hits"] = out["query_id"].map(hits).fillna(0).astype(np.int64)
+    out["recall_at_5"] = (out["hits"] / 5.0).round(6)
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+SQL_LSH_RECALL_AT_K = f"""
+WITH l AS ({SQL_KNN_LSH}),
+b AS ({SQL_KNN_BRUTEFORCE}),
+q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 3),
+nl AS (SELECT query_id, COUNT(*) AS n_lsh FROM l GROUP BY 1),
+h AS (SELECT b.query_id, COUNT(*) AS hits
+      FROM b JOIN l ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+      GROUP BY 1)
+SELECT q.query_id,
+       CAST(COALESCE(nl.n_lsh, 0) AS BIGINT) AS n_lsh,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       ROUND(COALESCE(h.hits, 0) / 5.0, 6) AS recall_at_5
+FROM q LEFT JOIN nl ON nl.query_id = q.query_id
+LEFT JOIN h ON h.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -19425,6 +19714,10 @@ QUERIES = {
     "effective_price_quantiles": q_effective_price_quantiles,
     "rounding_drift_audit": q_rounding_drift_audit,
     "dual_elite_customers": q_dual_elite_customers,
+    "bh_fdr_weekend_nation": q_bh_fdr_weekend_nation,
+    "burrows_delta": q_burrows_delta,
+    "log_odds_terms": q_log_odds_terms,
+    "lsh_recall_at_k": q_lsh_recall_at_k,
 }
 
 ORACLE_SQL = {
@@ -19799,4 +20092,8 @@ ORACLE_SQL = {
     "effective_price_quantiles": SQL_EFFECTIVE_PRICE_QUANTILES,
     "rounding_drift_audit": SQL_ROUNDING_DRIFT_AUDIT,
     "dual_elite_customers": SQL_DUAL_ELITE_CUSTOMERS,
+    "bh_fdr_weekend_nation": SQL_BH_FDR_WEEKEND_NATION,
+    "burrows_delta": SQL_BURROWS_DELTA,
+    "log_odds_terms": SQL_LOG_ODDS_TERMS,
+    "lsh_recall_at_k": SQL_LSH_RECALL_AT_K,
 }
