@@ -343,7 +343,9 @@ def bench_queries() -> dict:
              "region_monthly_cv", "effective_price_quantiles",
              "rounding_drift_audit", "dual_elite_customers",
              "bh_fdr_weekend_nation", "burrows_delta",
-             "log_odds_terms", "lsh_recall_at_k"]
+             "log_odds_terms", "lsh_recall_at_k",
+             "james_stein_brand_discount", "cuped_adjusted_lift",
+             "piecewise_trend", "zip_fit_daily_counts"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

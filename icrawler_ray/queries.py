@@ -19338,6 +19338,360 @@ ORDER BY q.query_id
 """
 
 
+def q_james_stein_brand_discount(sf_dir: str):
+    """Empirical-Bayes (James–Stein / random-effects) shrinkage of the
+    per-brand mean discount toward the grand mean — the hierarchical
+    estimator a pricing model uses so a thin brand's noisy mean doesn't
+    swing decisions.  tau^2 comes from the one-way ANOVA
+    method-of-moments estimator; every input folds as exact integer
+    basis-point sums through the salted part join, so both engines
+    derive identical shrinkage weights."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_discount"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "p_partkey": df["l_partkey"].to_numpy(),
+                "bps": np.round(df["l_discount"].to_numpy() * 10000)
+                .astype(np.int64)}),
+            batch_format="pandas")
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["bps"].to_numpy(np.float64)
+        return g.assign(n=1, s=g["bps"], ss=v * v) \
+            .groupby("p_brand", as_index=False)[["n", "s", "ss"]].sum()
+
+    g = salted_hash_join(li, part, "p_partkey", agg_fn=agg,
+                         hot_keys=np.array([], np.int64)).to_pandas() \
+        .groupby("p_brand", as_index=False)[["n", "s", "ss"]].sum() \
+        .sort_values("p_brand").reset_index(drop=True)
+    n = g["n"].to_numpy(np.float64)
+    s = g["s"].to_numpy(np.float64)
+    ss = g["ss"].to_numpy(np.float64)
+    K, N = float(len(g)), n.sum()
+    mb = s / n
+    m = s.sum() / N
+    sig2 = (ss.sum() - (s * s / n).sum()) / (N - K)  # pooled within
+    ssb = (n * (mb - m) * (mb - m)).sum()
+    tau2 = max(0.0, (ssb - (K - 1) * sig2) / (N - (n * n).sum() / N))
+    b = (sig2 / n) / (sig2 / n + tau2)
+    shrunk = m + (1.0 - b) * (mb - m)
+    return pd.DataFrame({
+        "p_brand": g["p_brand"],
+        "n_lines": g["n"].astype(np.int64),
+        "raw_mean": np.round(mb / 10000.0, 6),
+        "shrunk_mean": np.round(shrunk / 10000.0, 6),
+        "shrink_weight": np.round(1.0 - b, 6)})
+
+
+SQL_JAMES_STEIN_BRAND_DISCOUNT = """
+WITH f AS (SELECT p.p_brand,
+                  CAST(ROUND(l.l_discount * 10000) AS BIGINT) AS bps
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+g AS (SELECT p_brand, COUNT(*) * 1.0 AS n, SUM(bps) * 1.0 AS s,
+             SUM(CAST(bps AS DOUBLE) * bps) AS ss
+      FROM f GROUP BY 1),
+t AS (SELECT COUNT(*) * 1.0 AS k, SUM(n) AS nn, SUM(s) / SUM(n) AS m,
+             (SUM(ss) - SUM(s * s / n)) / (SUM(n) - COUNT(*)) AS sig2,
+             SUM(n * n) AS sumn2
+      FROM g),
+tau AS (SELECT t.m, t.sig2,
+               GREATEST(0.0,
+                 ((SELECT SUM(g.n * (g.s / g.n - t.m) * (g.s / g.n - t.m))
+                   FROM g) - (t.k - 1) * t.sig2)
+                 / (t.nn - t.sumn2 / t.nn)) AS tau2
+        FROM t)
+SELECT g.p_brand, CAST(g.n AS BIGINT) AS n_lines,
+       ROUND(g.s / g.n / 10000.0, 6) AS raw_mean,
+       ROUND((tau.m + (1.0 - (tau.sig2 / g.n)
+                             / (tau.sig2 / g.n + tau.tau2))
+                      * (g.s / g.n - tau.m)) / 10000.0, 6) AS shrunk_mean,
+       ROUND(1.0 - (tau.sig2 / g.n) / (tau.sig2 / g.n + tau.tau2), 6)
+         AS shrink_weight
+FROM g, tau ORDER BY g.p_brand
+"""
+
+
+def q_cuped_adjusted_lift(sf_dir: str):
+    """CUPED variance reduction for a (deterministic, synthetic-harness)
+    A/B readout: users split by user_id parity, pre-period = first half
+    of the event window, post-period value is adjusted by
+    theta = cov(post, pre)/var(pre) — the standard trick that cuts
+    experiment variance by the pre/post correlation squared.  One
+    user-partitioned fold produces per-user (pre, post) cent totals;
+    one moment fold produces every Σ the closed forms need (all exact
+    integers), so theta, both lifts, and the variance-reduction factor
+    are bit-reproducible in the DuckDB oracle."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    lo, hi = pd.Timestamp(ds.min("ts")), pd.Timestamp(ds.max("ts"))
+    # epoch-microsecond midpoint, floor-divided: exact integer arithmetic
+    # the DuckDB oracle reproduces with epoch_us()
+    mid_us = (lo.value // 1000 + hi.value // 1000) // 2
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        t_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        post = t_us >= mid_us
+        out = pd.DataFrame({"user_id": df["user_id"],
+                            "pre": np.where(post, 0, cents),
+                            "post": np.where(post, cents, 0)}) \
+            .groupby("user_id", as_index=False).sum()
+        out["part"] = (out["user_id"].to_numpy() % P).astype(np.int32)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user_id", as_index=False)[["pre", "post"]].sum()
+        pre = u["pre"].to_numpy(np.float64)
+        post = u["post"].to_numpy(np.float64)
+        t = (u["user_id"].to_numpy() % 2 == 1)
+        return pd.DataFrame({
+            "n": [len(u)], "sp": [pre.sum()], "sq": [post.sum()],
+            "spp": [(pre * pre).sum()], "spq": [(pre * post).sum()],
+            "sqq": [(post * post).sum()],
+            "n1": [int(t.sum())], "sp1": [pre[t].sum()],
+            "sq1": [post[t].sum()]})
+
+    mo = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("part").map_groups(merge, batch_format="pandas") \
+        .to_pandas().sum()
+    n, sp, sq = float(mo["n"]), float(mo["sp"]), float(mo["sq"])
+    spp, spq, sqq = float(mo["spp"]), float(mo["spq"]), float(mo["sqq"])
+    n1, sp1, sq1 = float(mo["n1"]), float(mo["sp1"]), float(mo["sq1"])
+    n0, sp0, sq0 = n - n1, sp - sp1, sq - sq1
+    varp = spp / n - (sp / n) * (sp / n)
+    varq = sqq / n - (sq / n) * (sq / n)
+    cov = spq / n - (sp / n) * (sq / n)
+    theta = cov / varp
+    lift_raw = sq1 / n1 - sq0 / n0
+    lift_cuped = lift_raw - theta * (sp1 / n1 - sp0 / n0)
+    # var(post - theta*pre) = var(post) - cov^2/var(pre): reduction = corr^2
+    return pd.DataFrame({
+        "n_users": np.array([int(n)], np.int64),
+        "theta": [round(theta, 6)],
+        "lift_raw": [round(lift_raw / 100.0, 6)],
+        "lift_cuped": [round(lift_cuped / 100.0, 6)],
+        "var_reduction": [round(cov * cov / (varp * varq), 6)]})
+
+
+SQL_CUPED_ADJUSTED_LIFT = """
+WITH b AS (SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+           FROM events),
+u AS (SELECT user_id,
+             SUM(CASE WHEN epoch_us(ts) < b.mid
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) AS pre,
+             SUM(CASE WHEN epoch_us(ts) >= b.mid
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) AS post
+      FROM events, b GROUP BY user_id),
+m AS (SELECT COUNT(*) * 1.0 AS n, SUM(pre) * 1.0 AS sp,
+             SUM(post) * 1.0 AS sq,
+             SUM(CAST(pre AS DOUBLE) * pre) AS spp,
+             SUM(CAST(pre AS DOUBLE) * post) AS spq,
+             SUM(CAST(post AS DOUBLE) * post) AS sqq,
+             SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) * 1.0 AS n1,
+             SUM(CASE WHEN user_id % 2 = 1 THEN pre ELSE 0 END) * 1.0
+               AS sp1,
+             SUM(CASE WHEN user_id % 2 = 1 THEN post ELSE 0 END) * 1.0
+               AS sq1
+      FROM u)
+SELECT CAST(n AS BIGINT) AS n_users,
+       ROUND((spq / n - (sp / n) * (sq / n))
+             / (spp / n - (sp / n) * (sp / n)), 6) AS theta,
+       ROUND((sq1 / n1 - (sq - sq1) / (n - n1)) / 100.0, 6) AS lift_raw,
+       ROUND(((sq1 / n1 - (sq - sq1) / (n - n1))
+              - (spq / n - (sp / n) * (sq / n))
+                / (spp / n - (sp / n) * (sp / n))
+                * (sp1 / n1 - (sp - sp1) / (n - n1))) / 100.0, 6)
+         AS lift_cuped,
+       ROUND((spq / n - (sp / n) * (sq / n))
+             * (spq / n - (sp / n) * (sq / n))
+             / ((spp / n - (sp / n) * (sp / n))
+                * (sqq / n - (sq / n) * (sq / n))), 6) AS var_reduction
+FROM m
+"""
+
+
+def q_piecewise_trend(sf_dir: str):
+    """Single-breakpoint piecewise-linear model selection over the daily
+    revenue series: for every candidate split day, fit OLS left and
+    right and keep the split minimizing total SSE — the trend-change
+    detector behind capacity planning.  Daily totals fold distributed
+    (the scan itself is calendar-bounded: ~2.4k days regardless of row
+    scale); because Σy² is split-invariant, the argmin reduces to an
+    ARGMAX over g(c) = Σ_side (Sy²/n + Sxy_c²/Sxx_c) whose inputs are
+    exact integer prefix sums, making the selection bit-stable across
+    engines."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "d": pd.to_datetime(df["o_orderdate"]).dt.normalize(),
+            "y": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)}).groupby("d", as_index=False).sum()
+
+    daily = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby("d", as_index=False)["y"].sum().sort_values("d") \
+        .reset_index(drop=True)
+    d0 = daily["d"].iloc[0]
+    x = (daily["d"] - d0).dt.days.to_numpy(np.int64)
+    y = daily["y"].to_numpy(np.int64)
+    D = len(daily)
+    cx, cy = np.cumsum(x), np.cumsum(y)
+    cxx, cxy = np.cumsum(x * x), np.cumsum(x * y)
+    # float BEFORE products: ty*ty overflows int64 on cent-scale series
+    tx, ty = float(cx[-1]), float(cy[-1])
+    txx, txy = float(cxx[-1]), float(cxy[-1])
+
+    def side(nn, sx, sy, sxx, sxy):
+        nn = nn.astype(np.float64)
+        sx, sy = sx.astype(np.float64), sy.astype(np.float64)
+        sxx, sxy = sxx.astype(np.float64), sxy.astype(np.float64)
+        sxyc = sxy - sx * sy / nn
+        sxxc = sxx - sx * sx / nn
+        return (sy * sy / nn + sxyc * sxyc / sxxc,
+                sxyc / sxxc)
+
+    i = np.arange(10, D - 10)  # candidate = i-th observed day is last LEFT day
+    nl = (i + 1).astype(np.int64)
+    gl, sl = side(nl, cx[i], cy[i], cxx[i], cxy[i])
+    gr, sr = side(np.int64(D) - nl, tx - cx[i], ty - cy[i],
+                  txx - cxx[i], txy - cxy[i])
+    g = gl + gr
+    best = int(np.argmax(g))  # ties: earliest (argmax returns first max)
+    syy = float((y.astype(np.float64) ** 2).sum())
+    nf = float(D)
+    sse_single = (syy - ty * ty / nf
+                  - (txy - tx * ty / nf) ** 2 / (txx - tx * tx / nf))
+    sse_piece = syy - float(g[best])
+    return pd.DataFrame({
+        "break_date": [daily["d"].iloc[int(i[best])]],
+        "slope_left": [round(float(sl[best]) / 100.0, 6)],
+        "slope_right": [round(float(sr[best]) / 100.0, 6)],
+        "sse_ratio": [round(sse_piece / sse_single, 6)],
+        "n_days": np.array([D], np.int64)})
+
+
+SQL_PIECEWISE_TREND = """
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                      SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+               FROM orders GROUP BY 1),
+idx AS (SELECT d, y,
+               date_diff('day', MIN(d) OVER (), d) AS x,
+               ROW_NUMBER() OVER (ORDER BY d) AS rk,
+               COUNT(*) OVER () AS nd FROM daily),
+cand AS (SELECT d AS c FROM idx WHERE rk > 10 AND rk <= nd - 10),
+sides AS (SELECT cand.c, (idx.d <= cand.c) AS left_side,
+                 COUNT(*) * 1.0 AS n, SUM(idx.x) * 1.0 AS sx,
+                 SUM(idx.y) * 1.0 AS sy,
+                 SUM(CAST(idx.x AS DOUBLE) * idx.x) AS sxx,
+                 SUM(CAST(idx.x AS DOUBLE) * idx.y) AS sxy
+          FROM cand CROSS JOIN idx GROUP BY 1, 2),
+gc AS (SELECT c,
+              SUM(sy * sy / n + (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                                / (sxx - sx * sx / n)) AS g,
+              MAX(CASE WHEN left_side
+                       THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                  END) AS slope_left,
+              MAX(CASE WHEN NOT left_side
+                       THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                  END) AS slope_right
+       FROM sides GROUP BY c),
+best AS (SELECT * FROM gc ORDER BY g DESC, c ASC LIMIT 1),
+tot AS (SELECT COUNT(*) * 1.0 AS n, SUM(x) * 1.0 AS sx, SUM(y) * 1.0 AS sy,
+               SUM(CAST(x AS DOUBLE) * x) AS sxx,
+               SUM(CAST(x AS DOUBLE) * y) AS sxy,
+               SUM(CAST(y AS DOUBLE) * y) AS syy
+        FROM idx)
+SELECT best.c AS break_date,
+       ROUND(best.slope_left / 100.0, 6) AS slope_left,
+       ROUND(best.slope_right / 100.0, 6) AS slope_right,
+       ROUND((tot.syy - best.g)
+             / (tot.syy - tot.sy * tot.sy / tot.n
+                - (tot.sxy - tot.sx * tot.sy / tot.n)
+                  * (tot.sxy - tot.sx * tot.sy / tot.n)
+                  / (tot.sxx - tot.sx * tot.sx / tot.n)), 6) AS sse_ratio,
+       CAST(tot.n AS BIGINT) AS n_days
+FROM best, tot
+"""
+
+
+def q_zip_fit_daily_counts(sf_dir: str):
+    """Zero-inflated Poisson fit (method of moments) to per-user daily
+    event counts over the global calendar window: lambda =
+    (v + m^2 - m)/m and pi = 1 - m/lambda from the first two moments —
+    the engagement model separating 'inactive day' mass from activity
+    rate.  Active (user, day) cells fold through a user-partitioned
+    combiner; zero cells never materialize (their moment contribution
+    is implicit in N = n_users x n_days), so the exchange is
+    active-cells-sized and every input is an exact integer."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"],
+            "d": pd.to_datetime(df["ts"]).dt.normalize()}) \
+            .groupby(["user_id", "d"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["part"] = (out["user_id"].to_numpy() % P).astype(np.int32)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "d"], as_index=False)["n"].sum()
+        v = c["n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "cells": [len(c)], "s": [int(v.sum())],
+            "ss": [int((v * v).sum())],
+            "users": [c["user_id"].nunique()],
+            "dmin": [c["d"].min()], "dmax": [c["d"].max()]})
+
+    mo = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("part").map_groups(merge, batch_format="pandas") \
+        .to_pandas()
+    n_users = int(mo["users"].sum())  # user-partitioned: no double count
+    n_days = int((mo["dmax"].max() - mo["dmin"].min()).days) + 1
+    N = float(n_users * n_days)
+    s, ss = float(mo["s"].sum()), float(mo["ss"].sum())
+    m = s / N
+    v = ss / N - m * m
+    lam = (v + m * m - m) / m
+    pi = 1.0 - m / lam
+    return pd.DataFrame({
+        "n_users": np.array([n_users], np.int64),
+        "n_days": np.array([n_days], np.int64),
+        "mean_daily": [round(m, 6)],
+        "lam": [round(lam, 6)],
+        "pi_zero": [round(pi, 6)]})
+
+
+SQL_ZIP_FIT_DAILY_COUNTS = """
+WITH c AS (SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+span AS (SELECT COUNT(DISTINCT user_id) * 1.0
+                  * (date_diff('day', MIN(CAST(ts AS DATE)),
+                               MAX(CAST(ts AS DATE))) + 1) AS nn,
+                COUNT(DISTINCT user_id) AS n_users,
+                date_diff('day', MIN(CAST(ts AS DATE)),
+                          MAX(CAST(ts AS DATE))) + 1 AS n_days
+         FROM events),
+m AS (SELECT SUM(n) * 1.0 AS s, SUM(n * n) * 1.0 AS ss FROM c)
+SELECT CAST(span.n_users AS BIGINT) AS n_users,
+       CAST(span.n_days AS BIGINT) AS n_days,
+       ROUND(m.s / span.nn, 6) AS mean_daily,
+       ROUND(((m.ss / span.nn - (m.s / span.nn) * (m.s / span.nn))
+              + (m.s / span.nn) * (m.s / span.nn) - m.s / span.nn)
+             / (m.s / span.nn), 6) AS lam,
+       ROUND(1.0 - (m.s / span.nn)
+                   / (((m.ss / span.nn - (m.s / span.nn) * (m.s / span.nn))
+                       + (m.s / span.nn) * (m.s / span.nn) - m.s / span.nn)
+                      / (m.s / span.nn)), 6) AS pi_zero
+FROM span, m
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -19718,6 +20072,10 @@ QUERIES = {
     "burrows_delta": q_burrows_delta,
     "log_odds_terms": q_log_odds_terms,
     "lsh_recall_at_k": q_lsh_recall_at_k,
+    "james_stein_brand_discount": q_james_stein_brand_discount,
+    "cuped_adjusted_lift": q_cuped_adjusted_lift,
+    "piecewise_trend": q_piecewise_trend,
+    "zip_fit_daily_counts": q_zip_fit_daily_counts,
 }
 
 ORACLE_SQL = {
@@ -20096,4 +20454,8 @@ ORACLE_SQL = {
     "burrows_delta": SQL_BURROWS_DELTA,
     "log_odds_terms": SQL_LOG_ODDS_TERMS,
     "lsh_recall_at_k": SQL_LSH_RECALL_AT_K,
+    "james_stein_brand_discount": SQL_JAMES_STEIN_BRAND_DISCOUNT,
+    "cuped_adjusted_lift": SQL_CUPED_ADJUSTED_LIFT,
+    "piecewise_trend": SQL_PIECEWISE_TREND,
+    "zip_fit_daily_counts": SQL_ZIP_FIT_DAILY_COUNTS,
 }
