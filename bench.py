@@ -345,7 +345,9 @@ def bench_queries() -> dict:
              "bh_fdr_weekend_nation", "burrows_delta",
              "log_odds_terms", "lsh_recall_at_k",
              "james_stein_brand_discount", "cuped_adjusted_lift",
-             "piecewise_trend", "zip_fit_daily_counts"]
+             "piecewise_trend", "zip_fit_daily_counts",
+             "conformal_interval_coverage", "gumbel_daily_max",
+             "chapman_population", "laspeyres_paasche_index"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

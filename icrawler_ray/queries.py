@@ -19692,6 +19692,282 @@ FROM span, m
 """
 
 
+def q_conformal_interval_coverage(sf_dir: str):
+    """Split-conformal prediction: calibrate a 90% interval around the
+    per-priority mean order value on the even-orderkey half, then
+    measure empirical coverage on the odd half — the distribution-free
+    uncertainty wrapper a downstream consumer puts on any point model.
+    The conformal quantile is the EXACT ceil(0.9*(n+1))-th order
+    statistic of the calibration residuals, found with the distributed
+    rank primitive (no residual ever leaves its partition except the
+    one at the pinned rank); means fold as exact cent sums."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "prio": df["o_orderpriority"],
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64),
+            "calib": (df["o_orderkey"].to_numpy() % 2 == 0)
+            .astype(np.int64)})
+
+    base = ds.map_batches(to_cents, batch_format="pandas")
+    mom = base.map_batches(
+        lambda df: df[df["calib"] == 1].assign(n=1)
+        .groupby("prio", as_index=False)[["n", "cents"]].sum(),
+        batch_format="pandas").to_pandas() \
+        .groupby("prio", as_index=False).sum()
+    means = dict(zip(mom["prio"],
+                     mom["cents"].to_numpy(np.float64)
+                     / mom["n"].to_numpy(np.float64)))
+    n_cal = int(mom["n"].sum())
+    k = int(np.ceil(0.9 * (n_cal + 1))) - 1  # 0-based rank of q-hat
+
+    def resid(df: pd.DataFrame) -> pd.DataFrame:
+        mu = df["prio"].map(means).to_numpy(np.float64)
+        r = np.abs(df["cents"].to_numpy(np.float64) - mu)
+        return df.assign(r=r)
+
+    cal_r = base.map_batches(
+        lambda df: resid(df[df["calib"] == 1])[["r", "o_orderkey"]],
+        batch_format="pandas")
+    ranked = assign_global_seq(cal_r, ["r", "o_orderkey"], col="rank")
+    qhat = float(ranked.map_batches(
+        lambda df: df[df["rank"].to_numpy() == k],
+        batch_format="pandas").to_pandas()["r"].iloc[0])
+
+    cov = base.map_batches(
+        lambda df: (lambda t: pd.DataFrame({
+            "n": [len(t)],
+            "inside": [int((t["r"].to_numpy() <= qhat).sum())]}))(
+            resid(df[df["calib"] == 0])),
+        batch_format="pandas").to_pandas().sum()
+    return pd.DataFrame({
+        "n_calib": np.array([n_cal], np.int64),
+        "n_test": np.array([int(cov["n"])], np.int64),
+        "q_hat": [round(qhat / 100.0, 6)],
+        "coverage": [round(float(cov["inside"]) / float(cov["n"]), 6)]})
+
+
+SQL_CONFORMAL_INTERVAL_COVERAGE = """
+WITH b AS (SELECT o_orderkey, o_orderpriority AS prio,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                  o_orderkey % 2 = 0 AS calib
+           FROM orders),
+m AS (SELECT prio, SUM(cents) * 1.0 / COUNT(*) AS mu, COUNT(*) AS n
+      FROM b WHERE calib GROUP BY prio),
+nc AS (SELECT SUM(n) AS n_cal,
+              CAST(CEIL(0.9 * (SUM(n) + 1)) AS BIGINT) AS k FROM m),
+r AS (SELECT ABS(b.cents - m.mu) AS r, b.o_orderkey
+      FROM b JOIN m ON m.prio = b.prio WHERE b.calib),
+q AS (SELECT r AS qhat FROM (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_orderkey) AS rk FROM r)
+      WHERE rk = (SELECT k FROM nc)),
+t AS (SELECT COUNT(*) AS n,
+             SUM(CASE WHEN ABS(b.cents - m.mu) <= q.qhat
+                      THEN 1 ELSE 0 END) AS inside
+      FROM b JOIN m ON m.prio = b.prio, q WHERE NOT b.calib)
+SELECT CAST(nc.n_cal AS BIGINT) AS n_calib,
+       CAST(t.n AS BIGINT) AS n_test,
+       ROUND(q.qhat / 100.0, 6) AS q_hat,
+       ROUND(t.inside * 1.0 / t.n, 6) AS coverage
+FROM nc, q, t
+"""
+
+
+def q_gumbel_daily_max(sf_dir: str):
+    """Extreme-value (Gumbel) fit to the daily maximum order value by
+    method of moments — beta = s*sqrt(6)/pi, mu = m - gamma*beta — plus
+    the implied exceedance probability of a 600k-dollar day: the
+    capacity-planning tail read.  Per-day maxima fold as integer-cent
+    MAX combiners (calendar-bounded result); the two moments are exact
+    integer sums over those maxima."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "d": pd.to_datetime(df["o_orderdate"]).dt.normalize(),
+            "mx": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)}).groupby("d", as_index=False).max()
+
+    daily = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby("d", as_index=False)["mx"].max()
+    v = daily["mx"].to_numpy(np.int64)
+    nd = len(v)
+    s1, s2 = int(v.sum()), float((v.astype(np.float64) ** 2).sum())
+    m = s1 / nd
+    sd = np.sqrt((s2 - s1 * float(s1) / nd) / (nd - 1))
+    beta = sd * np.sqrt(6.0) / np.pi
+    mu = m - 0.5772156649015329 * beta
+    x = 60000000.0  # 600k dollars in cents
+    p_exc = 1.0 - np.exp(-np.exp(-(x - mu) / beta))
+    return pd.DataFrame({
+        "n_days": np.array([nd], np.int64),
+        "mu": [round(mu / 100.0, 6)],
+        "beta": [round(beta / 100.0, 6)],
+        "p_exceed_600k": [round(float(p_exc), 6)]})
+
+
+SQL_GUMBEL_DAILY_MAX = """
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                  MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS mx
+           FROM orders GROUP BY 1),
+m AS (SELECT COUNT(*) AS nd, SUM(mx) AS s1,
+             SUM(CAST(mx AS DOUBLE) * mx) AS s2 FROM d),
+g AS (SELECT nd, s1 * 1.0 / nd AS mean,
+             SQRT((s2 - s1 * (s1 * 1.0) / nd) / (nd - 1))
+               * SQRT(6.0) / PI() AS beta
+      FROM m)
+SELECT CAST(nd AS BIGINT) AS n_days,
+       ROUND((mean - 0.5772156649015329 * beta) / 100.0, 6) AS mu,
+       ROUND(beta / 100.0, 6) AS beta,
+       ROUND(1.0 - EXP(-EXP(-(60000000.0
+                              - (mean - 0.5772156649015329 * beta))
+                            / beta)), 6) AS p_exceed_600k
+FROM g
+"""
+
+
+def q_chapman_population(sf_dir: str):
+    """Chapman capture–recapture estimate of the active-user population
+    from two one-week observation windows (days 0-6 and 7-13 of the
+    event range): N-hat = (n1+1)(n2+1)/(m+1) - 1 — the coverage
+    estimator for 'how many users exist that we only partially see'.
+    Per-user week-presence bitmasks fold in user partitions; the
+    driver reduces three integers."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    lo = pd.Timestamp(ds.min("ts")).normalize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].to_numpy(dtype="datetime64[D]")
+               - np.datetime64(lo, "D")).astype(np.int64)
+        w1 = (day < 7).astype(np.int64)
+        w2 = ((day >= 7) & (day < 14)).astype(np.int64)
+        out = pd.DataFrame({"user_id": df["user_id"],
+                            "w1": w1, "w2": w2}) \
+            .groupby("user_id", as_index=False).max()
+        out["part"] = (out["user_id"].to_numpy() % P).astype(np.int32)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user_id", as_index=False)[["w1", "w2"]].max()
+        return pd.DataFrame({
+            "n1": [int(u["w1"].sum())], "n2": [int(u["w2"].sum())],
+            "m": [int((u["w1"] & u["w2"]).sum())],
+            "total": [len(u)]})
+
+    mo = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("part").map_groups(merge, batch_format="pandas") \
+        .to_pandas().sum()
+    n1, n2, m = int(mo["n1"]), int(mo["n2"]), int(mo["m"])
+    nhat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    return pd.DataFrame({
+        "n_week1": np.array([n1], np.int64),
+        "n_week2": np.array([n2], np.int64),
+        "overlap": np.array([m], np.int64),
+        "n_hat": [round(nhat, 6)],
+        "n_observed": np.array([int(mo["total"])], np.int64)})
+
+
+SQL_CHAPMAN_POPULATION = """
+WITH lo AS (SELECT CAST(MIN(ts) AS DATE) AS d0 FROM events),
+u AS (SELECT user_id,
+             MAX(CASE WHEN date_diff('day', lo.d0, CAST(ts AS DATE)) < 7
+                      THEN 1 ELSE 0 END) AS w1,
+             MAX(CASE WHEN date_diff('day', lo.d0, CAST(ts AS DATE))
+                           BETWEEN 7 AND 13 THEN 1 ELSE 0 END) AS w2
+      FROM events, lo GROUP BY user_id)
+SELECT CAST(SUM(w1) AS BIGINT) AS n_week1,
+       CAST(SUM(w2) AS BIGINT) AS n_week2,
+       CAST(SUM(w1 * w2) AS BIGINT) AS overlap,
+       ROUND((SUM(w1) + 1.0) * (SUM(w2) + 1.0) / (SUM(w1 * w2) + 1.0)
+             - 1.0, 6) AS n_hat,
+       CAST(COUNT(*) AS BIGINT) AS n_observed
+FROM u
+"""
+
+
+def q_laspeyres_paasche_index(sf_dir: str):
+    """Laspeyres, Paasche and Fisher price indices for 1998 vs the 1996
+    base year over parts shipped in BOTH years — the canonical basket
+    deflator, here over per-part year unit prices (Σ extended / Σ qty)
+    and year quantities.  (part, year) partials fold exact integer
+    cents/quantities through a partkey-partitioned exchange; the index
+    numerators/denominators are output-sized float folds."""
+    P = 32
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_shipdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        yr = pd.to_datetime(df["l_shipdate"]).dt.year.to_numpy()
+        keep = (yr == 1996) | (yr == 1998)
+        d = pd.DataFrame({
+            "p": df["l_partkey"].to_numpy()[keep],
+            "yr": yr[keep],
+            "q": df["l_quantity"].to_numpy(np.int64)[keep],
+            "ext": np.round(df["l_extendedprice"].to_numpy()[keep] * 100)
+            .astype(np.int64)}).groupby(["p", "yr"], as_index=False).sum()
+        d["part"] = (d["p"].to_numpy() % P).astype(np.int32)
+        return d
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["p", "yr"], as_index=False)[["q", "ext"]].sum()
+        piv = c.pivot_table(index="p", columns="yr",
+                            values=["q", "ext"], aggfunc="sum")
+        if ("q", 1996) not in piv or ("q", 1998) not in piv:
+            return pd.DataFrame({"l00": [0.0], "l10": [0.0],
+                                 "p01": [0.0], "p11": [0.0],
+                                 "n_parts": [0]})
+        both = piv.dropna()
+        q0 = both[("q", 1996)].to_numpy(np.float64)
+        q1 = both[("q", 1998)].to_numpy(np.float64)
+        p0 = both[("ext", 1996)].to_numpy(np.float64) / q0
+        p1 = both[("ext", 1998)].to_numpy(np.float64) / q1
+        return pd.DataFrame({
+            "l00": [(p0 * q0).sum()], "l10": [(p1 * q0).sum()],
+            "p01": [(p0 * q1).sum()], "p11": [(p1 * q1).sum()],
+            "n_parts": [len(both)]})
+
+    mo = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("part").map_groups(fold, batch_format="pandas") \
+        .to_pandas().sum()
+    lasp = float(mo["l10"]) / float(mo["l00"])
+    paas = float(mo["p11"]) / float(mo["p01"])
+    return pd.DataFrame({
+        "n_parts": np.array([int(mo["n_parts"])], np.int64),
+        "laspeyres": [round(lasp, 6)],
+        "paasche": [round(paas, 6)],
+        "fisher": [round(float(np.sqrt(lasp * paas)), 6)]})
+
+
+SQL_LASPEYRES_PAASCHE_INDEX = """
+WITH c AS (SELECT l_partkey AS p, year(l_shipdate) AS yr,
+                  SUM(CAST(l_quantity AS BIGINT)) AS q,
+                  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS ext
+           FROM lineitem WHERE year(l_shipdate) IN (1996, 1998)
+           GROUP BY 1, 2),
+both_y AS (SELECT a.p, a.q AS q0, b.q AS q1,
+                  a.ext * 1.0 / a.q AS p0, b.ext * 1.0 / b.q AS p1
+           FROM c a JOIN c b ON b.p = a.p
+           WHERE a.yr = 1996 AND b.yr = 1998),
+s AS (SELECT SUM(p0 * q0) AS l00, SUM(p1 * q0) AS l10,
+             SUM(p0 * q1) AS p01, SUM(p1 * q1) AS p11,
+             COUNT(*) AS n_parts
+      FROM both_y)
+SELECT CAST(n_parts AS BIGINT) AS n_parts,
+       ROUND(l10 / l00, 6) AS laspeyres,
+       ROUND(p11 / p01, 6) AS paasche,
+       ROUND(SQRT((l10 / l00) * (p11 / p01)), 6) AS fisher
+FROM s
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -20076,6 +20352,10 @@ QUERIES = {
     "cuped_adjusted_lift": q_cuped_adjusted_lift,
     "piecewise_trend": q_piecewise_trend,
     "zip_fit_daily_counts": q_zip_fit_daily_counts,
+    "conformal_interval_coverage": q_conformal_interval_coverage,
+    "gumbel_daily_max": q_gumbel_daily_max,
+    "chapman_population": q_chapman_population,
+    "laspeyres_paasche_index": q_laspeyres_paasche_index,
 }
 
 ORACLE_SQL = {
@@ -20458,4 +20738,8 @@ ORACLE_SQL = {
     "cuped_adjusted_lift": SQL_CUPED_ADJUSTED_LIFT,
     "piecewise_trend": SQL_PIECEWISE_TREND,
     "zip_fit_daily_counts": SQL_ZIP_FIT_DAILY_COUNTS,
+    "conformal_interval_coverage": SQL_CONFORMAL_INTERVAL_COVERAGE,
+    "gumbel_daily_max": SQL_GUMBEL_DAILY_MAX,
+    "chapman_population": SQL_CHAPMAN_POPULATION,
+    "laspeyres_paasche_index": SQL_LASPEYRES_PAASCHE_INDEX,
 }
