@@ -347,7 +347,9 @@ def bench_queries() -> dict:
              "james_stein_brand_discount", "cuped_adjusted_lift",
              "piecewise_trend", "zip_fit_daily_counts",
              "conformal_interval_coverage", "gumbel_daily_max",
-             "chapman_population", "laspeyres_paasche_index"]
+             "chapman_population", "laspeyres_paasche_index",
+             "haar_energy_daily", "blomqvist_beta",
+             "post_stratified_mean", "jarque_bera_value"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

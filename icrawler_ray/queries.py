@@ -19968,6 +19968,286 @@ FROM s
 """
 
 
+def q_haar_energy_daily(sf_dir: str):
+    """Three-level Haar wavelet energy decomposition of the daily revenue
+    series: the share of detail energy at the 2-day, 4-day and 8-day
+    scales — the multiresolution read that separates day-to-day noise
+    from weekly structure.  Daily totals fold distributed; every Haar
+    coefficient is a dyadic-rational of integer cents, so both engines
+    compute the transform EXACTLY (halving an integer is lossless in
+    binary floating point) and only the final energy shares are
+    rounded."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "d": pd.to_datetime(df["o_orderdate"]).dt.normalize(),
+            "y": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)}).groupby("d", as_index=False).sum()
+
+    daily = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby("d", as_index=False)["y"].sum().sort_values("d") \
+        .reset_index(drop=True)
+    D8 = (len(daily) // 8) * 8
+    a = daily["y"].to_numpy(np.float64)[:D8]
+    energies = []
+    for _ in range(3):
+        d = (a[0::2] - a[1::2]) / 2.0
+        a = (a[0::2] + a[1::2]) / 2.0
+        energies.append(float((d * d).sum()))
+    tot = sum(energies)
+    return pd.DataFrame({
+        "n_days_used": np.array([D8], np.int64),
+        "share_2day": [round(energies[0] / tot, 6)],
+        "share_4day": [round(energies[1] / tot, 6)],
+        "share_8day": [round(energies[2] / tot, 6)]})
+
+
+SQL_HAAR_ENERGY_DAILY = """
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                      SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+               FROM orders GROUP BY 1),
+idx AS (SELECT y * 1.0 AS y, ROW_NUMBER() OVER (ORDER BY d) - 1 AS i,
+               (COUNT(*) OVER () // 8) * 8 AS d8 FROM daily),
+t AS (SELECT * FROM idx WHERE i < d8),
+l1 AS (SELECT i // 2 AS k,
+              (SUM(CASE WHEN i % 2 = 0 THEN y ELSE 0 END)
+               - SUM(CASE WHEN i % 2 = 1 THEN y ELSE 0 END)) / 2.0 AS det,
+              (SUM(y)) / 2.0 AS app
+       FROM t GROUP BY 1),
+l2 AS (SELECT k // 2 AS k,
+              (SUM(CASE WHEN k % 2 = 0 THEN app ELSE 0 END)
+               - SUM(CASE WHEN k % 2 = 1 THEN app ELSE 0 END)) / 2.0 AS det,
+              (SUM(app)) / 2.0 AS app
+       FROM l1 GROUP BY 1),
+l3 AS (SELECT k // 2 AS k,
+              (SUM(CASE WHEN k % 2 = 0 THEN app ELSE 0 END)
+               - SUM(CASE WHEN k % 2 = 1 THEN app ELSE 0 END)) / 2.0 AS det
+       FROM l2 GROUP BY 1),
+e AS (SELECT (SELECT SUM(det * det) FROM l1) AS e1,
+             (SELECT SUM(det * det) FROM l2) AS e2,
+             (SELECT SUM(det * det) FROM l3) AS e3,
+             (SELECT MAX(d8) FROM idx) AS d8)
+SELECT CAST(d8 AS BIGINT) AS n_days_used,
+       ROUND(e1 / (e1 + e2 + e3), 6) AS share_2day,
+       ROUND(e2 / (e1 + e2 + e3), 6) AS share_4day,
+       ROUND(e3 / (e1 + e2 + e3), 6) AS share_8day
+FROM e
+"""
+
+
+def q_blomqvist_beta(sf_dir: str):
+    """Blomqvist's beta (median-quadrant dependence) between a
+    customer's order count and total spend: beta =
+    (concordant - discordant)/(concordant + discordant) around the two
+    medians — the robust dependence read that survives the heavy spend
+    tail untouched.  Per-customer metrics fold in custkey partitions;
+    the count median comes from a bounded-domain histogram, the spend
+    median from the distributed rank primitive (k = (n+1)//2-th order
+    statistic, custkey tie-break); the quadrant tally is one more
+    combiner fold."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    P = 32
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(cents=np.round(df["o_totalprice"].to_numpy() * 100)
+                      .astype(np.int64), cnt=1) \
+            .groupby("o_custkey", as_index=False)[["cnt", "cents"]].sum()
+        g["part"] = (g["o_custkey"].to_numpy() % P).astype(np.int32)
+        return g
+
+    percust = (orders.map_batches(partial, batch_format="pandas")
+               .groupby("part").map_groups(
+                   lambda g: g.groupby("o_custkey", as_index=False)[
+                       ["cnt", "cents"]].sum(),
+                   batch_format="pandas"))
+    n = percust.count()
+    k = (n + 1) // 2 - 1  # 0-based median rank
+    cnt_hist = percust.map_batches(
+        lambda df: df.groupby("cnt", as_index=False).size(),
+        batch_format="pandas").to_pandas() \
+        .groupby("cnt")["size"].sum().sort_index()
+    cum = cnt_hist.cumsum().to_numpy()
+    med_cnt = int(cnt_hist.index.to_numpy()[np.searchsorted(cum, k + 1)])
+    ranked = assign_global_seq(
+        percust.map_batches(lambda df: df[["cents", "o_custkey"]],
+                            batch_format="pandas"),
+        ["cents", "o_custkey"], col="rank")
+    med_sp = int(ranked.map_batches(
+        lambda df: df[df["rank"].to_numpy() == k],
+        batch_format="pandas").to_pandas()["cents"].iloc[0])
+
+    def quad(df: pd.DataFrame) -> pd.DataFrame:
+        sc = np.sign(df["cnt"].to_numpy(np.int64) - med_cnt)
+        ss = np.sign(df["cents"].to_numpy(np.int64) - med_sp)
+        prod = sc * ss
+        return pd.DataFrame({"conc": [int((prod > 0).sum())],
+                             "disc": [int((prod < 0).sum())]})
+
+    q = percust.map_batches(quad, batch_format="pandas").to_pandas().sum()
+    conc, disc = int(q["conc"]), int(q["disc"])
+    return pd.DataFrame({
+        "n_customers": np.array([n], np.int64),
+        "med_orders": np.array([med_cnt], np.int64),
+        "med_spend": [round(med_sp / 100.0, 2)],
+        "beta": [round((conc - disc) / float(conc + disc), 6)]})
+
+
+SQL_BLOMQVIST_BETA = """
+WITH pc AS (SELECT o_custkey, COUNT(*) AS cnt,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n, (COUNT(*) + 1) // 2 AS k FROM pc),
+mc AS (SELECT cnt AS med_cnt FROM (
+         SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, o_custkey) AS rk
+         FROM pc), nn WHERE rk = nn.k),
+ms AS (SELECT cents AS med_sp FROM (
+         SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rk
+         FROM pc), nn WHERE rk = nn.k),
+q AS (SELECT SUM(CASE WHEN SIGN(pc.cnt - mc.med_cnt)
+                           * SIGN(pc.cents - ms.med_sp) > 0
+                      THEN 1 ELSE 0 END) AS conc,
+             SUM(CASE WHEN SIGN(pc.cnt - mc.med_cnt)
+                           * SIGN(pc.cents - ms.med_sp) < 0
+                      THEN 1 ELSE 0 END) AS disc
+      FROM pc, mc, ms)
+SELECT CAST(nn.n AS BIGINT) AS n_customers,
+       CAST(mc.med_cnt AS BIGINT) AS med_orders,
+       ROUND(ms.med_sp / 100.0, 2) AS med_spend,
+       ROUND((q.conc - q.disc) * 1.0 / (q.conc + q.disc), 6) AS beta
+FROM nn, mc, ms, q
+"""
+
+
+def q_post_stratified_mean(sf_dir: str):
+    """Post-stratification (survey-weighting) of a 10% order sample
+    (orderkey % 10 = 0): reweight per-segment sample means by the TRUE
+    segment shares from the full customer table — the bias correction
+    applied when a cheap sample is demographically skewed.  Sample
+    moments attach segment through the salted customer join; population
+    weights are one segment-count fold; the estimator combines K=5
+    numbers on the driver."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    sample = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_totalprice"]) \
+        .map_batches(
+            lambda df: (lambda m: pd.DataFrame({
+                "c_custkey": df["o_custkey"].to_numpy()[m],
+                "cents": np.round(df["o_totalprice"].to_numpy()[m] * 100)
+                .astype(np.int64)}))(
+                df["o_orderkey"].to_numpy() % 10 == 0),
+            batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.assign(n=1).groupby("c_mktsegment", as_index=False)[
+            ["n", "cents"]].sum()
+
+    seg = salted_hash_join(sample, cust, "c_custkey", agg_fn=agg,
+                           hot_keys=np.array([], np.int64)).to_pandas() \
+        .groupby("c_mktsegment", as_index=False)[["n", "cents"]].sum()
+    pop = _read(sf_dir, "customer", ["c_mktsegment"]).map_batches(
+        lambda df: df.assign(w=1).groupby("c_mktsegment",
+                                          as_index=False)["w"].sum(),
+        batch_format="pandas").to_pandas() \
+        .groupby("c_mktsegment", as_index=False)["w"].sum()
+    g = seg.merge(pop, on="c_mktsegment").sort_values("c_mktsegment")
+    ntot = float(g["n"].sum())
+    naive = float(g["cents"].sum()) / ntot
+    wshare = g["w"].to_numpy(np.float64) / float(g["w"].sum())
+    segmean = g["cents"].to_numpy(np.float64) / g["n"].to_numpy(np.float64)
+    post = float((wshare * segmean).sum())
+    return pd.DataFrame({
+        "n_sample": np.array([int(ntot)], np.int64),
+        "naive_mean": [round(naive / 100.0, 6)],
+        "post_strat_mean": [round(post / 100.0, 6)]})
+
+
+SQL_POST_STRATIFIED_MEAN = """
+WITH s AS (SELECT c.c_mktsegment, COUNT(*) AS n,
+                  SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS cents
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           WHERE o.o_orderkey % 10 = 0 GROUP BY 1),
+p AS (SELECT c_mktsegment, COUNT(*) AS w FROM customer GROUP BY 1),
+t AS (SELECT SUM(s.n) * 1.0 AS ntot, SUM(s.cents) * 1.0 AS ctot,
+             SUM((p.w * 1.0 / (SELECT SUM(w) FROM p))
+                 * (s.cents * 1.0 / s.n)) AS post
+      FROM s JOIN p ON p.c_mktsegment = s.c_mktsegment)
+SELECT CAST(ntot AS BIGINT) AS n_sample,
+       ROUND(ctot / ntot / 100.0, 6) AS naive_mean,
+       ROUND(post / 100.0, 6) AS post_strat_mean
+FROM t
+"""
+
+
+def q_jarque_bera_value(sf_dir: str):
+    """Jarque–Bera normality test on purchase values: skewness and
+    excess kurtosis from the first four raw-moment folds, JB =
+    n/6*(S^2 + (K-3)^2/4) — the distribution-shape gate before any
+    moments-based model.  Σx and Σx² ride as exact integers; Σx³/Σx⁴
+    as float64 partials whose ~1e-13 relative error is far below the
+    output rounding; both engines expand central moments with the same
+    Horner-free formula."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(df.loc[df["event_type"] == "purchase", "value"]
+                     .to_numpy() * 100).astype(np.int64)
+        f = v.astype(np.float64)
+        return pd.DataFrame({
+            "n": [len(v)], "s1": [int(v.sum())],
+            "s2": [int((v * v).sum())],
+            "s3": [(f ** 3).sum()], "s4": [(f ** 4).sum()]})
+
+    mo = ds.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    n = float(mo["n"])
+    s1, s2 = float(mo["s1"]), float(mo["s2"])
+    s3, s4 = float(mo["s3"]), float(mo["s4"])
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3.0 * mu * s2 / n + 2.0 * mu * mu * mu
+    m4 = (s4 / n - 4.0 * mu * s3 / n + 6.0 * mu * mu * s2 / n
+          - 3.0 * mu * mu * mu * mu)
+    skew = m3 / m2 ** 1.5
+    kurt = m4 / (m2 * m2)
+    jb = n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+    return pd.DataFrame({
+        "n_purchases": np.array([int(n)], np.int64),
+        "skew": [round(skew, 6)],
+        "kurtosis": [round(kurt, 6)],
+        "jb_stat": [round(jb, 6)]})
+
+
+SQL_JARQUE_BERA_VALUE = """
+WITH v AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS x FROM events
+           WHERE event_type = 'purchase'),
+m AS (SELECT COUNT(*) * 1.0 AS n, SUM(x) * 1.0 AS s1,
+             SUM(CAST(x AS DOUBLE) * x) AS s2,
+             SUM(CAST(x AS DOUBLE) * x * x) AS s3,
+             SUM(CAST(x AS DOUBLE) * x * x * x) AS s4
+      FROM v),
+c AS (SELECT n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3.0 * (s1 / n) * s2 / n
+               + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4.0 * (s1 / n) * s3 / n
+               + 6.0 * (s1 / n) * (s1 / n) * s2 / n
+               - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM m)
+SELECT CAST(n AS BIGINT) AS n_purchases,
+       ROUND(m3 / POW(m2, 1.5), 6) AS skew,
+       ROUND(m4 / (m2 * m2), 6) AS kurtosis,
+       ROUND(n / 6.0 * ((m3 / POW(m2, 1.5)) * (m3 / POW(m2, 1.5))
+                        + (m4 / (m2 * m2) - 3.0)
+                          * (m4 / (m2 * m2) - 3.0) / 4.0), 6) AS jb_stat
+FROM c
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -20356,6 +20636,10 @@ QUERIES = {
     "gumbel_daily_max": q_gumbel_daily_max,
     "chapman_population": q_chapman_population,
     "laspeyres_paasche_index": q_laspeyres_paasche_index,
+    "haar_energy_daily": q_haar_energy_daily,
+    "blomqvist_beta": q_blomqvist_beta,
+    "post_stratified_mean": q_post_stratified_mean,
+    "jarque_bera_value": q_jarque_bera_value,
 }
 
 ORACLE_SQL = {
@@ -20742,4 +21026,8 @@ ORACLE_SQL = {
     "gumbel_daily_max": SQL_GUMBEL_DAILY_MAX,
     "chapman_population": SQL_CHAPMAN_POPULATION,
     "laspeyres_paasche_index": SQL_LASPEYRES_PAASCHE_INDEX,
+    "haar_energy_daily": SQL_HAAR_ENERGY_DAILY,
+    "blomqvist_beta": SQL_BLOMQVIST_BETA,
+    "post_stratified_mean": SQL_POST_STRATIFIED_MEAN,
+    "jarque_bera_value": SQL_JARQUE_BERA_VALUE,
 }
