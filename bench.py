@@ -349,7 +349,9 @@ def bench_queries() -> dict:
              "conformal_interval_coverage", "gumbel_daily_max",
              "chapman_population", "laspeyres_paasche_index",
              "haar_energy_daily", "blomqvist_beta",
-             "post_stratified_mean", "jarque_bera_value"]
+             "post_stratified_mean", "jarque_bera_value",
+             "mahalanobis_outliers", "fd_sturges_bins",
+             "caliper_matched_diff", "logrank_segments"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -20248,6 +20248,379 @@ FROM c
 """
 
 
+def q_mahalanobis_outliers(sf_dir: str):
+    """Bivariate Mahalanobis outlier gate on per-customer (order count,
+    total spend): distance² against the closed-form 2×2 covariance
+    inverse, flagged past the chi²₂ 99% cut (9.210340) — the
+    multivariate screen that catches jointly-odd customers a marginal
+    z-score misses.  The five covariance sufficient statistics fold as
+    exact integers in custkey partitions; the flag pass is one more
+    combiner fold with the broadcast scalar parameters."""
+    P = 32
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(cents=np.round(df["o_totalprice"].to_numpy() * 100)
+                      .astype(np.int64), cnt=1) \
+            .groupby("o_custkey", as_index=False)[["cnt", "cents"]].sum()
+        g["part"] = (g["o_custkey"].to_numpy() % P).astype(np.int32)
+        return g
+
+    percust = (orders.map_batches(partial, batch_format="pandas")
+               .groupby("part").map_groups(
+                   lambda g: g.groupby("o_custkey", as_index=False)[
+                       ["cnt", "cents"]].sum(),
+                   batch_format="pandas"))
+
+    def mom(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cnt"].to_numpy(np.float64)
+        s = df["cents"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "n": [len(df)], "sc": [c.sum()], "ss": [s.sum()],
+            "scc": [(c * c).sum()], "sss": [(s * s).sum()],
+            "scs": [(c * s).sum()]})
+
+    m = percust.map_batches(mom, batch_format="pandas").to_pandas().sum()
+    n = float(m["n"])
+    mc, ms = float(m["sc"]) / n, float(m["ss"]) / n
+    vc = float(m["scc"]) / n - mc * mc
+    vs = float(m["sss"]) / n - ms * ms
+    cv = float(m["scs"]) / n - mc * ms
+    det = vc * vs - cv * cv
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        dc = df["cnt"].to_numpy(np.float64) - mc
+        dsp = df["cents"].to_numpy(np.float64) - ms
+        d2 = (vs * dc * dc - 2.0 * cv * dc * dsp + vc * dsp * dsp) / det
+        return pd.DataFrame({"out": [int((d2 > 9.210340).sum())]})
+
+    n_out = int(percust.map_batches(flag, batch_format="pandas")
+                .to_pandas()["out"].sum())
+    return pd.DataFrame({
+        "n_customers": np.array([int(n)], np.int64),
+        "n_outliers": np.array([n_out], np.int64),
+        "outlier_share": [round(n_out / n, 6)]})
+
+
+SQL_MAHALANOBIS_OUTLIERS = """
+WITH pc AS (SELECT o_custkey, COUNT(*) * 1.0 AS c,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) * 1.0
+                     AS s
+            FROM orders GROUP BY 1),
+m AS (SELECT COUNT(*) * 1.0 AS n, SUM(c) / COUNT(*) AS mc,
+             SUM(s) / COUNT(*) AS ms,
+             SUM(c * c) / COUNT(*) AS scc, SUM(s * s) / COUNT(*) AS sss,
+             SUM(c * s) / COUNT(*) AS scs
+      FROM pc),
+p AS (SELECT n, mc, ms, scc - mc * mc AS vc, sss - ms * ms AS vs,
+             scs - mc * ms AS cv FROM m),
+f AS (SELECT COUNT(*) AS n_out FROM pc, p
+      WHERE (p.vs * (pc.c - p.mc) * (pc.c - p.mc)
+             - 2.0 * p.cv * (pc.c - p.mc) * (pc.s - p.ms)
+             + p.vc * (pc.s - p.ms) * (pc.s - p.ms))
+            / (p.vc * p.vs - p.cv * p.cv) > 9.210340)
+SELECT CAST(p.n AS BIGINT) AS n_customers,
+       CAST(f.n_out AS BIGINT) AS n_outliers,
+       ROUND(f.n_out / p.n, 6) AS outlier_share
+FROM p, f
+"""
+
+
+def q_fd_sturges_bins(sf_dir: str):
+    """Histogram bin-rule audit over document lengths: the
+    Freedman–Diaconis width (2·IQR/n^⅓, IQR from EXACT
+    ceil(q·n)-th order statistics via the distributed rank primitive)
+    vs the Sturges count (⌈log2 n⌉+1) — the methodology check run
+    before binning a 100 TB column so downstream histograms aren't
+    resolution-starved."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    n = ds.count()
+    k25 = int(np.ceil(0.25 * n)) - 1  # 0-based order-statistic ranks
+    k75 = int(np.ceil(0.75 * n)) - 1
+    ranked = assign_global_seq(
+        ds.map_batches(lambda df: df[["n_chars", "doc_id"]],
+                       batch_format="pandas"),
+        ["n_chars", "doc_id"], col="rank")
+    qs = ranked.map_batches(
+        lambda df: df[np.isin(df["rank"].to_numpy(), [k25, k75])],
+        batch_format="pandas").to_pandas().sort_values("rank")
+    q1, q3 = int(qs["n_chars"].iloc[0]), int(qs["n_chars"].iloc[1])
+    lo, hi = ds.min("n_chars"), ds.max("n_chars")
+    iqr = q3 - q1
+    fd_w = 2.0 * iqr / float(n) ** (1.0 / 3.0)
+    fd_bins = int(np.ceil((hi - lo) / fd_w))
+    sturges = int(np.ceil(np.log2(n))) + 1
+    return pd.DataFrame({
+        "n_docs": np.array([n], np.int64),
+        "iqr": np.array([iqr], np.int64),
+        "fd_width": [round(fd_w, 6)],
+        "fd_bins": np.array([fd_bins], np.int64),
+        "sturges_bins": np.array([sturges], np.int64)})
+
+
+SQL_FD_STURGES_BINS = """
+WITH n AS (SELECT COUNT(*) AS n, MIN(n_chars) AS lo, MAX(n_chars) AS hi
+           FROM documents),
+r AS (SELECT n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk
+      FROM documents),
+q AS (SELECT MAX(CASE WHEN rk = CAST(CEIL(0.25 * n.n) AS BIGINT)
+                      THEN n_chars END) AS q1,
+             MAX(CASE WHEN rk = CAST(CEIL(0.75 * n.n) AS BIGINT)
+                      THEN n_chars END) AS q3
+      FROM r, n)
+SELECT CAST(n.n AS BIGINT) AS n_docs,
+       CAST(q.q3 - q.q1 AS BIGINT) AS iqr,
+       ROUND(2.0 * (q.q3 - q.q1) / POW(n.n * 1.0, 1.0 / 3.0), 6)
+         AS fd_width,
+       CAST(CEIL((n.hi - n.lo)
+                 / (2.0 * (q.q3 - q.q1) / POW(n.n * 1.0, 1.0 / 3.0)))
+            AS BIGINT) AS fd_bins,
+       CAST(CEIL(LOG2(n.n)) + 1 AS BIGINT) AS sturges_bins
+FROM n, q
+"""
+
+
+def q_caliper_matched_diff(sf_dir: str):
+    """Caliper nearest-neighbor matching diagnostics: each BUILDING
+    customer matched (with replacement) to the MACHINERY customer
+    closest in account balance within a ±$5.00 caliper — the match-rate
+    / balance-gap audit run before any matched-pair causal readout.
+    Blocking by 500-cent buckets makes the search exact within the
+    caliper while keeping it distributed: candidates replicate only
+    into the two adjacent buckets (flat 3× fan-out of ONE side), each
+    bucket group resolves its matches vectorized; ties break on
+    (gap, candidate balance, candidate key)."""
+    W = 500  # caliper == bucket width, cents
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def to_sides(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["c_mktsegment"].isin(["BUILDING", "MACHINERY"]).to_numpy()
+        d = pd.DataFrame({
+            "key": df["c_custkey"].to_numpy()[m],
+            "cents": np.round(df["c_acctbal"].to_numpy()[m] * 100)
+            .astype(np.int64),
+            "is_a": (df["c_mktsegment"].to_numpy()[m] == "BUILDING")
+            .astype(np.int64)})
+        a = d[d["is_a"] == 1].copy()
+        a["bkt"] = a["cents"].to_numpy() // W
+        outs = [a]
+        b = d[d["is_a"] == 0]
+        for off in (-1, 0, 1):  # candidates fan into adjacent buckets
+            bb = b.copy()
+            bb["bkt"] = bb["cents"].to_numpy() // W + off
+            outs.append(bb)
+        return pd.concat(outs, ignore_index=True)
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["is_a"] == 1]
+        b = g[g["is_a"] == 0].sort_values(
+            ["cents", "key"], kind="mergesort").drop_duplicates("key")
+        if not len(a):
+            return pd.DataFrame({"n_a": [0], "n_m": [0], "gap": [0]})
+        if not len(b):
+            return pd.DataFrame({"n_a": [len(a)], "n_m": [0], "gap": [0]})
+        av = a["cents"].to_numpy(np.int64)
+        bv = b["cents"].to_numpy(np.int64)
+        pos = np.searchsorted(bv, av)
+        lo = np.clip(pos - 1, 0, len(bv) - 1)
+        hi = np.clip(pos, 0, len(bv) - 1)
+        gl = np.abs(av - bv[lo])
+        gh = np.abs(av - bv[hi])
+        # tie prefers the lower candidate balance (then key — bv sorted
+        # with key tie-break already, searchsorted keeps first)
+        use_lo = (gl < gh) | ((gl == gh))
+        gap = np.where(use_lo, gl, gh)
+        ok = gap <= W
+        return pd.DataFrame({"n_a": [len(a)], "n_m": [int(ok.sum())],
+                             "gap": [int(gap[ok].sum())]})
+
+    mo = cust.map_batches(to_sides, batch_format="pandas") \
+        .groupby("bkt").map_groups(match, batch_format="pandas") \
+        .to_pandas().sum()
+    n_a, n_m, gap = int(mo["n_a"]), int(mo["n_m"]), int(mo["gap"])
+    return pd.DataFrame({
+        "n_treated": np.array([n_a], np.int64),
+        "n_matched": np.array([n_m], np.int64),
+        "match_rate": [round(n_m / float(n_a), 6)],
+        "mean_abs_gap": [round(gap / 100.0 / max(n_m, 1), 6)]})
+
+
+SQL_CALIPER_MATCHED_DIFF = """
+WITH a AS (SELECT c_custkey AS key,
+                  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer WHERE c_mktsegment = 'BUILDING'),
+b AS (SELECT c_custkey AS key,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer WHERE c_mktsegment = 'MACHINERY'),
+cand AS (SELECT a.key AS akey, ABS(a.cents - b.cents) AS gap,
+                b.cents AS bcents, b.key AS bkey
+         FROM a JOIN b ON ABS(a.cents - b.cents) <= 500),
+best AS (SELECT akey, gap FROM (
+           SELECT akey, gap,
+                  ROW_NUMBER() OVER (PARTITION BY akey
+                                     ORDER BY gap, bcents, bkey) AS rk
+           FROM cand) WHERE rk = 1)
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_treated,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM a), 6) AS match_rate,
+       ROUND(SUM(gap) / 100.0 / GREATEST(COUNT(*), 1), 6) AS mean_abs_gap
+FROM best
+"""
+
+
+def q_logrank_segments(sf_dir: str):
+    """Two-sample log-rank test: time from first to second order
+    (right-censored at the calendar horizon for one-order customers),
+    BUILDING vs MACHINERY — the survival comparison behind retention
+    experiments.  Per-customer durations fold in custkey partitions;
+    the test statistic reduces over the per-(day, group) event/censor
+    table, which is CALENDAR-BOUNDED (≤ a few thousand distinct
+    durations) regardless of row scale, with at-risk counts as reverse
+    cumulative sums."""
+    P = 32
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    hi = pd.Timestamp(orders.max("o_orderdate"))
+    hid = int((hi - pd.Timestamp("1990-01-01")).days)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per-block two smallest DISTINCT dates per customer: the global
+        # first/second are always among the union of block candidates
+        d = (pd.to_datetime(df["o_orderdate"])
+             - pd.Timestamp("1990-01-01")).dt.days.astype(np.int64)
+        out = pd.DataFrame({"key": df["o_custkey"].to_numpy(), "d": d})
+        m1 = out.groupby("key")["d"].min().rename("m1")
+        m2 = out.join(m1, on="key")
+        m2 = m2[m2["d"] > m2["m1"]].groupby("key")["d"].min().rename("m2")
+        res = pd.concat([m1, m2], axis=1).reset_index()
+        res["part"] = (res["key"].to_numpy() % P).astype(np.int32)
+        res["side"] = 0
+        res["seg"] = ""
+        return res
+
+    def cust_block(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["c_mktsegment"].isin(["BUILDING", "MACHINERY"]).to_numpy()
+        out = pd.DataFrame({
+            "key": df["c_custkey"].to_numpy()[m],
+            "m1": np.zeros(int(m.sum()), np.int64),
+            "m2": np.full(int(m.sum()), np.nan),
+            "seg": df["c_mktsegment"].to_numpy()[m]})
+        out["part"] = (out["key"].to_numpy() % P).astype(np.int32)
+        out["side"] = 1
+        return out[["key", "m1", "m2", "part", "side", "seg"]]
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(cust_block, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        segm = g.loc[g["side"] == 1].set_index("key")["seg"]
+        o = g.loc[g["side"] == 0]
+        first = o.groupby("key")["m1"].min()
+        cand = pd.concat([o.set_index("key")["m1"],
+                          o.set_index("key")["m2"].dropna()])
+        cand = cand[cand > first.reindex(cand.index).to_numpy()]
+        second = cand.groupby(level=0).min()
+        a = pd.DataFrame({"first": first}).join(second.rename("second"))
+        lab = a.index.map(segm)
+        keep = lab.notna()
+        a, lab = a[keep], lab[keep]
+        if not len(a):
+            return pd.DataFrame({
+                "t": pd.Series([], dtype="int64"),
+                "grp": pd.Series([], dtype="int64"),
+                "ev": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")})
+        event = a["second"].notna().to_numpy()
+        t = np.where(event, a["second"].to_numpy(np.float64)
+                     - a["first"].to_numpy(np.float64),
+                     hid - a["first"].to_numpy(np.float64)) \
+            .astype(np.int64)
+        out = pd.DataFrame({"t": t, "grp": (lab == "BUILDING")
+                            .astype(np.int64),
+                            "ev": event.astype(np.int64), "n": 1})
+        return out.groupby(["t", "grp", "ev"], as_index=False)["n"].sum()
+
+    tab = orders.map_batches(partial, batch_format="pandas") \
+        .union(cust) \
+        .groupby("part").map_groups(fold, batch_format="pandas") \
+        .to_pandas().groupby(["t", "grp", "ev"], as_index=False)["n"].sum()
+    # driver reduce over the calendar-bounded (t, grp, ev) table
+    piv = tab.pivot_table(index="t", columns=["grp", "ev"], values="n",
+                          fill_value=0, aggfunc="sum").sort_index()
+
+    def col(gr, ev):
+        return (piv[(gr, ev)].to_numpy(np.float64)
+                if (gr, ev) in piv.columns else np.zeros(len(piv)))
+
+    d1, d0 = col(1, 1), col(0, 1)
+    c1, c0 = col(1, 0), col(0, 0)
+    # at risk just before t: reverse cumulative of everything at >= t
+    n1 = (d1 + c1)[::-1].cumsum()[::-1]
+    n0 = (d0 + c0)[::-1].cumsum()[::-1]
+    dt, nt = d1 + d0, n1 + n0
+    mask = (dt > 0) & (nt > 1)
+    e1 = dt[mask] * n1[mask] / nt[mask]
+    v = (dt[mask] * (n1[mask] / nt[mask]) * (1.0 - n1[mask] / nt[mask])
+         * (nt[mask] - dt[mask]) / (nt[mask] - 1.0))
+    z = (d1[mask] - e1).sum() / np.sqrt(v.sum())
+    return pd.DataFrame({
+        "n_building": np.array([int((d1 + c1).sum())], np.int64),
+        "n_machinery": np.array([int((d0 + c0).sum())], np.int64),
+        "events": np.array([int(dt.sum())], np.int64),
+        "logrank_z": [round(float(z), 6)]})
+
+
+SQL_LOGRANK_SEGMENTS = """
+WITH horizon AS (SELECT MAX(o_orderdate) AS hi FROM orders),
+f AS (SELECT o.o_custkey AS key, c.c_mktsegment AS seg,
+             MIN(o.o_orderdate) AS first_d, COUNT(*) AS cnt
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY 1, 2),
+s AS (SELECT o.o_custkey AS key, MIN(o.o_orderdate) AS second_d
+      FROM orders o JOIN f ON f.key = o.o_custkey
+      WHERE o.o_orderdate > f.first_d GROUP BY 1),
+per AS (SELECT f.key, f.seg,
+               CASE WHEN s.second_d IS NOT NULL THEN 1 ELSE 0 END AS ev,
+               CASE WHEN s.second_d IS NOT NULL
+                    THEN date_diff('day', f.first_d, s.second_d)
+                    ELSE date_diff('day', f.first_d, horizon.hi)
+               END AS t
+        FROM f LEFT JOIN s ON s.key = f.key, horizon),
+tab AS (SELECT t, CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END AS grp,
+               ev, COUNT(*) AS n
+        FROM per GROUP BY 1, 2, 3),
+times AS (SELECT DISTINCT t FROM tab),
+g AS (SELECT times.t,
+             COALESCE(SUM(CASE WHEN tab.grp = 1 AND tab.ev = 1
+                               THEN tab.n END), 0) * 1.0 AS d1,
+             COALESCE(SUM(CASE WHEN tab.grp = 0 AND tab.ev = 1
+                               THEN tab.n END), 0) * 1.0 AS d0
+      FROM times LEFT JOIN tab ON tab.t = times.t GROUP BY 1),
+risk AS (SELECT g.t, g.d1, g.d0,
+                (SELECT COALESCE(SUM(tab.n), 0) FROM tab
+                 WHERE tab.grp = 1 AND tab.t >= g.t) * 1.0 AS n1,
+                (SELECT COALESCE(SUM(tab.n), 0) FROM tab
+                 WHERE tab.grp = 0 AND tab.t >= g.t) * 1.0 AS n0
+         FROM g),
+lr AS (SELECT SUM(d1 - (d1 + d0) * n1 / (n1 + n0)) AS num,
+              SUM((d1 + d0) * (n1 / (n1 + n0))
+                  * (1.0 - n1 / (n1 + n0))
+                  * ((n1 + n0) - (d1 + d0)) / ((n1 + n0) - 1.0)) AS var
+       FROM risk WHERE d1 + d0 > 0 AND n1 + n0 > 1)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per WHERE seg = 'BUILDING')
+         AS n_building,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM per
+        WHERE seg = 'MACHINERY') AS n_machinery,
+       (SELECT CAST(SUM(ev) AS BIGINT) FROM per) AS events,
+       ROUND(lr.num / SQRT(lr.var), 6) AS logrank_z
+FROM lr
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -20640,6 +21013,10 @@ QUERIES = {
     "blomqvist_beta": q_blomqvist_beta,
     "post_stratified_mean": q_post_stratified_mean,
     "jarque_bera_value": q_jarque_bera_value,
+    "mahalanobis_outliers": q_mahalanobis_outliers,
+    "fd_sturges_bins": q_fd_sturges_bins,
+    "caliper_matched_diff": q_caliper_matched_diff,
+    "logrank_segments": q_logrank_segments,
 }
 
 ORACLE_SQL = {
@@ -21030,4 +21407,8 @@ ORACLE_SQL = {
     "blomqvist_beta": SQL_BLOMQVIST_BETA,
     "post_stratified_mean": SQL_POST_STRATIFIED_MEAN,
     "jarque_bera_value": SQL_JARQUE_BERA_VALUE,
+    "mahalanobis_outliers": SQL_MAHALANOBIS_OUTLIERS,
+    "fd_sturges_bins": SQL_FD_STURGES_BINS,
+    "caliper_matched_diff": SQL_CALIPER_MATCHED_DIFF,
+    "logrank_segments": SQL_LOGRANK_SEGMENTS,
 }
