@@ -20670,6 +20670,12 @@ QUERIES = {
     "host_budget": q_host_budget,
     "mutual_knn": q_mutual_knn,
     "coreset_kcenter": q_coreset_kcenter,
+    # window rotation (r5 close): two of this round's new operator
+    # families stand in the driver's 50-query gate; the displaced
+    # entries sit directly below and stay CI-pinned by
+    # tests/test_oracle_sweep.py
+    "bh_fdr_weekend_nation": q_bh_fdr_weekend_nation,
+    "lsh_recall_at_k": q_lsh_recall_at_k,
     "redirect_resolve": q_redirect_resolve,
     "source_drift": q_source_drift,
     "stratified_sample": q_stratified_sample,
@@ -20997,10 +21003,8 @@ QUERIES = {
     "effective_price_quantiles": q_effective_price_quantiles,
     "rounding_drift_audit": q_rounding_drift_audit,
     "dual_elite_customers": q_dual_elite_customers,
-    "bh_fdr_weekend_nation": q_bh_fdr_weekend_nation,
     "burrows_delta": q_burrows_delta,
     "log_odds_terms": q_log_odds_terms,
-    "lsh_recall_at_k": q_lsh_recall_at_k,
     "james_stein_brand_discount": q_james_stein_brand_discount,
     "cuped_adjusted_lift": q_cuped_adjusted_lift,
     "piecewise_trend": q_piecewise_trend,
