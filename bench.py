@@ -351,7 +351,9 @@ def bench_queries() -> dict:
              "haar_energy_daily", "blomqvist_beta",
              "post_stratified_mean", "jarque_bera_value",
              "mahalanobis_outliers", "fd_sturges_bins",
-             "caliper_matched_diff", "logrank_segments"]
+             "caliper_matched_diff", "logrank_segments",
+             "mcnemar_weekend", "cramer_von_mises",
+             "partial_correlation", "cronbach_alpha"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

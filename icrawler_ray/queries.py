@@ -20621,6 +20621,296 @@ FROM lr
 """
 
 
+def q_mcnemar_weekend(sf_dir: str):
+    """McNemar paired-proportions test: does a user who purchases on
+    weekdays also purchase on weekends?  The discordant pair counts
+    (weekday-only b, weekend-only c) fold from per-user presence
+    bitmasks in user partitions; the continuity-corrected statistic
+    (|b-c|-1)²/(b+c) is driver arithmetic on two integers."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["event_type"] == "purchase"]
+        wk = (pd.to_datetime(d["ts"]).dt.dayofweek >= 5).to_numpy()
+        out = pd.DataFrame({"user_id": d["user_id"].to_numpy(),
+                            "we": wk.astype(np.int64),
+                            "wd": (~wk).astype(np.int64)}) \
+            .groupby("user_id", as_index=False).max()
+        out["part"] = (out["user_id"].to_numpy() % P).astype(np.int32)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user_id", as_index=False)[["we", "wd"]].max()
+        return pd.DataFrame({
+            "b": [int(((u["wd"] == 1) & (u["we"] == 0)).sum())],
+            "c": [int(((u["wd"] == 0) & (u["we"] == 1)).sum())],
+            "n": [len(u)]})
+
+    mo = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("part").map_groups(merge, batch_format="pandas") \
+        .to_pandas().sum()
+    b, c = int(mo["b"]), int(mo["c"])
+    chi2 = (abs(b - c) - 1.0) ** 2 / (b + c)
+    return pd.DataFrame({
+        "n_purchasers": np.array([int(mo["n"])], np.int64),
+        "weekday_only": np.array([b], np.int64),
+        "weekend_only": np.array([c], np.int64),
+        "mcnemar_chi2": [round(chi2, 6)]})
+
+
+SQL_MCNEMAR_WEEKEND = """
+WITH u AS (SELECT user_id,
+                  MAX(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS we,
+                  MAX(CASE WHEN isodow(ts) < 6 THEN 1 ELSE 0 END) AS wd
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+t AS (SELECT COUNT(*) AS n,
+             SUM(CASE WHEN wd = 1 AND we = 0 THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN wd = 0 AND we = 1 THEN 1 ELSE 0 END) AS c
+      FROM u)
+SELECT CAST(n AS BIGINT) AS n_purchasers,
+       CAST(b AS BIGINT) AS weekday_only,
+       CAST(c AS BIGINT) AS weekend_only,
+       ROUND((ABS(b - c) - 1.0) * (ABS(b - c) - 1.0) / (b + c), 6)
+         AS mcnemar_chi2
+FROM t
+"""
+
+
+def q_cramer_von_mises(sf_dir: str):
+    """Two-sample Cramér–von Mises statistic (weekend vs weekday
+    purchase values): T = N1·N2/N² · Σ over pooled observations of
+    (F1-F2)² — the whole-distribution comparison that, unlike the KS
+    max, weights EVERY quantile.  Like q_mannwhitney_weekend the test
+    folds entirely from the per-value count grid (combiner partials,
+    value-domain-bounded; a wider domain hash-partitions the grid), so
+    the ECDFs are exact integer cumsums."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["event_type"] == "purchase"]
+        return pd.DataFrame({
+            "wk": (pd.to_datetime(d["ts"]).dt.dayofweek >= 5)
+            .to_numpy().astype(np.int64),
+            "cents": np.round(d["value"].to_numpy() * 100)
+            .astype(np.int64)}).groupby(["wk", "cents"],
+                                        as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cnt = parts.groupby(["wk", "cents"], as_index=False)["n"].sum()
+    piv = cnt.pivot_table(index="cents", columns="wk", values="n",
+                          fill_value=0, aggfunc="sum").sort_index()
+    a = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    b = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    n1, n2 = float(a.sum()), float(b.sum())
+    f1 = np.cumsum(a) / n1
+    f2 = np.cumsum(b) / n2
+    w = (a + b).astype(np.float64)
+    t_stat = n1 * n2 / (n1 + n2) ** 2 * float((w * (f1 - f2) ** 2).sum())
+    return pd.DataFrame({
+        "n_weekend": np.array([int(n1)], np.int64),
+        "n_weekday": np.array([int(n2)], np.int64),
+        "cvm_t": [round(t_stat, 6)]})
+
+
+SQL_CRAMER_VON_MISES = """
+WITH v AS (SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS wk,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT cents,
+             SUM(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS b
+      FROM v GROUP BY cents),
+t AS (SELECT SUM(a) * 1.0 AS n1, SUM(b) * 1.0 AS n2 FROM c),
+e AS (SELECT c.a, c.b,
+             SUM(c.a) OVER (ORDER BY c.cents) / t.n1 AS f1,
+             SUM(c.b) OVER (ORDER BY c.cents) / t.n2 AS f2,
+             t.n1, t.n2
+      FROM c, t)
+SELECT CAST(MAX(n1) AS BIGINT) AS n_weekend,
+       CAST(MAX(n2) AS BIGINT) AS n_weekday,
+       ROUND(MAX(n1) * MAX(n2) / ((MAX(n1) + MAX(n2))
+                                  * (MAX(n1) + MAX(n2)))
+             * SUM((a + b) * (f1 - f2) * (f1 - f2)), 6) AS cvm_t
+FROM e
+"""
+
+
+def q_partial_correlation(sf_dir: str):
+    """Partial correlation between a customer's order count and spend,
+    CONTROLLING for account balance: r_xy.z =
+    (r_xy - r_xz r_yz)/sqrt((1-r_xz²)(1-r_yz²)) — the confound check
+    before reading the raw count-spend correlation causally.  All nine
+    cross-moment sums ride the salted customer join as exact integers
+    (balances can be negative; cents keep them exact)."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "c_custkey": df["o_custkey"].to_numpy(),
+                "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64), "cnt": 1}),
+            batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("c_custkey", as_index=False).agg(
+            x=("cnt", "sum"), y=("cents", "sum"),
+            z=("c_acctbal", "first"))
+        x = u["x"].to_numpy(np.float64)
+        y = u["y"].to_numpy(np.float64)
+        z = np.round(u["z"].to_numpy() * 100)
+        return pd.DataFrame({
+            "n": [len(u)], "sx": [x.sum()], "sy": [y.sum()],
+            "sz": [z.sum()], "sxx": [(x * x).sum()],
+            "syy": [(y * y).sum()], "szz": [(z * z).sum()],
+            "sxy": [(x * y).sum()], "sxz": [(x * z).sum()],
+            "syz": [(y * z).sum()]})
+
+    mo = salted_hash_join(orders, cust, "c_custkey", agg_fn=agg,
+                          hot_keys=np.array([], np.int64)).to_pandas() \
+        .sum()
+    n = float(mo["n"])
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = sab / n - (sa / n) * (sb / n)
+        return num / np.sqrt((saa / n - (sa / n) * (sa / n))
+                             * (sbb / n - (sb / n) * (sb / n)))
+
+    rxy = corr(float(mo["sxy"]), float(mo["sx"]), float(mo["sy"]),
+               float(mo["sxx"]), float(mo["syy"]))
+    rxz = corr(float(mo["sxz"]), float(mo["sx"]), float(mo["sz"]),
+               float(mo["sxx"]), float(mo["szz"]))
+    ryz = corr(float(mo["syz"]), float(mo["sy"]), float(mo["sz"]),
+               float(mo["syy"]), float(mo["szz"]))
+    pr = (rxy - rxz * ryz) / np.sqrt((1.0 - rxz * rxz)
+                                     * (1.0 - ryz * ryz))
+    return pd.DataFrame({
+        "n_customers": np.array([int(n)], np.int64),
+        "r_count_spend": [round(rxy, 6)],
+        "r_partial": [round(float(pr), 6)]})
+
+
+SQL_PARTIAL_CORRELATION = """
+WITH u AS (SELECT o.o_custkey, COUNT(*) * 1.0 AS x,
+                  SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) * 1.0
+                    AS y,
+                  CAST(ROUND(MIN(c.c_acctbal) * 100) AS BIGINT) * 1.0
+                    AS z
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY 1),
+m AS (SELECT COUNT(*) * 1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(z) AS sz, SUM(x * x) AS sxx, SUM(y * y) AS syy,
+             SUM(z * z) AS szz, SUM(x * y) AS sxy, SUM(x * z) AS sxz,
+             SUM(y * z) AS syz
+      FROM u),
+r AS (SELECT n,
+             (sxy / n - (sx / n) * (sy / n))
+               / SQRT((sxx / n - (sx / n) * (sx / n))
+                      * (syy / n - (sy / n) * (sy / n))) AS rxy,
+             (sxz / n - (sx / n) * (sz / n))
+               / SQRT((sxx / n - (sx / n) * (sx / n))
+                      * (szz / n - (sz / n) * (sz / n))) AS rxz,
+             (syz / n - (sy / n) * (sz / n))
+               / SQRT((syy / n - (sy / n) * (sy / n))
+                      * (szz / n - (sz / n) * (sz / n))) AS ryz
+      FROM m)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       ROUND(rxy, 6) AS r_count_spend,
+       ROUND((rxy - rxz * ryz)
+             / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+         AS r_partial
+FROM r
+"""
+
+
+def q_cronbach_alpha(sf_dir: str):
+    """Cronbach's alpha over the five event-type counts treated as
+    'items' of a per-user engagement scale: alpha =
+    k/(k-1)·(1 - Σ var_item / var_total) — the internal-consistency
+    read that says whether the types move together enough to justify a
+    single engagement score.  Per-(user, item) counts fold in user
+    partitions; item variances and the total-score variance all derive
+    from exact integer sums (absent items contribute exact zeros via
+    the per-partition pivot)."""
+    P = 32
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = sorted(ds.map_batches(
+        lambda df: df[["event_type"]].drop_duplicates(),
+        batch_format="pandas").to_pandas()["event_type"].unique())
+    k = len(types)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.assign(n=1).groupby(["user_id", "event_type"],
+                                     as_index=False)["n"].sum()
+        out["part"] = (out["user_id"].to_numpy() % P).astype(np.int32)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        piv = g.pivot_table(index="user_id", columns="event_type",
+                            values="n", fill_value=0, aggfunc="sum")
+        for t in types:
+            if t not in piv.columns:
+                piv[t] = 0
+        m = piv[types].to_numpy(np.int64)
+        tot = m.sum(axis=1)
+        return pd.DataFrame({
+            "n": [m.shape[0]],
+            "si": [",".join(str(int(v)) for v in m.sum(axis=0))],
+            "sii": [",".join(str(int(v)) for v in (m * m).sum(axis=0))],
+            "st": [int(tot.sum())], "stt": [int((tot * tot).sum())]})
+
+    mo = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("part").map_groups(merge, batch_format="pandas") \
+        .to_pandas()
+    n = float(mo["n"].sum())
+    si = np.sum([np.fromstring(s, dtype=np.int64, sep=",")
+                 for s in mo["si"]], axis=0).astype(np.float64)
+    sii = np.sum([np.fromstring(s, dtype=np.int64, sep=",")
+                  for s in mo["sii"]], axis=0).astype(np.float64)
+    st, stt = float(mo["st"].sum()), float(mo["stt"].sum())
+    var_items = (sii / n - (si / n) ** 2).sum()
+    var_tot = stt / n - (st / n) * (st / n)
+    alpha = k / (k - 1.0) * (1.0 - var_items / var_tot)
+    return pd.DataFrame({
+        "n_users": np.array([int(n)], np.int64),
+        "k_items": np.array([k], np.int64),
+        "alpha": [round(float(alpha), 6)]})
+
+
+SQL_CRONBACH_ALPHA = """
+WITH u AS (SELECT user_id, event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+users AS (SELECT DISTINCT user_id FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT users.user_id, types.event_type,
+                COALESCE(u.n, 0) AS n
+         FROM users CROSS JOIN types
+         LEFT JOIN u ON u.user_id = users.user_id
+                    AND u.event_type = types.event_type),
+iv AS (SELECT event_type,
+              SUM(CAST(n AS DOUBLE) * n) / COUNT(*)
+                - (SUM(n) * 1.0 / COUNT(*)) * (SUM(n) * 1.0 / COUNT(*))
+                AS var_i
+       FROM grid GROUP BY 1),
+tot AS (SELECT user_id, SUM(n) AS t FROM grid GROUP BY 1),
+tv AS (SELECT COUNT(*) * 1.0 AS n,
+              SUM(CAST(t AS DOUBLE) * t) / COUNT(*)
+                - (SUM(t) * 1.0 / COUNT(*)) * (SUM(t) * 1.0 / COUNT(*))
+                AS var_t
+       FROM tot),
+kk AS (SELECT COUNT(*) * 1.0 AS k FROM types)
+SELECT CAST(tv.n AS BIGINT) AS n_users,
+       CAST(kk.k AS BIGINT) AS k_items,
+       ROUND(kk.k / (kk.k - 1.0)
+             * (1.0 - (SELECT SUM(var_i) FROM iv) / tv.var_t), 6)
+         AS alpha
+FROM tv, kk
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -21021,6 +21311,10 @@ QUERIES = {
     "fd_sturges_bins": q_fd_sturges_bins,
     "caliper_matched_diff": q_caliper_matched_diff,
     "logrank_segments": q_logrank_segments,
+    "mcnemar_weekend": q_mcnemar_weekend,
+    "cramer_von_mises": q_cramer_von_mises,
+    "partial_correlation": q_partial_correlation,
+    "cronbach_alpha": q_cronbach_alpha,
 }
 
 ORACLE_SQL = {
@@ -21415,4 +21709,8 @@ ORACLE_SQL = {
     "fd_sturges_bins": SQL_FD_STURGES_BINS,
     "caliper_matched_diff": SQL_CALIPER_MATCHED_DIFF,
     "logrank_segments": SQL_LOGRANK_SEGMENTS,
+    "mcnemar_weekend": SQL_MCNEMAR_WEEKEND,
+    "cramer_von_mises": SQL_CRAMER_VON_MISES,
+    "partial_correlation": SQL_PARTIAL_CORRELATION,
+    "cronbach_alpha": SQL_CRONBACH_ALPHA,
 }
