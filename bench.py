@@ -35,7 +35,11 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "200000"))
-DEDUP_KEYS = int(os.environ.get("BENCH_DEDUP_KEYS", "10000000"))
+# 40M keys: at 10M the 16-CPU leg finished in ~0.6 s, so the scaling
+# ratio measured startup/scheduling tail, not steady-state throughput
+# (read 0.73-0.76); at 40M the high leg runs ~2.2 s and the same job
+# reads 0.88+ with record absolute throughput (2026-08-20, BASELINE.md)
+DEDUP_KEYS = int(os.environ.get("BENCH_DEDUP_KEYS", "40000000"))
 
 
 def bench_fetch_parse(n_pages: int = 300_000) -> dict:
@@ -373,12 +377,26 @@ def bench_queries() -> dict:
 
 def run_scaling_child() -> dict:
     """Child process for --scaling: the two BASELINE.json metric
-    components only (fetch+parse URLs/sec, frontier-dedup ops/sec)."""
+    components only (fetch+parse URLs/sec, frontier-dedup ops/sec).
+
+    The child pins its CPU AFFINITY to NUM_CPUS physical cores before
+    ray.init so raylet and every worker inherit the mask: Ray's
+    num_cpus is a scheduling token, not a cgroup, and on a quiet host
+    the low-parallelism leg otherwise spills onto all idle cores —
+    observed 2026-08-20: the 4-'CPU' dedup leg read 5.3M ops/s
+    (vs 2.4-3.0M when the host is busy), deflating the ratio to
+    0.73-0.76 while the 16-CPU leg set the record high.  With the mask
+    the two legs model two real cluster sizes: a 4-core node HAS four
+    cores."""
     import logging
 
     import ray
     import ray.data
 
+    try:
+        os.sched_setaffinity(0, range(min(NUM_CPUS, os.cpu_count())))
+    except (AttributeError, OSError):
+        pass  # non-Linux: fall back to the scheduling-token budget
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
              log_to_driver=False)
