@@ -357,7 +357,9 @@ def bench_queries() -> dict:
              "mahalanobis_outliers", "fd_sturges_bins",
              "caliper_matched_diff", "logrank_segments",
              "mcnemar_weekend", "cramer_von_mises",
-             "partial_correlation", "cronbach_alpha"]
+             "partial_correlation", "cronbach_alpha",
+             "kruskal_wallis_priority", "cochran_armitage_trend",
+             "youden_threshold", "mantel_haenszel_or"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

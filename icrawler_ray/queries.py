@@ -20911,6 +20911,314 @@ FROM tv, kk
 """
 
 
+def q_kruskal_wallis_priority(sf_dir: str):
+    """Kruskal–Wallis H across the five order priorities on order value
+    — the rank-based one-way test that survives the heavy value tail.
+    Midranks come from the pooled value-count grid: (priority, cents)
+    combiner partials, a per-cents pivot, then ONE distributed sort
+    carrying the exclusive cumulative count
+    (functions/seq.py::assign_global_cumsum) so no row-level rank
+    shuffle ever happens; rank sums and the tie term fold per block."""
+    from icrawler_ray.functions.seq import assign_global_cumsum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    prios = sorted(ds.map_batches(
+        lambda df: df[["o_orderpriority"]].drop_duplicates(),
+        batch_format="pandas").to_pandas()["o_orderpriority"].unique())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p": df["o_orderpriority"],
+            "c": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)}).groupby(["c", "p"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+
+    def grid(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pivot per HASH PARTITION (64 groups), never per
+        # distinct value: 150k+ tiny per-value pandas groups cost 30s+
+        piv = g.pivot_table(index="c", columns="p", values="n",
+                            fill_value=0, aggfunc="sum")
+        for p in prios:
+            if p not in piv.columns:
+                piv[p] = 0
+        out = piv[prios].reset_index()
+        out.columns = ["c"] + [f"n{i}" for i in range(len(prios))]
+        out["tot"] = out[[f"n{i}" for i in range(len(prios))]] \
+            .sum(axis=1).astype(np.int64)
+        return out
+
+    PP = 64
+    gds = ds.map_batches(partial, batch_format="pandas") \
+        .map_batches(lambda df: df.assign(
+            part=(df["c"].to_numpy() % PP).astype(np.int32)),
+            batch_format="pandas") \
+        .groupby("part").map_groups(grid, batch_format="pandas")
+    cum = assign_global_cumsum(gds, ["c"], weight_col="tot")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        mid = df["cum_before"].to_numpy(np.float64) \
+            + (df["tot"].to_numpy(np.int64) + 1) / 2.0
+        tot = df["tot"].to_numpy(np.float64)
+        out = {"tie": [float((tot * tot * tot - tot).sum())]}
+        for i in range(len(prios)):
+            n = df[f"n{i}"].to_numpy(np.float64)
+            out[f"r{i}"] = [(n * mid).sum()]
+            out[f"m{i}"] = [n.sum()]
+        return pd.DataFrame(out)
+
+    mo = cum.map_batches(fold, batch_format="pandas").to_pandas().sum()
+    n = sum(float(mo[f"m{i}"]) for i in range(len(prios)))
+    sr = sum(float(mo[f"r{i}"]) ** 2 / float(mo[f"m{i}"])
+             for i in range(len(prios)))
+    h = 12.0 / (n * (n + 1.0)) * sr - 3.0 * (n + 1.0)
+    hc = h / (1.0 - float(mo["tie"]) / (n * n * n - n))
+    return pd.DataFrame({
+        "n_orders": np.array([int(n)], np.int64),
+        "h": [round(h, 6)],
+        "h_corrected": [round(hc, 6)]})
+
+
+SQL_KRUSKAL_WALLIS_PRIORITY = """
+WITH v AS (SELECT o_orderpriority AS p,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+g AS (SELECT c, p, COUNT(*) AS n FROM v GROUP BY 1, 2),
+t AS (SELECT c, SUM(n) AS tot FROM g GROUP BY 1),
+w AS (SELECT c, tot,
+             COALESCE(SUM(tot) OVER (ORDER BY c
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0)
+               AS cum
+      FROM t),
+r AS (SELECT g.p, SUM(g.n * (w.cum + (w.tot + 1) / 2.0)) AS rsum,
+             SUM(g.n) * 1.0 AS np
+      FROM g JOIN w ON w.c = g.c GROUP BY 1),
+nn AS (SELECT SUM(np) AS n, SUM(rsum * rsum / np) AS sr FROM r),
+tie AS (SELECT SUM(CAST(tot AS DOUBLE) * tot * tot - tot) AS tt FROM t)
+SELECT CAST(nn.n AS BIGINT) AS n_orders,
+       ROUND(12.0 / (nn.n * (nn.n + 1.0)) * nn.sr
+             - 3.0 * (nn.n + 1.0), 6) AS h,
+       ROUND((12.0 / (nn.n * (nn.n + 1.0)) * nn.sr
+              - 3.0 * (nn.n + 1.0))
+             / (1.0 - tie.tt / (nn.n * nn.n * nn.n - nn.n)), 6)
+         AS h_corrected
+FROM nn, tie
+"""
+
+
+def q_cochran_armitage_trend(sf_dir: str):
+    """Cochran–Armitage trend test: does the return-flag rate drift
+    monotonically with line quantity?  Scores are the quantity values
+    themselves; Z folds entirely from the (quantity, returned) count
+    grid — exact integers end to end, one combiner exchange, no
+    row-level shuffle."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_returnflag"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "q": df["l_quantity"].to_numpy(np.int64),
+            "r": (df["l_returnflag"] == "R").to_numpy()
+            .astype(np.int64)}).groupby(["q", "r"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby(["q", "r"], as_index=False)["n"].sum()
+    piv = parts.pivot_table(index="q", columns="r", values="n",
+                            fill_value=0, aggfunc="sum").sort_index()
+    s = piv.index.to_numpy(np.float64)
+    r1 = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(np.float64)
+    r0 = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(np.float64)
+    ni = r1 + r0
+    N, R = ni.sum(), r1.sum()
+    pbar = R / N
+    num = (s * (r1 - ni * pbar)).sum()
+    den = np.sqrt(pbar * (1.0 - pbar)
+                  * ((s * s * ni).sum() - (s * ni).sum() ** 2 / N))
+    z = num / den
+    return pd.DataFrame({
+        "n_lines": np.array([int(N)], np.int64),
+        "return_rate": [round(pbar, 6)],
+        "trend_z": [round(float(z), 6)]})
+
+
+SQL_COCHRAN_ARMITAGE_TREND = """
+WITH g AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    * 1.0 AS r1,
+                  COUNT(*) * 1.0 AS ni
+           FROM lineitem GROUP BY 1),
+m AS (SELECT SUM(ni) AS n, SUM(r1) AS r,
+             SUM(q * (r1 - ni * (SELECT SUM(r1) FROM g)
+                                / (SELECT SUM(ni) FROM g))) AS num,
+             SUM(q * q * ni) AS sqq, SUM(q * ni) AS sq
+      FROM g)
+SELECT CAST(n AS BIGINT) AS n_lines,
+       ROUND(r / n, 6) AS return_rate,
+       ROUND(num / SQRT((r / n) * (1.0 - r / n)
+                        * (sqq - sq * sq / n)), 6) AS trend_z
+FROM m
+"""
+
+
+def q_youden_threshold(sf_dir: str):
+    """Optimal decision threshold by Youden's J: the order-value cut
+    that best separates URGENT orders from the rest
+    (J = TPR − FPR maximized over every distinct value) — the
+    threshold-picker behind any score-based routing rule.  Positive
+    and negative counts are PACKED into one integer (pos·2⁴⁰ + neg) so
+    a single distributed sort-cumsum (assign_global_cumsum) carries
+    both exact ECDFs at once; the argmax folds per block and reduces
+    output-sized."""
+    from icrawler_ray.functions.seq import assign_global_cumsum
+
+    SHIFT = 1 << 40
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pos = (df["o_orderpriority"] == "1-URGENT").to_numpy() \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "c": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64),
+            "w": pos * SHIFT + (1 - pos)}).groupby(
+                "c", as_index=False)["w"].sum()
+
+    PP = 64  # hash-partitioned per-value merge: 64 vectorized groups,
+    # never one pandas group per distinct value
+    gds = ds.map_batches(partial, batch_format="pandas") \
+        .map_batches(lambda df: df.assign(
+            part=(df["c"].to_numpy() % PP).astype(np.int32)),
+            batch_format="pandas") \
+        .groupby("part").map_groups(
+            lambda g: g.groupby("c", as_index=False)["w"].sum(),
+            batch_format="pandas")
+    cum = assign_global_cumsum(gds, ["c"], weight_col="w")
+    tot = gds.sum("w")
+    P, N = float(tot // SHIFT), float(tot % SHIFT)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cb = df["cum_before"].to_numpy(np.int64)
+        tp = P - (cb // SHIFT).astype(np.float64)   # pos with c >= t
+        fp = N - (cb % SHIFT).astype(np.float64)
+        j = tp / P - fp / N
+        i = int(np.argmax(j))  # per-block best; ties -> lowest c (asc)
+        return pd.DataFrame({"c": [int(df["c"].iloc[i])],
+                             "j": [float(j[i])],
+                             "tpr": [float(tp[i] / P)],
+                             "fpr": [float(fp[i] / N)]})
+
+    best = cum.map_batches(fold, batch_format="pandas").to_pandas() \
+        .sort_values(["j", "c"], ascending=[False, True],
+                     kind="mergesort").iloc[0]
+    return pd.DataFrame({
+        "threshold": [round(float(best["c"]) / 100.0, 2)],
+        "tpr": [round(float(best["tpr"]), 6)],
+        "fpr": [round(float(best["fpr"]), 6)],
+        "youden_j": [round(float(best["j"]), 6)]})
+
+
+SQL_YOUDEN_THRESHOLD = """
+WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+                  CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN 1 ELSE 0 END AS pos
+           FROM orders),
+g AS (SELECT c, SUM(pos) AS p1, SUM(1 - pos) AS n1 FROM v GROUP BY 1),
+t AS (SELECT SUM(p1) * 1.0 AS p, SUM(n1) * 1.0 AS n FROM g),
+w AS (SELECT c,
+             t.p - COALESCE(SUM(p1) OVER (ORDER BY c
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS tp,
+             t.n - COALESCE(SUM(n1) OVER (ORDER BY c
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS fp,
+             t.p, t.n
+      FROM g, t),
+j AS (SELECT c, tp / p AS tpr, fp / n AS fpr, tp / p - fp / n AS j
+      FROM w)
+SELECT ROUND(c / 100.0, 2) AS threshold,
+       ROUND(tpr, 6) AS tpr, ROUND(fpr, 6) AS fpr,
+       ROUND(j, 6) AS youden_j
+FROM j ORDER BY j DESC, c ASC LIMIT 1
+"""
+
+
+def q_mantel_haenszel_or(sf_dir: str):
+    """Mantel–Haenszel common odds ratio of (weekend order → urgent
+    priority) POOLED over market-segment strata, against the crude
+    (unstratified) OR — the Simpson's-paradox guard for any pooled
+    2×2 readout.  Per-(segment, weekend, urgent) counts fold through
+    the salted customer join; the estimator reduces over K=5 strata."""
+    from icrawler_ray.stages.joins import salted_hash_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "c_custkey": df["o_custkey"].to_numpy(),
+                "wk": (pd.to_datetime(df["o_orderdate"]).dt.dayofweek
+                       >= 5).to_numpy().astype(np.int64),
+                "ur": (df["o_orderpriority"] == "1-URGENT").to_numpy()
+                .astype(np.int64)}),
+            batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.assign(n=1).groupby(["c_mktsegment", "wk", "ur"],
+                                     as_index=False)["n"].sum()
+
+    t = salted_hash_join(orders, cust, "c_custkey", agg_fn=agg,
+                         hot_keys=np.array([], np.int64)).to_pandas() \
+        .groupby(["c_mktsegment", "wk", "ur"], as_index=False)["n"].sum()
+    piv = t.pivot_table(index="c_mktsegment", columns=["wk", "ur"],
+                        values="n", fill_value=0, aggfunc="sum")
+
+    def col(wk, ur):
+        return (piv[(wk, ur)].to_numpy(np.float64)
+                if (wk, ur) in piv.columns else np.zeros(len(piv)))
+
+    a = col(1, 1)   # weekend & urgent
+    b = col(1, 0)   # weekend & not
+    c = col(0, 1)   # weekday & urgent
+    d = col(0, 0)
+    ni = a + b + c + d
+    or_mh = float((a * d / ni).sum()) / float((b * c / ni).sum())
+    at, bt, ct, dt = a.sum(), b.sum(), c.sum(), d.sum()
+    or_crude = (at * dt) / (bt * ct)
+    return pd.DataFrame({
+        "n_orders": np.array([int(ni.sum())], np.int64),
+        "or_mh": [round(or_mh, 6)],
+        "or_crude": [round(float(or_crude), 6)]})
+
+
+SQL_MANTEL_HAENSZEL_OR = """
+WITH f AS (SELECT c.c_mktsegment AS seg,
+                  CASE WHEN isodow(o.o_orderdate) >= 6
+                       THEN 1 ELSE 0 END AS wk,
+                  CASE WHEN o.o_orderpriority = '1-URGENT'
+                       THEN 1 ELSE 0 END AS ur
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+s AS (SELECT seg,
+             SUM(CASE WHEN wk = 1 AND ur = 1 THEN 1 ELSE 0 END) * 1.0
+               AS a,
+             SUM(CASE WHEN wk = 1 AND ur = 0 THEN 1 ELSE 0 END) * 1.0
+               AS b,
+             SUM(CASE WHEN wk = 0 AND ur = 1 THEN 1 ELSE 0 END) * 1.0
+               AS c,
+             SUM(CASE WHEN wk = 0 AND ur = 0 THEN 1 ELSE 0 END) * 1.0
+               AS d
+      FROM f GROUP BY 1),
+m AS (SELECT SUM(a * d / (a + b + c + d)) AS num,
+             SUM(b * c / (a + b + c + d)) AS den,
+             SUM(a) AS at, SUM(b) AS bt, SUM(c) AS ct, SUM(d) AS dt,
+             SUM(a + b + c + d) AS n
+      FROM s)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       ROUND(num / den, 6) AS or_mh,
+       ROUND(at * dt / (bt * ct), 6) AS or_crude
+FROM m
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -21315,6 +21623,10 @@ QUERIES = {
     "cramer_von_mises": q_cramer_von_mises,
     "partial_correlation": q_partial_correlation,
     "cronbach_alpha": q_cronbach_alpha,
+    "kruskal_wallis_priority": q_kruskal_wallis_priority,
+    "cochran_armitage_trend": q_cochran_armitage_trend,
+    "youden_threshold": q_youden_threshold,
+    "mantel_haenszel_or": q_mantel_haenszel_or,
 }
 
 ORACLE_SQL = {
@@ -21713,4 +22025,8 @@ ORACLE_SQL = {
     "cramer_von_mises": SQL_CRAMER_VON_MISES,
     "partial_correlation": SQL_PARTIAL_CORRELATION,
     "cronbach_alpha": SQL_CRONBACH_ALPHA,
+    "kruskal_wallis_priority": SQL_KRUSKAL_WALLIS_PRIORITY,
+    "cochran_armitage_trend": SQL_COCHRAN_ARMITAGE_TREND,
+    "youden_threshold": SQL_YOUDEN_THRESHOLD,
+    "mantel_haenszel_or": SQL_MANTEL_HAENSZEL_OR,
 }
