@@ -359,7 +359,9 @@ def bench_queries() -> dict:
              "mcnemar_weekend", "cramer_von_mises",
              "partial_correlation", "cronbach_alpha",
              "kruskal_wallis_priority", "cochran_armitage_trend",
-             "youden_threshold", "mantel_haenszel_or"]
+             "youden_threshold", "mantel_haenszel_or",
+             "sprt_crossing", "good_turing_mass",
+             "fano_factor_windows", "record_days"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

@@ -21219,6 +21219,259 @@ FROM m
 """
 
 
+def q_sprt_crossing(sf_dir: str):
+    """Wald's SPRT replayed over the daily purchase-conversion stream:
+    cumulative log-likelihood ratio of H1: p=0.22 vs H0: p=0.18
+    (alpha = beta = 0.05 boundaries ±ln 19), reporting the first
+    boundary crossing — the sequential-testing primitive that ends an
+    experiment early.  Per-day (events, purchases) fold as exact
+    integer combiners; the LLR scan runs over the CALENDAR-BOUNDED
+    day table."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "d": df["ts"].to_numpy(dtype="datetime64[D]"),
+            "n": 1,
+            "k": (df["event_type"] == "purchase").to_numpy()
+            .astype(np.int64)}).groupby("d", as_index=False).sum()
+
+    daily = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby("d", as_index=False).sum().sort_values("d") \
+        .reset_index(drop=True)
+    p0, p1 = 0.18, 0.22
+    la, lb = np.log(19.0), -np.log(19.0)
+    llr = (daily["k"].to_numpy(np.float64) * np.log(p1 / p0)
+           + (daily["n"] - daily["k"]).to_numpy(np.float64)
+           * np.log((1.0 - p1) / (1.0 - p0)))
+    cum = np.cumsum(llr)
+    up = np.nonzero(cum >= la)[0]
+    dn = np.nonzero(cum <= lb)[0]
+    iu = up[0] if len(up) else len(cum)
+    idn = dn[0] if len(dn) else len(cum)
+    if iu == idn:
+        decision, idx = "continue", len(cum) - 1
+    elif iu < idn:
+        decision, idx = "accept_h1", int(iu)
+    else:
+        decision, idx = "accept_h0", int(idn)
+    return pd.DataFrame({
+        "decision": [decision],
+        "crossing_day": [pd.Timestamp(daily["d"].iloc[idx])],
+        "days_observed": np.array([idx + 1], np.int64),
+        "llr_at_stop": [round(float(cum[idx]), 6)]})
+
+
+SQL_SPRT_CROSSING = """
+WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+                      SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS k
+               FROM events GROUP BY 1),
+c AS (SELECT d,
+             SUM(k * LN(0.22 / 0.18)
+                 + (n - k) * LN((1.0 - 0.22) / (1.0 - 0.18)))
+               OVER (ORDER BY d) AS cum,
+             ROW_NUMBER() OVER (ORDER BY d) AS rk,
+             COUNT(*) OVER () AS nd
+      FROM daily),
+up AS (SELECT MIN(rk) AS r FROM c WHERE cum >= LN(19.0)),
+dn AS (SELECT MIN(rk) AS r FROM c WHERE cum <= -LN(19.0)),
+pick AS (SELECT CASE
+                  WHEN COALESCE(up.r, 9223372036854775807)
+                       < COALESCE(dn.r, 9223372036854775807)
+                    THEN 'accept_h1'
+                  WHEN COALESCE(dn.r, 9223372036854775807)
+                       < COALESCE(up.r, 9223372036854775807)
+                    THEN 'accept_h0'
+                  ELSE 'continue' END AS decision,
+                LEAST(COALESCE(up.r, 9223372036854775807),
+                      COALESCE(dn.r, 9223372036854775807)) AS r
+         FROM up, dn)
+SELECT pick.decision,
+       CAST(c.d AS TIMESTAMP) AS crossing_day,
+       CAST(c.rk AS BIGINT) AS days_observed,
+       ROUND(c.cum, 6) AS llr_at_stop
+FROM pick JOIN c ON c.rk = CASE WHEN pick.r = 9223372036854775807
+                                THEN c.nd ELSE pick.r END
+"""
+
+
+def q_good_turing_mass(sf_dir: str):
+    """Good–Turing unseen-probability mass (P0 = F1/N) and the Chao1
+    species-richness estimate (V + F1²/(2F2)) over the corpus
+    vocabulary — the coverage read that says how much of the language a
+    100 TB crawl has NOT seen yet.  Word counts merge in word-hash
+    partitions; the frequency-of-frequencies histogram is a second
+    combiner; the estimators are driver arithmetic on four integers."""
+    P = 64
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = pd.Series(np.concatenate(
+            df["text"].str.split(" ").to_numpy()), name="w")
+        out = w.value_counts().rename("n").reset_index()
+        out.columns = ["w", "n"]
+        out["part"] = (pd.util.hash_array(out["w"].to_numpy(object))
+                       % np.uint64(P)).astype(np.int32)
+        return out
+
+    def fof(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("w")["n"].sum()
+        f = c.value_counts().rename("f").reset_index()
+        f.columns = ["r", "f"]
+        f["tok"] = 0
+        f.loc[0, "tok"] = int(c.sum())  # per-partition token total
+        return f
+
+    mo = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("part").map_groups(fof, batch_format="pandas") \
+        .to_pandas()
+    ff = mo.groupby("r")["f"].sum()
+    n_tok = int(mo["tok"].sum())
+    v = int(ff.sum())
+    f1 = int(ff.get(1, 0))
+    f2 = int(ff.get(2, 0))
+    return pd.DataFrame({
+        "n_tokens": np.array([n_tok], np.int64),
+        "vocab": np.array([v], np.int64),
+        "hapax": np.array([f1], np.int64),
+        "p_unseen": [round(f1 / n_tok, 6)],
+        # bias-corrected Chao1: defined even when F2 = 0 (a synthetic
+        # fixed-vocabulary corpus has no hapax legomena at all)
+        "chao1": [round(v + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)), 6)]})
+
+
+SQL_GOOD_TURING_MASS = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT w, COUNT(*) AS n FROM w GROUP BY 1),
+ff AS (SELECT n AS r, COUNT(*) AS f FROM c GROUP BY 1),
+t AS (SELECT SUM(n) AS n_tok, COUNT(*) AS v FROM c),
+m AS (SELECT (SELECT COALESCE(SUM(f), 0) FROM ff WHERE r = 1) AS f1,
+             (SELECT COALESCE(SUM(f), 0) FROM ff WHERE r = 2) AS f2)
+SELECT CAST(t.n_tok AS BIGINT) AS n_tokens,
+       CAST(t.v AS BIGINT) AS vocab,
+       CAST(m.f1 AS BIGINT) AS hapax,
+       ROUND(m.f1 * 1.0 / t.n_tok, 6) AS p_unseen,
+       ROUND(t.v + m.f1 * (m.f1 - 1.0) / (2.0 * (m.f2 + 1.0)), 6)
+         AS chao1
+FROM t, m
+"""
+
+
+def q_fano_factor_windows(sf_dir: str):
+    """Fano factor (index of dispersion, var/mean of per-window event
+    counts) at 1 h / 6 h / 24 h window widths — the time-scale sweep
+    that distinguishes Poisson traffic (F≈1) from bursty arrivals.
+    Per-window counts fold as combiners; EMPTY windows never
+    materialize — their zero mass is implicit in the known window
+    count (same device as q_zip_fit_daily_counts), so each width costs
+    one bounded exchange of exact integers."""
+    ds = _read(sf_dir, "events", ["ts"])
+    lo = pd.Timestamp(ds.min("ts")).value // 1000
+    hi = pd.Timestamp(ds.max("ts")).value // 1000
+    rows = []
+    for name, hours in (("1h", 1), ("6h", 6), ("24h", 24)):
+        width = hours * 3_600_000_000
+
+        def partial(df: pd.DataFrame, w=width) -> pd.DataFrame:
+            t_us = df["ts"].to_numpy(dtype="datetime64[us]") \
+                .astype(np.int64)
+            return pd.DataFrame({"b": t_us // w, "n": 1}) \
+                .groupby("b", as_index=False).sum()
+
+        cnt = ds.map_batches(partial, batch_format="pandas") \
+            .to_pandas().groupby("b")["n"].sum()
+        n_win = int(hi // width - lo // width) + 1
+        s = float(cnt.sum())
+        ss = float((cnt.to_numpy(np.int64) ** 2).sum())
+        mean = s / n_win
+        var = ss / n_win - mean * mean
+        rows.append((name, n_win, round(mean, 6), round(var / mean, 6)))
+    return pd.DataFrame(rows, columns=["window", "n_windows",
+                                       "mean_count", "fano"])
+
+
+SQL_FANO_FACTOR_WINDOWS = """
+WITH spans AS (SELECT w.name, w.us,
+                      (epoch_us(MAX(e.ts)) // w.us
+                       - epoch_us(MIN(e.ts)) // w.us + 1) AS n_win
+               FROM events e
+               CROSS JOIN (VALUES ('1h', 3600000000),
+                                  ('6h', 21600000000),
+                                  ('24h', 86400000000)) AS w(name, us)
+               GROUP BY 1, 2),
+c AS (SELECT w.name, epoch_us(e.ts) // w.us AS b, COUNT(*) AS n
+      FROM events e
+      CROSS JOIN (VALUES ('1h', 3600000000),
+                         ('6h', 21600000000),
+                         ('24h', 86400000000)) AS w(name, us)
+      GROUP BY 1, 2),
+m AS (SELECT name, SUM(n) * 1.0 AS s,
+             SUM(CAST(n AS DOUBLE) * n) AS ss
+      FROM c GROUP BY 1)
+SELECT m.name AS window,
+       CAST(spans.n_win AS BIGINT) AS n_windows,
+       ROUND(m.s / spans.n_win, 6) AS mean_count,
+       ROUND((m.ss / spans.n_win
+              - (m.s / spans.n_win) * (m.s / spans.n_win))
+             / (m.s / spans.n_win), 6) AS fano
+FROM m JOIN spans ON spans.name = m.name
+ORDER BY spans.us
+"""
+
+
+def q_record_days(sf_dir: str):
+    """Record-breaking days in the daily revenue series: observed count
+    of strict running-maximum days vs the iid expectation H_D =
+    Σ 1/i — the records-theory read that flags trend (too many
+    records) or a frozen regime (too few).  Daily totals fold
+    distributed; the running-max scan is calendar-bounded."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "d": pd.to_datetime(df["o_orderdate"]).dt.normalize(),
+            "y": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)}).groupby("d", as_index=False).sum()
+
+    daily = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby("d", as_index=False)["y"].sum().sort_values("d") \
+        .reset_index(drop=True)
+    y = daily["y"].to_numpy(np.int64)
+    d = len(y)
+    run = np.maximum.accumulate(y)
+    records = int(1 + (y[1:] > run[:-1]).sum())
+    expected = float((1.0 / np.arange(1, d + 1)).sum())
+    return pd.DataFrame({
+        "n_days": np.array([d], np.int64),
+        "records": np.array([records], np.int64),
+        "expected_iid": [round(expected, 6)],
+        "ratio": [round(records / expected, 6)]})
+
+
+SQL_RECORD_DAYS = """
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                      SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+               FROM orders GROUP BY 1),
+r AS (SELECT d, y,
+             MAX(y) OVER (ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prevmax
+      FROM daily),
+n AS (SELECT COUNT(*) AS nd,
+             SUM(CASE WHEN prevmax IS NULL OR y > prevmax
+                      THEN 1 ELSE 0 END) AS rec
+      FROM r),
+h AS (SELECT SUM(1.0 / rk) AS hn
+      FROM (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rk FROM daily))
+SELECT CAST(n.nd AS BIGINT) AS n_days,
+       CAST(n.rec AS BIGINT) AS records,
+       ROUND(h.hn, 6) AS expected_iid,
+       ROUND(n.rec / h.hn, 6) AS ratio
+FROM n, h
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -21627,6 +21880,10 @@ QUERIES = {
     "cochran_armitage_trend": q_cochran_armitage_trend,
     "youden_threshold": q_youden_threshold,
     "mantel_haenszel_or": q_mantel_haenszel_or,
+    "sprt_crossing": q_sprt_crossing,
+    "good_turing_mass": q_good_turing_mass,
+    "fano_factor_windows": q_fano_factor_windows,
+    "record_days": q_record_days,
 }
 
 ORACLE_SQL = {
@@ -22029,4 +22286,8 @@ ORACLE_SQL = {
     "cochran_armitage_trend": SQL_COCHRAN_ARMITAGE_TREND,
     "youden_threshold": SQL_YOUDEN_THRESHOLD,
     "mantel_haenszel_or": SQL_MANTEL_HAENSZEL_OR,
+    "sprt_crossing": SQL_SPRT_CROSSING,
+    "good_turing_mass": SQL_GOOD_TURING_MASS,
+    "fano_factor_windows": SQL_FANO_FACTOR_WINDOWS,
+    "record_days": SQL_RECORD_DAYS,
 }
