@@ -361,7 +361,9 @@ def bench_queries() -> dict:
              "kruskal_wallis_priority", "cochran_armitage_trend",
              "youden_threshold", "mantel_haenszel_or",
              "sprt_crossing", "good_turing_mass",
-             "fano_factor_windows", "record_days"]
+             "fano_factor_windows", "record_days",
+             "wasserstein_weekend", "gpd_tail_fit",
+             "periodogram_peaks", "hill_tail_index"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem

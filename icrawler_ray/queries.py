@@ -21472,6 +21472,234 @@ FROM n, h
 """
 
 
+def q_wasserstein_weekend(sf_dir: str):
+    """1-Wasserstein (earth-mover) distance between weekend and weekday
+    purchase-value distributions: W1 = ∫|F1−F2| dv over the exact
+    value-count grid — the optimal-transport cost of reshaping one
+    distribution into the other, in dollars.  Same grid combiner as
+    q_cramer_von_mises; the integral is a first-difference fold over
+    the sorted grid."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["event_type"] == "purchase"]
+        return pd.DataFrame({
+            "wk": (pd.to_datetime(d["ts"]).dt.dayofweek >= 5)
+            .to_numpy().astype(np.int64),
+            "cents": np.round(d["value"].to_numpy() * 100)
+            .astype(np.int64)}).groupby(["wk", "cents"],
+                                        as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cnt = parts.groupby(["wk", "cents"], as_index=False)["n"].sum()
+    piv = cnt.pivot_table(index="cents", columns="wk", values="n",
+                          fill_value=0, aggfunc="sum").sort_index()
+    a = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    b = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    v = piv.index.to_numpy(np.int64)
+    n1, n2 = float(a.sum()), float(b.sum())
+    f1 = np.cumsum(a) / n1
+    f2 = np.cumsum(b) / n2
+    gaps = np.diff(v).astype(np.float64)
+    w1 = float((np.abs(f1 - f2)[:-1] * gaps).sum())
+    return pd.DataFrame({
+        "n_weekend": np.array([int(n1)], np.int64),
+        "n_weekday": np.array([int(n2)], np.int64),
+        "w1_dollars": [round(w1 / 100.0, 6)]})
+
+
+SQL_WASSERSTEIN_WEEKEND = """
+WITH v AS (SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS wk,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT cents,
+             SUM(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS b
+      FROM v GROUP BY cents),
+t AS (SELECT SUM(a) * 1.0 AS n1, SUM(b) * 1.0 AS n2 FROM c),
+e AS (SELECT SUM(c.a) OVER (ORDER BY c.cents) / t.n1 AS f1,
+             SUM(c.b) OVER (ORDER BY c.cents) / t.n2 AS f2,
+             LEAD(c.cents) OVER (ORDER BY c.cents) - c.cents AS gap,
+             t.n1, t.n2
+      FROM c, t)
+SELECT CAST(MAX(n1) AS BIGINT) AS n_weekend,
+       CAST(MAX(n2) AS BIGINT) AS n_weekday,
+       ROUND(SUM(CASE WHEN gap IS NOT NULL
+                      THEN ABS(f1 - f2) * gap ELSE 0 END) / 100.0, 6)
+         AS w1_dollars
+FROM e
+"""
+
+
+def q_gpd_tail_fit(sf_dir: str):
+    """Peaks-over-threshold EVT: generalized Pareto fit (method of
+    moments: xi = (1 − m²/s²)/2, beta = m(m²/s² + 1)/2) to order-value
+    excesses over the EXACT P95 order statistic — the complement of
+    q_gumbel_daily_max's block-maxima view; together they bracket the
+    tail-risk model.  The threshold comes from the distributed rank
+    primitive; excess moments fold as one more combiner pass."""
+    from icrawler_ray.functions.seq import assign_global_seq
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64),
+                "o_orderkey": df["o_orderkey"]}),
+            batch_format="pandas")
+    n = ds.count()
+    k = int(np.ceil(0.95 * n)) - 1  # 0-based P95 rank
+    ranked = assign_global_seq(ds, ["cents", "o_orderkey"], col="rank")
+    u = int(ranked.map_batches(
+        lambda df: df[df["rank"].to_numpy() == k],
+        batch_format="pandas").to_pandas()["cents"].iloc[0])
+
+    def mom(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["cents"].to_numpy(np.int64) - u
+        e = e[e > 0]
+        f = e.astype(np.float64)
+        return pd.DataFrame({"n": [len(e)], "s": [int(e.sum())],
+                             "ss": [(f * f).sum()]})
+
+    mo = ds.map_batches(mom, batch_format="pandas").to_pandas().sum()
+    ne = float(mo["n"])
+    m = float(mo["s"]) / ne
+    var = float(mo["ss"]) / ne - m * m
+    xi = 0.5 * (1.0 - m * m / var)
+    beta = 0.5 * m * (m * m / var + 1.0)
+    return pd.DataFrame({
+        "threshold": [round(u / 100.0, 2)],
+        "n_exceed": np.array([int(ne)], np.int64),
+        "xi": [round(xi, 6)],
+        "beta": [round(beta / 100.0, 6)]})
+
+
+SQL_GPD_TAIL_FIT = """
+WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                  o_orderkey
+           FROM orders),
+nn AS (SELECT CAST(CEIL(0.95 * COUNT(*)) AS BIGINT) AS k FROM v),
+u AS (SELECT cents AS u FROM (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rk
+        FROM v), nn WHERE rk = nn.k),
+e AS (SELECT (v.cents - u.u) * 1.0 AS x FROM v, u WHERE v.cents > u.u),
+m AS (SELECT COUNT(*) * 1.0 AS n, SUM(x) / COUNT(*) AS mean,
+             SUM(x * x) / COUNT(*) AS m2
+      FROM e)
+SELECT ROUND((SELECT u FROM u) / 100.0, 2) AS threshold,
+       CAST(m.n AS BIGINT) AS n_exceed,
+       ROUND(0.5 * (1.0 - m.mean * m.mean
+                    / (m.m2 - m.mean * m.mean)), 6) AS xi,
+       ROUND(0.5 * m.mean * (m.mean * m.mean
+                             / (m.m2 - m.mean * m.mean) + 1.0)
+             / 100.0, 6) AS beta
+FROM m
+"""
+
+
+def q_periodogram_peaks(sf_dir: str):
+    """Classical periodogram of daily revenue at candidate periods
+    5 / 7 / 14 / 30 days: normalized spectral power
+    (a² + b²)/(D²·var) from explicit cos/sin projections of the
+    mean-centered series — the cheap seasonality detector that says
+    WHICH cycle dominates before fitting anything.  Daily totals fold
+    distributed; the projections are calendar-bounded driver folds."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "d": pd.to_datetime(df["o_orderdate"]).dt.normalize(),
+            "y": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64)}).groupby("d", as_index=False).sum()
+
+    daily = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby("d", as_index=False)["y"].sum().sort_values("d") \
+        .reset_index(drop=True)
+    d0 = daily["d"].iloc[0]
+    x = (daily["d"] - d0).dt.days.to_numpy(np.float64)
+    y = daily["y"].to_numpy(np.float64)
+    D = float(len(y))
+    mu = y.sum() / D
+    yc = y - mu
+    var = (yc * yc).sum() / D
+    rows = []
+    for p in (5.0, 7.0, 14.0, 30.0):
+        ang = 2.0 * np.pi * x / p
+        a = (yc * np.cos(ang)).sum()
+        b = (yc * np.sin(ang)).sum()
+        rows.append((int(p), round((a * a + b * b) / (D * D * var), 6)))
+    return pd.DataFrame(rows, columns=["period_days", "norm_power"])
+
+
+SQL_PERIODOGRAM_PEAKS = """
+WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                      SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+               FROM orders GROUP BY 1),
+idx AS (SELECT y * 1.0 AS y,
+               date_diff('day', MIN(d) OVER (), d) * 1.0 AS x
+        FROM daily),
+m AS (SELECT COUNT(*) * 1.0 AS dd, SUM(y) / COUNT(*) AS mu FROM idx),
+v AS (SELECT SUM((idx.y - m.mu) * (idx.y - m.mu)) / m.dd AS var,
+             m.dd
+      FROM idx, m GROUP BY m.dd),
+p AS (SELECT pp.p,
+             SUM((idx.y - m.mu) * COS(2 * PI() * idx.x / pp.p)) AS a,
+             SUM((idx.y - m.mu) * SIN(2 * PI() * idx.x / pp.p)) AS b
+      FROM idx CROSS JOIN (VALUES (5.0), (7.0), (14.0), (30.0))
+               AS pp(p), m
+      GROUP BY pp.p)
+SELECT CAST(p.p AS BIGINT) AS period_days,
+       ROUND((p.a * p.a + p.b * p.b) / (v.dd * v.dd * v.var), 6)
+         AS norm_power
+FROM p, v ORDER BY p.p
+"""
+
+
+def q_hill_tail_index(sf_dir: str):
+    """Hill estimator of the Pareto tail index over the top-1000 order
+    values: alpha-hat = 1/mean(ln(x_(i)/x_(k+1))) — the heavy-tail
+    exponent read that complements the GPD fit with a
+    rank-domain estimator.  ONE distributed descending sort+limit
+    produces the top-k block; everything after is k-bounded."""
+    ds = _read(sf_dir, "orders", ["o_totalprice", "o_orderkey"])
+    K = 1000
+    top = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+            .astype(np.int64),
+            "o_orderkey": df["o_orderkey"]}),
+        batch_format="pandas") \
+        .sort(["cents", "o_orderkey"], descending=True) \
+        .limit(K + 1).to_pandas()
+    x = top["cents"].to_numpy(np.float64)
+    xk = x[K]  # (k+1)-th largest: the anchoring order statistic
+    hill = float(np.log(x[:K] / xk).sum() / K)
+    return pd.DataFrame({
+        "k": np.array([K], np.int64),
+        "x_k1": [round(xk / 100.0, 2)],
+        "hill_gamma": [round(hill, 6)],
+        "alpha_hat": [round(1.0 / hill, 6)]})
+
+
+SQL_HILL_TAIL_INDEX = """
+WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                  ROW_NUMBER() OVER (ORDER BY
+                    CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+                    o_orderkey DESC) AS rk
+           FROM orders),
+anchor AS (SELECT cents * 1.0 AS xk FROM v WHERE rk = 1001),
+h AS (SELECT SUM(LN(v.cents / anchor.xk)) / 1000.0 AS g
+      FROM v, anchor WHERE v.rk <= 1000)
+SELECT CAST(1000 AS BIGINT) AS k,
+       ROUND((SELECT xk FROM anchor) / 100.0, 2) AS x_k1,
+       ROUND(h.g, 6) AS hill_gamma,
+       ROUND(1.0 / h.g, 6) AS alpha_hat
+FROM h
+"""
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -21884,6 +22112,10 @@ QUERIES = {
     "good_turing_mass": q_good_turing_mass,
     "fano_factor_windows": q_fano_factor_windows,
     "record_days": q_record_days,
+    "wasserstein_weekend": q_wasserstein_weekend,
+    "gpd_tail_fit": q_gpd_tail_fit,
+    "periodogram_peaks": q_periodogram_peaks,
+    "hill_tail_index": q_hill_tail_index,
 }
 
 ORACLE_SQL = {
@@ -22290,4 +22522,8 @@ ORACLE_SQL = {
     "good_turing_mass": SQL_GOOD_TURING_MASS,
     "fano_factor_windows": SQL_FANO_FACTOR_WINDOWS,
     "record_days": SQL_RECORD_DAYS,
+    "wasserstein_weekend": SQL_WASSERSTEIN_WEEKEND,
+    "gpd_tail_fit": SQL_GPD_TAIL_FIT,
+    "periodogram_peaks": SQL_PERIODOGRAM_PEAKS,
+    "hill_tail_index": SQL_HILL_TAIL_INDEX,
 }
