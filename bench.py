@@ -363,7 +363,9 @@ def bench_queries() -> dict:
              "sprt_crossing", "good_turing_mass",
              "fano_factor_windows", "record_days",
              "wasserstein_weekend", "gpd_tail_fit",
-             "periodogram_peaks", "hill_tail_index"]
+             "periodogram_peaks", "hill_tail_index",
+             "clustering_agreement", "average_precision",
+             "ece_hour_model", "taylor_law_exponent"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
