@@ -365,7 +365,9 @@ def bench_queries() -> dict:
              "wasserstein_weekend", "gpd_tail_fit",
              "periodogram_peaks", "hill_tail_index",
              "clustering_agreement", "average_precision",
-             "ece_hour_model", "taylor_law_exponent"]
+             "ece_hour_model", "taylor_law_exponent",
+             "kendalls_w_brands", "seasonal_mann_kendall",
+             "rbo_brand_years", "bowker_symmetry"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
