@@ -367,7 +367,9 @@ def bench_queries() -> dict:
              "clustering_agreement", "average_precision",
              "ece_hour_model", "taylor_law_exponent",
              "kendalls_w_brands", "seasonal_mann_kendall",
-             "rbo_brand_years", "bowker_symmetry"]
+             "rbo_brand_years", "bowker_symmetry",
+             "brown_forsythe_types", "rmst_segments",
+             "cooks_distance_days", "breusch_pagan_daily"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
