@@ -369,7 +369,9 @@ def bench_queries() -> dict:
              "kendalls_w_brands", "seasonal_mann_kendall",
              "rbo_brand_years", "bowker_symmetry",
              "brown_forsythe_types", "rmst_segments",
-             "cooks_distance_days", "breusch_pagan_daily"]
+             "cooks_distance_days", "breusch_pagan_daily",
+             "granger_daily_types", "adf_lite_daily",
+             "tail_dependence", "chow_break_1997"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
