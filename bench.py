@@ -371,7 +371,9 @@ def bench_queries() -> dict:
              "brown_forsythe_types", "rmst_segments",
              "cooks_distance_days", "breusch_pagan_daily",
              "granger_daily_types", "adf_lite_daily",
-             "tail_dependence", "chow_break_1997"]
+             "tail_dependence", "chow_break_1997",
+             "regression_discontinuity", "did_segments_1997",
+             "wald_iv_estimate", "oaxaca_gap"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
