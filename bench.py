@@ -373,7 +373,9 @@ def bench_queries() -> dict:
              "granger_daily_types", "adf_lite_daily",
              "tail_dependence", "chow_break_1997",
              "regression_discontinuity", "did_segments_1997",
-             "wald_iv_estimate", "oaxaca_gap"]
+             "wald_iv_estimate", "oaxaca_gap",
+             "juilland_dispersion", "neyman_allocation",
+             "design_effect_systematic", "lorenz_asymmetry"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
