@@ -375,7 +375,9 @@ def bench_queries() -> dict:
              "regression_discontinuity", "did_segments_1997",
              "wald_iv_estimate", "oaxaca_gap",
              "juilland_dispersion", "neyman_allocation",
-             "design_effect_systematic", "lorenz_asymmetry"]
+             "design_effect_systematic", "lorenz_asymmetry",
+             "grubbs_daily", "bartlett_segments",
+             "mood_median_test", "jsd_source_langs"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
