@@ -377,7 +377,9 @@ def bench_queries() -> dict:
              "juilland_dispersion", "neyman_allocation",
              "design_effect_systematic", "lorenz_asymmetry",
              "grubbs_daily", "bartlett_segments",
-             "mood_median_test", "jsd_source_langs"]
+             "mood_median_test", "jsd_source_langs",
+             "process_capability", "dfa_alpha_daily",
+             "cochran_q_weeks", "cliffs_delta"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
