@@ -379,7 +379,9 @@ def bench_queries() -> dict:
              "grubbs_daily", "bartlett_segments",
              "mood_median_test", "jsd_source_langs",
              "process_capability", "dfa_alpha_daily",
-             "cochran_q_weeks", "cliffs_delta"]
+             "cochran_q_weeks", "cliffs_delta",
+             "hypergeom_point_logp", "rarefaction_vocab",
+             "dean_overdispersion", "u_chart_errors"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
