@@ -381,7 +381,9 @@ def bench_queries() -> dict:
              "process_capability", "dfa_alpha_daily",
              "cochran_q_weeks", "cliffs_delta",
              "hypergeom_point_logp", "rarefaction_vocab",
-             "dean_overdispersion", "u_chart_errors"]
+             "dean_overdispersion", "u_chart_errors",
+             "somers_d", "gk_lambda",
+             "hall_tideman_brands", "shift_share_nations"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
