@@ -383,7 +383,9 @@ def bench_queries() -> dict:
              "hypergeom_point_logp", "rarefaction_vocab",
              "dean_overdispersion", "u_chart_errors",
              "somers_d", "gk_lambda",
-             "hall_tideman_brands", "shift_share_nations"]
+             "hall_tideman_brands", "shift_share_nations",
+             "jackknife_ratio_se", "pettitt_test",
+             "bhattacharyya_weekend", "morans_i_regions"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
