@@ -385,7 +385,9 @@ def bench_queries() -> dict:
              "somers_d", "gk_lambda",
              "hall_tideman_brands", "shift_share_nations",
              "jackknife_ratio_se", "pettitt_test",
-             "bhattacharyya_weekend", "morans_i_regions"]
+             "bhattacharyya_weekend", "morans_i_regions",
+             "german_tank_estimate", "honore_r_sources",
+             "kish_neff", "ljung_box_daily"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
