@@ -387,7 +387,9 @@ def bench_queries() -> dict:
              "jackknife_ratio_se", "pettitt_test",
              "bhattacharyya_weekend", "morans_i_regions",
              "german_tank_estimate", "honore_r_sources",
-             "kish_neff", "ljung_box_daily"]
+             "kish_neff", "ljung_box_daily",
+             "mase_naive7", "pinball_loss_q90",
+             "brier_decomposition", "diebold_mariano"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
