@@ -389,7 +389,9 @@ def bench_queries() -> dict:
              "german_tank_estimate", "honore_r_sources",
              "kish_neff", "ljung_box_daily",
              "mase_naive7", "pinball_loss_q90",
-             "brier_decomposition", "diebold_mariano"]
+             "brier_decomposition", "diebold_mariano",
+             "ndcg_value_ranker", "simhash_pr_eval",
+             "silhouette_kmeans"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
