@@ -391,7 +391,9 @@ def bench_queries() -> dict:
              "mase_naive7", "pinball_loss_q90",
              "brier_decomposition", "diebold_mariano",
              "ndcg_value_ranker", "simhash_pr_eval",
-             "silhouette_kmeans"]
+             "silhouette_kmeans",
+             "atkinson_index", "palma_ratio",
+             "duncan_dissimilarity", "energy_distance_weekend"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
