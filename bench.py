@@ -398,7 +398,9 @@ def bench_queries() -> dict:
              "woolf_or_ci", "risk_difference_nnt",
              "bigram_perplexity", "cohens_h", "gunning_fog",
              "biweight_location", "sign_test_weeks",
-             "kpss_lite_daily", "jonckheere_qty_discount"]
+             "kpss_lite_daily", "jonckheere_qty_discount",
+             "cms_overcount_audit", "holm_rejections",
+             "meta_fixed_effect"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
