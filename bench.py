@@ -400,7 +400,9 @@ def bench_queries() -> dict:
              "biweight_location", "sign_test_weeks",
              "kpss_lite_daily", "jonckheere_qty_discount",
              "cms_overcount_audit", "holm_rejections",
-             "meta_fixed_effect"]
+             "meta_fixed_effect",
+             "lins_ccc", "smr_nations",
+             "tornqvist_index", "ovl_weekend"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
