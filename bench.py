@@ -402,7 +402,9 @@ def bench_queries() -> dict:
              "cms_overcount_audit", "holm_rejections",
              "meta_fixed_effect",
              "lins_ccc", "smr_nations",
-             "tornqvist_index", "ovl_weekend"]
+             "tornqvist_index", "ovl_weekend",
+             "bowley_quartiles", "mean_log_deviation",
+             "bucket_occupancy_audit", "spearman_footrule"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
