@@ -404,7 +404,9 @@ def bench_queries() -> dict:
              "lins_ccc", "smr_nations",
              "tornqvist_index", "ovl_weekend",
              "bowley_quartiles", "mean_log_deviation",
-             "bucket_occupancy_audit", "spearman_footrule"]
+             "bucket_occupancy_audit", "spearman_footrule",
+             "dunning_g2_terms", "weighted_kappa_priority",
+             "cucconi_test"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
