@@ -406,7 +406,9 @@ def bench_queries() -> dict:
              "bowley_quartiles", "mean_log_deviation",
              "bucket_occupancy_audit", "spearman_footrule",
              "dunning_g2_terms", "weighted_kappa_priority",
-             "cucconi_test"]
+             "cucconi_test",
+             "cochrane_orcutt_daily", "newey_west_trend",
+             "paf_weekend"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
