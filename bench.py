@@ -408,7 +408,9 @@ def bench_queries() -> dict:
              "dunning_g2_terms", "weighted_kappa_priority",
              "cucconi_test",
              "cochrane_orcutt_daily", "newey_west_trend",
-             "paf_weekend"]
+             "paf_weekend",
+             "hill_numbers_vocab", "chao_shen_entropy",
+             "brunet_sichel"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
