@@ -410,7 +410,9 @@ def bench_queries() -> dict:
              "cochrane_orcutt_daily", "newey_west_trend",
              "paf_weekend",
              "hill_numbers_vocab", "chao_shen_entropy",
-             "brunet_sichel"]
+             "brunet_sichel",
+             "horvitz_thompson_total", "regression_to_mean",
+             "median_ci_exact"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
