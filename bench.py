@@ -412,7 +412,9 @@ def bench_queries() -> dict:
              "hill_numbers_vocab", "chao_shen_entropy",
              "brunet_sichel",
              "horvitz_thompson_total", "regression_to_mean",
-             "median_ci_exact"]
+             "median_ci_exact",
+             "pietra_index", "expected_shortfall_daily",
+             "omega_ratio_daily", "ulcer_index_daily"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
