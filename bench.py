@@ -414,7 +414,9 @@ def bench_queries() -> dict:
              "horvitz_thompson_total", "regression_to_mean",
              "median_ci_exact",
              "pietra_index", "expected_shortfall_daily",
-             "omega_ratio_daily", "ulcer_index_daily"]
+             "omega_ratio_daily", "ulcer_index_daily",
+             "cox_stuart_trend", "bartels_rank_test",
+             "rayleigh_hour_test"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
