@@ -416,7 +416,9 @@ def bench_queries() -> dict:
              "pietra_index", "expected_shortfall_daily",
              "omega_ratio_daily", "ulcer_index_daily",
              "cox_stuart_trend", "bartels_rank_test",
-             "rayleigh_hour_test"]
+             "rayleigh_hour_test",
+             "kuiper_hour_test", "circular_linear_corr",
+             "crps_empirical"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
