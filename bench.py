@@ -418,7 +418,9 @@ def bench_queries() -> dict:
              "cox_stuart_trend", "bartels_rank_test",
              "rayleigh_hour_test",
              "kuiper_hour_test", "circular_linear_corr",
-             "crps_empirical"]
+             "crps_empirical",
+             "watson_u2_hours", "turning_points_test",
+             "variance_ratio_test"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
