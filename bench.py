@@ -420,7 +420,9 @@ def bench_queries() -> dict:
              "kuiper_hour_test", "circular_linear_corr",
              "crps_empirical",
              "watson_u2_hours", "turning_points_test",
-             "variance_ratio_test"]
+             "variance_ratio_test",
+             "fgt_poverty_measures", "s80_s20_ratio",
+             "l_moments_values"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
