@@ -422,7 +422,9 @@ def bench_queries() -> dict:
              "watson_u2_hours", "turning_points_test",
              "variance_ratio_test",
              "fgt_poverty_measures", "s80_s20_ratio",
-             "l_moments_values"]
+             "l_moments_values",
+             "storey_pi0", "hodges_lehmann_daily",
+             "max_spacing_stat"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
