@@ -424,7 +424,8 @@ def bench_queries() -> dict:
              "fgt_poverty_measures", "s80_s20_ratio",
              "l_moments_values",
              "storey_pi0", "hodges_lehmann_daily",
-             "max_spacing_stat"]
+             "max_spacing_stat",
+             "anderson_darling_2sample", "nation_activity_coverage"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
