@@ -425,7 +425,9 @@ def bench_queries() -> dict:
              "l_moments_values",
              "storey_pi0", "hodges_lehmann_daily",
              "max_spacing_stat",
-             "anderson_darling_2sample", "nation_activity_coverage"]
+             "anderson_darling_2sample", "nation_activity_coverage",
+             "imputation_error_daily", "zipf_abbreviation",
+             "menzerath_law"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
