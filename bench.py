@@ -427,7 +427,9 @@ def bench_queries() -> dict:
              "max_spacing_stat",
              "anderson_darling_2sample", "nation_activity_coverage",
              "imputation_error_daily", "zipf_abbreviation",
-             "menzerath_law"]
+             "menzerath_law",
+             "effective_brands", "extremal_index_daily",
+             "mean_excess_slope"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
