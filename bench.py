@@ -429,7 +429,9 @@ def bench_queries() -> dict:
              "imputation_error_daily", "zipf_abbreviation",
              "menzerath_law",
              "effective_brands", "extremal_index_daily",
-             "mean_excess_slope"]
+             "mean_excess_slope",
+             "gwet_ac1_priority", "icc_year_spend",
+             "isolation_index_hours"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
