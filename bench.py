@@ -431,7 +431,9 @@ def bench_queries() -> dict:
              "effective_brands", "extremal_index_daily",
              "mean_excess_slope",
              "gwet_ac1_priority", "icc_year_spend",
-             "isolation_index_hours"]
+             "isolation_index_hours",
+             "twoway_interaction_f", "imr_chart_daily",
+             "unalikeability_priority"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
