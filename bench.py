@@ -433,7 +433,9 @@ def bench_queries() -> dict:
              "gwet_ac1_priority", "icc_year_spend",
              "isolation_index_hours",
              "twoway_interaction_f", "imr_chart_daily",
-             "unalikeability_priority"]
+             "unalikeability_priority",
+             "brier_skill_score", "tost_equivalence",
+             "sobel_mediation"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
