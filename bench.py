@@ -435,7 +435,9 @@ def bench_queries() -> dict:
              "twoway_interaction_f", "imr_chart_daily",
              "unalikeability_priority",
              "brier_skill_score", "tost_equivalence",
-             "sobel_mediation"]
+             "sobel_mediation",
+             "evalue_confounding", "cohens_d_hedges",
+             "lmg_importance"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
