@@ -437,7 +437,9 @@ def bench_queries() -> dict:
              "brier_skill_score", "tost_equivalence",
              "sobel_mediation",
              "evalue_confounding", "cohens_d_hedges",
-             "lmg_importance"]
+             "lmg_importance",
+             "ridge_two_covariates", "deming_regression",
+             "wls_trend_daily"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
