@@ -439,7 +439,8 @@ def bench_queries() -> dict:
              "evalue_confounding", "cohens_d_hedges",
              "lmg_importance",
              "ridge_two_covariates", "deming_regression",
-             "wls_trend_daily"]
+             "wls_trend_daily",
+             "eggers_test", "dersimonian_laird"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
