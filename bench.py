@@ -440,7 +440,8 @@ def bench_queries() -> dict:
              "lmg_importance",
              "ridge_two_covariates", "deming_regression",
              "wls_trend_daily",
-             "eggers_test", "dersimonian_laird"]
+             "eggers_test", "dersimonian_laird",
+             "brunner_munzel", "cv_delta_ci"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
