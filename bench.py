@@ -441,7 +441,8 @@ def bench_queries() -> dict:
              "ridge_two_covariates", "deming_regression",
              "wls_trend_daily",
              "eggers_test", "dersimonian_laird",
-             "brunner_munzel", "cv_delta_ci"]
+             "brunner_munzel", "cv_delta_ci",
+             "wilson_interval", "pythagorean_means"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
