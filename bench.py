@@ -442,7 +442,8 @@ def bench_queries() -> dict:
              "wls_trend_daily",
              "eggers_test", "dersimonian_laird",
              "brunner_munzel", "cv_delta_ci",
-             "wilson_interval", "pythagorean_means"]
+             "wilson_interval", "pythagorean_means",
+             "rate_ratio_ci", "direct_standardized_rate"]
     # csv_roundtrip and jsonl_roundtrip are deliberately excluded: they
     # benchmark tmp-dir disk I/O (write+read of a scratch file), not engine
     # compute, and their timing is dominated by the sandbox filesystem
